@@ -1,0 +1,59 @@
+"""Fixture loader: the 10 driver-generated parquet tables -> temp views.
+
+Single entry point for all fixture access (SURVEY.md §7.0). Views are
+registered once per (session, sf_dir) and cached; switching sf_dir
+re-registers. Reads are plain ``spark.read.parquet`` so Catalyst keeps
+predicate pushdown / column pruning / vectorized scan on every query.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .session import tune_session
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# Small dimension tables worth broadcasting in joins at any scale: these
+# stay small even at 100 TB total (region=5, nation=25 rows always).
+BROADCAST_DIMS = {"region", "nation"}
+
+_registered: dict[tuple[int, str], bool] = {}
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register all fixture tables as temp views; return name -> DataFrame."""
+    tune_session(spark)
+    key = (id(spark._jsparkSession if hasattr(spark, "_jsparkSession") else spark), sf_dir)
+    dfs = {}
+    for name in TABLE_NAMES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        df = spark.read.parquet(path)
+        if name == "events":
+            # events.ts is parquet TIMESTAMP(NANOS) — illegal for Spark's
+            # reader; tune_session sets nanosAsLong so it arrives as a long,
+            # then truncate ns -> µs exactly like DuckDB does on read.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        dfs[name] = df
+        if not _registered.get(key):
+            df.createOrReplaceTempView(name)
+    _registered[key] = True
+    return dfs
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.table(name)
