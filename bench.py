@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Timing = full query build + execution + collect (driver-visible wall
+time), after a session warm-up scan so JVM/codegen startup isn't billed
+to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from clickhouse_data_rebalance_spark import registry
+from clickhouse_data_rebalance_spark.session import get_spark
+from clickhouse_data_rebalance_spark.tables import load_tables
+
+HEADLINE = [
+    "pricing_summary",
+    "join_inner",
+    "join_broadcast_dims",
+    "agg_multikey",
+    "window_frames",
+    "top_k_per_group",
+    "rollup_agg",
+    "cte_query",
+    "rebalance_invariants",
+    "tumbling_window_agg",
+    "session_window_agg",
+    "token_count",
+    "tf_idf",
+    "dedup_minhash_lsh",
+    "cosine_topk_exact",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    registry.load_all()
+    spark = get_spark("cdr-bench")
+
+    # warm-up: load all tables once (parquet footer reads, JVM warmup)
+    dfs = load_tables(spark, sf_dir)
+    for df in dfs.values():
+        df.count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry.QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

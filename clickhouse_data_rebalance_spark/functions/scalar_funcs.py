@@ -1,0 +1,252 @@
+"""Scalar function surface (SURVEY.md §2 C26–C31): string, date/time,
+math, array (higher-order), map, and JSON functions — all JVM-side
+`pyspark.sql.functions` (whole-stage-codegen'd; no Python in the row path).
+
+Cross-engine notes baked into the oracles:
+- datediff: Spark is (end, start); DuckDB is ('day', start, end).
+- pmod: DuckDB lacks it → ((a % b) + b) % b.
+- float arrays are cast to double before arithmetic so Spark (float32
+  kernels) and DuckDB agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..registry import query
+from ..tables import table
+
+
+@query(
+    "string_funcs",
+    """
+    SELECT c_custkey,
+           UPPER(c_name) AS up, LOWER(c_mktsegment) AS lo,
+           SUBSTRING(c_name, 1, 8) AS sub8,
+           LENGTH(c_name) AS len,
+           CONCAT(c_name, '#', c_mktsegment) AS joined,
+           TRIM('  pad  ') AS trimmed,
+           REPLACE(c_name, 'Customer', 'Cust') AS repl,
+           regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+           regexp_replace(c_mktsegment, '[AEIOU]', '_', 'g') AS devowel,
+           LPAD(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+           REVERSE(c_mktsegment) AS rev,
+           CASE WHEN c_name LIKE '%1%' THEN 1 ELSE 0 END AS has1
+    FROM customer ORDER BY c_custkey
+    """,
+)
+def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("up"),
+        F.lower("c_mktsegment").alias("lo"),
+        F.substring("c_name", 1, 8).alias("sub8"),
+        F.length("c_name").alias("len"),
+        F.concat_ws("#", "c_name", "c_mktsegment").alias("joined"),
+        F.trim(F.lit("  pad  ")).alias("trimmed"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias("repl"),
+        F.regexp_extract("c_name", r"([0-9]+)", 1).alias("digits"),
+        F.regexp_replace("c_mktsegment", "[AEIOU]", "_").alias("devowel"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded"),
+        F.reverse("c_mktsegment").alias("rev"),
+        F.when(F.col("c_name").like("%1%"), 1).otherwise(0).alias("has1"),
+    ).orderBy("c_custkey")
+
+
+@query(
+    "datetime_funcs",
+    """
+    SELECT o_orderkey,
+           EXTRACT(year FROM o_orderdate) AS yr,
+           EXTRACT(month FROM o_orderdate) AS mo,
+           EXTRACT(day FROM o_orderdate) AS dy,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           datediff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS days_to_y2k,
+           CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS plus30,
+           epoch(o_orderdate) AS epoch_s,
+           CAST(o_orderdate AS DATE) AS just_date,
+           strftime(o_orderdate, '%Y-%m') AS ym
+    FROM orders ORDER BY o_orderkey
+    """,
+)
+def datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.month("o_orderdate").cast("bigint").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("bigint").alias("dy"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.datediff(F.lit("2000-01-01").cast("date"), F.col("o_orderdate").cast("date"))
+        .cast("bigint")
+        .alias("days_to_y2k"),
+        (F.col("o_orderdate").cast("date") + F.expr("INTERVAL 30 DAYS"))
+        .cast("timestamp")
+        .alias("plus30"),
+        F.unix_timestamp("o_orderdate").cast("double").alias("epoch_s"),
+        F.col("o_orderdate").cast("date").alias("just_date"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "math_funcs",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice, 1) AS r1,
+           FLOOR(l_extendedprice) AS flr,
+           CEIL(l_extendedprice) AS cl,
+           ABS(l_discount - 0.05) AS absd,
+           POW(l_quantity, 2) AS qty_sq,
+           SQRT(l_quantity) AS qty_sqrt,
+           ROUND(LN(l_extendedprice), 9) AS lnp,
+           ROUND(LOG10(l_extendedprice), 9) AS log10p,
+           ((CAST(l_orderkey AS BIGINT) % 7) + 7) % 7 AS pm7,
+           SIGN(l_discount - 0.05) AS sgn,
+           GREATEST(l_quantity, 25.0) AS gq,
+           LEAST(l_quantity, 25.0) AS lq
+    FROM lineitem ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("r1"),
+        F.floor("l_extendedprice").cast("double").alias("flr"),
+        F.ceil("l_extendedprice").cast("double").alias("cl"),
+        F.abs(F.col("l_discount") - 0.05).alias("absd"),
+        F.pow("l_quantity", F.lit(2)).alias("qty_sq"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        # round: libm vs JVM ln differ in the last ulp
+        F.round(F.log(F.col("l_extendedprice")), 9).alias("lnp"),
+        F.round(F.log10("l_extendedprice"), 9).alias("log10p"),
+        F.pmod(F.col("l_orderkey"), F.lit(7)).cast("bigint").alias("pm7"),
+        F.signum(F.col("l_discount") - 0.05).alias("sgn"),
+        F.greatest("l_quantity", F.lit(25.0)).alias("gq"),
+        F.least("l_quantity", F.lit(25.0)).alias("lq"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@query(
+    "array_funcs",
+    """
+    SELECT vec_id,
+           len(embedding) AS dim,
+           CAST(embedding[1] AS DOUBLE) AS first_val,
+           CAST(embedding[64] AS DOUBLE) AS last_val,
+           list_transform(embedding[1:4], x -> CAST(x AS DOUBLE) * 2.0) AS first4_x2,
+           CAST(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS DOUBLE)
+             AS vec_sum,
+           list_sort(list_transform(embedding[1:3], x -> CAST(x AS DOUBLE))) AS first3_sorted,
+           list_contains(list_transform(embedding, x -> CAST(x AS DOUBLE) > 0.2), true)
+             AS any_big
+    FROM embeddings ORDER BY vec_id
+    """,
+)
+def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("bigint").alias("dim"),
+        F.element_at("embedding", 1).cast("double").alias("first_val"),
+        F.element_at("embedding", 64).cast("double").alias("last_val"),
+        F.transform(F.slice("embedding", 1, 4), lambda x: x.cast("double") * 2.0).alias(
+            "first4_x2"
+        ),
+        F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x).alias("vec_sum"),
+        F.sort_array(F.transform(F.slice("embedding", 1, 3), lambda x: x.cast("double"))).alias(
+            "first3_sorted"
+        ),
+        F.array_contains(
+            F.transform(F.col("embedding"), lambda x: x.cast("double") > 0.2), True
+        ).alias("any_big"),
+    ).orderBy("vec_id")
+
+
+@query(
+    "explode_words",
+    """
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+    FROM documents
+    WHERE doc_id < 50
+    ORDER BY doc_id, word
+    """,
+)
+def explode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.filter(F.col("doc_id") < 50)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .orderBy("doc_id", "word")
+    )
+
+
+@query(
+    "posexplode_words",
+    """
+    SELECT doc_id,
+           generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+           unnest(string_split(text, ' ')) AS word
+    FROM documents
+    WHERE doc_id < 20
+    ORDER BY doc_id, pos
+    """,
+)
+def posexplode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.filter(F.col("doc_id") < 20)
+        .select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word"))
+        .select("doc_id", F.col("pos").cast("bigint").alias("pos"), "word")
+        .orderBy("doc_id", "pos")
+    )
+
+
+@query(
+    "json_funcs",
+    """
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+           CASE WHEN json_extract_string(props, '$.missing') IS NULL
+                THEN 1 ELSE 0 END AS missing_is_null
+    FROM events ORDER BY event_id
+    """,
+)
+def json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_int"),
+        F.when(F.get_json_object("props", "$.missing").isNull(), 1).otherwise(0).alias(
+            "missing_is_null"
+        ),
+    ).orderBy("event_id")
+
+
+@query(
+    "map_funcs",
+    """
+    SELECT event_id,
+           json_keys(props)[1] AS first_key,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           len(json_keys(props)) AS n_keys
+    FROM events ORDER BY event_id
+    """,
+)
+def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # MapType arises from from_json over the props JSON string (C30);
+    # output scalars (not raw maps) so both engines hash identically.
+    e = table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return e.select(
+        "event_id",
+        F.element_at(F.map_keys(m), 1).alias("first_key"),
+        F.element_at(m, F.lit("k")).alias("k_val"),
+        F.size(F.map_keys(m)).cast("bigint").alias("n_keys"),
+    ).orderBy("event_id")

@@ -1,0 +1,210 @@
+"""Aggregation surface (SURVEY.md §2 C10–C14): multi-key hash agg,
+distinct / count-distinct, approx count-distinct, rollup / cube /
+grouping sets, HAVING.
+
+All group-bys are partial-aggregated map-side by Spark automatically
+(HashAggregate → Exchange → HashAggregate); keys used here (flags,
+dates, nationkey) are low-cardinality → tiny shuffles at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..registry import query
+from ..tables import table
+from ._util import dec_avg, dec_sum, sql_dec_avg, sql_dec_sum
+
+
+@query(
+    "agg_multikey",
+    f"""
+    SELECT o_orderstatus, o_orderpriority, EXTRACT(year FROM o_orderdate) AS yr,
+           COUNT(*) AS n_orders,
+           {sql_dec_sum('o_totalprice')} AS total_price,
+           {sql_dec_avg('o_totalprice')} AS avg_price,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority, EXTRACT(year FROM o_orderdate)
+    ORDER BY o_orderstatus, o_orderpriority, yr
+    """,
+)
+def agg_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            "o_orderstatus",
+            "o_orderpriority",
+            F.year("o_orderdate").cast("bigint").alias("yr"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dec_sum("o_totalprice").alias("total_price"),
+            dec_avg("o_totalprice").alias("avg_price"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+        .orderBy("o_orderstatus", "o_orderpriority", "yr")
+    )
+
+
+@query(
+    "distinct_rows",
+    """
+    SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    return l.select("l_returnflag", "l_linestatus").distinct().orderBy(
+        "l_returnflag", "l_linestatus"
+    )
+
+
+@query(
+    "count_distinct",
+    """
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS n_custs,
+           COUNT(DISTINCT o_orderpriority) AS n_prios,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_custs"),
+            F.countDistinct("o_orderpriority").alias("n_prios"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query("approx_count_distinct")  # HLL sketches differ per engine → rows-only
+def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "rollup_agg",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dec_sum('l_quantity')} AS sum_qty, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(dec_sum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+@query(
+    "cube_agg",
+    f"""
+    SELECT o_orderstatus, o_orderpriority,
+           {sql_dec_sum('o_totalprice')} AS total, COUNT(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(dec_sum("o_totalprice").alias("total"), F.count(F.lit(1)).alias("n"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+@query(
+    "grouping_sets",
+    f"""
+    SELECT l_returnflag, l_linestatus, {sql_dec_sum('l_extendedprice')} AS total
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS total
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+        """
+    )
+
+
+@query(
+    "having_filter",
+    f"""
+    SELECT o_custkey, COUNT(*) AS n_orders, {sql_dec_sum('o_totalprice')} AS spend
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 12 AND {sql_dec_sum('o_totalprice')} > 500000
+    ORDER BY o_custkey
+    """,
+)
+def having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dec_sum("o_totalprice").alias("spend"))
+        .filter((F.col("n_orders") >= 12) & (F.col("spend") > 500000))
+        .orderBy("o_custkey")
+    )
+
+
+@query(
+    "agg_stats",
+    f"""
+    SELECT l_returnflag,
+           {sql_dec_sum('l_quantity')} AS sum_qty,
+           MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+           quantile_cont(l_quantity, 0.5) AS median_qty,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            dec_sum("l_quantity").alias("sum_qty"),
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_quantity").alias("max_qty"),
+            F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )

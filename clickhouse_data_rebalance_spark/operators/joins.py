@@ -1,0 +1,223 @@
+"""Joins (SURVEY.md §2 C4–C9): inner / outer / semi / anti / theta / cross
+plus an explicitly broadcast dimension join.
+
+Scale notes (100 TB posture):
+- Fact⋈fact joins (lineitem⋈orders) shuffle on the join key — that's the
+  right plan; AQE handles skew splitting.
+- Dimension joins (nation, region — fixed 25/5 rows at ANY scale) are
+  broadcast explicitly so no shuffle of the fact side ever happens.
+- The pure-theta join is restricted to tiny dimension inputs (nation²);
+  at scale a theta join without an equi component is a cross product —
+  the API deliberately only exposes it over bounded inputs.
+
+Reference parity: the reference has no joins (SURVEY.md §2.4) — this is
+Tier C surface making the rebalanced data queryable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..registry import query
+from ..tables import table
+from ._util import dec_sum, sql_dec_sum
+
+
+@query(
+    "join_inner",
+    f"""
+    SELECT o.o_orderkey, o.o_orderdate, o.o_orderstatus,
+           {sql_dec_sum('l.l_extendedprice * (1 - l.l_discount)', 6)} AS revenue,
+           COUNT(*) AS n_lines
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderstatus
+    ORDER BY o.o_orderkey
+    """,
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        o.filter(F.col("o_orderstatus") == "F")
+        .join(l, o.o_orderkey == l.l_orderkey, "inner")
+        .groupBy("o_orderkey", "o_orderdate", "o_orderstatus")
+        .agg(dec_sum(revenue, 6).alias("revenue"), F.count(F.lit(1)).alias("n_lines"))
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "join_broadcast_dims",
+    f"""
+    SELECT r.r_name AS region, n.n_name AS nation,
+           COUNT(*) AS n_customers,
+           {sql_dec_sum('c.c_acctbal')} AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    ORDER BY region, nation
+    """,
+)
+def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dec_sum("c_acctbal").alias("total_acctbal"),
+        )
+        .orderBy("region", "nation")
+    )
+
+
+@query(
+    "join_left_outer",
+    """
+    SELECT c.c_custkey, c.c_name, COUNT(o.o_orderkey) AS n_orders
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY c.c_custkey
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "join_full_outer",
+    """
+    SELECT COALESCE(cs.nk, ss.nk) AS nationkey,
+           COALESCE(cs.n_cust, 0) AS n_cust,
+           COALESCE(ss.n_supp, 0) AS n_supp
+    FROM (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY c_nationkey) cs
+    FULL JOIN (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY s_nationkey) ss
+      ON cs.nk = ss.nk
+    ORDER BY nationkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    cs = c.groupBy(F.col("c_nationkey").alias("nk")).agg(F.count(F.lit(1)).alias("n_cust"))
+    ss = s.groupBy(F.col("s_nationkey").alias("nk")).agg(F.count(F.lit(1)).alias("n_supp"))
+    return (
+        cs.join(ss, "nk", "full")
+        .select(
+            F.col("nk").alias("nationkey"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+@query(
+    "join_semi",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+    ORDER BY c_custkey
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "join_anti",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "join_theta_range",
+    """
+    SELECT l.l_orderkey, l.l_linenumber, p.p_partkey, p.p_retailprice, l.l_extendedprice
+    FROM lineitem l JOIN part p
+      ON l.l_partkey = p.p_partkey
+     AND l.l_extendedprice > p.p_retailprice * 40
+    ORDER BY l.l_orderkey, l.l_linenumber
+    """,
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # equi component keeps this a hash/sort-merge join; the range predicate
+    # rides along as a post-join filter — scale-safe.
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    return (
+        l.join(
+            p,
+            (l.l_partkey == p.p_partkey)
+            & (l.l_extendedprice > p.p_retailprice * 40),
+        )
+        .select("l_orderkey", "l_linenumber", "p_partkey", "p_retailprice", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@query(
+    "join_theta_pure",
+    """
+    SELECT a.n_name AS n1, b.n_name AS n2
+    FROM nation a JOIN nation b ON a.n_regionkey < b.n_regionkey
+    ORDER BY n1, n2
+    """,
+)
+def join_theta_pure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pure theta (no equi key) — bounded-input only: nation is 25 rows at
+    # any scale, so the nested-loop product is trivially safe.
+    n = table(spark, sf_dir, "nation")
+    a = n.alias("a")
+    b = n.alias("b")
+    return (
+        a.join(b, F.col("a.n_regionkey") < F.col("b.n_regionkey"))
+        .select(F.col("a.n_name").alias("n1"), F.col("b.n_name").alias("n2"))
+        .orderBy("n1", "n2")
+    )
+
+
+@query(
+    "join_cross",
+    """
+    SELECT r.r_name, n.n_name
+    FROM region r CROSS JOIN nation n
+    ORDER BY r.r_name, n.n_name
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = table(spark, sf_dir, "region")
+    n = table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name").orderBy("r_name", "n_name")

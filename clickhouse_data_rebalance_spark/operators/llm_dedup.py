@@ -1,0 +1,212 @@
+"""Deduplication operators over `documents` (SURVEY.md C40–C41 +
+training-pipeline dedup): exact, MinHash+LSH near-dup, SimHash, exact
+n-gram Jaccard.
+
+Scale design:
+- exact dedup = hash-groupBy (one shuffle on the dedup key);
+- MinHash/LSH: signatures computed row-local (higher-order functions, no
+  UDF), candidates via explode(bands) + self-join on (band, hash) — the
+  join key is the LSH bucket, so the shuffle moves only (doc_id, bucket)
+  pairs, never the text;
+- the quadratic verify step runs only on LSH candidates, never all pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..registry import query
+from ..tables import table
+from ..functions.text import (
+    band_hashes,
+    fingerprint,
+    hamming64,
+    minhash_signature,
+    shingles,
+    simhash64,
+    tokens,
+)
+
+
+@query(
+    "dedup_exact_text",
+    """
+    SELECT doc_id, lang, source FROM (
+      SELECT doc_id, lang, source,
+             ROW_NUMBER() OVER (PARTITION BY md5(lower(trim(text)))
+                                ORDER BY doc_id) AS rn
+      FROM documents) t
+    WHERE rn = 1 ORDER BY doc_id
+    """,
+)
+def dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-text fingerprint, deterministic keeper
+    (min doc_id) — not dropDuplicates(), whose keeper is partition-order
+    dependent."""
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    w = W.partitionBy(fingerprint("text")).orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "dedup_by_key",
+    """
+    SELECT lang, source, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_dups
+    FROM documents GROUP BY lang, source
+    ORDER BY lang, source
+    """,
+)
+def dedup_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C40 keyed dedup, reported as keeper + duplicate count per key."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang", "source")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_dups"))
+        .orderBy("lang", "source")
+    )
+
+
+# MinHash/LSH parameters: 32 hashes = 8 bands × 4 rows → catches
+# Jaccard ≳ 0.5 with high probability
+N_HASHES, N_BANDS, ROWS_PER_BAND = 32, 8, 4
+
+
+def minhash_candidates(spark: SparkSession, sf_dir: str, k_shingle: int = 3) -> DataFrame:
+    """LSH candidate pairs (a < b) sharing ≥1 MinHash band bucket."""
+    d = table(spark, sf_dir, "documents")
+    sig = d.select(
+        "doc_id",
+        band_hashes(
+            minhash_signature(shingles(F.lower(F.col("text")), k_shingle), N_HASHES),
+            N_BANDS,
+            ROWS_PER_BAND,
+        ).alias("bands"),
+    )
+    buckets = sig.select(
+        "doc_id", F.posexplode("bands").alias("band_idx", "band_hash")
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+@query("dedup_minhash_lsh")  # xxhash64-based → no DuckDB twin → rows-only
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C41: MinHash+LSH near-dup candidates, verified by exact Jaccard on
+    the candidate set only; emits pairs with Jaccard ≥ 0.5."""
+    d = table(spark, sf_dir, "documents")
+    cand = minhash_candidates(spark, sf_dir)
+    sh = d.select(
+        "doc_id", F.array_distinct(shingles(F.lower(F.col("text")))).alias("sh")
+    )
+    scored = (
+        cand.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jaccard"),
+        )
+    )
+    return scored.filter(F.col("jaccard") >= 0.5).orderBy("doc_a", "doc_b")
+
+
+@query("dedup_simhash")  # xxhash64-based → rows-only
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 64-bit signatures, pairs at Hamming distance ≤ 12.
+
+    Banded by the signature's 4 16-bit chunks (a near-dup pair at d≤12
+    usually collides on ≥1 chunk) so the self-join is bucket-local, not
+    quadratic."""
+    d = table(spark, sf_dir, "documents")
+    sigs = d.select("doc_id", simhash64(tokens(F.lower(F.col("text")))).alias("sig"))
+    chunks = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_idx"),
+                        F.shiftright("sig", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("chunk"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "sig", "c.chunk_idx", "c.chunk")
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming64(F.col("a.sig"), F.col("b.sig")).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= 12).orderBy("doc_a", "doc_b")
+
+
+_JACCARD_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, source,
+             list_distinct(string_split(lower(trim(text)), ' ')) AS words
+      FROM documents WHERE doc_id < 100
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.words, b.words)) AS DOUBLE) /
+           len(list_distinct(list_concat(a.words, b.words))) AS jaccard
+    FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE) /
+          len(list_distinct(list_concat(a.words, b.words))) >= 0.4
+    ORDER BY doc_a, doc_b
+"""
+
+
+@query("ngram_jaccard_pairs", _JACCARD_ORACLE)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-set Jaccard over a bounded window of docs — the
+    SQL-checkable exact twin of the LSH path (pairs ≥ 0.4)."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    t = d.select("doc_id", F.array_distinct(tokens(F.lower(F.col("text")))).alias("words"))
+    a = t.alias("a")
+    b = t.alias("b")
+    jac = F.size(F.array_intersect(F.col("a.words"), F.col("b.words"))).cast(
+        "double"
+    ) / F.size(F.array_union(F.col("a.words"), F.col("b.words")))
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.4)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1,0 +1,236 @@
+"""Text-analysis operators over the `documents` table (SURVEY.md C44–C46
++ training-pipeline text ops): tokenize/normalize, token counting,
+quality scoring, language-ID heuristic, fingerprinting, tf-idf.
+
+All SQL-expressible variants carry DuckDB oracles; the whole pipeline is
+split/regexp/higher-order functions — zero Python UDFs, so it rides
+whole-stage codegen and scales linearly with executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..registry import query
+from ..tables import table
+from ..functions.text import BPE_ISH_RE, LANG_MARKERS, fingerprint, marker_count, tokens
+
+
+@query(
+    "tokenize_normalize",
+    """
+    SELECT doc_id,
+           list_sort(list_distinct(string_split(lower(trim(text)), ' '))) AS vocab,
+           len(string_split(trim(text), ' ')) AS n_tokens
+    FROM documents WHERE doc_id < 100 ORDER BY doc_id
+    """,
+)
+def tokenize_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = tokens(F.lower(F.col("text")))
+    return (
+        d.filter(F.col("doc_id") < 100)
+        .select(
+            "doc_id",
+            F.sort_array(F.array_distinct(toks)).alias("vocab"),
+            F.size(tokens("text")).cast("bigint").alias("n_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "token_count",
+    rf"""
+    SELECT doc_id,
+           len(string_split(trim(text), ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '{BPE_ISH_RE}')) AS bpeish_tokens,
+           length(text) AS n_chars_computed,
+           n_chars
+    FROM documents ORDER BY doc_id
+    """,
+)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(tokens("text")).cast("bigint").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH_RE), F.lit(0)))
+        .cast("bigint")
+        .alias("bpeish_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_computed"),
+        "n_chars",
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_quality",
+    """
+    SELECT doc_id,
+           length(text) AS n_chars_q,
+           len(string_split(trim(text), ' ')) AS n_words,
+           CAST(length(text) AS DOUBLE) / len(string_split(trim(text), ' '))
+             AS chars_per_word,
+           CAST(len(list_filter(string_split(lower(trim(text)), ' '),
+                     w -> w IN ('the', 'and', 'of', 'to', 'a'))) AS DOUBLE)
+             / len(string_split(trim(text), ' ')) AS stopword_ratio,
+           CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE)
+             / length(text) AS punct_ratio
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    low_toks = tokens(F.lower(F.col("text")))
+    n_words = F.size(toks).cast("bigint")
+    return d.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars_q"),
+        n_words.alias("n_words"),
+        (F.length("text").cast("double") / n_words).alias("chars_per_word"),
+        (marker_count(low_toks, LANG_MARKERS["en"]).cast("double") / n_words).alias(
+            "stopword_ratio"
+        ),
+        (
+            F.size(F.regexp_extract_all(F.col("text"), F.lit("[^A-Za-z0-9 ]"), F.lit(0))).cast(
+                "double"
+            )
+            / F.length("text")
+        ).alias("punct_ratio"),
+    ).orderBy("doc_id")
+
+
+_LANG_ID_ORACLE = """
+    WITH scored AS (
+      SELECT doc_id, lang,
+             string_split(lower(trim(text)), ' ') AS toks
+      FROM documents
+    ), counts AS (
+      SELECT doc_id, lang,
+             len(list_filter(toks, w -> w IN ('the','and','of','to','a'))) AS en_n,
+             len(list_filter(toks, w -> w IN ('der','die','und','das','ist'))) AS de_n,
+             len(list_filter(toks, w -> w IN ('el','la','de','que','y'))) AS es_n,
+             len(list_filter(toks, w -> w IN ('le','la','et','les','des'))) AS fr_n
+      FROM scored
+    )
+    SELECT doc_id, lang,
+           CASE
+             WHEN en_n >= de_n AND en_n >= es_n AND en_n >= fr_n AND en_n > 0 THEN 'en'
+             WHEN de_n >= es_n AND de_n >= fr_n AND de_n > 0 THEN 'de'
+             WHEN es_n >= fr_n AND es_n > 0 THEN 'es'
+             WHEN fr_n > 0 THEN 'fr'
+             ELSE 'unknown'
+           END AS lang_pred
+    FROM counts ORDER BY doc_id
+"""
+
+
+@query("lang_id_heuristic", _LANG_ID_ORACLE)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID with a fixed priority tie-break — the
+    deterministic heuristic form (fixture text is synthetic word salad;
+    the operator contract is determinism, not linguistic accuracy)."""
+    d = table(spark, sf_dir, "documents")
+    low_toks = tokens(F.lower(F.col("text")))
+    scored = d.select(
+        "doc_id",
+        "lang",
+        marker_count(low_toks, LANG_MARKERS["en"]).alias("en_n"),
+        marker_count(low_toks, LANG_MARKERS["de"]).alias("de_n"),
+        marker_count(low_toks, LANG_MARKERS["es"]).alias("es_n"),
+        marker_count(low_toks, LANG_MARKERS["fr"]).alias("fr_n"),
+    )
+    en, de, es, fr = [F.col(c) for c in ["en_n", "de_n", "es_n", "fr_n"]]
+    return scored.select(
+        "doc_id",
+        "lang",
+        F.when((en >= de) & (en >= es) & (en >= fr) & (en > 0), "en")
+        .when((de >= es) & (de >= fr) & (de > 0), "de")
+        .when((es >= fr) & (es > 0), "es")
+        .when(fr > 0, "fr")
+        .otherwise("unknown")
+        .alias("lang_pred"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "doc_fingerprint",
+    """
+    SELECT doc_id, md5(lower(trim(text))) AS fp
+    FROM documents ORDER BY doc_id
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint("text").alias("fp")).orderBy("doc_id")
+
+
+@query(
+    "lang_source_profile",
+    """
+    SELECT lang, source, COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars,
+           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+    FROM documents GROUP BY lang, source
+    ORDER BY lang, source
+    """,
+)
+def lang_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+_TFIDF_ORACLE = """
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS word
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, word, COUNT(*) AS tf FROM words GROUP BY doc_id, word
+    ), df AS (
+      SELECT word, COUNT(DISTINCT doc_id) AS df FROM words GROUP BY word
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT t.doc_id, t.word, t.tf, d.df,
+           ROUND(t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df), 9) AS tfidf
+    FROM tf t JOIN df d ON t.word = d.word CROSS JOIN n
+    WHERE t.doc_id < 50
+    ORDER BY t.doc_id, t.word
+"""
+
+
+@query("tf_idf", _TFIDF_ORACLE)
+def tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tf-idf via explode + two aggregations (C45). The df side is a
+    word-level aggregate (small — vocabulary-sized) joined back broadcast;
+    at 100 TB the vocabulary still fits comfortably in a broadcast."""
+    d = table(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("word"))
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = words.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # scalar metadata (a count), not a data-path collect
+    return (
+        tf.join(F.broadcast(df_), "word")
+        .filter(F.col("doc_id") < 50)
+        .select(
+            "doc_id",
+            "word",
+            "tf",
+            "df",
+            # round: libm vs JVM ln differ in the last ulp
+            F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 9).alias(
+                "tfidf"
+            ),
+        )
+        .orderBy("doc_id", "word")
+    )

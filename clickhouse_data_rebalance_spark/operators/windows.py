@@ -1,0 +1,176 @@
+"""Window functions (SURVEY.md §2 C15–C17) + sort/limit/top-k (C18–C20).
+
+Windows partition by a key and sort *totally* (unique tiebreaker column
+in every ORDER BY) so rank/lag results are deterministic across engines.
+Top-k-per-group is the window-rank pattern — distributed, no driver-side
+sort (the 100 TB-safe formulation; a global orderBy().limit() is only
+used for small final results).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..registry import query
+from ..tables import table
+
+# running-sum inputs go through decimal so the frame accumulation is exact
+_DEC = "decimal(30,4)"
+
+
+@query(
+    "window_ranking",
+    """
+    SELECT o_custkey, o_orderkey,
+           ROW_NUMBER() OVER w AS rn,
+           RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderstatus) AS rnk,
+           DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderstatus) AS drnk,
+           NTILE(4) OVER w AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderkey")
+    ws = W.partitionBy("o_custkey").orderBy("o_orderstatus")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(ws).alias("rnk"),
+        F.dense_rank().over(ws).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+@query(
+    "window_analytic",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           LAG(o_totalprice) OVER w AS prev_price,
+           LEAD(o_totalprice) OVER w AS next_price,
+           FIRST_VALUE(o_totalprice) OVER w AS first_price,
+           LAST_VALUE(o_totalprice) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderkey")
+    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(wfull).alias("last_price"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+@query(
+    "window_frames",
+    f"""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS {_DEC})) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+           CAST(SUM(CAST(o_totalprice AS {_DEC})) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderkey
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) /
+           COUNT(*) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderkey
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_avg3,
+           COUNT(*) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_so_far
+    FROM orders
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderkey")
+    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    mov = w.rowsBetween(-2, W.currentRow)
+    price_dec = F.col("o_totalprice").cast(_DEC)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(price_dec).over(run).cast("double").alias("running_spend"),
+        (F.sum(price_dec).over(mov).cast("double") / F.count(F.lit(1)).over(mov)).alias(
+            "moving_avg3"
+        ),
+        F.count(F.lit(1)).over(run).alias("n_so_far"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+@query(
+    "sort_multi_key",
+    """
+    SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+    FROM supplier
+    ORDER BY s_nationkey DESC, s_acctbal ASC NULLS FIRST, s_suppkey
+    """,
+)
+def sort_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = table(spark, sf_dir, "supplier")
+    return s.select("s_suppkey", "s_name", "s_nationkey", "s_acctbal").orderBy(
+        F.col("s_nationkey").desc(),
+        F.col("s_acctbal").asc_nulls_first(),
+        F.col("s_suppkey"),
+    )
+
+
+@query(
+    "top_k",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+    """,
+)
+def top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # orderBy+limit compiles to TakeOrderedAndProject: per-partition top-25
+    # then a k-sized driver merge — no global sort, scale-safe.
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(25)
+    )
+
+
+@query(
+    "top_k_per_group",
+    """
+    SELECT * FROM (
+      SELECT c_nationkey, c_custkey, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer) t
+    WHERE rn <= 3
+    ORDER BY c_nationkey, rn
+    """,
+)
+def top_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # distributed top-k per group: one shuffle on the group key, rank, filter
+    # (REPOSE-style pattern, PAPERS.md) — never collects a global sort.
+    c = table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        c.select(
+            "c_nationkey",
+            "c_custkey",
+            "c_acctbal",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+        .orderBy("c_nationkey", "rn")
+    )

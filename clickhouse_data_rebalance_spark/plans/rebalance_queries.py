@@ -1,0 +1,130 @@
+"""Driver-facing query entries for the rebalance / catalog lifecycle
+(SURVEY.md C35–C39 — the productized Tier A/B reference surface).
+
+Verification style is **invariants** (SURVEY.md §2.0 "inv"): a rebalance
+must preserve row count, per-column exact sums, and key cardinality; the
+oracle computes those invariants over the *original* table, so a
+hash-match proves the movement was content-preserving. Shard-balance
+checks are rows-only (xxhash64 has no DuckDB twin).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..registry import query
+from ..tables import table
+from ..operators._util import dec_sum, sql_dec_sum
+from . import catalog as cat
+from .rebalance import rebalance, rebalance_by_range, skew_report
+
+_TMP = "/tmp/cdr_spark"
+N_SHARDS = 8
+
+_INVARIANT_ORACLE = f"""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(DISTINCT l_orderkey) AS n_orders,
+           {sql_dec_sum('l_quantity')} AS sum_qty,
+           {sql_dec_sum('l_extendedprice')} AS sum_price,
+           MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key
+    FROM lineitem
+"""
+
+
+def _invariants(df: DataFrame) -> DataFrame:
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        dec_sum("l_quantity").alias("sum_qty"),
+        dec_sum("l_extendedprice").alias("sum_price"),
+        F.min("l_orderkey").alias("min_key"),
+        F.max("l_orderkey").alias("max_key"),
+    )
+
+
+@query("rebalance_invariants", _INVARIANT_ORACLE)
+def rebalance_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash re-shard lineitem (the reference's phase-7 INSERT-SELECT,
+    sharding_recreation.py:159-160) → write → read back → invariants."""
+    l = table(spark, sf_dir, "lineitem")
+    dst = os.path.join(_TMP, "rebalanced_lineitem")
+    rebalance(l, N_SHARDS, ["l_orderkey"], dst_path=dst)
+    return _invariants(spark.read.parquet(dst))
+
+
+@query("rebalance_range_invariants", _INVARIANT_ORACLE)
+def rebalance_range_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C38: range re-shard (sorted layout) preserves content too."""
+    l = table(spark, sf_dir, "lineitem")
+    dst = os.path.join(_TMP, "range_lineitem")
+    rebalance_by_range(l, N_SHARDS, ["l_shipdate"], dst_path=dst)
+    return _invariants(spark.read.parquet(dst))
+
+
+@query("rebalance_shard_stats")  # xxhash64 has no DuckDB twin → rows-only
+def rebalance_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C37: skew report over the prospective shard assignment."""
+    l = table(spark, sf_dir, "lineitem")
+    return skew_report(l, N_SHARDS, ["l_orderkey"])
+
+
+_INSERT_SELECT_ORACLE = f"""
+    SELECT COUNT(*) AS n_rows, {sql_dec_sum('o_totalprice')} AS total
+    FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+@query("insert_select_roundtrip", _INSERT_SELECT_ORACLE)
+def insert_select_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C39: INSERT INTO … SELECT between catalog tables, then verify the
+    landed content — the literal reference query shape
+    (sharding_recreation.py:160)."""
+    table(spark, sf_dir, "orders")
+    loc = os.path.join(_TMP, "ins_sel_orders")
+    shutil.rmtree(loc, ignore_errors=True)
+    spark.sql("DROP TABLE IF EXISTS cdr_ins_orders")
+    spark.sql(
+        f"""CREATE TABLE cdr_ins_orders
+            (o_orderkey BIGINT, o_totalprice DOUBLE, o_orderstatus STRING)
+            USING parquet LOCATION '{loc}'"""
+    )
+    spark.sql(
+        """INSERT OVERWRITE TABLE cdr_ins_orders
+           SELECT o_orderkey, o_totalprice, o_orderstatus
+           FROM orders WHERE o_orderstatus = 'F'"""
+    )
+    return spark.table("cdr_ins_orders").agg(
+        F.count(F.lit(1)).alias("n_rows"), dec_sum("o_totalprice").alias("total")
+    )
+
+
+@query("table_swap_lifecycle", "SELECT * FROM nation ORDER BY n_nationkey")
+def table_swap_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C36: snapshot → swap → GC, the reference's phase 3-5+8 rename dance
+    (sharding_recreation.py:306-335) with deterministic tokens.
+
+    Final read of the logical name must equal the original content —
+    SQL-oracle-checkable end state.
+    """
+    table(spark, sf_dir, "nation")
+    base_loc = os.path.join(_TMP, "swap_demo")
+    # idempotent re-run: clear catalog + files
+    for t in ["cdr_nation", cat.versioned_name("cdr_nation", "r2"), cat.old_name("cdr_nation")]:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    shutil.rmtree(base_loc, ignore_errors=True)
+
+    # create the "old-cluster" table
+    spark.table("nation").write.option(
+        "path", os.path.join(base_loc, "cdr_nation")
+    ).saveAsTable("cdr_nation")
+    # snapshot under a deterministic token (reference used random.randint!)
+    vname = cat.snapshot(spark, "cdr_nation", "r2", location=base_loc)
+    assert cat.table_exists(spark, vname)
+    # online swap: old aside, new into place
+    cat.swap(spark, "cdr_nation", "r2", keep_old=True)
+    # GC the __old table (reference phase 8)
+    cat.drop_versions(spark, "cdr_nation")
+    return spark.table("cdr_nation").orderBy("n_nationkey")

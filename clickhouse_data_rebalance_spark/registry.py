@@ -49,10 +49,12 @@ def load_all() -> None:
         relational,
         setops,
         subqueries,
+        udfs,
         windows,
     )
     from .functions import scalar_funcs, text, vectors  # noqa: F401
     from .plans import rebalance_queries  # noqa: F401
-    from .streaming import batch_windows  # noqa: F401
+    from .sources import connectors  # noqa: F401
+    from .streaming import batch_windows, stream_ops  # noqa: F401
     from .operators import llm_dedup, llm_similarity, llm_text, multimodal  # noqa: F401
     _loaded = True

@@ -1,0 +1,122 @@
+"""Sources & sinks (SURVEY.md §2 C1 + §2.4 "scans/sources/sinks").
+
+The reference's only "sources" are ClickHouse system tables over SSH
+(sharding_recreation.py:275-298) and its sink is the server-side
+INSERT (:160). Spark-side, sources/sinks are first-class: parquet is
+the primary format (columnar, predicate pushdown, vectorized reader);
+csv/json/orc round-trips are provided for interchange; JDBC and
+lakehouse formats (Delta/Iceberg) need jars absent from this container,
+so they are stubbed behind import-tries with explicit errors.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..registry import query
+from ..tables import table
+
+_TMP = "/tmp/cdr_spark/sources"
+
+
+def write_read_roundtrip(
+    df: DataFrame, fmt: str, path: str, schema: str | None = None
+) -> DataFrame:
+    """Write `df` in `fmt`, read it back with an explicit schema (never
+    inferSchema on a production path)."""
+    shutil.rmtree(path, ignore_errors=True)
+    writer = df.write.mode("overwrite").format(fmt)
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    writer.save(path)
+    spark = df.sparkSession
+    reader = spark.read.format(fmt)
+    if fmt == "csv":
+        reader = reader.option("header", "true")
+    if schema:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
+_NATION_SCHEMA = "n_nationkey INT, n_name STRING, n_regionkey INT"
+_NATION_ORACLE = "SELECT * FROM nation ORDER BY n_nationkey"
+
+
+@query("source_csv_roundtrip", _NATION_ORACLE)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = table(spark, sf_dir, "nation")
+    out = write_read_roundtrip(n, "csv", os.path.join(_TMP, "nation_csv"), _NATION_SCHEMA)
+    return out.orderBy("n_nationkey")
+
+
+@query("source_json_roundtrip", _NATION_ORACLE)
+def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = table(spark, sf_dir, "nation")
+    out = write_read_roundtrip(n, "json", os.path.join(_TMP, "nation_json"), _NATION_SCHEMA)
+    return out.orderBy("n_nationkey")
+
+
+@query("source_orc_roundtrip", _NATION_ORACLE)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = table(spark, sf_dir, "nation")
+    out = write_read_roundtrip(n, "orc", os.path.join(_TMP, "nation_orc"))
+    return out.orderBy("n_nationkey")
+
+
+@query(
+    "sink_partitioned_parquet",
+    """
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+           COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS total
+    FROM orders GROUP BY 1 ORDER BY yr
+    """,
+)
+def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned sink + partition-pruned scan-back: the layout
+    every 100 TB pipeline lands on (partition column becomes directory,
+    readers prune by it)."""
+    o = table(spark, sf_dir, "orders")
+    path = os.path.join(_TMP, "orders_by_year")
+    shutil.rmtree(path, ignore_errors=True)
+    (
+        o.withColumn("yr", F.year("o_orderdate"))
+        .write.mode("overwrite")
+        .partitionBy("yr")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("yr")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,4)")).cast("double").alias("total"),
+        )
+        .orderBy("yr")
+    )
+
+
+def jdbc_source(spark: SparkSession, url: str, dbtable: str, **options) -> DataFrame:
+    """JDBC connector — requires a driver jar on the classpath (absent in
+    this container)."""
+    try:
+        return (
+            spark.read.format("jdbc").options(url=url, dbtable=dbtable, **options).load()
+        )
+    except Exception as exc:  # pragma: no cover - env-dependent
+        raise NotImplementedError(
+            "JDBC driver jar not available in this environment; add the driver "
+            "to spark.jars and retry"
+        ) from exc
+
+
+def delta_source(spark: SparkSession, path: str) -> DataFrame:
+    """Delta Lake connector stub — delta-spark jars not in this container."""
+    try:
+        return spark.read.format("delta").load(path)
+    except Exception as exc:  # pragma: no cover - env-dependent
+        raise NotImplementedError(
+            "delta-spark not installed; add io.delta:delta-spark to spark.jars.packages"
+        ) from exc

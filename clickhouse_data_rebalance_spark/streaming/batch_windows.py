@@ -1,0 +1,129 @@
+"""Time-window aggregations over `events` (SURVEY.md C48–C50), batch
+form — `window()` / `session_window()` produce identical results in
+batch and streaming, so these carry full SQL oracles; the streaming
+execution of the same plans lives in `stream_ops.py` (tested
+batch≡stream in tests/).
+
+DuckDB twins: tumbling → time_bucket; sliding → generate_series join;
+session → gaps-and-islands (SURVEY.md §2.3 C-IV).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..registry import query
+from ..tables import table
+from ..operators._util import dec_sum, sql_dec_sum
+
+
+@query(
+    "tumbling_window_agg",
+    f"""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {sql_dec_sum('value')} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY win_start, event_type
+    """,
+)
+def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("win_start", "event_type")
+    )
+
+
+@query(
+    "sliding_window_agg",
+    f"""
+    WITH starts AS (
+      SELECT unnest(generate_series(
+               TIMESTAMP '2023-12-31 23:15:00',
+               TIMESTAMP '2024-01-31 00:00:00',
+               INTERVAL '15 minutes')) AS win_start
+    )
+    SELECT s.win_start,
+           COUNT(*) AS n_events,
+           {sql_dec_sum('e.value')} AS total_value
+    FROM events e JOIN starts s
+      ON e.ts >= s.win_start AND e.ts < s.win_start + INTERVAL '1 hour'
+    GROUP BY s.win_start
+    ORDER BY s.win_start
+    """,
+)
+def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour window sliding every 15 min. Spark emits each event into 4
+    windows; the oracle reproduces that with a generate_series range join
+    (only non-empty windows appear on both sides)."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum("value").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("win_start"), "n_events", "total_value")
+        .orderBy("win_start")
+    )
+
+
+@query(
+    "session_window_agg",
+    f"""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), numbered AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           COUNT(*) AS n_events,
+           {sql_dec_sum('value')} AS total_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+)
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C50: 30-min-gap sessionization via session_window; oracle is the
+    classic gaps-and-islands rewrite (session_end = last event + gap,
+    matching Spark's window.end)."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum("value").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("user_id", "session_start")
+    )

@@ -1,0 +1,137 @@
+"""Structured Streaming execution (SURVEY.md C51–C53): the same event
+aggregations run as real streams — file-source replay of the events
+parquet, watermarks for late data, streaming dedup, and the
+MV-maintenance sink that closes the reference's B5 gap (the reference
+punts MV refresh to a human, sharding_recreation.py:258-266, 337).
+
+`stream_tumbling_equiv` is registered as a driver query: it runs the
+stream synchronously (availableNow + complete output) and must
+hash-match the *batch* SQL oracle — a strong batch≡stream check.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..registry import query
+from ..tables import table
+from ..operators._util import dec_sum, sql_dec_sum
+
+_EVENT_DDL = (
+    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the events table as a file-source stream. ts arrives as
+    nanos-long (same reader quirk as batch) → convert to µs timestamp."""
+    # the fixture is a single parquet FILE — stream from the directory with
+    # a glob filter (the file source requires a directory basePath)
+    raw = (
+        spark.readStream.schema(_EVENT_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_to_memory(agg: DataFrame, name: str, output_mode: str) -> DataFrame:
+    """Drive a streaming frame to completion synchronously; return the
+    materialized result table."""
+    spark = agg.sparkSession
+    ckpt = tempfile.mkdtemp(prefix=f"cdr_ckpt_{name}_")
+    q = (
+        agg.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@query(
+    "stream_tumbling_equiv",
+    f"""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {sql_dec_sum('value')} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY win_start, event_type
+    """,
+)
+def stream_tumbling_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C48/C53 as a real stream: tumbling agg over the replayed events,
+    complete-mode memory sink; result must equal the batch oracle."""
+    table(spark, sf_dir, "events")  # ensures session confs (nanosAsLong)
+    agg = (
+        events_stream(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dec_sum("value").alias("total_value"))
+    )
+    out = run_to_memory(agg, "stream_tumbling_out", "complete")
+    return out.select(
+        F.col("w.start").alias("win_start"), "event_type", "n_events", "total_value"
+    ).orderBy("win_start", "event_type")
+
+
+def watermarked_counts(spark: SparkSession, sf_dir: str, delay: str = "10 minutes") -> DataFrame:
+    """C51: watermark + tumbling agg in append mode — only windows below
+    the final watermark are emitted; late rows beyond `delay` are dropped
+    by the engine."""
+    agg = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", delay)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return run_to_memory(agg, "stream_watermark_out", "append").select(
+        F.col("w.start").alias("win_start"), "n_events"
+    )
+
+
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C52: stateful dedup within the watermark horizon."""
+    dedup = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("event_id", "user_id", "event_type")
+    )
+    return run_to_memory(dedup, "stream_dedup_out", "append")
+
+
+def mv_maintain(spark: SparkSession, sf_dir: str, dst_path: str) -> DataFrame:
+    """C53/B5: incremental MV maintenance — the streaming agg continuously
+    folded into a queryable parquet table via foreachBatch (the Spark
+    answer to ClickHouse materialized views, which the reference skips)."""
+    agg = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("day"), "event_type", "n_events")
+    )
+
+    def _fold(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(dst_path)
+
+    ckpt = tempfile.mkdtemp(prefix="cdr_ckpt_mv_")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(_fold)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(dst_path)

@@ -1,0 +1,87 @@
+"""Plan-quality checks (the 100 TB posture, SURVEY.md §7.3 item 5):
+assert the physical plans have the shape we designed for — pushed
+filters, pruned scans, broadcast dims, no cartesian products on the
+scale paths. These catch regressions that correctness tests can't.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from clickhouse_data_rebalance_spark import registry
+
+from .conftest import SF_SMALL
+
+registry.load_all()
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def plan_of(spark, name: str) -> str:
+    df = registry.QUERIES[name](spark, SF_SMALL)
+    return df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = plan_of(spark, "pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_column_pruning(spark):
+    plan = plan_of(spark, "top_k")
+    # scan must read only the two projected columns
+    assert "o_orderkey" in plan and "o_totalprice" in plan
+    assert "o_orderdate" not in plan.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_broadcast_join_on_dims(spark):
+    plan = plan_of(spark, "join_broadcast_dims")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = plan_of(spark, "top_k")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_semi_anti_join_types(spark):
+    assert "LeftSemi" in plan_of(spark, "join_semi")
+    assert "LeftAnti" in plan_of(spark, "join_anti")
+
+
+def test_no_cartesian_in_scale_paths(spark):
+    # every headline/scale query must avoid cartesian products
+    for name in [
+        "pricing_summary",
+        "join_inner",
+        "agg_multikey",
+        "dedup_minhash_lsh",
+        "cosine_pairs_threshold",
+        "tf_idf",
+    ]:
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+
+
+def test_exact_topk_broadcasts_query_vector(spark):
+    # the cross join against the single query vector must be a broadcast
+    # nested loop (fine: 1-row side), never a shuffled cartesian
+    plan = plan_of(spark, "cosine_topk_exact")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_whole_stage_codegen_on_flagship(spark):
+    # AQE finalizes the physical plan only on execution — run the query,
+    # then assert the final adaptive plan ran inside whole-stage codegen
+    df = registry.QUERIES["pricing_summary"](spark, SF_SMALL)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "WholeStageCodegen" in plan or "*(" in plan

@@ -1,0 +1,140 @@
+"""Unit + property tests for the rebalance/catalog surface (SURVEY.md §5.2
+items 3, 5, 6): content preservation, shard balance, swap lifecycle,
+edge cases (empty input, all-null keys, skewed keys).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from clickhouse_data_rebalance_spark.plans import catalog as cat
+from clickhouse_data_rebalance_spark.plans.rebalance import (
+    rebalance,
+    rebalance_by_range,
+    shard_id,
+    skew_report,
+)
+
+from .conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark):
+    return spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+
+
+def test_rebalance_preserves_content(spark, lineitem, tmp_path):
+    dst = str(tmp_path / "rl")
+    rebalance(lineitem, 4, ["l_orderkey"], dst_path=dst)
+    back = spark.read.parquet(dst)
+    assert back.count() == lineitem.count()
+    a = lineitem.agg(F.sum(F.col("l_quantity").cast("decimal(30,4)"))).collect()[0][0]
+    b = back.agg(F.sum(F.col("l_quantity").cast("decimal(30,4)"))).collect()[0][0]
+    assert a == b
+    assert back.schema == lineitem.schema  # B6 schema-preserving copy
+
+
+def test_rebalance_file_count_matches_shards(spark, lineitem, tmp_path):
+    dst = str(tmp_path / "rl8")
+    rebalance(lineitem, 8, ["l_orderkey"], dst_path=dst)
+    files = [f for f in __import__("os").listdir(dst) if f.endswith(".parquet")]
+    assert len(files) == 8
+
+
+def test_rebalance_colocates_keys(spark, lineitem):
+    # every row of the same key lands in the same shard
+    out = lineitem.select("l_orderkey", shard_id(4, "l_orderkey").alias("s"))
+    per_key = out.groupBy("l_orderkey").agg(F.countDistinct("s").alias("n"))
+    assert per_key.filter(F.col("n") > 1).count() == 0
+
+
+def test_shard_id_deterministic(spark, lineitem):
+    a = lineitem.select(shard_id(8, "l_orderkey").alias("s")).collect()
+    b = lineitem.select(shard_id(8, "l_orderkey").alias("s")).collect()
+    assert a == b
+
+
+def test_skew_report_totals(spark, lineitem):
+    rep = skew_report(lineitem, 8, ["l_orderkey"]).collect()[0]
+    assert rep["total_rows"] == lineitem.count()
+    assert rep["n_shards_used"] <= 8
+    assert rep["skew_ratio"] >= 1.0
+
+
+def test_rebalance_empty_input(spark, lineitem, tmp_path):
+    empty = lineitem.filter(F.lit(False))
+    dst = str(tmp_path / "empty")
+    rebalance(empty, 4, ["l_orderkey"], dst_path=dst)
+    assert spark.read.parquet(dst).count() == 0
+
+
+def test_rebalance_null_keys(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(None, 1.0), (None, 2.0), (3, 3.0)], "k INT, v DOUBLE"
+    )
+    dst = str(tmp_path / "nulls")
+    rebalance(df, 4, ["k"], dst_path=dst)
+    back = spark.read.parquet(dst)
+    assert back.count() == 3  # null keys hash to a shard, not dropped
+
+
+def test_rebalance_salt_spreads_hot_key(spark):
+    hot = spark.range(10000).select(F.lit(1).alias("k"), F.col("id"))
+    plain = hot.select(shard_id(8, "k").alias("s")).distinct().count()
+    salted = hot.select(shard_id(8, "k", salt=8).alias("s")).distinct().count()
+    assert plain == 1  # one hot key → one shard without salt
+    assert salted > 1  # salt spreads it
+
+
+def test_range_rebalance_sorts_boundaries(spark, lineitem, tmp_path):
+    dst = str(tmp_path / "range")
+    rebalance_by_range(lineitem, 4, ["l_shipdate"], dst_path=dst)
+    back = spark.read.parquet(dst)
+    assert back.count() == lineitem.count()
+
+
+def test_versioned_name_rejects_bad_token():
+    with pytest.raises(ValueError):
+        cat.versioned_name("t", "bad token!")
+    assert cat.versioned_name("t", "r2") == "t__vr2"
+
+
+def test_swap_lifecycle(spark, tmp_path):
+    src = spark.range(10).withColumnRenamed("id", "x")
+    base = str(tmp_path / "cat")
+    for t in ["tswap", "tswap__vr9", "tswap__old"]:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    src.write.option("path", f"{base}/tswap").saveAsTable("tswap")
+    v = cat.snapshot(spark, "tswap", "r9", location=base)
+    assert v == "tswap__vr9" and cat.table_exists(spark, v)
+    # snapshot is idempotent
+    assert cat.snapshot(spark, "tswap", "r9", location=base) == v
+    cat.swap(spark, "tswap", "r9")
+    assert cat.table_exists(spark, "tswap")
+    assert cat.table_exists(spark, "tswap__old")
+    assert spark.table("tswap").count() == 10
+    assert cat.drop_versions(spark, "tswap") == 1
+    assert not cat.table_exists(spark, "tswap__old")
+    # swap of a missing version raises
+    with pytest.raises(ValueError):
+        cat.swap(spark, "tswap", "nope")
+    spark.sql("DROP TABLE IF EXISTS tswap")
+
+
+def test_property_rebalance_preserves_random_tables(spark, tmp_path):
+    # lightweight property check: several seeds, content hash preserved
+    for seed in [1, 7, 42]:
+        df = (
+            spark.range(500)
+            .select(
+                (F.xxhash64("id", F.lit(seed)) % 100).alias("k"),
+                F.col("id").cast("double").alias("v"),
+            )
+        )
+        dst = str(tmp_path / f"prop{seed}")
+        rebalance(df, 5, ["k"], dst_path=dst)
+        back = spark.read.parquet(dst)
+        pre = df.agg(F.sum("k"), F.sum("v"), F.count(F.lit(1))).collect()
+        post = back.agg(F.sum("k"), F.sum("v"), F.count(F.lit(1))).collect()
+        assert pre == post

@@ -1,0 +1,66 @@
+"""Streaming tests (SURVEY.md C51–C53): batch≡stream equivalence,
+watermark late-data handling, stateful dedup, MV-maintenance sink.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from clickhouse_data_rebalance_spark import registry
+from clickhouse_data_rebalance_spark.streaming.stream_ops import (
+    mv_maintain,
+    streaming_dedup,
+    watermarked_counts,
+)
+
+from .conftest import SF_SMALL
+
+registry.load_all()
+
+
+def test_stream_tumbling_equals_batch(spark):
+    stream = registry.QUERIES["stream_tumbling_equiv"](spark, SF_SMALL).collect()
+    batch = registry.QUERIES["tumbling_window_agg"](spark, SF_SMALL).collect()
+    assert sorted(map(tuple, stream)) == sorted(map(tuple, batch))
+
+
+def test_watermark_emits_closed_windows(spark):
+    out = watermarked_counts(spark, SF_SMALL)
+    rows = out.collect()
+    # append mode emits only windows the watermark closed; the final window
+    # (and possibly a tail within the 10-min delay) is withheld
+    batch_windows = (
+        registry.QUERIES["tumbling_window_agg"](spark, SF_SMALL)
+        .select("win_start")
+        .distinct()
+        .count()
+    )
+    assert 0 < len(rows) < batch_windows + 1
+    emitted = {r["win_start"] for r in rows}
+    assert len(emitted) == len(rows)  # each window once
+
+
+def test_streaming_dedup_no_duplicate_pairs(spark):
+    out = streaming_dedup(spark, SF_SMALL)
+    dup = (
+        out.groupBy("user_id", "event_type")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dup == 0
+    assert out.count() > 0
+
+
+def test_mv_maintain_matches_batch(spark, tmp_path):
+    mv = mv_maintain(spark, SF_SMALL, str(tmp_path / "mv")).collect()
+    events = spark.read.parquet(f"{SF_SMALL}/events.parquet").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    batch = (
+        events.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("day"), "event_type", "n_events")
+        .collect()
+    )
+    assert sorted(map(tuple, mv)) == sorted(map(tuple, batch))
