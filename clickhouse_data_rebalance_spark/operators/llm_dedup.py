@@ -79,18 +79,44 @@ N_HASHES, N_BANDS, ROWS_PER_BAND = 32, 8, 4
 
 
 def minhash_candidates(spark: SparkSession, sf_dir: str, k_shingle: int = 3) -> DataFrame:
-    """LSH candidate pairs (a < b) sharing ≥1 MinHash band bucket."""
+    """LSH candidate pairs (a < b) sharing ≥1 MinHash band bucket.
+
+    Signature computation is explode → 32 flat xxhash64 columns →
+    groupBy(doc_id).min per seed: everything rides whole-stage codegen
+    with map-side partial aggregation, so the shuffle carries one
+    32-long row per document — the shape that survives 100 TB. (The
+    nested higher-order-function formulation evaluates interpreted and
+    is ~5× slower even after let_-binding.)"""
     d = table(spark, sf_dir, "documents")
-    sig = d.select(
-        "doc_id",
-        band_hashes(
-            minhash_signature(shingles(F.lower(F.col("text")), k_shingle), N_HASHES),
-            N_BANDS,
-            ROWS_PER_BAND,
-        ).alias("bands"),
+    sh = d.select(
+        "doc_id", F.explode(shingles(F.lower(F.col("text")), k_shingle)).alias("sh")
     )
-    buckets = sig.select(
-        "doc_id", F.posexplode("bands").alias("band_idx", "band_hash")
+    hashed = sh.select(
+        "doc_id", *[F.xxhash64(F.lit(i), "sh").alias(f"h{i}") for i in range(N_HASHES)]
+    )
+    sig_cols = hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(N_HASHES)]
+    )
+    # band b = hash of its ROWS_PER_BAND signature slots
+    buckets = sig_cols.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(b),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(f"h{b * ROWS_PER_BAND + r}").cast("string")
+                                for r in range(ROWS_PER_BAND)
+                            ],
+                        ),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
     )
     a = buckets.alias("a")
     b = buckets.alias("b")
@@ -138,7 +164,37 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     usually collides on ≥1 chunk) so the self-join is bucket-local, not
     quadratic."""
     d = table(spark, sf_dir, "documents")
-    sigs = d.select("doc_id", simhash64(tokens(F.lower(F.col("text")))).alias("sig"))
+    # explode → flat per-bit vote columns → groupBy-sum: whole-stage
+    # codegen + map-side combine (the interpreted HOF aggregate form in
+    # functions.text.simhash64 is kept for composing over array columns)
+    tok = d.select("doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("tok"))
+    h = F.xxhash64("tok")
+    bits = tok.select(
+        "doc_id",
+        *[
+            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+            .cast("long")
+            .alias(f"b{j}")
+            for j in range(64)
+        ],
+    )
+    votes = bits.groupBy("doc_id").agg(
+        *[F.sum(f"b{j}").alias(f"b{j}") for j in range(64)]
+    )
+    import functools
+
+    sig_expr = functools.reduce(
+        lambda acc, j: acc.bitwiseOR(
+            F.when(
+                F.col(f"b{j}") > 0,
+                F.lit((1 << j) if j < 63 else -(1 << 63)).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+        ),
+        range(64),
+        F.lit(0).cast("long"),
+    )
+    sigs = votes.select("doc_id", sig_expr.alias("sig"))
     chunks = sigs.select(
         "doc_id",
         "sig",

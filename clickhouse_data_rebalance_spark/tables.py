@@ -31,13 +31,19 @@ TABLE_NAMES = [
 # stay small even at 100 TB total (region=5, nation=25 rows always).
 BROADCAST_DIMS = {"region", "nation"}
 
-_registered: dict[tuple[int, str], bool] = {}
+_loaded: dict[tuple[int, str], dict[str, DataFrame]] = {}
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Register all fixture tables as temp views; return name -> DataFrame."""
-    tune_session(spark)
+    """Register all fixture tables as temp views; return name -> DataFrame.
+
+    Cached per (session, sf_dir): re-reading 10 parquet footers on every
+    query build costs ~1 s of driver time that a cache makes one-time.
+    """
     key = (id(spark._jsparkSession if hasattr(spark, "_jsparkSession") else spark), sf_dir)
+    if key in _loaded:
+        return _loaded[key]
+    tune_session(spark)
     dfs = {}
     for name in TABLE_NAMES:
         path = os.path.join(sf_dir, f"{name}.parquet")
@@ -48,9 +54,8 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
             # then truncate ns -> µs exactly like DuckDB does on read.
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         dfs[name] = df
-        if not _registered.get(key):
-            df.createOrReplaceTempView(name)
-    _registered[key] = True
+        df.createOrReplaceTempView(name)
+    _loaded[key] = dfs
     return dfs
 
 
