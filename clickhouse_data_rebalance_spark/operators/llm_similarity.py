@@ -95,54 +95,80 @@ def cosine_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---- ANN: sign-of-random-hyperplane LSH, deterministic ---------------------
-N_PLANES = 12  # 2^12 buckets
+# ---- ANN: banded sign-of-random-hyperplane LSH, deterministic --------------
+# L tables × b planes each: a vector lands in one b-bit bucket per table;
+# candidates share a bucket in ANY table. A single wide code (the classic
+# single-table variant) makes buckets so fine that the query's bucket is
+# usually empty — banding trades precision for recall exactly like
+# MinHash banding does for Jaccard.
+# fixture embeddings are near-isotropic (top-10 cosine ≈ 0.28-0.37, θ≈70°);
+# p_match/plane ≈ 0.6, so 5-bit codes give ~0.08/table for neighbors vs
+# ~0.03 for random pairs — 10 tables lift neighbor recall to ~0.55 while
+# scanning ~25% of the data. Clustered real-world embeddings would take
+# more planes per table.
+N_TABLES = 16
+PLANES_PER_TABLE = 5
 
 
-def _hyperplanes_df(spark: SparkSession, dim: int = 64):
-    """Deterministic pseudo-random hyperplanes: component j of plane p is
-    a hash-derived value in [-1, 1]. Pure SQL expressions — no RNG state."""
-    return spark.range(N_PLANES).select(
-        F.col("id").alias("plane"),
-        F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda j: (F.pmod(F.xxhash64(F.col("id"), j), F.lit(2000001)) - 1000000)
-            / 1000000.0,
-        ).alias("pv"),
-    )
+def _plane(table_idx: int, p: int, dim: int) -> F.Column:
+    """Deterministic pseudo-random hyperplane: component j is an
+    md5-derived value in [-1, 1]. Constant plan-time metadata — no RNG
+    state, no correlation across planes (an LCG stride here makes every
+    table a shift of the same ramp and extra tables add zero recall)."""
+    import hashlib
 
-
-def _bucket_of(vec_col: F.Column, planes) -> F.Column:
-    """LSH bucket id: bit p = sign(vec · plane_p). `planes` is a collected
-    broadcastable list of (plane, pv) rows — N_PLANES×dim doubles, tiny."""
-    sig = F.lit(0).cast("long")
-    for p in planes:
-        d = dot(vec_col, F.array(*[F.lit(x) for x in p["pv"]]))
-        sig = sig.bitwiseOR(
-            F.when(d >= 0, F.shiftleft(F.lit(1).cast("long"), int(p["plane"]))).otherwise(
-                F.lit(0).cast("long")
-            )
+    seed = table_idx * PLANES_PER_TABLE + p
+    comps = []
+    for j in range(dim):
+        h = int.from_bytes(
+            hashlib.md5(f"plane:{seed}:{j}".encode()).digest()[:8], "big"
         )
-    return sig
+        comps.append(F.lit((h % 2_000_001) / 1_000_000.0 - 1.0))
+    return F.array(*comps)
+
+
+def _bucket_codes(vec_col: F.Column, dim: int) -> F.Column:
+    """array of N_TABLES (table_idx, bucket) structs for one vector."""
+    codes = []
+    for t in range(N_TABLES):
+        code = F.lit(0).cast("long")
+        for p in range(PLANES_PER_TABLE):
+            d = dot(vec_col, _plane(t, p, dim))
+            code = code.bitwiseOR(
+                F.when(d >= 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
+            )
+        codes.append(F.struct(F.lit(t).alias("t"), code.alias("bucket")))
+    return F.array(*codes)
+
+
+EMBED_DIM = 64
 
 
 @query("ann_lsh_topk")  # approximate → rows-only
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C42 scale path: hyperplane-LSH bucketing → candidate set = query's
-    bucket (plus same-bucket re-rank). Emits top-k from the bucket;
-    recall checked against the exact baseline in tests."""
+    """C42 scale path: banded hyperplane LSH → candidates = union of the
+    query's buckets over L tables → exact cosine re-rank of candidates.
+    Recall vs the exact baseline is checked in tests."""
     e = table(spark, sf_dir, "embeddings")
-    planes = _hyperplanes_df(spark).collect()  # 12×64 doubles — constant metadata
-    bucketed = e.select(
-        "vec_id", "label", "embedding", _bucket_of(F.col("embedding"), planes).alias("bucket")
+    coded = e.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.explode(_bucket_codes(F.col("embedding"), EMBED_DIM)).alias("c"),
+    ).select("vec_id", "label", "embedding", "c.t", "c.bucket")
+    q = coded.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qv"), F.col("t").alias("qt"), F.col("bucket").alias("qb")
     )
-    q = bucketed.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("embedding").alias("qv"), F.col("bucket").alias("qbucket")
+    cands = (
+        coded.join(
+            F.broadcast(q), (F.col("t") == F.col("qt")) & (F.col("bucket") == F.col("qb"))
+        )
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", "label", "embedding", "qv")
+        .dropDuplicates(["vec_id"])
     )
     return (
-        bucketed.join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
-        .filter(F.col("vec_id") != QUERY_VEC_ID)
-        .select("vec_id", "label", cosine(F.col("embedding"), F.col("qv")).alias("sim"))
+        cands.select("vec_id", "label", cosine(F.col("embedding"), F.col("qv")).alias("sim"))
         .orderBy(F.col("sim").desc(), F.col("vec_id"))
         .limit(TOP_K)
     )

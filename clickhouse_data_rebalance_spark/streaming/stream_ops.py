@@ -84,6 +84,41 @@ def stream_tumbling_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("win_start", "event_type")
 
 
+@query("stream_watermark_counts")  # append-mode emission set is engine-timing
+# dependent (which windows the final watermark closed) → rows-only
+def stream_watermark_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C51 as a driver query: watermarked tumbling counts, append mode."""
+    table(spark, sf_dir, "events")
+    return watermarked_counts(spark, sf_dir)
+
+
+@query("stream_dedup_events")  # stateful keeper choice is arrival-order
+# dependent across micro-batches → rows-only
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C52 as a driver query: dropDuplicatesWithinWatermark over the replay."""
+    table(spark, sf_dir, "events")
+    return streaming_dedup(spark, sf_dir).groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+
+
+@query(
+    "stream_mv_maintain",
+    f"""
+    SELECT time_bucket(INTERVAL '1 day', ts) AS day,
+           event_type,
+           COUNT(*) AS n_events
+    FROM events GROUP BY 1, 2 ORDER BY day, event_type
+    """,
+)
+def stream_mv_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C53/B5 as a driver query: the streaming-maintained MV must equal
+    the batch day-rollup — the strongest MV-parity check."""
+    table(spark, sf_dir, "events")
+    out = mv_maintain(spark, sf_dir, os.path.join(tempfile.gettempdir(), "cdr_mv_out"))
+    return out.orderBy("day", "event_type")
+
+
 def watermarked_counts(spark: SparkSession, sf_dir: str, delay: str = "10 minutes") -> DataFrame:
     """C51: watermark + tumbling agg in append mode — only windows below
     the final watermark are emitted; late rows beyond `delay` are dropped

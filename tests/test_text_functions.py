@@ -106,3 +106,16 @@ def test_zero_vector_cosine_is_null_or_nan(spark):
     df = spark.createDataFrame([([0.0, 0.0], [1.0, 1.0])], "a ARRAY<FLOAT>, b ARRAY<FLOAT>")
     v = df.select(cosine(F.col("a"), F.col("b")).alias("c")).collect()[0]["c"]
     assert v is None or math.isnan(v)
+
+
+def test_ann_lsh_recall_floor(spark):
+    """Banded hyperplane LSH must recover most of the exact top-10 — a
+    deterministic floor (hash-derived planes, no RNG)."""
+    from clickhouse_data_rebalance_spark import registry
+    from .conftest import SF_SMALL
+
+    registry.load_all()
+    ann = registry.QUERIES["ann_lsh_topk"](spark, SF_SMALL).collect()
+    exact = registry.QUERIES["cosine_topk_exact"](spark, SF_SMALL).collect()
+    recall = len({r["vec_id"] for r in ann} & {r["vec_id"] for r in exact}) / len(exact)
+    assert recall >= 0.5
