@@ -1,0 +1,120 @@
+"""The reference's end-to-end rebalance pipeline as one API.
+
+`sharding_recreation.py:269-342` runs 8 phases: introspect DDL → rewrite
+versioned DDL → create versioned locals → rename old aside → rename new
+into place → create versioned dist router → INSERT-SELECT through the
+router (the rebalance) → drop old. Net effect (SURVEY.md §3.1): the old
+data ends up re-scattered by hash across the enlarged shard set while
+readers keep the logical table name throughout.
+
+Spark collapses the phases that exist only because ClickHouse separates
+local/distributed tables and per-node DDL (ON CLUSTER fan-out, recreate-
+originals-on-new-shards): the catalog is cluster-global and a table's
+partitioning IS its shard layout. What remains semantically is:
+
+    rename aside → create empty target → hash re-scatter append → verify
+    → GC
+
+with the same guarded, idempotent ordering the reference uses
+(EXISTS probes before renames, sharding_recreation.py:216-217, 236-237;
+IF NOT EXISTS creates, :72-96).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import SparkSession, functions as F
+
+from . import catalog as cat
+from .rebalance import rebalance
+
+
+@dataclass
+class RebalanceReport:
+    """What the pipeline did — returned, not logged, so callers can gate."""
+
+    table: str
+    n_shards: int
+    keys: list[str]
+    rows_before: int
+    rows_after: int
+    old_table: str | None  # name of the kept __old table, None if dropped
+
+    @property
+    def content_preserved(self) -> bool:
+        return self.rows_before == self.rows_after
+
+
+def resize_and_rebalance(
+    spark: SparkSession,
+    table_name: str,
+    n_shards: int,
+    keys: list[str],
+    location: str,
+    keep_old: bool = False,
+) -> RebalanceReport:
+    """Re-scatter a catalog table across ``n_shards`` by ``keys`` while
+    keeping its logical name readable — the whole reference pipeline.
+
+    Phase map (reference → here):
+      1-2  DDL introspection/rewrite  → schema taken from the catalog
+      3    create versioned locals    → create empty target table (IF NOT
+                                        EXISTS semantics via exists-probe)
+      4    rename old aside           → ALTER ... RENAME TO {t}__old
+      5    rename new into place      → ALTER ... RENAME TO {t}
+      6    versioned dist router      → not needed: the DataFrame scan of
+                                        the __old table IS the fan-in read
+      7    INSERT INTO ... SELECT *   → rebalance(): one hash shuffle,
+                                        append into the new table
+      8    DROP old                   → drop_versions() unless keep_old
+
+    The non-atomic window between phases 4 and 5 exists in the reference
+    too (two separate cluster DDLs); both renames are metadata-only.
+    """
+    if not cat.table_exists(spark, table_name):
+        raise ValueError(f"no such table: {table_name}")
+    oname = cat.old_name(table_name)
+    if cat.table_exists(spark, oname):
+        raise ValueError(f"{oname} already exists — previous run not GC'd")
+
+    src = spark.table(table_name)
+    rows_before = src.count()
+    schema_ddl = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in src.schema.fields
+    )
+
+    # phase 4: old aside (guarded — tableExists probe is the A11 analog)
+    spark.sql(f"ALTER TABLE {table_name} RENAME TO {oname}")
+    try:
+        # phases 3+5 fused: create the empty target directly under the
+        # logical name (no intermediate versioned name needed — Spark has
+        # no per-shard DDL to stage)
+        spark.sql(
+            f"""CREATE TABLE IF NOT EXISTS {table_name} ({schema_ddl})
+                USING parquet LOCATION '{location.rstrip("/")}/{table_name}'"""
+        )
+        # phase 7: THE rebalance — fan-in scan of old, one hash shuffle,
+        # fan-out append (sharding_recreation.py:159-160's INSERT-SELECT)
+        rebalance(spark.table(oname), n_shards, keys).write.insertInto(table_name)
+    except Exception:
+        # roll the rename back so the logical name still serves the data
+        if cat.table_exists(spark, table_name):
+            spark.sql(f"DROP TABLE {table_name}")
+        spark.sql(f"ALTER TABLE {oname} RENAME TO {table_name}")
+        raise
+
+    rows_after = spark.table(table_name).count()
+    old_kept: str | None = oname
+    if not keep_old and rows_after == rows_before:
+        # phase 8: GC — only after the invariant holds
+        cat.drop_versions(spark, table_name)
+        old_kept = None
+    return RebalanceReport(
+        table=table_name,
+        n_shards=n_shards,
+        keys=keys,
+        rows_before=rows_before,
+        rows_after=rows_after,
+        old_table=old_kept,
+    )

@@ -101,6 +101,41 @@ def insert_select_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PIPELINE_ORACLE = f"""
+    SELECT COUNT(*) AS n_rows,
+           {sql_dec_sum('o_totalprice')} AS sum_price,
+           COUNT(DISTINCT o_custkey) AS n_custs
+    FROM orders
+"""
+
+
+@query("rebalance_pipeline", _PIPELINE_ORACLE)
+def rebalance_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full 8-phase flow (sharding_recreation.py:306-335)
+    as one call: rename-aside → create → hash re-scatter → verify → GC.
+    Invariants of the landed table must match the source exactly."""
+    from .pipeline import resize_and_rebalance
+
+    table(spark, sf_dir, "orders")
+    loc = os.path.join(_TMP, "pipeline_demo")
+    for t in ["cdr_pipe_orders", "cdr_pipe_orders__old"]:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    shutil.rmtree(loc, ignore_errors=True)
+    spark.table("orders").write.option(
+        "path", os.path.join(loc, "cdr_pipe_orders_seed")
+    ).saveAsTable("cdr_pipe_orders")
+
+    report = resize_and_rebalance(
+        spark, "cdr_pipe_orders", N_SHARDS, ["o_orderkey"], location=loc
+    )
+    assert report.content_preserved and report.old_table is None
+    return spark.table("cdr_pipe_orders").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dec_sum("o_totalprice").alias("sum_price"),
+        F.countDistinct("o_custkey").alias("n_custs"),
+    )
+
+
 @query("table_swap_lifecycle", "SELECT * FROM nation ORDER BY n_nationkey")
 def table_swap_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C36: snapshot → swap → GC, the reference's phase 3-5+8 rename dance

@@ -138,3 +138,40 @@ def test_property_rebalance_preserves_random_tables(spark, tmp_path):
         pre = df.agg(F.sum("k"), F.sum("v"), F.count(F.lit(1))).collect()
         post = back.agg(F.sum("k"), F.sum("v"), F.count(F.lit(1))).collect()
         assert pre == post
+
+
+def test_pipeline_end_to_end(spark, tmp_path):
+    from clickhouse_data_rebalance_spark.plans.pipeline import resize_and_rebalance
+
+    for t in ["pipe_t", "pipe_t__old"]:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    src = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    src.write.option("path", str(tmp_path / "seed")).saveAsTable("pipe_t")
+    rep = resize_and_rebalance(spark, "pipe_t", 4, ["k"], location=str(tmp_path))
+    assert rep.content_preserved and rep.rows_after == 1000
+    assert rep.old_table is None  # GC'd after the invariant held
+    assert spark.table("pipe_t").agg(F.sum("v")).collect()[0][0] == 999 * 1000
+    spark.sql("DROP TABLE IF EXISTS pipe_t")
+
+
+def test_pipeline_keep_old(spark, tmp_path):
+    from clickhouse_data_rebalance_spark.plans import catalog as cat
+    from clickhouse_data_rebalance_spark.plans.pipeline import resize_and_rebalance
+
+    for t in ["pipe_k", "pipe_k__old"]:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    spark.range(50).write.option("path", str(tmp_path / "seed2")).saveAsTable("pipe_k")
+    rep = resize_and_rebalance(spark, "pipe_k", 2, ["id"], location=str(tmp_path), keep_old=True)
+    assert rep.old_table == "pipe_k__old"
+    assert cat.table_exists(spark, "pipe_k__old")
+    assert spark.table("pipe_k__old").count() == 50
+    for t in ["pipe_k", "pipe_k__old"]:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_pipeline_missing_table_raises(spark):
+    import pytest as _pytest
+    from clickhouse_data_rebalance_spark.plans.pipeline import resize_and_rebalance
+
+    with _pytest.raises(ValueError):
+        resize_and_rebalance(spark, "no_such_tbl", 4, ["x"], location="/tmp/x")
