@@ -85,3 +85,28 @@ def test_whole_stage_codegen_on_flagship(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan
     assert "WholeStageCodegen" in plan or "*(" in plan
+
+
+def test_join_inner_pushes_status_filter(spark):
+    plan = plan_of(spark, "join_inner")
+    assert "PushedFilters" in plan
+    assert "EqualTo(o_orderstatus,F)" in plan
+
+
+def test_tfidf_broadcasts_vocabulary_side(spark):
+    # document-frequency is vocabulary-sized — must broadcast, never shuffle
+    # the exploded word stream twice
+    assert "BroadcastHashJoin" in plan_of(spark, "tf_idf")
+
+
+def test_flagship_partial_aggregation(spark):
+    # map-side combine: HashAggregate appears as partial+final pair
+    plan = plan_of(spark, "pricing_summary")
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_flagship_scan_prunes_columns(spark):
+    plan = plan_of(spark, "pricing_summary")
+    read = plan.split("ReadSchema")[1].split("\n")[0]
+    # 7 needed columns of lineitem's 11+ — the key drops must be pruned
+    assert "l_orderkey" not in read and "l_partkey" not in read
