@@ -37,7 +37,11 @@ HEADLINE = [
     "token_count",
     "tf_idf",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "cosine_topk_exact",
+    "ann_lsh_topk",
+    "rebalance_pipeline",
+    "join_theta_range",
 ]
 
 

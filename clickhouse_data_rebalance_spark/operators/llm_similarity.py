@@ -14,6 +14,8 @@ Scale design:
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..registry import query
@@ -110,38 +112,50 @@ N_TABLES = 16
 PLANES_PER_TABLE = 5
 
 
-def _plane(table_idx: int, p: int, dim: int) -> F.Column:
-    """Deterministic pseudo-random hyperplane: component j is an
-    md5-derived value in [-1, 1]. Constant plan-time metadata — no RNG
-    state, no correlation across planes (an LCG stride here makes every
-    table a shift of the same ramp and extra tables add zero recall)."""
+EMBED_DIM = 64
+
+
+def _planes_matrix(dim: int = EMBED_DIM):
+    """(dim, N_TABLES*PLANES_PER_TABLE) matrix of deterministic
+    pseudo-random components in [-1, 1]: md5-derived, no RNG state, no
+    correlation across planes (an LCG stride here makes every table a
+    shift of the same ramp and extra tables add zero recall)."""
     import hashlib
 
-    seed = table_idx * PLANES_PER_TABLE + p
-    comps = []
-    for j in range(dim):
-        h = int.from_bytes(
-            hashlib.md5(f"plane:{seed}:{j}".encode()).digest()[:8], "big"
-        )
-        comps.append(F.lit((h % 2_000_001) / 1_000_000.0 - 1.0))
-    return F.array(*comps)
+    import numpy as np
 
-
-def _bucket_codes(vec_col: F.Column, dim: int) -> F.Column:
-    """array of N_TABLES (table_idx, bucket) structs for one vector."""
-    codes = []
-    for t in range(N_TABLES):
-        code = F.lit(0).cast("long")
-        for p in range(PLANES_PER_TABLE):
-            d = dot(vec_col, _plane(t, p, dim))
-            code = code.bitwiseOR(
-                F.when(d >= 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
+    n_planes = N_TABLES * PLANES_PER_TABLE
+    m = np.empty((dim, n_planes), dtype=np.float64)
+    for seed in range(n_planes):
+        for j in range(dim):
+            h = int.from_bytes(
+                hashlib.md5(f"plane:{seed}:{j}".encode()).digest()[:8], "big"
             )
-        codes.append(F.struct(F.lit(t).alias("t"), code.alias("bucket")))
-    return F.array(*codes)
+            m[j, seed] = (h % 2_000_001) / 1_000_000.0 - 1.0
+    return m
 
 
-EMBED_DIM = 64
+def _make_bucket_codes_udf():
+    """Vectorized bucket coder: one numpy matmul per Arrow batch projects
+    every vector onto all 80 hyperplanes at once. The flat-expression JVM
+    form needs 80 interpreted higher-order dot products per row (~6 s at
+    2000 vectors); this is the case Pandas UDFs exist for."""
+    from pyspark.sql.functions import pandas_udf
+
+    planes = _planes_matrix()
+
+    @pandas_udf("array<long>")
+    def bucket_codes(emb: pd.Series) -> pd.Series:
+        import numpy as np
+
+        x = np.stack(emb.to_numpy()).astype(np.float64)  # (batch, dim)
+        signs = (x @ planes >= 0).astype(np.int64)  # (batch, n_planes)
+        per_table = signs.reshape(len(x), N_TABLES, PLANES_PER_TABLE)
+        weights = 1 << np.arange(PLANES_PER_TABLE, dtype=np.int64)
+        codes = (per_table * weights).sum(axis=2)  # (batch, N_TABLES)
+        return pd.Series(list(codes))
+
+    return bucket_codes
 
 
 @query("ann_lsh_topk")  # approximate → rows-only
@@ -150,12 +164,13 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     query's buckets over L tables → exact cosine re-rank of candidates.
     Recall vs the exact baseline is checked in tests."""
     e = table(spark, sf_dir, "embeddings")
+    bucket_codes = _make_bucket_codes_udf()
     coded = e.select(
         "vec_id",
         "label",
         "embedding",
-        F.explode(_bucket_codes(F.col("embedding"), EMBED_DIM)).alias("c"),
-    ).select("vec_id", "label", "embedding", "c.t", "c.bucket")
+        F.posexplode(bucket_codes("embedding")).alias("t", "bucket"),
+    )
     q = coded.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("embedding").alias("qv"), F.col("t").alias("qt"), F.col("bucket").alias("qb")
     )
