@@ -13,7 +13,37 @@ Scale design:
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
+
+
+# type object, not a DDL string: string parsing needs an active session,
+# and this module imports before any session exists
+@pandas_udf(LongType())
+def _simhash_from_hashes(hs: pd.Series) -> pd.Series:
+    """SimHash signature from per-token xxhash64 values: bit j of the
+    signature is the sign of sum over tokens of (+1 if bit j set else -1).
+    Arithmetic >> on int64 sign-extends, but &1 still reads bit j exactly
+    as the JVM's shiftright(h, j) & 1 does."""
+    import numpy as np
+
+    out = []
+    for arr in hs:
+        h = np.asarray(arr, dtype=np.int64)
+        if len(h) == 0:
+            out.append(0)
+            continue
+        bits = (h[:, None] >> np.arange(64)) & 1  # (n_tokens, 64)
+        votes = 2 * bits.sum(axis=0) - len(h)
+        sig = 0
+        for j in range(64):
+            if votes[j] > 0:
+                sig |= (1 << j) if j < 63 else -(1 << 63)
+        out.append(sig)
+    return pd.Series(out, dtype="int64")
 
 from ..registry import query
 from ..tables import table
@@ -164,37 +194,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     usually collides on ≥1 chunk) so the self-join is bucket-local, not
     quadratic."""
     d = table(spark, sf_dir, "documents")
-    # explode → flat per-bit vote columns → groupBy-sum: whole-stage
-    # codegen + map-side combine (the interpreted HOF aggregate form in
-    # functions.text.simhash64 is kept for composing over array columns)
+    # token hashes stay JVM-side (explode + xxhash64 in codegen); the
+    # 64-bit vote/pack step runs as one numpy pass per Arrow batch — a
+    # 64-wide sum aggregate costs ~3x more in the JVM hash aggregate.
+    # (functions.text.simhash64 keeps the pure-expression form for
+    # composing over array columns.)
     tok = d.select("doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("tok"))
-    h = F.xxhash64("tok")
-    bits = tok.select(
-        "doc_id",
-        *[
-            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1)
-            .otherwise(-1)
-            .cast("long")
-            .alias(f"b{j}")
-            for j in range(64)
-        ],
+    hashes = tok.groupBy("doc_id").agg(
+        F.collect_list(F.xxhash64("tok")).alias("hs")
     )
-    votes = bits.groupBy("doc_id").agg(
-        *[F.sum(f"b{j}").alias(f"b{j}") for j in range(64)]
-    )
-    import functools
-
-    sig_expr = functools.reduce(
-        lambda acc, j: acc.bitwiseOR(
-            F.when(
-                F.col(f"b{j}") > 0,
-                F.lit((1 << j) if j < 63 else -(1 << 63)).cast("long"),
-            ).otherwise(F.lit(0).cast("long"))
-        ),
-        range(64),
-        F.lit(0).cast("long"),
-    )
-    sigs = votes.select("doc_id", sig_expr.alias("sig"))
+    sigs = hashes.select("doc_id", _simhash_from_hashes("hs").alias("sig"))
     chunks = sigs.select(
         "doc_id",
         "sig",
