@@ -189,6 +189,51 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- ANN variant 2: IVF (inverted file) via seeded k-means ------------------
+IVF_CLUSTERS = 16
+IVF_PROBES = 3
+
+
+@query("ann_ivf_topk")  # approximate (clustering) → rows-only
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C42 scale path #2: IVF — partition the corpus into k-means cells,
+    probe only the cells nearest the query, exact cosine re-rank inside.
+    At scale the cell assignment persists with the table (write once,
+    probe many); centroids are tiny driver-side metadata like any index.
+    Seeded k-means — deterministic for a fixed fixture."""
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = table(spark, sf_dir, "embeddings")
+    feat = e.select(
+        "vec_id", "label", "embedding", array_to_vector("embedding").alias("features")
+    )
+    model = KMeans(k=IVF_CLUSTERS, seed=42, maxIter=10).fit(feat)
+    assigned = model.transform(feat).select(
+        "vec_id", "label", "embedding", F.col("prediction").alias("cell")
+    )
+
+    qrow = feat.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding").head()
+    qv = np.asarray(qrow["embedding"], dtype=np.float64)
+    # nearest-to-query cells: 16 centroids are constant index metadata,
+    # ranked driver-side (not a data-path collect)
+    centers = model.clusterCenters()
+    by_dist = sorted(range(len(centers)), key=lambda c: float(np.linalg.norm(centers[c] - qv)))
+    probe = by_dist[:IVF_PROBES]
+
+    qdf = F.broadcast(
+        spark.createDataFrame([(qrow["embedding"],)], "qv array<float>")
+    )
+    return (
+        assigned.filter(F.col("cell").isin(probe) & (F.col("vec_id") != QUERY_VEC_ID))
+        .crossJoin(qdf)
+        .select("vec_id", "label", cosine(F.col("embedding"), F.col("qv")).alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col("vec_id"))
+        .limit(TOP_K)
+    )
+
+
 @query("embedding_norms", f"""
     SELECT vec_id, label,
            sqrt(list_dot_product(

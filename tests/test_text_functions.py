@@ -119,3 +119,16 @@ def test_ann_lsh_recall_floor(spark):
     exact = registry.QUERIES["cosine_topk_exact"](spark, SF_SMALL).collect()
     recall = len({r["vec_id"] for r in ann} & {r["vec_id"] for r in exact}) / len(exact)
     assert recall >= 0.5
+
+
+def test_ann_ivf_recall_floor(spark):
+    """IVF (seeded k-means cells, 3/16 probed) must recover a meaningful
+    share of the exact top-10."""
+    from clickhouse_data_rebalance_spark import registry
+    from .conftest import SF_SMALL
+
+    registry.load_all()
+    ivf = registry.QUERIES["ann_ivf_topk"](spark, SF_SMALL).collect()
+    exact = registry.QUERIES["cosine_topk_exact"](spark, SF_SMALL).collect()
+    recall = len({r["vec_id"] for r in ivf} & {r["vec_id"] for r in exact}) / len(exact)
+    assert recall >= 0.2
