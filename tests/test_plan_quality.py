@@ -110,3 +110,34 @@ def test_flagship_scan_prunes_columns(spark):
     read = plan.split("ReadSchema")[1].split("\n")[0]
     # 7 needed columns of lineitem's 11+ — the key drops must be pruned
     assert "l_orderkey" not in read and "l_partkey" not in read
+
+
+def test_aqe_splits_skewed_join(spark):
+    """AQE must split a pathologically skewed join partition at runtime —
+    the mechanism the engine relies on for hot keys at 100 TB (thresholds
+    lowered to reproduce the condition at test scale)."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(200_000).select(
+            F.when(F.col("id") % 100 < 99, 1).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(1_000).select(F.col("id").alias("k"), (F.col("id") * 10).alias("w"))
+        j = left.join(right, "k")
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
