@@ -167,6 +167,34 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_fingerprint_rolling",
+    """
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(0, list_transform(
+               string_split(lower(trim(text)), ' '),
+               t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT))),
+             (acc, x) -> (acc * 31 + x) % 1000000007) AS rhash
+    FROM documents ORDER BY doc_id
+    """,
+)
+def doc_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling (polynomial) document fingerprint over the token stream:
+    h = Σ v(tok_i)·31^(n-i) mod 1e9+7, v = first 32 md5 bits — an
+    order-sensitive fingerprint (md5-of-text is order-insensitive to
+    nothing but detects any change; a rolling hash supports windowed /
+    incremental fingerprinting). Exact cross-engine twin via md5."""
+    d = table(spark, sf_dir, "documents")
+    tok_val = lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")  # noqa: E731
+    rhash = F.aggregate(
+        F.transform(tokens(F.lower(F.col("text"))), tok_val),
+        F.lit(0).cast("long"),
+        lambda acc, x: F.pmod(acc * 31 + x, F.lit(1_000_000_007)),
+    )
+    return d.select("doc_id", rhash.alias("rhash")).orderBy("doc_id")
+
+
+@query(
     "lang_source_profile",
     """
     SELECT lang, source, COUNT(*) AS n_docs,
