@@ -170,3 +170,48 @@ def mv_maintain(spark: SparkSession, sf_dir: str, dst_path: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(dst_path)
+
+
+def _stateful_user_counter(key, pdf_iter, state):
+    """Custom stateful operator: running per-user event count + value sum
+    carried in GroupState across micro-batches."""
+    import pandas as pd
+
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdf_iter:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [total]})
+
+
+@query("stream_custom_state")  # GroupState emission cadence is micro-batch
+# dependent → rows-only; the final per-user state is asserted in tests
+def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState (SURVEY.md C-IV / custom stateful ops): a
+    hand-rolled stateful aggregator — the escape hatch for operators
+    Structured Streaming lacks natively. Emits one row per (user, batch)
+    update; the LAST update per user equals the batch groupBy answer."""
+    table(spark, sf_dir, "events")  # session confs
+    updates = (
+        events_stream(spark, sf_dir)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _stateful_user_counter,
+            outputStructType="user_id bigint, n_events bigint, total_value double",
+            stateStructType="n bigint, total double",
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )
+    out = run_to_memory(updates, "stream_custom_state_out", "update")
+    # keep each user's final state: the max n_events row
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "total_value")
+        .orderBy("user_id")
+    )

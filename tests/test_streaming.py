@@ -64,3 +64,21 @@ def test_mv_maintain_matches_batch(spark, tmp_path):
         .collect()
     )
     assert sorted(map(tuple, mv)) == sorted(map(tuple, batch))
+
+
+def test_custom_state_final_equals_batch(spark):
+    """applyInPandasWithState: the last emitted state per user must equal
+    the batch groupBy over the same replayed input."""
+    out = registry.QUERIES["stream_custom_state"](spark, SF_SMALL).collect()
+    batch = {
+        r["user_id"]: (r["n"], r["t"])
+        for r in spark.table("events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("t"))
+        .collect()
+    }
+    assert len(out) == len(batch)
+    for r in out:
+        n, t = batch[r["user_id"]]
+        assert r["n_events"] == n
+        assert abs(r["total_value"] - t) < 1e-6 * max(1.0, abs(t))
