@@ -208,3 +208,67 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "pivot_agg",
+    f"""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (o_orderstatus = 'F') AS n_f,
+           COUNT(*) FILTER (o_orderstatus = 'O') AS n_o,
+           COUNT(*) FILTER (o_orderstatus = 'P') AS n_p,
+           {sql_dec_sum("CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END")} AS total_f
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list (never the implicit distinct-scan
+    form — that is a hidden extra job at scale); the oracle is the
+    equivalent conditional aggregation."""
+    o = table(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dec_sum(
+                F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice")).otherwise(0.0)
+            ).alias("tf"),
+        )
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.coalesce("F_n", F.lit(0)).alias("n_f"),
+        F.coalesce("O_n", F.lit(0)).alias("n_o"),
+        F.coalesce("P_n", F.lit(0)).alias("n_p"),
+        F.col("F_tf").alias("total_f"),
+    ).orderBy("o_orderpriority")
+
+
+@query(
+    "minmax_by_agg",
+    """
+    SELECT o_custkey,
+           max_by(o_orderkey, o_totalprice) AS biggest_order,
+           min_by(o_orderkey, o_totalprice) AS smallest_order,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 10
+    ORDER BY o_custkey
+    """,
+)
+def minmax_by_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argmin/argmax aggregation (min_by/max_by) — ties impossible here:
+    o_totalprice is continuous and per-customer distinct in the fixtures."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max_by("o_orderkey", "o_totalprice").alias("biggest_order"),
+            F.min_by("o_orderkey", "o_totalprice").alias("smallest_order"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .filter(F.col("n") >= 10)
+        .orderBy("o_custkey")
+    )
