@@ -221,3 +221,63 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = table(spark, sf_dir, "region")
     n = table(spark, sf_dir, "nation")
     return r.crossJoin(n).select("r_name", "n_name").orderBy("r_name", "n_name")
+
+
+@query(
+    "asof_join",
+    """
+    SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
+           c.ts AS click_ts, c.value AS click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    ORDER BY p.event_id
+    """,
+)
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (the brief's canonical custom operator; ClickHouse ASOF
+    JOIN): each purchase matched to the user's most recent click at or
+    before it. Spark lacks the operator — the scale-correct composition is
+    union both sides + window last(ignorenulls) fill: ONE shuffle on
+    (user, ts), no range-join row blowup. Oracle: DuckDB's native ASOF."""
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(None).cast("timestamp").alias("c_ts"),
+        F.lit(None).cast("double").alias("c_val"),
+        F.lit(1).alias("is_p"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("ts").alias("c_ts"),
+        F.col("value").alias("c_val"),
+        F.lit(0).alias("is_p"),
+    )
+    # at equal ts the click sorts first (is_p asc) → '>=' semantics
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "is_p")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    filled = (
+        p.unionByName(c)
+        .withColumn("click_ts", F.last("c_ts", ignorenulls=True).over(w))
+        .withColumn("click_value", F.last("c_val", ignorenulls=True).over(w))
+    )
+    return (
+        filled.filter(F.col("is_p") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "click_ts",
+            "click_value",
+        )
+        .orderBy("event_id")
+    )
