@@ -272,3 +272,42 @@ def minmax_by_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n") >= 10)
         .orderBy("o_custkey")
     )
+
+
+@query(
+    "collect_agg",
+    """
+    SELECT n_regionkey,
+           list(n_name ORDER BY n_name) AS nations,
+           string_agg(n_name, '|' ORDER BY n_name) AS nation_csv,
+           COUNT(*) AS n
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+)
+def collect_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-to-array / string_agg (ClickHouse groupArray analog).
+    collect_list order is partition-dependent → sort_array makes it
+    deterministic and cross-engine comparable."""
+    n = table(spark, sf_dir, "nation")
+    return (
+        n.groupBy("n_regionkey")
+        .agg(
+            F.sort_array(F.collect_list("n_name")).alias("nations"),
+            F.array_join(F.sort_array(F.collect_list("n_name")), "|").alias("nation_csv"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+@query("stratified_sample")  # seeded per-stratum Bernoulli → rows-only
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C33 variant: per-stratum sampling (sampleBy) — seeded, fraction per
+    order status; the scale path for class-balanced training extracts."""
+    o = table(spark, sf_dir, "orders")
+    sampled = o.sampleBy("o_orderstatus", {"F": 0.2, "O": 0.1, "P": 0.5}, seed=42)
+    return (
+        sampled.groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .orderBy("o_orderstatus")
+    )
