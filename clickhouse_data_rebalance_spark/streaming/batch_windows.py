@@ -127,3 +127,52 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+@query(
+    "time_gap_fill",
+    f"""
+    WITH bounds AS (
+      SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+      FROM events
+    ), spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS hr FROM bounds
+    ), hourly AS (
+      SELECT date_trunc('hour', ts) AS hr, COUNT(*) AS n,
+             {sql_dec_sum('value')} AS total
+      FROM events GROUP BY 1
+    )
+    SELECT s.hr, COALESCE(h.n, 0) AS n, COALESCE(h.total, 0.0) AS total
+    FROM spine s LEFT JOIN hourly h ON s.hr = h.hr
+    ORDER BY s.hr
+    """,
+)
+def time_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense time series with zero-filled gaps (ClickHouse ORDER BY ...
+    WITH FILL analog): an hourly spine generated from the data's own
+    bounds, left-joined to the hourly rollup. The spine is one row per
+    hour — broadcastable at any scale; the rollup is the only shuffle."""
+    e = table(spark, sf_dir, "events")
+    spine = (
+        e.agg(
+            F.date_trunc("hour", F.min("ts")).alias("lo"),
+            F.date_trunc("hour", F.max("ts")).alias("hi"),
+        )
+        .select(
+            F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hr")
+        )
+    )
+    hourly = (
+        e.groupBy(F.date_trunc("hour", "ts").alias("hr"))
+        .agg(F.count(F.lit(1)).alias("n"), dec_sum("value").alias("total"))
+    )
+    return (
+        F.broadcast(spine)
+        .join(hourly, "hr", "left")
+        .select(
+            "hr",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.coalesce("total", F.lit(0.0)).alias("total"),
+        )
+        .orderBy("hr")
+    )
