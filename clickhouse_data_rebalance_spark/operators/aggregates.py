@@ -311,3 +311,17 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_sampled"))
         .orderBy("o_orderstatus")
     )
+
+
+@query("approx_quantiles")  # t-digest/GK sketches differ per engine → rows-only
+def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles (percentile_approx, GK sketch) — the
+    mergeable-sketch path for percentiles over 100 TB; exact percentile
+    appears in agg_stats for the oracle-checked baseline."""
+    l = table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75, 0.99], 10000).alias(
+            "price_quartiles"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    ).orderBy("l_returnflag")
