@@ -176,3 +176,41 @@ def time_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hr")
     )
+
+
+@query(
+    "funnel_conversion",
+    """
+    WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    converted AS (
+      SELECT DISTINCT c.user_id
+      FROM c JOIN p ON c.user_id = p.user_id
+       AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL '1 hour'
+    )
+    SELECT (SELECT COUNT(DISTINCT user_id) FROM c) AS step1_users,
+           (SELECT COUNT(*) FROM converted) AS step2_users
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-step funnel (ClickHouse windowFunnel analog): users who
+    purchased within 1 hour of a click. The join is equi on user_id with
+    the time window as a ride-along predicate — per-user row counts bound
+    the pair blowup, never a cross join."""
+    e = table(spark, sf_dir, "events")
+    c = e.filter(F.col("event_type") == "click").select("user_id", F.col("ts").alias("c_ts"))
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    converted = (
+        c.join(p, "user_id")
+        .filter(
+            (F.col("p_ts") > F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .select("user_id")
+        .distinct()
+    )
+    return c.agg(F.countDistinct("user_id").alias("step1_users")).crossJoin(
+        converted.agg(F.count(F.lit(1)).alias("step2_users"))
+    )
