@@ -120,3 +120,19 @@ def delta_source(spark: SparkSession, path: str) -> DataFrame:
         raise NotImplementedError(
             "delta-spark not installed; add io.delta:delta-spark to spark.jars.packages"
         ) from exc
+
+
+def write_bucketed(
+    df: DataFrame, table_name: str, n_buckets: int, keys: list[str], path: str
+) -> None:
+    """Persist with bucketed layout (the Spark analog of keeping a table
+    sharded on disk, C-II): joins and aggregations on the bucket keys
+    then need NO shuffle — the co-location survives across queries,
+    which is the whole point of re-sharding at 100 TB."""
+    (
+        df.write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(n_buckets, *keys)
+        .sortBy(*keys)
+        .saveAsTable(table_name)
+    )
