@@ -174,3 +174,23 @@ def test_bucketed_join_needs_no_shuffle(spark, tmp_path_factory):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
         for t in ["b_orders", "b_lineitem"]:
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_dynamic_partition_pruning(spark, tmp_path_factory):
+    """A partitioned fact joined to a filtered broadcast dim must get a
+    DynamicPruning subquery on the partition column — at 100 TB this is
+    the difference between scanning 7 years and 3."""
+    base = str(tmp_path_factory.mktemp("dpp"))
+    o = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    o.withColumn("yr", F.year("o_orderdate")).write.mode("overwrite").partitionBy(
+        "yr"
+    ).parquet(f"{base}/fact")
+    fact = spark.read.parquet(f"{base}/fact")
+    dim = spark.createDataFrame(
+        [(y, "x" if y < 1996 else "y") for y in range(1992, 1999)], "yr INT, tag STRING"
+    )
+    j = fact.join(F.broadcast(dim).filter(F.col("tag") == "x"), "yr")
+    plan = j._jdf.queryExecution().explainString(
+        j._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "dynamicpruning" in plan.lower()
