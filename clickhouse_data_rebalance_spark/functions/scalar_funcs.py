@@ -250,3 +250,28 @@ def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(m, F.lit("k")).alias("k_val"),
         F.size(F.map_keys(m)).cast("bigint").alias("n_keys"),
     ).orderBy("event_id")
+
+
+@query(
+    "array_lambda_funcs",
+    """
+    SELECT vec_id,
+           len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0)) AS n_pos,
+           len(list_filter(embedding, x -> CAST(x AS DOUBLE) < -0.9)) > 0 AS has_low,
+           len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 1.0)) = 0 AS all_le1,
+           CAST(embedding[1] AS DOUBLE) + CAST(embedding[64] AS DOUBLE) AS zsum0
+    FROM embeddings ORDER BY vec_id
+    """,
+)
+def array_lambda_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C29 completion: filter / exists / forall / zip_with lambdas (the
+    DuckDB twin states each as a list_filter identity)."""
+    e = table(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size(F.filter(dbl, lambda x: x > 0)).cast("bigint").alias("n_pos"),
+        F.exists(dbl, lambda x: x < -0.9).alias("has_low"),
+        F.forall(dbl, lambda x: x <= 1.0).alias("all_le1"),
+        F.element_at(F.zip_with(dbl, F.reverse(dbl), lambda x, y: x + y), 1).alias("zsum0"),
+    ).orderBy("vec_id")
