@@ -325,3 +325,78 @@ def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n"),
     ).orderBy("l_returnflag")
+
+
+@query(
+    "histogram_agg",
+    f"""
+    SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bin,
+           COUNT(*) AS n,
+           MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+    FROM orders GROUP BY 1 ORDER BY bin
+    """,
+)
+def histogram_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (ClickHouse histogram analog): binning is a
+    map-side projection, the groupBy carries only (bin, partials)."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.floor(F.col("o_totalprice") / 50000).cast("bigint").alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+        .orderBy("bin")
+    )
+
+
+_STATS_ORACLE = """
+    WITH s AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(30,4)) * CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,4)) * CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(30,4)) * CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS sxy
+      FROM lineitem
+    )
+    SELECT n,
+           ROUND(SQRT((n * sxx - sx * sx) / (n * (n - 1.0))), 6) AS stddev_qty,
+           ROUND((n * sxy - sx * sy) / (n * (n - 1.0)), 4) AS covar_qty_price,
+           ROUND((n * sxy - sx * sy) /
+                 SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 9) AS corr_qty_price
+    FROM s
+"""
+
+
+@query("stats_agg", _STATS_ORACLE)
+def stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample stddev / covariance / correlation from exact decimal moment
+    sums — the built-in corr()/stddev() accumulate doubles in partition
+    order and are not cross-engine reproducible; the moment formula from
+    exact sums is, and it is the same single-pass shape (one partial-agg
+    shuffle of 5 numbers)."""
+    l = table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(30,4)")
+    p = F.col("l_extendedprice").cast("decimal(30,4)")
+    s = l.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).cast("double").alias("sx"),
+        F.sum(p).cast("double").alias("sy"),
+        F.sum(q * q).cast("double").alias("sxx"),
+        F.sum(p * p).cast("double").alias("syy"),
+        F.sum(q * p).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return s.select(
+        "n",
+        F.round(F.sqrt((n * sxx - sx * sx) / (n * (n - F.lit(1.0)))), 6).alias("stddev_qty"),
+        F.round((n * sxy - sx * sy) / (n * (n - F.lit(1.0))), 4).alias("covar_qty_price"),
+        F.round(
+            (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 9
+        ).alias("corr_qty_price"),
+    )
