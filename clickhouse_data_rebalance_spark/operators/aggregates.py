@@ -88,13 +88,41 @@ def count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_count_distinct")  # HLL sketches differ per engine → rows-only
+@query(
+    "approx_count_distinct",
+    """
+    SELECT COUNT(DISTINCT l_orderkey) AS n_orders,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           true AS approx_orders_ok,
+           true AS approx_parts_ok,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    """,
+)
 def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C12: HLL sketch under test, verified against the exact count —
+    sketch estimates differ per engine, so the oracle-checked columns are
+    the exact counts plus within-5%-relative-error booleans (the sketch
+    runs at rsd=0.01, so 5% is a 5-sigma band). The HLL is still what's
+    exercised; the booleans turn its accuracy contract into a
+    hash-checkable value."""
     l = table(spark, sf_dir, "lineitem")
-    return l.agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+    agg = l.agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
         F.count(F.lit(1)).alias("n_rows"),
+    )
+    within = lambda approx, exact: (  # noqa: E731
+        F.abs(F.col(approx) - F.col(exact)) <= 0.05 * F.col(exact)
+    )
+    return agg.select(
+        "n_orders",
+        "n_parts",
+        within("approx_orders", "n_orders").alias("approx_orders_ok"),
+        within("approx_parts", "n_parts").alias("approx_parts_ok"),
+        "n_rows",
     )
 
 
@@ -278,8 +306,8 @@ def minmax_by_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "collect_agg",
     """
     SELECT n_regionkey,
-           list(n_name ORDER BY n_name) AS nations,
            string_agg(n_name, '|' ORDER BY n_name) AS nation_csv,
+           len(list(n_name)) AS n_collected,
            COUNT(*) AS n
     FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
     """,
@@ -287,43 +315,108 @@ def minmax_by_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def collect_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregate-to-array / string_agg (ClickHouse groupArray analog).
     collect_list order is partition-dependent → sort_array makes it
-    deterministic and cross-engine comparable."""
+    deterministic. The array itself is serialized to a joined string at
+    the query boundary (array-typed output crashes the driver's pandas
+    canonicalizer: unhashable list); its length rides along as n_collected
+    so the array aggregation is still value-checked."""
     n = table(spark, sf_dir, "nation")
+    collected = F.sort_array(F.collect_list("n_name"))
     return (
         n.groupBy("n_regionkey")
         .agg(
-            F.sort_array(F.collect_list("n_name")).alias("nations"),
-            F.array_join(F.sort_array(F.collect_list("n_name")), "|").alias("nation_csv"),
+            F.array_join(collected, "|").alias("nation_csv"),
+            F.size(collected).cast("long").alias("n_collected"),
             F.count(F.lit(1)).alias("n"),
         )
         .orderBy("n_regionkey")
     )
 
 
-@query("stratified_sample")  # seeded per-stratum Bernoulli → rows-only
+@query(
+    "stratified_sample",
+    """
+    SELECT o_orderstatus, COUNT(*) AS n_sampled,
+           MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+    FROM orders
+    WHERE substr(md5(CAST(o_orderkey AS VARCHAR) || ':' || o_orderstatus), 1, 1)
+          < CASE o_orderstatus WHEN 'F' THEN '4' WHEN 'O' THEN '2' ELSE '8' END
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
 def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C33 variant: per-stratum sampling (sampleBy) — seeded, fraction per
-    order status; the scale path for class-balanced training extracts."""
+    """C33 variant: per-stratum deterministic sampling — a different
+    md5-bucket cut per order status (F: 4/16, O: 2/16, P: 8/16), the
+    class-balanced-extract pattern. Hash-based (not sampleBy) so the
+    selected set is engine- and run-reproducible, and the filter pushes
+    into the scan like any predicate."""
     o = table(spark, sf_dir, "orders")
-    sampled = o.sampleBy("o_orderstatus", {"F": 0.2, "O": 0.1, "P": 0.5}, seed=42)
+    bucket = F.substring(
+        F.md5(F.concat_ws(":", F.col("o_orderkey").cast("string"), F.col("o_orderstatus"))),
+        1,
+        1,
+    )
+    cut = (
+        F.when(F.col("o_orderstatus") == "F", "4")
+        .when(F.col("o_orderstatus") == "O", "2")
+        .otherwise("8")
+    )
     return (
-        sampled.groupBy("o_orderstatus")
-        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        o.filter(bucket < cut)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
         .orderBy("o_orderstatus")
     )
 
 
-@query("approx_quantiles")  # t-digest/GK sketches differ per engine → rows-only
+@query(
+    "approx_quantiles",
+    """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.25), 6) AS p25,
+           ROUND(quantile_cont(l_quantity, 0.50), 6) AS p50,
+           ROUND(quantile_cont(l_quantity, 0.75), 6) AS p75,
+           ROUND(quantile_cont(l_quantity, 0.99), 6) AS p99,
+           true AS approx_ok,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
 def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate quantiles (percentile_approx, GK sketch) — the
-    mergeable-sketch path for percentiles over 100 TB; exact percentile
-    appears in agg_stats for the oracle-checked baseline."""
+    mergeable-sketch path for percentiles over 100 TB — under test against
+    exact per-quantile scalars. Output is one scalar column per quantile
+    (array output crashes the driver canonicalizer) of the EXACT
+    percentile (cross-engine comparable: R-7 interpolation in both) plus a
+    boolean asserting the GK sketch landed within its rank-error bound."""
     l = table(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75, 0.99], 10000).alias(
-            "price_quartiles"
-        ),
+    qs = [0.25, 0.50, 0.75, 0.99]
+    agg = l.groupBy("l_returnflag").agg(
+        *[
+            F.round(F.expr(f"percentile(l_quantity, {q})"), 6).alias(f"p{int(q * 100)}")
+            for q in qs
+        ],
+        F.percentile_approx("l_quantity", qs, 10000).alias("approx"),
         F.count(F.lit(1)).alias("n"),
+    )
+    # GK accuracy 10000 on ≤100k-row groups → rank error ≤ n/10000 ranks;
+    # quantities are dense integers, so value error ≤ 2 is a safe bound
+    ok = F.forall(
+        F.zip_with(
+            F.col("approx"),
+            F.array(*[F.col(f"p{int(q * 100)}") for q in qs]),
+            lambda a, e: F.abs(a - e) <= 2.0,
+        ),
+        lambda x: x,
+    )
+    return agg.select(
+        "l_returnflag",
+        *[f"p{int(q * 100)}" for q in qs],
+        ok.alias("approx_ok"),
+        "n",
     ).orderBy("l_returnflag")
 
 

@@ -182,7 +182,7 @@ def case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_orderkey,
            CAST(l_quantity AS INTEGER) AS qty_i,
-           CAST(l_extendedprice AS DECIMAL(18,2)) AS price_dec,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price_dec,
            CAST(l_orderkey AS VARCHAR) AS key_str,
            CAST(l_shipdate AS DATE) AS ship_d,
            CAST(l_linenumber AS DOUBLE) AS line_d
@@ -192,6 +192,11 @@ def case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def cast_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C32 cast ladder. The DECIMAL(18,2) round-trip is the op under test,
+    but raw DECIMAL output arrives as Python Decimal from Spark vs float64
+    from DuckDB's pandas path and hash-mismatches in the driver's
+    canonicalizer — so the decimal value is projected back to DOUBLE on
+    both sides (same trick as _util.dec_sum)."""
     l = table(spark, sf_dir, "lineitem")
     return (
         l.filter(F.col("l_orderkey") <= 100)
@@ -199,7 +204,7 @@ def cast_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "l_orderkey",
             F.col("l_quantity").cast("int").alias("qty_i"),
-            F.col("l_extendedprice").cast("decimal(18,2)").alias("price_dec"),
+            F.col("l_extendedprice").cast("decimal(18,2)").cast("double").alias("price_dec"),
             F.col("l_orderkey").cast("string").alias("key_str"),
             F.col("l_shipdate").cast("date").alias("ship_d"),
             F.col("l_linenumber").cast("double").alias("line_d"),
@@ -208,12 +213,43 @@ def cast_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# C33 sample — nondeterministic across engines: rows-only check. Seeded so
-# the Spark side itself is reproducible run-to-run.
+# C33 sample — deterministic hash-based sampling: keep a row iff the first
+# hex digit of md5(primary key) falls below the cut. Engine-independent
+# (md5 is md5 everywhere), reproducible across runs/partitionings, and the
+# design a training pipeline actually wants: re-running the extract — or a
+# different engine — selects the SAME sample. Seeded `df.sample()` is
+# partition-order dependent and cross-engine incomparable.
 # --------------------------------------------------------------------------
 
 
-@query("sample_fraction")
+@query(
+    "sample_fraction",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || '-'
+                     || CAST(l_linenumber AS VARCHAR)), 1, 1) IN ('0', '1')
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
 def sample_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C33: deterministic ~12.5% Bernoulli sample (2 of 16 hex buckets) by
+    md5 of the row key — a pure pushed-down filter, no sample operator
+    state, identical row set in any engine."""
     l = table(spark, sf_dir, "lineitem")
-    return l.sample(fraction=0.1, seed=42).select("l_orderkey", "l_linenumber", "l_quantity")
+    bucket = F.substring(
+        F.md5(
+            F.concat_ws(
+                "-",
+                F.col("l_orderkey").cast("string"),
+                F.col("l_linenumber").cast("string"),
+            )
+        ),
+        1,
+        1,
+    )
+    return (
+        l.filter(bucket.isin("0", "1"))
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+    )

@@ -54,26 +54,52 @@ def pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _weighted_avg(pdf: pd.DataFrame) -> pd.DataFrame:
-    # quantity-weighted average price per returnflag; pure-integer weights
-    # keep the float math identical to the SQL twin
-    w = pdf["l_quantity"]
+    # Exact arithmetic so the pandas result is order-independent and
+    # matches the decimal-sum SQL twin bit-for-bit: prices quantized to
+    # integer 1e-4 units (the same rounding CAST(double AS DECIMAL(30,4))
+    # performs — prices are 2-decimal values, far from ties), quantities
+    # are integral; the weighted sum is then exact int64 math and the only
+    # float ops are the final (identical either side) divisions.
+    import numpy as np
+
+    p4 = np.rint(pdf["l_extendedprice"].to_numpy() * 10000.0).astype(np.int64)
+    w = np.rint(pdf["l_quantity"].to_numpy()).astype(np.int64)
+    num = int((p4 * w).sum())
+    wsum = int(w.sum())
     return pd.DataFrame(
         {
             "l_returnflag": [pdf["l_returnflag"].iloc[0]],
-            "wavg_price": [float((pdf["l_extendedprice"] * w).sum() / w.sum())],
+            "wavg_price": [float(num) / 10000.0 / float(wsum)],
+            "qty_total": [wsum],
             "n": [len(pdf)],
         }
     )
 
 
-@query("grouped_map_udaf")  # pandas float-sum order differs from SQL → rows-only
+@query(
+    "grouped_map_udaf",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,4))
+                    * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+             / CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS wavg_price,
+           SUM(CAST(l_quantity AS BIGINT)) AS qty_total,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
 def grouped_map_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """applyInPandas UDAF: one shuffle on the group key, per-group pandas."""
+    """applyInPandas UDAF: one shuffle on the group key, per-group pandas.
+    Exact integer-unit arithmetic inside the UDAF makes the float result
+    deterministic and equal to the DECIMAL-sum SQL twin."""
     l = table(spark, sf_dir, "lineitem")
     return (
         l.select("l_returnflag", "l_extendedprice", "l_quantity")
         .groupBy("l_returnflag")
-        .applyInPandas(_weighted_avg, schema="l_returnflag string, wavg_price double, n long")
+        .applyInPandas(
+            _weighted_avg,
+            schema="l_returnflag string, wavg_price double, qty_total long, n long",
+        )
         .orderBy("l_returnflag")
     )
 
