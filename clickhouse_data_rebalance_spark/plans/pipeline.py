@@ -30,6 +30,35 @@ from . import catalog as cat
 from .rebalance import rebalance
 
 
+def _strip_scheme(path: str) -> str:
+    """``file:/tmp/x`` / ``hdfs://nn/x`` → path part, for same-dir checks."""
+    import re
+
+    return re.sub(r"^[a-z][a-z0-9+.-]*:(//[^/]*)?", "", path).rstrip("/")
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
+
+
+def _delete_path(spark: SparkSession, path: str) -> None:
+    """Recursively delete ``path`` through the Hadoop FileSystem API —
+    works for any scheme the cluster can write (local, HDFS, s3a, …),
+    unlike shutil."""
+    fs, hpath = _hadoop_fs(spark, path)
+    fs.delete(hpath, True)
+
+
+def _ensure_dir(spark: SparkSession, path: str) -> None:
+    """mkdir -p: an external table whose LOCATION does not exist yet makes
+    every resolution between CREATE and first INSERT stat the missing dir
+    and log a FileNotFoundException at WARN — pre-create it instead."""
+    fs, hpath = _hadoop_fs(spark, path)
+    fs.mkdirs(hpath)
+
+
 @dataclass
 class RebalanceReport:
     """What the pipeline did — returned, not logged, so callers can gate."""
@@ -84,23 +113,45 @@ def resize_and_rebalance(
         f"`{f.name}` {f.dataType.simpleString()}" for f in src.schema.fields
     )
 
+    target_loc = f"{location.rstrip('/')}/{table_name}"
+    src_loc = (
+        spark.sql(f"DESCRIBE FORMATTED {table_name}")
+        .filter("col_name = 'Location'")
+        .head()["data_type"]
+        .rstrip("/")
+    )
+    if _strip_scheme(src_loc) == _strip_scheme(target_loc):
+        raise ValueError(
+            f"target location {target_loc} is the CURRENT data location of "
+            f"{table_name} — pass a different `location` (the pipeline must "
+            "not clear the directory it is about to fan-in from)"
+        )
     # phase 4: old aside (guarded — tableExists probe is the A11 analog)
     spark.sql(f"ALTER TABLE {table_name} RENAME TO {oname}")
     try:
+        # Guard before CREATE: an external-table CREATE ... LOCATION
+        # silently adopts any files already under the location (e.g. from
+        # a partially-failed earlier run), which would serve duplicate
+        # rows under the logical name after the INSERT — clear it first.
+        _delete_path(spark, target_loc)
+        _ensure_dir(spark, target_loc)
         # phases 3+5 fused: create the empty target directly under the
         # logical name (no intermediate versioned name needed — Spark has
         # no per-shard DDL to stage)
         spark.sql(
             f"""CREATE TABLE IF NOT EXISTS {table_name} ({schema_ddl})
-                USING parquet LOCATION '{location.rstrip("/")}/{table_name}'"""
+                USING parquet LOCATION '{target_loc}'"""
         )
         # phase 7: THE rebalance — fan-in scan of old, one hash shuffle,
         # fan-out append (sharding_recreation.py:159-160's INSERT-SELECT)
         rebalance(spark.table(oname), n_shards, keys).write.insertInto(table_name)
     except Exception:
-        # roll the rename back so the logical name still serves the data
+        # roll the rename back so the logical name still serves the data,
+        # and clean the half-written target location so a retry (or a
+        # later CREATE at the same location) cannot adopt partial files
         if cat.table_exists(spark, table_name):
             spark.sql(f"DROP TABLE {table_name}")
+        _delete_path(spark, target_loc)
         spark.sql(f"ALTER TABLE {oname} RENAME TO {table_name}")
         raise
 

@@ -23,15 +23,44 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
-def shard_id(n_shards: int, *keys: str, salt: int = 0) -> F.Column:
-    """Deterministic shard assignment: pmod(xxhash64(keys), n) — the Spark
-    analog of ClickHouse's `hash(sharding_key) % cluster_size`."""
-    h = F.xxhash64(*[F.col(k) for k in keys])
+def _salt_subkey(salt: int, salt_cols: list[str]) -> F.Column:
+    """Content-derived sub-key in [0, salt): deterministic given the named
+    columns' values — NOT monotonically_increasing_id(), whose value is
+    partition-position dependent and would make salted placement differ
+    across runs and input layouts."""
+    return F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(salt))
+
+
+def _shard_cols(
+    n_shards: int, keys: list[str], salt: int, salt_cols: list[str] | None
+) -> list[F.Column]:
+    cols = [F.col(k) for k in keys]
     if salt > 1:
-        # spread each key over `salt` sub-shards — breaks hot-key skew while
-        # keeping assignment deterministic given the row's full content
-        h = F.xxhash64(h, F.pmod(F.monotonically_increasing_id(), F.lit(salt)))
-    return F.pmod(h, F.lit(n_shards)).cast("int")
+        cols.append(_salt_subkey(salt, salt_cols or keys))
+    return cols
+
+
+def shard_id(
+    n_shards: int, *keys: str, salt: int = 0, salt_cols: list[str] | None = None
+) -> F.Column:
+    """Deterministic shard assignment: pmod(murmur3(keys), n) — the Spark
+    analog of ClickHouse's `hash(sharding_key) % cluster_size`.
+
+    Uses ``F.hash`` (Murmur3, seed 42) — the SAME function and seed
+    Spark's HashPartitioning applies — so this value IS the partition
+    ``df.repartition(n_shards, *keys)`` places the row in: report,
+    placement, and reader-side routing all agree. (xxhash64 here would
+    describe a layout ``rebalance`` never writes.)
+
+    With ``salt > 1`` a content-derived sub-key (xxhash64 of
+    ``salt_cols``, default the keys) joins the hash; pass high-entropy
+    non-key columns as ``salt_cols`` to actually spread a hot key —
+    salting by the keys alone cannot. Callers routing lookups against a
+    salted layout must pass the same salt/salt_cols.
+    """
+    return F.pmod(
+        F.hash(*_shard_cols(n_shards, list(keys), salt, salt_cols)), F.lit(n_shards)
+    ).cast("int")
 
 
 def rebalance(
@@ -40,6 +69,7 @@ def rebalance(
     keys: list[str],
     dst_path: str | None = None,
     salt: int = 0,
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Re-scatter ``df`` across ``n_shards`` by hash of ``keys`` (C35).
 
@@ -47,13 +77,14 @@ def rebalance(
     given (one file per shard → even downstream splits).
     """
     # partition directly on the key columns: Spark's HashPartitioning IS
-    # hash(keys) % n_shards. (Re-hashing a precomputed shard id would
-    # compound two hashes — shard values collide and some of the n output
-    # partitions come out empty.)
-    cols = [F.col(k) for k in keys]
-    if salt > 1:
-        cols.append(F.pmod(F.monotonically_increasing_id(), F.lit(salt)))
-    out = df.repartition(n_shards, *cols)
+    # pmod(murmur3(keys), n) — exactly shard_id(). (Re-hashing a
+    # precomputed shard id would compound two hashes — shard values
+    # collide and some of the n output partitions come out empty.)
+    # Salted: default the spread entropy to ALL columns (full row
+    # content) — deterministic, and unlike keys-only it spreads hot keys.
+    if salt > 1 and salt_cols is None:
+        salt_cols = list(df.columns)
+    out = df.repartition(n_shards, *_shard_cols(n_shards, keys, salt, salt_cols))
     if dst_path:
         out.write.mode("overwrite").parquet(dst_path)
     return out
@@ -71,7 +102,9 @@ def rebalance_by_range(
 
 def skew_report(df: DataFrame, n_shards: int, keys: list[str]) -> DataFrame:
     """C37: rows per prospective shard + balance stats, computed purely
-    distributed (aggregate of an aggregate, no collect)."""
+    distributed (aggregate of an aggregate, no collect). shard_id is
+    murmur3-based, so these counts describe the layout ``rebalance``
+    actually writes."""
     per_shard = df.groupBy(shard_id(n_shards, *keys).alias("shard")).agg(
         F.count(F.lit(1)).alias("n_rows")
     )

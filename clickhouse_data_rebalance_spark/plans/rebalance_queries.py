@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -23,6 +24,21 @@ from .rebalance import rebalance, rebalance_by_range, skew_report
 
 _TMP = "/tmp/cdr_spark"
 N_SHARDS = 8
+
+
+def _fresh_run_dir(kind: str) -> str:
+    """Unique per-invocation scratch dir under _TMP/<kind>.
+
+    Fixed paths made re-runs race their own earlier state (BENCH_r01
+    carried an insertInto stack trace from exactly that): a recreated
+    external table could adopt the previous run's files, and rmtree could
+    yank files from under a straggling reader. Callers must DROP the
+    previous run's tables BEFORE this call — the old root is cleared
+    here, after which a fresh unique subdir is handed out."""
+    root = os.path.join(_TMP, kind)
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    return tempfile.mkdtemp(prefix="run_", dir=root)
 
 _INVARIANT_ORACLE = f"""
     SELECT COUNT(*) AS n_rows,
@@ -83,9 +99,10 @@ def insert_select_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     landed content — the literal reference query shape
     (sharding_recreation.py:160)."""
     table(spark, sf_dir, "orders")
-    loc = os.path.join(_TMP, "ins_sel_orders")
-    shutil.rmtree(loc, ignore_errors=True)
     spark.sql("DROP TABLE IF EXISTS cdr_ins_orders")
+    loc = os.path.join(_fresh_run_dir("ins_sel"), "cdr_ins_orders")
+    os.makedirs(loc, exist_ok=True)  # see pipeline._ensure_dir — silences
+    # the missing-LOCATION stat WARN between CREATE and first INSERT
     spark.sql(
         f"""CREATE TABLE cdr_ins_orders
             (o_orderkey BIGINT, o_totalprice DOUBLE, o_orderstatus STRING)
@@ -117,10 +134,9 @@ def rebalance_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipeline import resize_and_rebalance
 
     table(spark, sf_dir, "orders")
-    loc = os.path.join(_TMP, "pipeline_demo")
     for t in ["cdr_pipe_orders", "cdr_pipe_orders__old"]:
         spark.sql(f"DROP TABLE IF EXISTS {t}")
-    shutil.rmtree(loc, ignore_errors=True)
+    loc = _fresh_run_dir("pipeline_demo")
     spark.table("orders").write.option(
         "path", os.path.join(loc, "cdr_pipe_orders_seed")
     ).saveAsTable("cdr_pipe_orders")
@@ -145,11 +161,10 @@ def table_swap_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL-oracle-checkable end state.
     """
     table(spark, sf_dir, "nation")
-    base_loc = os.path.join(_TMP, "swap_demo")
-    # idempotent re-run: clear catalog + files
+    # idempotent re-run: clear catalog FIRST, then files (fresh dir)
     for t in ["cdr_nation", cat.versioned_name("cdr_nation", "r2"), cat.old_name("cdr_nation")]:
         spark.sql(f"DROP TABLE IF EXISTS {t}")
-    shutil.rmtree(base_loc, ignore_errors=True)
+    base_loc = _fresh_run_dir("swap_demo")
 
     # create the "old-cluster" table
     spark.table("nation").write.option(

@@ -47,15 +47,25 @@ def _norm(v):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, date):
         return v.isoformat()
-    if isinstance(v, float) and v == int(v) and abs(v) < 2**53:
-        return float(v)
     if isinstance(v, (list, tuple)):
         return tuple(_norm(x) for x in v)
     return v
 
 
+def _key_one(x):
+    """Canonical per-value sort key: numerics sort as float so an int 1
+    from one engine and a 1.0 from the other land in the SAME position
+    (str-sorting put '1' and '1.0' apart and could zip equal multisets
+    row-misaligned); everything else sorts by str."""
+    if x is None:
+        return (2, "", 0.0)
+    if not isinstance(x, bool) and isinstance(x, (int, float)):
+        return (0, "", float(x))
+    return (1, str(x), 0.0)
+
+
 def _sort_key(row):
-    return tuple((x is None, str(x)) for x in row)
+    return tuple(_key_one(x) for x in row)
 
 
 def compare(spark_df, con, sql: str, float_tol: float = 0.0) -> None:

@@ -82,9 +82,29 @@ def test_rebalance_null_keys(spark, tmp_path):
 def test_rebalance_salt_spreads_hot_key(spark):
     hot = spark.range(10000).select(F.lit(1).alias("k"), F.col("id"))
     plain = hot.select(shard_id(8, "k").alias("s")).distinct().count()
-    salted = hot.select(shard_id(8, "k", salt=8).alias("s")).distinct().count()
+    # spread entropy must come from non-key content (here: id)
+    salted = hot.select(shard_id(8, "k", salt=8, salt_cols=["id"]).alias("s")).distinct().count()
     assert plain == 1  # one hot key → one shard without salt
     assert salted > 1  # salt spreads it
+
+
+def test_salted_assignment_is_content_deterministic(spark):
+    # same rows, different input layout → identical salted shard ids
+    df1 = spark.range(1000).select(F.lit(1).alias("k"), F.col("id"))
+    df2 = df1.repartition(7)  # different physical layout
+    a = df1.select("id", shard_id(8, "k", salt=8, salt_cols=["id"]).alias("s"))
+    b = df2.select("id", shard_id(8, "k", salt=8, salt_cols=["id"]).alias("s"))
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_shard_id_matches_repartition_placement(spark, lineitem):
+    # shard_id (murmur3 pmod n) must equal the partition repartition()
+    # actually places the row in — report/placement/routing agreement
+    out = lineitem.repartition(8, F.col("l_orderkey")).select(
+        shard_id(8, "l_orderkey").alias("s"),
+        F.spark_partition_id().alias("p"),
+    )
+    assert out.filter(F.col("s") != F.col("p")).count() == 0
 
 
 def test_range_rebalance_sorts_boundaries(spark, lineitem, tmp_path):
