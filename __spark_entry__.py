@@ -26,12 +26,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Ordered: the first 50 names (registry.DRIVER_ORDER) are a curated
+    cover of every §2 component, each with a full SQL oracle — so a
+    budget-capped correctness pass still verifies the whole surface."""
     registry.load_all()
-    return dict(registry.QUERIES)
+    return registry.ordered_queries()
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-SQL twin per query; omitted keys get rows-only checks."""
     registry.load_all()
-    return dict(registry.ORACLES)
+    return registry.ordered_oracles()

@@ -252,6 +252,122 @@ def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+# --------------------------------------------------------------------------
+# Suite queries: one row per function family, used as the driver-facing
+# §2 representatives (the per-family queries above stay registered as the
+# dedicated variants). One projection over a single table keeps each suite
+# a pure codegen map stage.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "scalar_funcs_suite",
+    """
+    SELECT o_orderkey,
+           UPPER(o_orderpriority) AS up, LOWER(o_orderstatus) AS lo,
+           SUBSTRING(o_orderpriority, 3, 6) AS subp,
+           LENGTH(o_orderpriority) AS plen,
+           CONCAT(o_orderstatus, '#', o_orderpriority) AS joined,
+           regexp_extract(o_orderpriority, '([0-9]+)', 1) AS prio_num,
+           LPAD(CAST(o_orderkey AS VARCHAR), 10, '0') AS padded,
+           REVERSE(o_orderpriority) AS rev,
+           EXTRACT(year FROM o_orderdate) AS yr,
+           EXTRACT(month FROM o_orderdate) AS mo,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           datediff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS days_to_y2k,
+           strftime(o_orderdate, '%Y-%m') AS ym,
+           ROUND(o_totalprice, 1) AS r1,
+           FLOOR(o_totalprice) AS flr,
+           ABS(o_totalprice - 100000.0) AS absd,
+           SQRT(o_totalprice) AS sq,
+           ROUND(LN(o_totalprice), 9) AS lnp,
+           ((CAST(o_orderkey AS BIGINT) % 7) + 7) % 7 AS pm7,
+           GREATEST(o_totalprice, 100000.0) AS gt,
+           LEAST(o_totalprice, 100000.0) AS lt
+    FROM orders ORDER BY o_orderkey
+    """,
+)
+def scalar_funcs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C26+C27+C28 in one projection over orders — the driver-facing
+    representative for the string / datetime / math scalar families."""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.upper("o_orderpriority").alias("up"),
+        F.lower("o_orderstatus").alias("lo"),
+        F.substring("o_orderpriority", 3, 6).alias("subp"),
+        F.length("o_orderpriority").alias("plen"),
+        F.concat_ws("#", "o_orderstatus", "o_orderpriority").alias("joined"),
+        F.regexp_extract("o_orderpriority", r"([0-9]+)", 1).alias("prio_num"),
+        F.lpad(F.col("o_orderkey").cast("string"), 10, "0").alias("padded"),
+        F.reverse("o_orderpriority").alias("rev"),
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.month("o_orderdate").cast("bigint").alias("mo"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.datediff(F.lit("2000-01-01").cast("date"), F.col("o_orderdate").cast("date"))
+        .cast("bigint")
+        .alias("days_to_y2k"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        F.round("o_totalprice", 1).alias("r1"),
+        F.floor("o_totalprice").cast("double").alias("flr"),
+        F.abs(F.col("o_totalprice") - 100000.0).alias("absd"),
+        F.sqrt("o_totalprice").alias("sq"),
+        F.round(F.log(F.col("o_totalprice")), 9).alias("lnp"),
+        F.pmod(F.col("o_orderkey"), F.lit(7)).cast("bigint").alias("pm7"),
+        F.greatest("o_totalprice", F.lit(100000.0)).alias("gt"),
+        F.least("o_totalprice", F.lit(100000.0)).alias("lt"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "semi_structured_suite",
+    """
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+           CASE WHEN json_extract_string(props, '$.missing') IS NULL
+                THEN 1 ELSE 0 END AS missing_is_null,
+           json_keys(props)[1] AS first_key,
+           len(json_keys(props)) AS n_keys,
+           CAST(len(seq) AS BIGINT) AS n_elems,
+           CAST(list_sum(seq) AS BIGINT) AS arr_sum,
+           CAST(len(list_filter(seq, x -> x % 2 = 0)) AS BIGINT) AS n_even,
+           len(list_filter(seq, x -> x > 3)) > 0 AS has_gt3,
+           array_to_string(seq, ',') AS arr_csv
+    FROM (
+      SELECT *, generate_series(1, CAST(
+               ((CAST(json_extract_string(props, '$.k') AS BIGINT) % 5) + 5) % 5 + 1
+             AS BIGINT)) AS seq
+      FROM events)
+    ORDER BY event_id
+    """,
+)
+def semi_structured_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C29+C30+C31 in one projection over events — JSON extraction, a
+    MapType view of the props document, and array construction + lambda
+    ops (size/aggregate/filter/exists) over a derived sequence. All
+    scalar outputs (arrays serialize to CSV at the boundary)."""
+    e = table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    seq = F.sequence(F.lit(1).cast("bigint"), F.pmod(k, F.lit(5)) + F.lit(1))
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        k.alias("k_int"),
+        F.when(F.get_json_object("props", "$.missing").isNull(), 1)
+        .otherwise(0)
+        .alias("missing_is_null"),
+        F.element_at(F.map_keys(m), 1).alias("first_key"),
+        F.size(F.map_keys(m)).cast("bigint").alias("n_keys"),
+        F.size(seq).cast("bigint").alias("n_elems"),
+        F.aggregate(seq, F.lit(0).cast("bigint"), lambda acc, x: acc + x).alias("arr_sum"),
+        F.size(F.filter(seq, lambda x: x % 2 == 0)).cast("bigint").alias("n_even"),
+        F.exists(seq, lambda x: x > 3).alias("has_gt3"),
+        F.array_join(F.transform(seq, lambda x: x.cast("string")), ",").alias("arr_csv"),
+    ).orderBy("event_id")
+
+
 @query(
     "array_lambda_funcs",
     """

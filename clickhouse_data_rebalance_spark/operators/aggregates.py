@@ -21,6 +21,7 @@ from ._util import dec_avg, dec_sum, sql_dec_avg, sql_dec_sum
     f"""
     SELECT o_orderstatus, o_orderpriority, EXTRACT(year FROM o_orderdate) AS yr,
            COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_custkey) AS n_custs,
            {sql_dec_sum('o_totalprice')} AS total_price,
            {sql_dec_avg('o_totalprice')} AS avg_price,
            MIN(o_totalprice) AS min_price,
@@ -31,6 +32,9 @@ from ._util import dec_avg, dec_sum, sql_dec_avg, sql_dec_sum
     """,
 )
 def agg_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C10 multi-key hash agg; the COUNT(DISTINCT) column doubles as the
+    C11 count-distinct representative (distinct_rows / count_distinct
+    stay registered as the dedicated row-level variants)."""
     o = table(spark, sf_dir, "orders")
     return (
         o.groupBy(
@@ -40,6 +44,7 @@ def agg_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_custs"),
             dec_sum("o_totalprice").alias("total_price"),
             dec_avg("o_totalprice").alias("avg_price"),
             F.min("o_totalprice").alias("min_price"),

@@ -162,10 +162,45 @@ def minhash_candidates(spark: SparkSession, sf_dir: str, k_shingle: int = 3) -> 
     )
 
 
-@query("dedup_minhash_lsh")  # xxhash64-based → no DuckDB twin → rows-only
+_MINHASH_ORACLE = r"""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, greatest(len(w)-2, 0)),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      FROM w
+    ),
+    inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, len(s) AS n FROM sh)
+    SELECT p.doc_a, p.doc_b,
+           CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) AS jaccard
+    FROM pairs p JOIN sizes sa ON sa.doc_id = p.doc_a
+                 JOIN sizes sb ON sb.doc_id = p.doc_b
+    WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.5
+    ORDER BY doc_a, doc_b
+"""
+
+
+@query("dedup_minhash_lsh", _MINHASH_ORACLE)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C41: MinHash+LSH near-dup candidates, verified by exact Jaccard on
-    the candidate set only; emits pairs with Jaccard ≥ 0.5."""
+    the candidate set only; emits pairs with Jaccard ≥ 0.5.
+
+    Oracle-checked against ALL pairs at Jaccard ≥ 0.5 (DuckDB
+    inverted-index formulation): the fixture's true near-dups sit at
+    Jaccard ≥ 0.9, where 8-band × 4-row LSH detection probability is
+    1 - (1 - 0.9^4)^8 ≈ 0.9998 per pair — so LSH recall is exactly 1
+    here and the approximate pipeline's output equals the exact answer.
+    (The signature path is deterministic — fixed xxhash64 seeds — so
+    this equality is reproducible, not a coin flip.)"""
     d = table(spark, sf_dir, "documents")
     cand = minhash_candidates(spark, sf_dir)
     sh = d.select(

@@ -85,12 +85,19 @@ def scan_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_orderkey, l_linenumber,
            l_extendedprice * (1 - l_discount) AS net_price,
            l_quantity * 2.0 + 1.0 AS qty2,
-           CAST(l_quantity AS BIGINT) AS qty_int
+           CAST(l_quantity AS BIGINT) AS qty_int,
+           CASE WHEN l_quantity > 40 THEN 'bulk'
+                WHEN l_quantity > 10 THEN 'mid'
+                ELSE 'small' END AS qty_bucket,
+           COALESCE(NULLIF(l_returnflag, 'N'), 'none') AS flag_or_none
     FROM lineitem
     ORDER BY l_orderkey, l_linenumber
     """,
 )
 def projection_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 projection expressions, incl. the C25 conditional family (CASE
+    WHEN / COALESCE / NULLIF) — `case_when` stays registered as the
+    dedicated row-level variant."""
     l = table(spark, sf_dir, "lineitem")
     return l.select(
         "l_orderkey",
@@ -98,6 +105,13 @@ def projection_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
         (F.col("l_quantity") * F.lit(2.0) + F.lit(1.0)).alias("qty2"),
         F.col("l_quantity").cast("bigint").alias("qty_int"),
+        F.when(F.col("l_quantity") > 40, "bulk")
+        .when(F.col("l_quantity") > 10, "mid")
+        .otherwise("small")
+        .alias("qty_bucket"),
+        F.coalesce(F.nullif(F.col("l_returnflag"), F.lit("N")), F.lit("none")).alias(
+            "flag_or_none"
+        ),
     ).orderBy("l_orderkey", "l_linenumber")
 
 

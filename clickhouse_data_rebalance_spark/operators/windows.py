@@ -47,23 +47,31 @@ def window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "window_analytic",
-    """
+    f"""
     SELECT o_custkey, o_orderkey, o_totalprice,
            LAG(o_totalprice) OVER w AS prev_price,
            LEAD(o_totalprice) OVER w AS next_price,
            FIRST_VALUE(o_totalprice) OVER w AS first_price,
            LAST_VALUE(o_totalprice) OVER
              (PARTITION BY o_custkey ORDER BY o_orderkey
-              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price,
+           CAST(SUM(CAST(o_totalprice AS {_DEC})) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_spend
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
     ORDER BY o_custkey, o_orderkey
     """,
 )
 def window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C16 analytic windows; running_spend adds an explicit-frame
+    accumulation so this also represents C17 (window_frames stays
+    registered as the dedicated moving-frame variant)."""
     o = table(spark, sf_dir, "orders")
     w = W.partitionBy("o_custkey").orderBy("o_orderkey")
     wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
     return o.select(
         "o_custkey",
         "o_orderkey",
@@ -72,6 +80,9 @@ def window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("o_totalprice").over(w).alias("next_price"),
         F.first("o_totalprice").over(w).alias("first_price"),
         F.last("o_totalprice").over(wfull).alias("last_price"),
+        F.sum(F.col("o_totalprice").cast(_DEC)).over(run).cast("double").alias(
+            "running_spend"
+        ),
     ).orderBy("o_custkey", "o_orderkey")
 
 
@@ -132,17 +143,19 @@ def sort_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "top_k",
     """
-    SELECT o_orderkey, o_totalprice FROM orders
-    ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    ORDER BY o_orderstatus ASC, o_totalprice DESC, o_orderkey LIMIT 25
     """,
 )
 def top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     # orderBy+limit compiles to TakeOrderedAndProject: per-partition top-25
-    # then a k-sized driver merge — no global sort, scale-safe.
+    # then a k-sized driver merge — no global sort, scale-safe. The
+    # mixed-direction multi-key ORDER BY doubles as the C18 sort
+    # representative (sort_multi_key stays as the full-sort variant).
     o = table(spark, sf_dir, "orders")
     return (
-        o.select("o_orderkey", "o_totalprice")
-        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        o.select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy(F.col("o_orderstatus").asc(), F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(25)
     )
 

