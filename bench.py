@@ -42,6 +42,11 @@ HEADLINE = [
     "ann_lsh_topk",
     "rebalance_pipeline",
     "join_theta_range",
+    # round 2 additions (BENCH_r01 comparisons should subtotal the 19
+    # names above): streaming/LLM surface + the rebuilt IVF probe path
+    "stream_dedup_events",
+    "funnel_conversion",
+    "ann_ivf_topk",
 ]
 
 

@@ -107,8 +107,23 @@ def dedup_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Jaccard ≳ 0.5 with high probability
 N_HASHES, N_BANDS, ROWS_PER_BAND = 32, 8, 4
 
+# Degenerate-bucket guard: a band bucket holding B docs contributes
+# B·(B-1)/2 candidate pairs — one boilerplate-heavy bucket (empty docs,
+# licence headers) turns the self-join quadratic at corpus scale. Buckets
+# over this cap are dropped before the join; such buckets are almost
+# always near-identical boilerplate whose members still pair up through
+# their OTHER (uncapped) bands, and anything truly lost is
+# duplicate-of-boilerplate noise a dedup pass wants gone anyway.
+MAX_LSH_BUCKET = 64
+
 
 def minhash_candidates(spark: SparkSession, sf_dir: str, k_shingle: int = 3) -> DataFrame:
+    return minhash_candidates_from(
+        table(spark, sf_dir, "documents"), k_shingle=k_shingle
+    )
+
+
+def minhash_candidates_from(d: DataFrame, k_shingle: int = 3) -> DataFrame:
     """LSH candidate pairs (a < b) sharing ≥1 MinHash band bucket.
 
     Signature computation is explode → 32 flat xxhash64 columns →
@@ -117,7 +132,6 @@ def minhash_candidates(spark: SparkSession, sf_dir: str, k_shingle: int = 3) -> 
     32-long row per document — the shape that survives 100 TB. (The
     nested higher-order-function formulation evaluates interpreted and
     is ~5× slower even after let_-binding.)"""
-    d = table(spark, sf_dir, "documents")
     sh = d.select(
         "doc_id", F.explode(shingles(F.lower(F.col("text")), k_shingle)).alias("sh")
     )
@@ -148,8 +162,21 @@ def minhash_candidates(spark: SparkSession, sf_dir: str, k_shingle: int = 3) -> 
             )
         ).alias("band_idx", "band_hash"),
     )
-    a = buckets.alias("a")
-    b = buckets.alias("b")
+    # bucket-size cap: count members per (band, hash) and drop oversized
+    # buckets BEFORE the self-join. The count and the join key share the
+    # same partitioning, so this costs one extra same-key aggregate, not
+    # a new shuffle pattern — and it bounds the join output at
+    # MAX_LSH_BUCKET²/2 pairs per bucket.
+    from pyspark.sql import Window as W
+
+    wb = W.partitionBy("band_idx", "band_hash")
+    capped = (
+        buckets.withColumn("bsz", F.count(F.lit(1)).over(wb))
+        .filter(F.col("bsz") <= MAX_LSH_BUCKET)
+        .drop("bsz")
+    )
+    a = capped.alias("a")
+    b = capped.alias("b")
     return (
         a.join(
             b,
@@ -254,6 +281,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("c"),
     ).select("doc_id", "sig", "c.chunk_idx", "c.chunk")
+    # same degenerate-bucket guard as the MinHash band join (see
+    # MAX_LSH_BUCKET): one hot 16-bit chunk must not go quadratic
+    from pyspark.sql import Window as W
+
+    wc = W.partitionBy("chunk_idx", "chunk")
+    chunks = (
+        chunks.withColumn("bsz", F.count(F.lit(1)).over(wc))
+        .filter(F.col("bsz") <= MAX_LSH_BUCKET)
+        .drop("bsz")
+    )
     a = chunks.alias("a")
     b = chunks.alias("b")
     pairs = (

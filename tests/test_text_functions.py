@@ -132,3 +132,27 @@ def test_ann_ivf_recall_floor(spark):
     exact = registry.QUERIES["cosine_topk_exact"](spark, SF_SMALL).collect()
     recall = len({r["vec_id"] for r in ivf} & {r["vec_id"] for r in exact}) / len(exact)
     assert recall >= 0.2
+
+
+def test_lsh_bucket_cap_bounds_degenerate_corpus(spark):
+    """200 identical boilerplate docs share every band bucket; without the
+    MAX_LSH_BUCKET guard the self-join would emit 200·199/2 ≈ 19900
+    candidate pairs per band. The cap drops the oversized buckets, so the
+    degenerate block contributes zero candidates while a normal near-dup
+    pair elsewhere still surfaces."""
+    from clickhouse_data_rebalance_spark.operators.llm_dedup import (
+        MAX_LSH_BUCKET,
+        minhash_candidates_from,
+    )
+
+    boiler = [(i, "all rights reserved this file is auto generated do not edit") for i in range(200)]
+    pairish = [
+        (1000, "the quick brown fox jumps over the lazy dog tonight again ok"),
+        (1001, "the quick brown fox jumps over the lazy dog tonight again yes"),
+    ]
+    d = spark.createDataFrame(boiler + pairish, "doc_id LONG, text STRING")
+    cands = minhash_candidates_from(d).collect()
+    pairs = {(r.doc_a, r.doc_b) for r in cands}
+    assert (1000, 1001) in pairs  # genuine near-dup still found
+    assert not any(a < 200 and b < 200 for a, b in pairs)  # degenerate block dropped
+    assert 200 > MAX_LSH_BUCKET  # the fixture actually exercises the cap
