@@ -20,19 +20,27 @@ from ..functions.text import BPE_ISH_RE, LANG_MARKERS, fingerprint, marker_count
     "tokenize_normalize",
     """
     SELECT doc_id,
-           list_sort(list_distinct(string_split(lower(trim(text)), ' '))) AS vocab,
+           array_to_string(list_sort(list_distinct(
+             string_split(lower(trim(text)), ' '))), ' ') AS vocab_sorted,
+           len(list_distinct(string_split(lower(trim(text)), ' '))) AS n_vocab,
            len(string_split(trim(text), ' ')) AS n_tokens
     FROM documents WHERE doc_id < 100 ORDER BY doc_id
     """,
 )
 def tokenize_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C44: tokenize + normalize + vocab. The vocabulary array serializes
+    to a space-joined string at the query boundary (array-typed output
+    crashes the driver's pandas canonicalizer), with its cardinality as a
+    ride-along scalar."""
     d = table(spark, sf_dir, "documents")
     toks = tokens(F.lower(F.col("text")))
+    vocab = F.sort_array(F.array_distinct(toks))
     return (
         d.filter(F.col("doc_id") < 100)
         .select(
             "doc_id",
-            F.sort_array(F.array_distinct(toks)).alias("vocab"),
+            F.array_join(vocab, " ").alias("vocab_sorted"),
+            F.size(vocab).cast("bigint").alias("n_vocab"),
             F.size(tokens("text")).cast("bigint").alias("n_tokens"),
         )
         .orderBy("doc_id")

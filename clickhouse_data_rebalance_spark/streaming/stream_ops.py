@@ -203,24 +203,42 @@ def mv_maintain(spark: SparkSession, sf_dir: str, dst_path: str) -> DataFrame:
 
 def _stateful_user_counter(key, pdf_iter, state):
     """Custom stateful operator: running per-user event count + value sum
-    carried in GroupState across micro-batches."""
+    carried in GroupState across micro-batches. The sum accumulates in
+    exact integer 1e-4 units (the same quantization CAST(double AS
+    DECIMAL(30,4)) performs), so the carried state is order-independent
+    and the final float equals the decimal-sum SQL twin."""
+    import numpy as np
     import pandas as pd
 
-    n, total = state.get if state.exists else (0, 0.0)
+    n, num = state.get if state.exists else (0, 0)
     for pdf in pdf_iter:
         n += len(pdf)
-        total += float(pdf["value"].sum())
-    state.update((n, total))
-    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [total]})
+        num += int(np.rint(pdf["value"].to_numpy() * 10000.0).astype(np.int64).sum())
+    state.update((n, num))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_value": [float(num) / 10000.0],
+        }
+    )
 
 
-@query("stream_custom_state")  # GroupState emission cadence is micro-batch
-# dependent → rows-only; the final per-user state is asserted in tests
+@query(
+    "stream_custom_state",
+    f"""
+    SELECT user_id, COUNT(*) AS n_events,
+           {sql_dec_sum('value')} AS total_value
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
 def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandasWithState (SURVEY.md C-IV / custom stateful ops): a
     hand-rolled stateful aggregator — the escape hatch for operators
     Structured Streaming lacks natively. Emits one row per (user, batch)
-    update; the LAST update per user equals the batch groupBy answer."""
+    update; the LAST update per user equals the batch groupBy answer,
+    which the SQL twin states directly (exact-integer state makes the
+    float reproducible)."""
     table(spark, sf_dir, "events")  # session confs
     updates = (
         events_stream(spark, sf_dir)
@@ -228,7 +246,7 @@ def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandasWithState(
             _stateful_user_counter,
             outputStructType="user_id bigint, n_events bigint, total_value double",
-            stateStructType="n bigint, total double",
+            stateStructType="n bigint, num bigint",
             outputMode="update",
             timeoutConf="NoTimeout",
         )

@@ -194,3 +194,20 @@ def test_dynamic_partition_pruning(spark, tmp_path_factory):
         j._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert "dynamicpruning" in plan.lower()
+
+
+def test_ivf_probe_prunes_index_partitions(spark):
+    """The IVF probe must be a partition-pruned read of the persisted
+    cell-partitioned index: the cell IN (...) filter shows up as a
+    PartitionFilters entry on the parquet scan, so only the probed cell
+    directories are touched — the property that makes IVF scan
+    n_probe/n_cells of the corpus at 100 TB."""
+    from clickhouse_data_rebalance_spark.operators import llm_similarity as sim
+
+    index_path = sim._ivf_index_for(spark, SF_SMALL)
+    idx = spark.read.parquet(index_path)
+    probed = idx.filter(F.col("cell").isin([0, 1, 2]))
+    plan = _plan(probed)
+    assert "PartitionFilters" in plan
+    seg = plan[plan.index("PartitionFilters"):].splitlines()[0]
+    assert "cell" in seg, f"cell filter not in partition filters: {seg}"
