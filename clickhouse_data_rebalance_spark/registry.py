@@ -150,4 +150,5 @@ def load_all() -> None:
     from .sources import connectors  # noqa: F401
     from .streaming import batch_windows, stream_ops  # noqa: F401
     from .operators import llm_dedup, llm_similarity, llm_text, multimodal  # noqa: F401
+    from .operators import analytics_ext  # noqa: F401
     _loaded = True
