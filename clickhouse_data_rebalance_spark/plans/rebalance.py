@@ -117,6 +117,21 @@ def skew_report(df: DataFrame, n_shards: int, keys: list[str]) -> DataFrame:
     )
 
 
+def compact_parquet(
+    spark: SparkSession, src_path: str, dst_path: str, target_files: int
+) -> DataFrame:
+    """Small-file compaction — the maintenance twin of rebalance: merge a
+    directory fragmented by many tiny writes into ``target_files`` files.
+    Uses ``coalesce`` (a NARROW dependency: partitions concatenate with
+    NO shuffle) because compaction only merges — when a new key layout is
+    wanted too, that's ``rebalance()``'s shuffle. At 100 TB this is the
+    difference between a free rewrite and a full-cluster exchange."""
+    df = spark.read.parquet(src_path)
+    out = df.coalesce(target_files)
+    out.write.mode("overwrite").parquet(dst_path)
+    return out
+
+
 def insert_select(
     spark: SparkSession, dst_table: str, select_sql: str, overwrite: bool = False
 ) -> None:

@@ -20,7 +20,7 @@ from ..registry import query
 from ..tables import table
 from ..operators._util import dec_sum, sql_dec_sum
 from . import catalog as cat
-from .rebalance import rebalance, rebalance_by_range, skew_report
+from .rebalance import compact_parquet, rebalance, rebalance_by_range, skew_report
 
 _TMP = "/tmp/cdr_spark"
 N_SHARDS = 8
@@ -168,6 +168,34 @@ def rebalance_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec_sum("o_totalprice").alias("sum_price"),
         F.countDistinct("o_custkey").alias("n_custs"),
     )
+
+
+_COMPACTION_ORACLE = f"""
+    SELECT COUNT(*) AS n_rows,
+           {sql_dec_sum('o_totalprice')} AS sum_price,
+           COUNT(DISTINCT o_custkey) AS n_custs,
+           true AS file_count_ok
+    FROM orders
+"""
+
+
+@query("compaction_roundtrip", _COMPACTION_ORACLE)
+def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction end-to-end: fragment orders into 64 tiny
+    files (the nightly-ingest pathology), compact to 4 with a shuffle-free
+    coalesce, and verify content invariants plus the landed file count."""
+    o = table(spark, sf_dir, "orders")
+    base = _fresh_run_dir("compaction")
+    frag, out = os.path.join(base, "frag"), os.path.join(base, "compacted")
+    o.repartition(64).write.parquet(frag)
+    compact_parquet(spark, frag, out, target_files=4)
+    n_files = len([f for f in os.listdir(out) if f.endswith(".parquet")])
+    back = spark.read.parquet(out)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dec_sum("o_totalprice").alias("sum_price"),
+        F.countDistinct("o_custkey").alias("n_custs"),
+    ).select("*", F.lit(n_files == 4).alias("file_count_ok"))
 
 
 @query("table_swap_lifecycle", "SELECT * FROM nation ORDER BY n_nationkey")

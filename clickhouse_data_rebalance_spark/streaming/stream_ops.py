@@ -201,6 +201,50 @@ def mv_maintain(spark: SparkSession, sf_dir: str, dst_path: str) -> DataFrame:
     return spark.read.parquet(dst_path)
 
 
+@query(
+    "stream_stream_join",
+    """
+    SELECT c.user_id, COUNT(*) AS n_pairs
+    FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+    JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    GROUP BY c.user_id ORDER BY c.user_id
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join (clicks × purchases within 1 h), the
+    hardest Structured Streaming join shape: BOTH sides carry watermarks
+    and the join has an event-time range constraint, which is what lets
+    the engine bound its buffered state — without it, each side's state
+    grows forever. Single-batch replay emits every matched pair, so the
+    batch join SQL is the exact oracle; the joined pairs are then
+    batch-aggregated per user."""
+    table(spark, sf_dir, "events")
+    c = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+    )
+    p = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = c.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select("user_id", "c_ts", "p_ts")
+    out = run_to_memory(joined, "stream_stream_join_out", "append")
+    return (
+        out.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_pairs")).orderBy("user_id")
+    )
+
+
 def _stateful_user_counter(key, pdf_iter, state):
     """Custom stateful operator: running per-user event count + value sum
     carried in GroupState across micro-batches. The sum accumulates in
