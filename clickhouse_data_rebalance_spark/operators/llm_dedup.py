@@ -310,6 +310,60 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.filter(F.col("hamming") <= 12).orderBy("doc_a", "doc_b")
 
 
+_EMB_DEDUP_ORACLE = """
+    WITH dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(
+              list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+              list_transform(b.embedding, x -> CAST(x AS DOUBLE))) >= 0.3
+    )
+    SELECT d.doc_id, d.lang, e.label
+    FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    WHERE d.doc_id NOT IN (SELECT vec_id FROM dropped)
+    ORDER BY d.doc_id
+"""
+
+
+@query("dedup_embedding_cosine", _EMB_DEDUP_ORACLE)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup over documents (the semantic-dedup leg
+    of the C40/C41 family): a document is dropped when a same-label
+    document with a smaller doc_id has cosine >= 0.3 against it —
+    the deterministic smallest-id-keeper rule, one hop (no transitive
+    closure: a doc is judged against ALL smaller-id neighbors, dropped
+    or not, so the result is order- and partitioning-independent).
+
+    Scale design: `label` is the blocking key, so the pairwise cosine
+    join is equi-partitioned per label group, never all-pairs. At corpus
+    scale the same plan runs with the IVF cell assignment from
+    `build_ivf_index` (llm_similarity.py) as the blocking key — coarse
+    cells bound each group exactly like `label` does here."""
+    from ..functions.vectors import cosine
+
+    e = table(spark, sf_dir, "embeddings")
+    a = e.alias("a")
+    b = e.alias("b")
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cosine(F.col("a.embedding"), F.col("b.embedding")) >= 0.3)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    survivors = e.join(dropped, "vec_id", "left_anti")
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.join(survivors, d["doc_id"] == survivors["vec_id"])
+        .select("doc_id", "lang", "label")
+        .orderBy("doc_id")
+    )
+
+
 _JACCARD_ORACLE = """
     WITH toks AS (
       SELECT doc_id, source,
