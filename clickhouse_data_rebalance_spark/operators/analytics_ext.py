@@ -210,3 +210,156 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "pos")
     )
+
+
+@query(
+    "upsert_latest_wins",
+    """
+    SELECT user_id, event_type, ts AS latest_ts, value AS latest_value FROM (
+      SELECT user_id, event_type, ts, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) t
+    WHERE rn = 1 ORDER BY user_id, event_type
+    """,
+)
+def upsert_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ReplacingMergeTree `FINAL` analog: the logical table keeps only
+    the newest row per merge key (user_id, event_type), version order
+    (ts, event_id) — the same latest-wins collapse ClickHouse performs
+    at background-merge/FINAL time, done eagerly as one window over the
+    merge-key hash partition.
+
+    Scale: a single shuffle on the merge key. At 100 TB this runs as a
+    per-ingest-batch compaction (MERGE over only the touched key range /
+    partition), not a full-table window — the collapse rule and output
+    are identical, so this form is the correctness spec for that job."""
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("ts").alias("latest_ts"),
+            F.col("value").alias("latest_value"),
+        )
+        .orderBy("user_id", "event_type")
+    )
+
+
+@query(
+    "sequence_match_funnel3",
+    """
+    WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+         c AS (SELECT e.user_id, MIN(e.ts) AS t_click
+               FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t_view
+               WHERE e.event_type = 'click' GROUP BY e.user_id),
+         p AS (SELECT e.user_id, MIN(e.ts) AS t_purchase
+               FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t_click
+               WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
+    FROM v JOIN c ON v.user_id = c.user_id JOIN p ON c.user_id = p.user_id
+    ORDER BY v.user_id
+    """,
+)
+def sequence_match_funnel3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse `sequenceMatch('(?1).*(?2).*(?3)')` analog: users with
+    a view, then a later click, then a later purchase. Greedy
+    earliest-first matching (first view → first click after it → first
+    purchase after that) is exact for ordered-subsequence existence, so
+    the emitted timestamps are a deterministic witness.
+
+    Scale: three aggregations and two joins, ALL keyed on user_id —
+    one partitioning reused end-to-end (no re-shuffle between stages
+    once the first exchange lands); per-stage state is one row per
+    user, never the event list."""
+    e = table(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.join(c, "user_id").join(p, "user_id")
+        .select("user_id", "t_view", "t_click", "t_purchase")
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "sum_map_props",
+    f"""
+    SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS prop_k,
+           {sql_dec_sum('value')} AS total_value, COUNT(*) AS n
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def sum_map_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse `sumMap` analog: each event contributes a one-entry
+    map {prop-bucket: value}; the aggregate is the key-wise sum of those
+    maps per event_type. Built with real map ops — create_map →
+    explode — then a hash aggregate, which IS how a distributed sumMap
+    merges: map-side partials per key, one shuffle of (group, key)
+    partial sums. Values ride the decimal-sum trick for bit-exactness."""
+    e = table(spark, sf_dir, "events")
+    m = F.create_map(
+        F.get_json_object(F.col("props"), "$.k").cast("bigint") % 10,
+        F.col("value"),
+    )
+    return (
+        e.select("event_type", F.explode(m).alias("prop_k", "v"))
+        .groupBy("event_type", "prop_k")
+        .agg(dec_sum("v").alias("total_value"), F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type", "prop_k")
+    )
+
+
+@query(
+    "ttl_expiry",
+    """
+    WITH cutoff AS (SELECT MAX(ts) - INTERVAL 7 DAY AS c FROM events)
+    SELECT event_type, COUNT(*) AS retained, MIN(ts) AS oldest_kept
+    FROM events, cutoff WHERE ts >= cutoff.c
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def ttl_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse table-TTL analog (`TTL ts + INTERVAL 7 DAY DELETE`,
+    anchored at the corpus max so the fixture is time-stable): rows
+    older than the horizon are expired; the query returns what survives.
+
+    Scale: the cutoff is a 1-row broadcast; the age predicate is a plain
+    pushable filter. On a ts-partitioned table (the layout an events
+    table would ship with) expiry is partition pruning + directory
+    drops — no row-level rewrite at all."""
+    e = table(spark, sf_dir, "events")
+    cutoff = e.agg(F.expr("max(ts) - INTERVAL 7 DAYS").alias("c"))
+    return (
+        e.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("ts") >= F.col("c"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("retained"),
+            F.min("ts").alias("oldest_kept"),
+        )
+        .orderBy("event_type")
+    )

@@ -314,3 +314,55 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("vec_id", "label", norm(F.col("embedding")).alias("l2_norm")).orderBy(
         "vec_id"
     )
+
+
+_KNN_SIM = """list_cosine_similarity(
+             list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+             list_transform(b.embedding, x -> CAST(x AS DOUBLE)))"""
+
+_KNN_ORACLE = f"""
+    SELECT vec_id, nn_id, sim, rnk FROM (
+      SELECT a.vec_id, b.vec_id AS nn_id, {_KNN_SIM} AS sim,
+             ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                ORDER BY {_KNN_SIM} DESC, b.vec_id) AS rnk
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id <> b.vec_id) t
+    WHERE rnk <= 3 ORDER BY vec_id, rnk
+"""
+
+
+@query("knn_join", _KNN_ORACLE)
+def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch k-NN join: every vector's top-3 neighbors (the all-rows
+    counterpart of single-query top-k — what a train-time 'nearest
+    examples per document' pass needs). Blocking key = label, so the
+    pairwise cosine join stays equi-partitioned per group and the
+    rank window re-shuffles only (vec_id, nn_id, sim) triples.
+
+    Scale: at corpus size the same plan runs with IVF cells or LSH
+    buckets as the blocking key (multi-probe for recall); pair count is
+    sum of squared bucket sizes, bounded by the bucket-size cap used in
+    the LSH dedup path — never global all-pairs."""
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "embeddings")
+    a = e.alias("a")
+    b = e.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.col("b.vec_id").alias("nn_id"),
+            cosine(F.col("a.embedding"), F.col("b.embedding")).alias("sim"),
+        )
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("nn_id"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .orderBy("vec_id", "rnk")
+    )
