@@ -47,6 +47,7 @@ HEADLINE = [
     "stream_dedup_events",
     "funnel_conversion",
     "ann_ivf_topk",
+    "dedup_embedding_cosine",
 ]
 
 

@@ -343,7 +343,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vectors import cosine
 
     e = table(spark, sf_dir, "embeddings")
-    a = e.alias("a")
+    # spread the probe side: broadcast pair-generation otherwise keeps
+    # every pairwise cosine in the single scan partition
+    a = e.repartition(32, "vec_id").alias("a")
     b = e.alias("b")
     dropped = (
         a.join(

@@ -346,7 +346,10 @@ def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     e = table(spark, sf_dir, "embeddings")
-    a = e.alias("a")
+    # Broadcast-joined pair generation inherits the probe side's
+    # partitioning, so spread the probe side first — otherwise every
+    # pairwise cosine lands in the partition(s) of one small scan.
+    a = e.repartition(32, "vec_id").alias("a")
     b = e.alias("b")
     pairs = (
         a.join(

@@ -65,6 +65,10 @@ def test_no_cartesian_in_scale_paths(spark):
         "dedup_minhash_lsh",
         "cosine_pairs_threshold",
         "tf_idf",
+        "knn_join",
+        "dedup_embedding_cosine",
+        "sequence_match_funnel3",
+        "upsert_latest_wins",
     ]:
         plan = plan_of(spark, name)
         assert "CartesianProduct" not in plan, name
