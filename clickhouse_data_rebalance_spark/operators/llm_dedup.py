@@ -403,3 +403,91 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.4)
         .orderBy("doc_a", "doc_b")
     )
+
+
+_CC_ORACLE = """
+    WITH RECURSIVE edges AS (
+      SELECT a.vec_id AS ea, b.vec_id AS eb
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(
+              list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+              list_transform(b.embedding, x -> CAST(x AS DOUBLE))) >= 0.3
+    ), sym AS (
+      SELECT ea AS a, eb AS b FROM edges UNION ALL SELECT eb, ea FROM edges
+    ), reach(src, node) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT r.src, s.b FROM reach r JOIN sym s ON r.node = s.a
+    )
+    SELECT src AS doc_id, MIN(node) AS cluster_id
+    FROM reach GROUP BY src ORDER BY doc_id
+"""
+
+
+@query("dedup_clusters_cc", _CC_ORACLE)
+def dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dedup-cluster closure: connected components over the
+    near-dup graph (same-label cosine >= 0.3 edges), each document
+    labeled with the smallest doc_id reachable from it — the cluster
+    id a corpus dedup keeps one representative per. Complements the
+    one-hop keeper rule of `dedup_embedding_cosine`, which cannot see
+    chains a~b~c where a!~c.
+
+    Iterative min-label propagation: each round every node takes the
+    min of its own label and its neighbors' labels (one equi-join +
+    one groupBy-min per round, both on node id — the same partitioning
+    every round). Labels only decrease, so the label SUM is a
+    convergence witness: one scalar per round, no row-wise diff join.
+    Rounds needed = graph diameter; lineage is truncated per round
+    with localCheckpoint (a cluster deployment would use a durable
+    checkpoint dir). Production-scale corpora with long chains would
+    swap the per-round rule for large-star/small-star contraction
+    (O(log n) rounds, same per-round plan shape); the fixed point —
+    and this oracle — is identical.
+
+    Oracle: exact transitive closure via a DuckDB recursive CTE."""
+    from ..functions.vectors import cosine
+
+    e = table(spark, sf_dir, "embeddings")
+    a = e.repartition(32, "vec_id").alias("a")
+    b = e.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cosine(F.col("a.embedding"), F.col("b.embedding")) >= 0.3)
+        .select(F.col("a.vec_id").alias("u"), F.col("b.vec_id").alias("v"))
+    )
+    sym = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()  # edge list is reused every round: compute once
+
+    lbl = e.select(F.col("vec_id").alias("node"), F.col("vec_id").alias("lbl"))
+    prev_sum = None
+    for _ in range(20):
+        nbr_min = (
+            sym.join(lbl, sym["v"] == lbl["node"])
+            .groupBy("u")
+            .agg(F.min("lbl").alias("nbl"))
+        )
+        lbl = (
+            lbl.join(nbr_min, lbl["node"] == nbr_min["u"], "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce(F.col("nbl"), F.col("lbl"))).alias(
+                    "lbl"
+                ),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = lbl.agg(F.sum("lbl")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+
+    return lbl.select(
+        F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")
+    ).orderBy("doc_id")
