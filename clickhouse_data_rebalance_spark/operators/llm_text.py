@@ -270,3 +270,74 @@ def tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "word")
     )
+
+
+PACK_BUDGET = 4096  # tokens per training shard
+
+
+@query(
+    "pack_token_shards",
+    f"""
+    SELECT doc_id, n_tok,
+           CAST(FLOOR(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                / {PACK_BUDGET}.0) AS BIGINT) AS shard
+    FROM (SELECT doc_id, len(string_split(trim(text), ' ')) AS n_tok
+          FROM documents)
+    ORDER BY doc_id
+    """,
+)
+def pack_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing: documents in doc_id order are packed
+    into training shards of ~PACK_BUDGET tokens each — shard = floor of
+    the exclusive token prefix-sum / budget, the standard contiguous
+    packing a pre-training data loader wants.
+
+    Scale design — distributed prefix sum. A global running total is the
+    textbook 1-task bottleneck (an unpartitioned ROWS UNBOUNDED window
+    serializes the whole corpus through one task — exactly what the
+    DuckDB oracle does, and exactly what this plan avoids):
+      1. repartitionByRange on doc_id → contiguous key ranges, and the
+         range partitioner assigns ascending ranges to ascending
+         partition ids;
+      2. per-partition cumsum: a window PARTITIONED by the range id —
+         all partitions run in parallel;
+      3. per-partition totals (|partitions| rows) → exclusive offsets
+         via a window over that metadata-sized frame;
+      4. broadcast-join offsets back and add.
+    The result is boundary-independent (a prefix sum over a total order
+    doesn't care where partitions split), so the range sampler's
+    nondeterminism never reaches the output."""
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.size(tokens("text")).cast("bigint").alias("n_tok"))
+    ranged = toks.repartitionByRange(16, "doc_id").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    w_local = W.partitionBy("pid").orderBy("doc_id")
+    part_cum = ranged.withColumn("local_cum", F.sum("n_tok").over(w_local))
+    totals = part_cum.groupBy("pid").agg(F.max("local_cum").alias("ptotal"))
+    # constant partition key: the offsets frame is |partitions| rows of
+    # metadata, single-task by design — the lit(0) key just says so
+    # explicitly instead of tripping WindowExec's no-partition warning
+    w_pid = (
+        W.partitionBy(F.lit(0)).orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "pid", F.coalesce(F.sum("ptotal").over(w_pid), F.lit(0)).alias("offset")
+    )
+    return (
+        part_cum.join(F.broadcast(offsets), "pid")
+        .select(
+            "doc_id",
+            "n_tok",
+            F.floor(
+                (F.col("local_cum") + F.col("offset") - F.col("n_tok"))
+                / float(PACK_BUDGET)
+            )
+            .cast("bigint")
+            .alias("shard"),
+        )
+        .orderBy("doc_id")
+    )
