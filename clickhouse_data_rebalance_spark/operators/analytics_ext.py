@@ -363,3 +363,49 @@ def ttl_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "agg_state_merge",
+    f"""
+    SELECT event_type, COUNT(*) AS n, {sql_dec_sum('value')} AS total_value,
+           ({sql_dec_sum('value')} / COUNT(*)) AS avg_value,
+           MIN(value) AS min_value, MAX(value) AS max_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def agg_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AggregatingMergeTree analog: maintain PARTIAL aggregate states at
+    a fine grain (per day × event_type — the rows an incremental
+    materialized view would persist on each ingest), then finalize by
+    MERGING states across days: counts add, exact decimal sums add,
+    min/max combine, avg = merged-sum / merged-count. The oracle is the
+    direct one-shot aggregate — merge-of-partials must equal it exactly,
+    which is precisely the mergeability contract ClickHouse's -State /
+    -Merge combinators (and Spark's own partial aggregation) rely on.
+
+    Scale: the state table is |days|·|types| rows regardless of event
+    volume; re-finalizing after new ingest touches states, not raw
+    events. Decimal sums make the merge order-independent, so the
+    equality holds under any partitioning."""
+    e = table(spark, sf_dir, "events")
+    states = (
+        e.groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("s_n"),
+            F.sum(F.col("value").cast("decimal(30,4)")).alias("s_sum"),
+            F.min("value").alias("s_min"),
+            F.max("value").alias("s_max"),
+        )
+    )
+    return (
+        states.groupBy("event_type")
+        .agg(
+            F.sum("s_n").alias("n"),
+            F.sum("s_sum").cast("double").alias("total_value"),
+            (F.sum("s_sum").cast("double") / F.sum("s_n")).alias("avg_value"),
+            F.min("s_min").alias("min_value"),
+            F.max("s_max").alias("max_value"),
+        )
+        .orderBy("event_type")
+    )

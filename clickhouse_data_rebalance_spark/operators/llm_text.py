@@ -341,3 +341,82 @@ def pack_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "sample_k_per_group",
+    """
+    SELECT source, doc_id, lang FROM (
+      SELECT source, doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents) t
+    WHERE rn <= 5 ORDER BY source, doc_id
+    """,
+)
+def sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exactly-k-per-group sample (reservoir-sampling
+    analog): rank each source's docs by md5(doc_id) — a fixed uniform
+    permutation — and keep the first 5. Same guarantees a reservoir
+    gives (uniform, exactly min(k, n) per group) but reproducible across
+    engines, runs, and partitionings, which is what a training pipeline
+    actually wants from a subsample.
+
+    Scale: one hash-partition window per group key; the rank predicate
+    truncates each partition to k rows before anything downstream."""
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("source", "doc_id", "lang")
+        .orderBy("source", "doc_id")
+    )
+
+
+# language-mixture downsampling rates, in sixteenths (md5 hex buckets):
+# keep 4/16 of English, 8/16 of Chinese, all of the rest — the
+# "rebalance the dominant language" shape of a pre-training mixture
+MIXTURE_RATES = {"en": 4, "zh": 8, "de": 16, "es": 16, "fr": 16}
+
+
+@query(
+    "mixture_sample",
+    f"""
+    SELECT lang, COUNT(*) AS n_kept, MIN(doc_id) AS first_doc
+    FROM documents
+    WHERE strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1))
+          <= CASE lang WHEN 'en' THEN {MIXTURE_RATES['en']}
+                       WHEN 'zh' THEN {MIXTURE_RATES['zh']}
+                       ELSE 16 END
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture sampling: per-language keep rates applied via
+    deterministic md5 bucketing (doc_id's first md5 hex char indexes 16
+    buckets; a language keeps its first `rate` buckets). The rate table
+    is a broadcast-joined dimension, so new mixtures are data, not code.
+
+    Scale: the sample predicate is a row-local expression after a
+    broadcast join — no shuffle, no RNG state, and the same doc set
+    falls out on any engine, run, or layout (reproducible mixtures are
+    what make training-data ablations comparable)."""
+    d = table(spark, sf_dir, "documents")
+    rates = spark.createDataFrame(
+        [(k, v) for k, v in MIXTURE_RATES.items()], "lang string, buckets int"
+    )
+    d2 = d.join(F.broadcast(rates), "lang", "left").withColumn(
+        "bpos",
+        F.expr(
+            "locate(substring(md5(cast(doc_id as string)), 1, 1), '0123456789abcdef')"
+        ),
+    )
+    return (
+        d2.filter(F.col("bpos") <= F.coalesce(F.col("buckets"), F.lit(16)))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.min("doc_id").alias("first_doc"))
+        .orderBy("lang")
+    )
