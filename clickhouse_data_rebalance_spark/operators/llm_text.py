@@ -318,14 +318,18 @@ def pack_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_local = W.partitionBy("pid").orderBy("doc_id")
     part_cum = ranged.withColumn("local_cum", F.sum("n_tok").over(w_local))
     totals = part_cum.groupBy("pid").agg(F.max("local_cum").alias("ptotal"))
-    # constant partition key: the offsets frame is |partitions| rows of
-    # metadata, single-task by design — the lit(0) key just says so
-    # explicitly instead of tripping WindowExec's no-partition warning
-    w_pid = (
-        W.partitionBy(F.lit(0)).orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
-    )
-    offsets = totals.select(
-        "pid", F.coalesce(F.sum("ptotal").over(w_pid), F.lit(0)).alias("offset")
+    # exclusive prefix over the |partitions|-row totals: a triangular
+    # self-join on this metadata-sized frame (≤16×16 pairs) rather than
+    # an unpartitioned window, which WindowExec rightly flags as a
+    # single-task pattern even when the input is tiny
+    t = totals.alias("t")
+    u = totals.select(
+        F.col("pid").alias("u_pid"), F.col("ptotal").alias("u_total")
+    ).alias("u")
+    offsets = (
+        t.join(u, F.col("u_pid") < F.col("t.pid"), "left")
+        .groupBy("t.pid")
+        .agg(F.coalesce(F.sum("u_total"), F.lit(0)).alias("offset"))
     )
     return (
         part_cum.join(F.broadcast(offsets), "pid")

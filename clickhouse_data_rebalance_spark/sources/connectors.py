@@ -136,3 +136,84 @@ def write_bucketed(
         .sortBy(*keys)
         .saveAsTable(table_name)
     )
+
+
+@query(
+    "source_text_roundtrip",
+    """
+    SELECT COUNT(*) AS n_lines,
+           SUM(LENGTH(text)) AS total_chars,
+           MIN(LENGTH(text)) AS min_chars,
+           MAX(LENGTH(text)) AS max_chars
+    FROM documents
+    """,
+)
+def source_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-oriented text source/sink (`spark.read.text`): the rawest
+    ingestion format a corpus pipeline meets. Documents are written one
+    per line and read back; the invariant oracle (line count + char
+    totals against the originating table) proves lossless transport.
+    Fixture text is single-line by construction; a production corpus
+    would land as JSONL (source_json_roundtrip covers that reader)."""
+    d = table(spark, sf_dir, "documents")
+    path = os.path.join(_TMP, "documents_text")
+    shutil.rmtree(path, ignore_errors=True)
+    d.select("text").write.mode("overwrite").text(path)
+    back = spark.read.text(path)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.length("value")).alias("total_chars"),
+        F.min(F.length("value")).alias("min_chars"),
+        F.max(F.length("value")).alias("max_chars"),
+    )
+
+
+@query(
+    "source_binaryfile_scan",
+    """
+    SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS content_md5
+    FROM documents WHERE doc_id < 20 ORDER BY doc_id
+    """,
+)
+def source_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`binaryFile` source — the ingestion path for opaque multimodal
+    payloads (operators/multimodal.py consumes exactly this shape): one
+    file per payload read as (path, length, content: binary). Verified
+    byte-exact: md5 over the binary content must equal md5 over the
+    originating text in the oracle (both hash the UTF-8 bytes).
+
+    Scale: binaryFile is a standard FileScan — distributed listing,
+    per-file tasks, pushable path filters; `pathGlobFilter`/
+    `recursiveFileLookup` handle real media trees. File prep here is
+    one-time fixture setup keyed by corpus dir, not a query-path step."""
+    import hashlib
+
+    src = os.path.join(
+        _TMP, "binfiles_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    )
+    marker = os.path.join(src, "_READY")
+    if not os.path.exists(marker):
+        shutil.rmtree(src, ignore_errors=True)
+        os.makedirs(src, exist_ok=True)
+        rows = (
+            table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 20)
+            .select("doc_id", "text")
+            .collect()  # 20 bounded fixture rows — setup, not a data path
+        )
+        for r in rows:
+            with open(os.path.join(src, f"{r['doc_id']}.bin"), "wb") as fh:
+                fh.write(r["text"].encode("utf-8"))
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    back = spark.read.format("binaryFile").option("pathGlobFilter", "*.bin").load(src)
+    return (
+        back.select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1)
+            .cast("bigint")
+            .alias("doc_id"),
+            F.col("length").alias("n_bytes"),
+            F.md5(F.col("content")).alias("content_md5"),
+        )
+        .orderBy("doc_id")
+    )
