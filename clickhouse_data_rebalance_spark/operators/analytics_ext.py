@@ -409,3 +409,38 @@ def agg_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "median_exact",
+    """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.25), 9) AS q25_qty,
+           ROUND(quantile_cont(l_quantity, 0.5), 9) AS med_qty,
+           ROUND(quantile_cont(l_quantity, 0.75), 9) AS q75_qty,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 9) AS med_price
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group quantiles (ClickHouse `quantileExact` analog;
+    complements the mergeable-sketch `approx_quantiles`): Spark's
+    `percentile` computes the same linear-interpolated order statistic
+    as DuckDB's quantile_cont; ROUND(,9) absorbs the last-ulp
+    interpolation difference.
+
+    Scale: exact quantiles need the group's values together — one
+    shuffle on the group key, memory ∝ group size. That is the honest
+    cost of exactness; the sketch variant is the 100 TB default and
+    this is the auditor."""
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_quantity", 0.25), 9).alias("q25_qty"),
+            F.round(F.percentile("l_quantity", 0.5), 9).alias("med_qty"),
+            F.round(F.percentile("l_quantity", 0.75), 9).alias("q75_qty"),
+            F.round(F.percentile("l_extendedprice", 0.5), 9).alias("med_price"),
+        )
+        .orderBy("l_returnflag")
+    )

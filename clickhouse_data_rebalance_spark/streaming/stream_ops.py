@@ -306,3 +306,90 @@ def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "n_events", "total_value")
         .orderBy("user_id")
     )
+
+
+_UPSERT_ORACLE = """
+    SELECT user_id, event_type, ts AS latest_ts, value AS latest_value FROM (
+      SELECT user_id, event_type, ts, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) t
+    WHERE rn = 1 ORDER BY user_id, event_type
+"""
+
+
+def _collapse_latest(df: DataFrame) -> DataFrame:
+    """Latest row per (user_id, event_type), version order (ts, event_id) —
+    the same collapse rule as operators.analytics_ext.upsert_latest_wins."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@query("stream_upsert_sink", _UPSERT_ORACLE)
+def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming latest-wins upsert via foreachBatch — the exactly-once
+    keyed-sink pattern: each micro-batch is collapsed to its newest row
+    per key, merged with the current target state, re-collapsed, and
+    written as a NEW target version (the sink never rewrites files it is
+    reading; the pointer flips after the write lands). The merge is
+    idempotent — replaying a batch reproduces the same target — which is
+    what makes checkpoint-recovery exactly-once in effect.
+
+    Final state must equal the BATCH ReplacingMergeTree collapse
+    (`upsert_latest_wins`'s oracle, verbatim): a stream≡batch
+    equivalence on a stateful sink, not just on an aggregation.
+
+    Scale: target size is bounded by key cardinality, not event volume;
+    each merge touches |batch keys| + |target| rows. A lakehouse table
+    with MERGE INTO would replace the overwrite; the collapse rule and
+    the equivalence contract are unchanged."""
+    import uuid
+
+    table(spark, sf_dir, "events")  # ensures session confs (nanosAsLong)
+    # per-invocation state root; versioned subdirs (v{batch}) so a merge
+    # never overwrites the files it is reading — the same new-version-
+    # then-swap discipline as plans/catalog.py, and no managed-table
+    # location that a dead session could leave behind to be adopted
+    root = tempfile.mkdtemp(prefix=f"cdr_upsert_{uuid.uuid4().hex[:8]}_")
+    state: dict[str, str] = {}
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        s = batch.sparkSession
+        incoming = _collapse_latest(batch)
+        if "path" in state:
+            merged = _collapse_latest(
+                s.read.parquet(state["path"]).unionByName(incoming)
+            )
+        else:
+            merged = incoming
+        new_path = os.path.join(root, f"v{batch_id}")
+        merged.write.mode("overwrite").parquet(new_path)
+        state["path"] = new_path
+
+    ckpt = tempfile.mkdtemp(prefix=f"cdr_ckpt_upsert_{uuid.uuid4().hex[:8]}_")
+    q = (
+        events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(state["path"])
+        .select(
+            "user_id",
+            "event_type",
+            F.col("ts").alias("latest_ts"),
+            F.col("value").alias("latest_value"),
+        )
+        .orderBy("user_id", "event_type")
+    )
