@@ -444,3 +444,51 @@ def median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "collapsing_sign_merge",
+    f"""
+    WITH signed AS (
+      SELECT o_custkey, 1 AS sign, o_totalprice FROM orders
+      UNION ALL
+      SELECT o_custkey, -1 AS sign, o_totalprice FROM orders
+      WHERE o_orderstatus = 'F'
+    )
+    SELECT o_custkey,
+           SUM(sign) AS net_orders,
+           {sql_dec_sum('sign * o_totalprice')} AS net_value
+    FROM signed GROUP BY o_custkey
+    HAVING SUM(sign) > 0
+    ORDER BY o_custkey
+    """,
+)
+def collapsing_sign_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CollapsingMergeTree analog: state changes arrive as (+1 row,
+    -1 cancel) pairs and the merged view is the sign-weighted aggregate
+    with fully-cancelled keys collapsed away. Here every order carries
+    +1 and finished ('F') orders a compensating -1 — net_orders and
+    net_value are what survives, HAVING drops keys that cancelled to
+    zero. Sign-weighted decimal sums keep the collapse order-independent
+    and bit-exact.
+
+    Scale: collapse is an ordinary hash aggregate on the key — the
+    background-merge semantics of the ClickHouse engine expressed as one
+    shuffle; incremental form = agg_state_merge over signed partials."""
+    o = table(spark, sf_dir, "orders")
+    signed = o.select(
+        "o_custkey", F.lit(1).alias("sign"), "o_totalprice"
+    ).unionByName(
+        o.filter(F.col("o_orderstatus") == "F").select(
+            "o_custkey", F.lit(-1).alias("sign"), "o_totalprice"
+        )
+    )
+    return (
+        signed.groupBy("o_custkey")
+        .agg(
+            F.sum("sign").alias("net_orders"),
+            dec_sum(F.col("sign") * F.col("o_totalprice")).alias("net_value"),
+        )
+        .filter(F.col("net_orders") > 0)
+        .orderBy("o_custkey")
+    )

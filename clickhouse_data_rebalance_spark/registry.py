@@ -113,17 +113,51 @@ DRIVER_ORDER: list[str] = [
 ]
 
 
+# Tier 2: if the driver's correctness budget exceeds the 50-name cover,
+# these (the round-2 flagship operators) should receive rows next —
+# before the long tail of per-function suite variants.
+DRIVER_ORDER_TIER2: list[str] = [
+    "dedup_embedding_cosine",
+    "dedup_clusters_cc",
+    "knn_join",
+    "pack_token_shards",
+    "mixture_sample",
+    "sample_k_per_group",
+    "agg_state_merge",
+    "upsert_latest_wins",
+    "stream_upsert_sink",
+    "sequence_match_funnel3",
+    "sum_map_props",
+    "ttl_expiry",
+    "median_exact",
+    "collapsing_sign_merge",
+    "source_text_roundtrip",
+    "source_binaryfile_scan",
+    "stream_stream_join",
+    "compaction_roundtrip",
+    "heavy_hitters",
+    "cohort_retention",
+    "unpivot_metrics",
+    "salted_hot_key_agg",
+    "label_centroids",
+    "embedding_norms",
+    "funnel_conversion",
+    "time_gap_fill",
+    "stream_custom_state",
+]
+
+
 def ordered_queries() -> dict[str, QueryFn]:
-    """All registered queries, DRIVER_ORDER cover first."""
+    """All registered queries, DRIVER_ORDER cover first, then tier 2."""
     load_all()
-    out = {n: QUERIES[n] for n in DRIVER_ORDER if n in QUERIES}
+    out = {n: QUERIES[n] for n in DRIVER_ORDER + DRIVER_ORDER_TIER2 if n in QUERIES}
     out.update({n: f for n, f in QUERIES.items() if n not in out})
     return out
 
 
 def ordered_oracles() -> dict[str, str]:
     load_all()
-    out = {n: ORACLES[n] for n in DRIVER_ORDER if n in ORACLES}
+    out = {n: ORACLES[n] for n in DRIVER_ORDER + DRIVER_ORDER_TIER2 if n in ORACLES}
     out.update({n: s for n, s in ORACLES.items() if n not in out})
     return out
 
