@@ -461,13 +461,27 @@ def dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cosine(F.col("a.embedding"), F.col("b.embedding")) >= 0.3)
         .select(F.col("a.vec_id").alias("u"), F.col("b.vec_id").alias("v"))
     )
+    nodes = e.select(F.col("vec_id").alias("node"))
+    return connected_components(nodes, edges).select(
+        F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")
+    ).orderBy("doc_id")
+
+
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, max_rounds: int = 20
+) -> DataFrame:
+    """Min-label propagation to a fixed point: returns (node, lbl) where
+    lbl is the smallest node id in the node's connected component.
+    `nodes` has a `node` column; `edges` has (u, v), undirected (one
+    direction suffices). See `dedup_clusters_cc` for the scale notes;
+    property-tested against a pure-Python union-find on random graphs."""
     sym = edges.union(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint()  # edge list is reused every round: compute once
 
-    lbl = e.select(F.col("vec_id").alias("node"), F.col("vec_id").alias("lbl"))
+    lbl = nodes.select("node", F.col("node").alias("lbl"))
     prev_sum = None
-    for _ in range(20):
+    for _ in range(max_rounds):
         nbr_min = (
             sym.join(lbl, sym["v"] == lbl["node"])
             .groupBy("u")
@@ -487,7 +501,4 @@ def dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
-
-    return lbl.select(
-        F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")
-    ).orderBy("doc_id")
+    return lbl

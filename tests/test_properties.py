@@ -90,3 +90,106 @@ def test_shard_id_in_range_and_deterministic(spark, keys, n):
     seen: dict[int, int] = {}
     for r in out:
         assert seen.setdefault(r["k"], r["s"]) == r["s"]
+
+
+# --- connected components vs pure-Python union-find ------------------------
+
+EDGES = st.lists(
+    st.tuples(st.integers(0, 24), st.integers(0, 24)),
+    min_size=0,
+    max_size=40,
+)
+
+
+def _py_components(n_nodes: int, edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent = list(range(n_nodes))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    # label = min node id in the component
+    label: dict[int, int] = {}
+    for x in range(n_nodes):
+        r = find(x)
+        label[x] = min(label.get(r, x), x) if r in label else x
+    # second pass: the root's label is the true min; propagate it
+    root_min: dict[int, int] = {}
+    for x in range(n_nodes):
+        r = find(x)
+        root_min[r] = min(root_min.get(r, x), x)
+    return {x: root_min[find(x)] for x in range(n_nodes)}
+
+
+@settings(max_examples=6, deadline=None)
+@given(EDGES)
+def test_connected_components_match_union_find(spark, edges):
+    from clickhouse_data_rebalance_spark.operators.llm_dedup import (
+        connected_components,
+    )
+
+    n = 25
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "node LONG")
+    if edges:
+        edf = spark.createDataFrame(edges, "u LONG, v LONG")
+    else:
+        edf = spark.createDataFrame([], "u LONG, v LONG")
+    got = {
+        r["node"]: r["lbl"] for r in connected_components(nodes, edf).collect()
+    }
+    assert got == _py_components(n, edges)
+
+
+def test_pack_token_shards_boundary_independent(spark, sf_dir):
+    """The shard assignment must not depend on the number of range
+    partitions the prefix sum happens to run with."""
+    from clickhouse_data_rebalance_spark.operators import llm_text
+    from clickhouse_data_rebalance_spark import registry
+
+    base = registry.QUERIES["pack_token_shards"](spark, sf_dir).collect()
+    # monkey-patch the partition count through a direct rebuild
+    from clickhouse_data_rebalance_spark.tables import table as load_table
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.size(tokens("text")).cast("bigint").alias("n_tok")
+    )
+    for n_parts in (1, 3, 32):
+        ranged = toks.repartitionByRange(n_parts, "doc_id").withColumn(
+            "pid", F.spark_partition_id()
+        )
+        w_local = W.partitionBy("pid").orderBy("doc_id")
+        part_cum = ranged.withColumn("local_cum", F.sum("n_tok").over(w_local))
+        totals = part_cum.groupBy("pid").agg(F.max("local_cum").alias("ptotal"))
+        t = totals.alias("t")
+        u = totals.select(
+            F.col("pid").alias("u_pid"), F.col("ptotal").alias("u_total")
+        ).alias("u")
+        offsets = (
+            t.join(u, F.col("u_pid") < F.col("t.pid"), "left")
+            .groupBy("t.pid")
+            .agg(F.coalesce(F.sum("u_total"), F.lit(0)).alias("offset"))
+        )
+        got = (
+            part_cum.join(F.broadcast(offsets), "pid")
+            .select(
+                "doc_id",
+                "n_tok",
+                F.floor(
+                    (F.col("local_cum") + F.col("offset") - F.col("n_tok"))
+                    / float(llm_text.PACK_BUDGET)
+                )
+                .cast("bigint")
+                .alias("shard"),
+            )
+            .orderBy("doc_id")
+            .collect()
+        )
+        assert got == base, f"shard assignment changed at n_parts={n_parts}"
