@@ -502,3 +502,56 @@ def connected_components(
             break
         prev_sum = cur_sum
     return lbl
+
+
+@query(
+    "edit_distance_topk",
+    """
+    SELECT doc_a, doc_b, dist, rel_dist FROM (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             levenshtein(a.text, b.text) AS dist,
+             ROUND(CAST(levenshtein(a.text, b.text) AS DOUBLE)
+                   / greatest(length(a.text), length(b.text)), 9) AS rel_dist,
+             ROW_NUMBER() OVER (
+               ORDER BY ROUND(CAST(levenshtein(a.text, b.text) AS DOUBLE)
+                        / greatest(length(a.text), length(b.text)), 9),
+                        a.doc_id, b.doc_id) AS rnk
+      FROM documents a JOIN documents b
+        ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE a.doc_id < 200 AND b.doc_id < 200) t
+    WHERE rnk <= 10 ORDER BY rel_dist, doc_a, doc_b
+    """,
+)
+def edit_distance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance similarity (ClickHouse `editDistance` parity): the
+    10 closest same-source pairs by relative Levenshtein distance over a
+    bounded window. Levenshtein is O(len²) per pair — the honest
+    auditor for character-level near-dup, usable only behind blocking
+    (source here; LSH buckets at corpus scale), never all-pairs. Top-k
+    via TakeOrderedAndProject, ties broken by ids; the rounded relative
+    distance is both the sort key and the output, so both engines pick
+    the identical pair set."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    a = d.alias("a")
+    b = d.alias("b")
+    dist = F.levenshtein(F.col("a.text"), F.col("b.text"))
+    rel = F.round(
+        dist.cast("double")
+        / F.greatest(F.length("a.text"), F.length("b.text")),
+        9,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            dist.alias("dist"),
+            rel.alias("rel_dist"),
+        )
+        .orderBy("rel_dist", "doc_a", "doc_b")
+        .limit(10)
+    )

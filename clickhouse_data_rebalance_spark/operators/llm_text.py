@@ -424,3 +424,48 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_kept"), F.min("doc_id").alias("first_doc"))
         .orderBy("lang")
     )
+
+
+@query(
+    "char_entropy",
+    """
+    WITH chars AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS ch
+      FROM documents WHERE doc_id < 200
+    ), freq AS (
+      SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY 1, 2
+    ), tot AS (
+      SELECT doc_id, SUM(c) AS n FROM freq GROUP BY 1
+    )
+    SELECT f.doc_id,
+           ROUND(-SUM((c / CAST(n AS DOUBLE)) * log2(c / CAST(n AS DOUBLE))), 9)
+             AS entropy_bits
+    FROM freq f JOIN tot t ON f.doc_id = t.doc_id
+    GROUP BY f.doc_id ORDER BY f.doc_id
+    """,
+)
+def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Shannon entropy per document — the classic
+    cheap quality signal (garbage/base64/repeated-char spans score far
+    from natural text's ~4.1 bits). Pure expression pipeline: explode
+    chars → frequency hash-agg → per-doc entropy sum; ROUND(,9) absorbs
+    float summation-order differences across engines.
+
+    Scale: two aggregates on (doc_id[, ch]) — cardinality-bounded keys,
+    map-side partials; no Python anywhere."""
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    freq = (
+        d.select("doc_id", F.explode(F.split("text", "")).alias("ch"))
+        .groupBy("doc_id", "ch")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = F.sum("c").over(W.partitionBy("doc_id"))
+    p = F.col("c") / n.cast("double")
+    return (
+        freq.withColumn("term", p * F.log2(p))
+        .groupBy("doc_id")
+        .agg(F.round(-F.sum("term"), 9).alias("entropy_bits"))
+        .orderBy("doc_id")
+    )

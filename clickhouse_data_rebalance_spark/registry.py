@@ -131,6 +131,8 @@ DRIVER_ORDER_TIER2: list[str] = [
     "ttl_expiry",
     "median_exact",
     "collapsing_sign_merge",
+    "char_entropy",
+    "edit_distance_topk",
     "source_text_roundtrip",
     "source_binaryfile_scan",
     "stream_stream_join",
