@@ -492,3 +492,37 @@ def collapsing_sign_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("net_orders") > 0)
         .orderBy("o_custkey")
     )
+
+
+@query(
+    "variant_json_extract",
+    f"""
+    SELECT CAST(json_extract(props, '$.k') AS INT) % 10 AS k_bucket,
+           COUNT(*) AS n, {sql_dec_sum('value')} AS total_value
+    FROM events
+    WHERE CAST(json_extract(props, '$.k') AS INT) >= 50
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def variant_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT path (ClickHouse JSON/Object-type parity,
+    Spark 4 VariantType): `props` parses once into a variant, fields are
+    extracted with typed `variant_get` — the open-schema ingestion shape
+    where payload fields aren't known at write time. Distinct from the
+    string-path `json_funcs` (get_json_object re-parses per call;
+    variant parses once into a binary-encoded tree and extraction is
+    O(field), the right shape when many fields are read per row).
+
+    Scale: parse + extract are row-local; the aggregate shuffles a
+    10-key bucket. Variant binary also pushes through shuffles/spills
+    cheaper than JSON text."""
+    e = table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "int")
+    return (
+        e.select(k.alias("k"), "value")
+        .filter(F.col("k") >= 50)
+        .groupBy((F.col("k") % 10).alias("k_bucket"))
+        .agg(F.count(F.lit(1)).alias("n"), dec_sum("value").alias("total_value"))
+        .orderBy("k_bucket")
+    )

@@ -133,6 +133,8 @@ DRIVER_ORDER_TIER2: list[str] = [
     "collapsing_sign_merge",
     "char_entropy",
     "edit_distance_topk",
+    "stream_session_equiv",
+    "variant_json_extract",
     "source_text_roundtrip",
     "source_binaryfile_scan",
     "stream_stream_join",

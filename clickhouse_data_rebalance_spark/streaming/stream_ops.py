@@ -393,3 +393,56 @@ def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_type")
     )
+
+
+_SESSION_ORACLE = f"""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), numbered AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           COUNT(*) AS n_events,
+           {sql_dec_sum('value')} AS total_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+"""
+
+
+@query("stream_session_equiv", _SESSION_ORACLE)
+def stream_session_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C50 as a real stream: session_window aggregation over the
+    replayed events with complete-mode output — streaming session state
+    (merging adjacent sessions as events arrive) must finalize to
+    exactly the batch gaps-and-islands answer. Complements
+    `stream_tumbling_equiv`: tumbling state is per fixed bucket, session
+    state merges variable-width windows, the harder stateful path.
+
+    Scale: streaming session state is per (user, open session); a
+    watermark bounds it in a continuous deployment (complete mode +
+    availableNow here because the replay is finite)."""
+    table(spark, sf_dir, "events")  # ensures session confs (nanosAsLong)
+    agg = (
+        events_stream(spark, sf_dir)
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), dec_sum("value").alias("total_value"))
+    )
+    out = run_to_memory(agg, "stream_session_out", "complete")
+    return out.select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        "n_events",
+        "total_value",
+    ).orderBy("user_id", "session_start")
