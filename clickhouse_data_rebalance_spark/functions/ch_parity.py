@@ -1,0 +1,283 @@
+"""ClickHouse function-family parity beyond the C26–C31 scalar suites:
+bit manipulation + group bit aggregates (`bitAnd`/`groupBitAnd`…), IPv4
+codec functions (`IPv4NumToString`/`IPv4StringToNum`), URL functions
+(`domain`/`path`/`extractURLParameter`), encoding functions
+(`hex`/`base64Encode`) and NULL-semantics coverage (nullable arithmetic,
+null-safe equality — ClickHouse `Nullable(T)` behaviors).
+
+All JVM-side `pyspark.sql.functions` inside whole-stage codegen — no
+Python in the row path; every query has an exact DuckDB twin.
+
+Cross-engine notes baked into the oracles:
+- Spark ``hex(bigint)`` and DuckDB ``hex(int)`` both print uppercase,
+  no leading zeros — verified bit-identical.
+- base64 uses the standard alphabet with padding in both engines.
+- Spark ``parse_url`` (java.net.URI semantics) matches plain regexp
+  extraction for the well-formed URLs synthesized here; the DuckDB twin
+  uses the regexps directly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators._util import dec_sum, sql_dec_sum
+from ..registry import query
+from ..tables import table
+
+
+@query(
+    "bitwise_funcs",
+    """
+    SELECT l_returnflag,
+           bit_and(flags) AS all_and, bit_or(flags) AS any_or,
+           bit_xor(flags) AS parity_xor,
+           SUM(flags << 2) AS sum_shl, SUM(flags >> 1) AS sum_shr,
+           SUM(flags & 21) AS sum_and21, SUM(flags | 8) AS sum_or8,
+           SUM(xor(flags, 255)) AS sum_xor255
+    FROM (SELECT l_returnflag,
+                 ((l_orderkey % 64) + 64) % 64 AS flags FROM lineitem) t
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse bit-function family (`bitAnd/bitOr/bitXor/bitShiftLeft/
+    bitShiftRight`) plus the group bit aggregates (`groupBitAnd/
+    groupBitOr/groupBitXor`) — flag-mask analytics (feature bitsets,
+    permission masks) entirely inside codegen.
+
+    Scale: map-side partial aggregation reduces each partition to one
+    row per group before the 3-key shuffle."""
+    l = table(spark, sf_dir, "lineitem")
+    flags = F.pmod(F.col("l_orderkey"), F.lit(64)).alias("flags")
+    return (
+        l.select("l_returnflag", flags)
+        .groupBy("l_returnflag")
+        .agg(
+            F.bit_and("flags").alias("all_and"),
+            F.bit_or("flags").alias("any_or"),
+            F.bit_xor("flags").alias("parity_xor"),
+            F.sum(F.shiftleft("flags", 2)).alias("sum_shl"),
+            F.sum(F.shiftright("flags", 1)).alias("sum_shr"),
+            F.sum(F.col("flags").bitwiseAND(F.lit(21))).alias("sum_and21"),
+            F.sum(F.col("flags").bitwiseOR(F.lit(8))).alias("sum_or8"),
+            F.sum(F.col("flags").bitwiseXOR(F.lit(255))).alias("sum_xor255"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# 32-bit IPv4 derived deterministically from the order key: the exact
+# arithmetic (x >> 24 & 255, …) is expressible identically in both
+# engines, so the dotted-quad string and the round-tripped number are
+# bit-identical.
+_IP_SQL = """
+    WITH ips AS (
+      SELECT o_orderkey, ((o_orderkey * 2654435761) % 4294967296 + 4294967296)
+             % 4294967296 AS ip_num
+      FROM orders WHERE o_orderkey % 97 = 0
+    ), fmt AS (
+      SELECT o_orderkey, ip_num,
+             CAST(ip_num >> 24 AS VARCHAR) || '.' ||
+             CAST((ip_num >> 16) & 255 AS VARCHAR) || '.' ||
+             CAST((ip_num >> 8) & 255 AS VARCHAR) || '.' ||
+             CAST(ip_num & 255 AS VARCHAR) AS ip_str
+      FROM ips
+    )
+    SELECT o_orderkey, ip_num, ip_str,
+           (CAST(string_split(ip_str, '.')[1] AS BIGINT) << 24) +
+           (CAST(string_split(ip_str, '.')[2] AS BIGINT) << 16) +
+           (CAST(string_split(ip_str, '.')[3] AS BIGINT) << 8) +
+            CAST(string_split(ip_str, '.')[4] AS BIGINT) AS ip_roundtrip,
+           ip_num >= 2886729728 AND ip_num < 2887778304 AS is_priv_172_16
+    FROM fmt ORDER BY o_orderkey
+    """
+
+
+@query("ip_funcs", _IP_SQL)
+def ip_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse IPv4 codec parity (`IPv4NumToString` /
+    `IPv4StringToNum` / CIDR membership a la `isIPAddressInRange`):
+    number→dotted-quad→number round-trip plus a private-range predicate,
+    all integer/bit arithmetic inside codegen (no UDF, no regex)."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 97 == 0)
+    ip = F.pmod(F.col("o_orderkey") * F.lit(2654435761), F.lit(4294967296)).alias(
+        "ip_num"
+    )
+    octet = lambda n: F.shiftright("ip_num", n).bitwiseAND(F.lit(255))  # noqa: E731
+    df = o.select("o_orderkey", ip).withColumn(
+        "ip_str",
+        F.concat_ws(
+            ".",
+            F.shiftright("ip_num", 24).cast("string"),
+            octet(16).cast("string"),
+            octet(8).cast("string"),
+            F.col("ip_num").bitwiseAND(F.lit(255)).cast("string"),
+        ),
+    )
+    part = lambda i: F.get(F.split("ip_str", r"\."), i - 1).cast("bigint")  # noqa: E731
+    return df.select(
+        "o_orderkey",
+        "ip_num",
+        "ip_str",
+        (
+            F.shiftleft(part(1), 24)
+            + F.shiftleft(part(2), 16)
+            + F.shiftleft(part(3), 8)
+            + part(4)
+        ).alias("ip_roundtrip"),
+        # 172.16.0.0/12 in numeric form
+        ((F.col("ip_num") >= 2886729728) & (F.col("ip_num") < 2887778304)).alias(
+            "is_priv_172_16"
+        ),
+    ).orderBy("o_orderkey")
+
+
+_URL_SQL = """
+    WITH urls AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/' || lang || '/doc/' ||
+             CAST(doc_id AS VARCHAR) || '?ref=' || CAST(doc_id % 7 AS VARCHAR) ||
+             '&page=' || CAST(doc_id % 3 AS VARCHAR) AS url
+      FROM documents
+    )
+    SELECT doc_id, url,
+           regexp_extract(url, '^([a-z]+)://', 1) AS protocol,
+           regexp_extract(url, '://([^/]+)/', 1) AS host,
+           regexp_extract(url, '://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, '[?&]ref=([^&]*)', 1) AS ref_param,
+           regexp_extract(url, '://(?:[^/.]+\\.)*([^/.]+\\.[^/.]+)/', 1)
+             AS top_domain
+    FROM urls WHERE doc_id % 11 = 0 ORDER BY doc_id
+    """
+
+
+@query("url_funcs", _URL_SQL)
+def url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse URL-function family (`protocol`/`domain`/`path`/
+    `extractURLParameter`/`topLevelDomain`-ish) via Spark's native
+    `parse_url` (HOST/PATH/QUERY/PROTOCOL parts) plus one regexp for the
+    registrable-domain tail. URLs are synthesized deterministically from
+    `documents`, so the twin is exact.
+
+    Scale: row-local string work inside codegen; the filter prunes 10/11
+    of rows at the scan."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 11 == 0)
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/"),
+        F.col("lang"),
+        F.lit("/doc/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?ref="),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("&page="),
+        (F.col("doc_id") % 3).cast("string"),
+    ).alias("url")
+    part = lambda p: F.parse_url("url", F.lit(p))  # noqa: E731
+    return (
+        d.select("doc_id", url)
+        .select(
+            "doc_id",
+            "url",
+            part("PROTOCOL").alias("protocol"),
+            part("HOST").alias("host"),
+            part("PATH").alias("path"),
+            F.parse_url("url", F.lit("QUERY"), F.lit("ref")).alias("ref_param"),
+            F.regexp_extract(
+                "url", r"://(?:[^/.]+\.)*([^/.]+\.[^/.]+)/", 1
+            ).alias("top_domain"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "encode_funcs",
+    """
+    SELECT c_custkey,
+           hex(c_custkey * 255) AS key_hex,
+           to_base64(encode(c_mktsegment)) AS seg_b64,
+           decode(from_base64(to_base64(encode(c_name)))) AS name_rt,
+           hex(c_custkey) = hex(c_custkey) AS hex_stable
+    FROM customer WHERE c_custkey % 13 = 0 ORDER BY c_custkey
+    """,
+)
+def encode_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse encoding-function parity (`hex`, `base64Encode`,
+    `base64Decode` round-trip): binary-safe codecs inside codegen.
+    Both engines print uppercase hex without leading zeros and standard
+    padded base64 — verified bit-identical."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 13 == 0)
+    return c.select(
+        "c_custkey",
+        F.hex(F.col("c_custkey") * 255).alias("key_hex"),
+        F.base64(F.col("c_mktsegment").cast("binary")).alias("seg_b64"),
+        F.unbase64(F.base64(F.col("c_name").cast("binary")))
+        .cast("string")
+        .alias("name_rt"),
+        (F.hex("c_custkey") == F.hex("c_custkey")).alias("hex_stable"),
+    ).orderBy("c_custkey")
+
+
+@query(
+    "null_semantics",
+    """
+    WITH n AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                  ELSE o_totalprice END AS maybe_price,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                  ELSE o_orderpriority END AS maybe_prio
+      FROM orders WHERE o_orderkey % 3 = 0
+    )
+    SELECT COUNT(*) AS n_rows,
+           COUNT(maybe_price) AS n_price,
+           COUNT(DISTINCT maybe_prio) AS n_prio,
+           SUM(CASE WHEN maybe_price IS NULL THEN 1 ELSE 0 END) AS n_null_price,
+           SUM(CASE WHEN maybe_prio IS NOT DISTINCT FROM NULL
+                    THEN 1 ELSE 0 END) AS n_null_safe,
+           SUM(CASE WHEN COALESCE(maybe_price, 0.0) = 0.0
+                    THEN 1 ELSE 0 END) AS n_coalesced,
+           SUM(CASE WHEN NULLIF(maybe_prio, '1-URGENT') IS NULL
+                    THEN 1 ELSE 0 END) AS n_nullif,
+           {sum_skipnull} AS sum_skipnull
+    FROM n
+    """.format(sum_skipnull=sql_dec_sum("COALESCE(maybe_price, 0.0)")),
+)
+def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse `Nullable(T)` semantics coverage: null-skipping
+    aggregates (COUNT(col) vs COUNT(*)), null-safe equality
+    (`equal_null` ≡ IS NOT DISTINCT FROM), COALESCE/NULLIF/IFNULL
+    behaviors — the places where engines classically diverge.
+
+    Scale: single global aggregate with map-side partials; the
+    modulo filter is pushed to the scan."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 3 == 0)
+    n = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 5 == 0, None)
+        .otherwise(F.col("o_totalprice"))
+        .alias("maybe_price"),
+        F.when(F.col("o_orderkey") % 7 == 0, None)
+        .otherwise(F.col("o_orderpriority"))
+        .alias("maybe_prio"),
+    )
+    null_str = F.lit(None).cast("string")
+    return n.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("maybe_price").alias("n_price"),
+        F.countDistinct("maybe_prio").alias("n_prio"),
+        F.sum(F.col("maybe_price").isNull().cast("bigint")).alias("n_null_price"),
+        F.sum(F.equal_null(F.col("maybe_prio"), null_str).cast("bigint")).alias(
+            "n_null_safe"
+        ),
+        F.sum((F.coalesce("maybe_price", F.lit(0.0)) == 0.0).cast("bigint")).alias(
+            "n_coalesced"
+        ),
+        F.sum(
+            F.nullif(F.col("maybe_prio"), F.lit("1-URGENT")).isNull().cast("bigint")
+        ).alias("n_nullif"),
+        dec_sum(F.coalesce("maybe_price", F.lit(0.0))).alias("sum_skipnull"),
+    )

@@ -135,6 +135,11 @@ DRIVER_ORDER_TIER2: list[str] = [
     "edit_distance_topk",
     "stream_session_equiv",
     "variant_json_extract",
+    "bitwise_funcs",
+    "ip_funcs",
+    "url_funcs",
+    "encode_funcs",
+    "null_semantics",
     "source_text_roundtrip",
     "source_binaryfile_scan",
     "stream_stream_join",
@@ -183,7 +188,7 @@ def load_all() -> None:
         udfs,
         windows,
     )
-    from .functions import scalar_funcs, text, vectors  # noqa: F401
+    from .functions import ch_parity, scalar_funcs, text, vectors  # noqa: F401
     from .plans import rebalance_queries  # noqa: F401
     from .sources import connectors  # noqa: F401
     from .streaming import batch_windows, stream_ops  # noqa: F401
