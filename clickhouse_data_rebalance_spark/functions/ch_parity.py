@@ -281,3 +281,53 @@ def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_nullif"),
         dec_sum(F.coalesce("maybe_price", F.lit(0.0))).alias("sum_skipnull"),
     )
+
+
+_GEO_SQL = """
+    WITH pts AS (
+      SELECT c_custkey,
+             (CAST(c_custkey * 131 % 17000 AS DOUBLE) / 100.0) - 85.0 AS lat,
+             (CAST(c_custkey * 733 % 35000 AS DOUBLE) / 100.0) - 175.0 AS lon
+      FROM customer WHERE c_custkey % 7 = 0
+    )
+    SELECT c_custkey, lat, lon,
+           ROUND(2.0 * 6371.0088 * asin(sqrt(
+             pow(sin(radians(lat - 48.8566) / 2.0), 2) +
+             cos(radians(48.8566)) * cos(radians(lat)) *
+             pow(sin(radians(lon - 2.3522) / 2.0), 2))), 3) AS km_to_paris,
+           ROUND(degrees(atan2(lat - 48.8566, lon - 2.3522)), 3) AS bearing_flat
+    FROM pts ORDER BY c_custkey
+    """
+
+
+@query("geo_distance", _GEO_SQL)
+def geo_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse geo-function parity (`greatCircleDistance` analog):
+    haversine distance to a fixed point plus a flat bearing, from
+    deterministic synthetic coordinates. ROUND(,3) (meter precision)
+    absorbs the ≤1-ulp libm-vs-JVM trig divergence — the formula and
+    the double inputs are identical on both sides.
+
+    Scale: pure row-local codegen arithmetic; the modulo filter prunes
+    at the scan."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 7 == 0)
+    lat = ((F.col("c_custkey") * 131 % 17000).cast("double") / 100.0 - 85.0).alias("lat")
+    lon = ((F.col("c_custkey") * 733 % 35000).cast("double") / 100.0 - 175.0).alias(
+        "lon"
+    )
+    pts = c.select("c_custkey", lat, lon)
+    hav = (
+        F.pow(F.sin(F.radians(F.col("lat") - 48.8566) / 2.0), 2)
+        + F.cos(F.radians(F.lit(48.8566)))
+        * F.cos(F.radians("lat"))
+        * F.pow(F.sin(F.radians(F.col("lon") - 2.3522) / 2.0), 2)
+    )
+    return pts.select(
+        "c_custkey",
+        "lat",
+        "lon",
+        F.round(2.0 * 6371.0088 * F.asin(F.sqrt(hav)), 3).alias("km_to_paris"),
+        F.round(
+            F.degrees(F.atan2(F.col("lat") - 48.8566, F.col("lon") - 2.3522)), 3
+        ).alias("bearing_flat"),
+    ).orderBy("c_custkey")

@@ -526,3 +526,102 @@ def variant_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), dec_sum("value").alias("total_value"))
         .orderBy("k_bucket")
     )
+
+
+@query(
+    "delta_sum_running",
+    f"""
+    WITH ordered AS (
+      SELECT user_id, value,
+             value - lag(value) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS delta
+      FROM events WHERE event_type = 'view'
+    )
+    SELECT user_id, COUNT(*) AS n_events,
+           {sql_dec_sum("CASE WHEN delta > 0 THEN delta ELSE 0.0 END")}
+             AS delta_sum,
+           {sql_dec_sum("COALESCE(delta, 0.0)")} AS net_change
+    FROM ordered GROUP BY user_id ORDER BY user_id
+    """,
+)
+def delta_sum_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse `deltaSum` / `runningDifference` parity: per-user
+    ordered deltas of a gauge column; `delta_sum` accumulates only
+    positive steps (the counter-rate semantics — a counter reset shows
+    as a negative delta and is skipped), `net_change` is the plain
+    telescoping difference. The monitoring/time-series shape.
+
+    Scale: one hash partition per user for the lag window, then the
+    same partitioning reused by the aggregate — a single shuffle; no
+    driver-side state."""
+    e = table(spark, sf_dir, "events").filter(F.col("event_type") == "view")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    delta = F.col("value") - F.lag("value").over(w)
+    return (
+        e.select("user_id", delta.alias("delta"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum(F.when(F.col("delta") > 0, F.col("delta")).otherwise(F.lit(0.0))).alias(
+                "delta_sum"
+            ),
+            dec_sum(F.coalesce("delta", F.lit(0.0))).alias("net_change"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_WMEDIAN_SQL = """
+    WITH cum AS (
+      SELECT l_returnflag, l_extendedprice,
+             SUM(CAST(l_quantity AS DECIMAL(30,4)))
+               OVER (PARTITION BY l_returnflag
+                     ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                     ROWS UNBOUNDED PRECEDING) AS cum_w,
+             SUM(CAST(l_quantity AS DECIMAL(30,4)))
+               OVER (PARTITION BY l_returnflag) AS total_w
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           MIN(l_extendedprice) FILTER (WHERE cum_w * 2 >= total_w)
+             AS weighted_median,
+           CAST(MIN(total_w) AS DOUBLE) AS total_weight
+    FROM cum GROUP BY l_returnflag ORDER BY l_returnflag
+    """
+
+
+@query("weighted_median", _WMEDIAN_SQL)
+def weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse `quantileExactWeighted(0.5)(price, quantity)` parity:
+    the smallest value whose cumulative weight reaches half the group's
+    total weight. Weights accumulate in DECIMAL so the crossing point is
+    order-exact in both engines (a float running sum could cross the
+    threshold one row apart).
+
+    Scale: one window + one aggregate over the same group partitioning
+    — the sort inside each hash partition is the only extra cost; no
+    all-values collect (contrast a naive percentile gather)."""
+    l = table(spark, sf_dir, "lineitem")
+    wq = F.col("l_quantity").cast("decimal(30,4)")
+    w_cum = (
+        W.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_all = W.partitionBy("l_returnflag")
+    cum = l.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum(wq).over(w_cum).alias("cum_w"),
+        F.sum(wq).over(w_all).alias("total_w"),
+    )
+    return (
+        cum.groupBy("l_returnflag")
+        .agg(
+            F.min(
+                F.when(F.col("cum_w") * 2 >= F.col("total_w"), F.col("l_extendedprice"))
+            ).alias("weighted_median"),
+            F.min("total_w").cast("double").alias("total_weight"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -469,3 +469,56 @@ def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(-F.sum("term"), 9).alias("entropy_bits"))
         .orderBy("doc_id")
     )
+
+
+@query(
+    "ngram_repetition_quality",
+    """
+    WITH grams AS (
+      SELECT doc_id,
+             list_transform(
+               range(1, len(string_split(text, ' ')) - 3),
+               i -> array_to_string(string_split(text, ' ')[i:i+4], ' ')
+             ) AS ngrams
+      FROM documents WHERE len(string_split(text, ' ')) >= 5
+    )
+    SELECT doc_id,
+           len(ngrams) AS n_ngrams,
+           len(list_distinct(ngrams)) AS n_distinct_ngrams,
+           ROUND(1.0 - CAST(len(list_distinct(ngrams)) AS DOUBLE)
+                     / len(ngrams), 9) AS dup_frac,
+           (1.0 - CAST(len(list_distinct(ngrams)) AS DOUBLE) / len(ngrams))
+             <= 0.2 AS keep_doc
+    FROM grams ORDER BY doc_id
+    """,
+)
+def ngram_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition filter: the fraction of a
+    document's word 5-grams that are duplicates of an earlier 5-gram in
+    the SAME document. Boilerplate, templated spam, and looping
+    generations score high; `keep_doc` applies the classic <=20%
+    duplicate-5-gram rule.
+
+    Scale: the entire signal is ROW-LOCAL — n-gram construction,
+    dedup, and ratio all run on array expressions inside codegen, so
+    the operator is a map over the corpus with zero shuffle (the final
+    orderBy is presentation-only). Contrast cross-document dedup
+    (`dedup_minhash_lsh`), which is where the shuffles rightly live."""
+    d = table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    d = d.select("doc_id", words.alias("w")).filter(F.size("w") >= 5)
+    ngrams = F.transform(
+        F.sequence(F.lit(0), F.size("w") - 5),
+        lambda i: F.array_join(F.slice("w", i + 1, 5), " "),
+    )
+    g = d.select("doc_id", ngrams.alias("ngrams"))
+    n = F.size("ngrams").cast("bigint")
+    nd = F.size(F.array_distinct("ngrams")).cast("bigint")
+    dup = 1.0 - nd.cast("double") / n.cast("double")
+    return g.select(
+        "doc_id",
+        n.alias("n_ngrams"),
+        nd.alias("n_distinct_ngrams"),
+        F.round(dup, 9).alias("dup_frac"),
+        (dup <= 0.2).alias("keep_doc"),
+    ).orderBy("doc_id")

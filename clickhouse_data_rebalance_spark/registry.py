@@ -140,6 +140,10 @@ DRIVER_ORDER_TIER2: list[str] = [
     "url_funcs",
     "encode_funcs",
     "null_semantics",
+    "delta_sum_running",
+    "weighted_median",
+    "geo_distance",
+    "ngram_repetition_quality",
     "source_text_roundtrip",
     "source_binaryfile_scan",
     "stream_stream_join",
