@@ -369,3 +369,75 @@ def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .orderBy("vec_id", "rnk")
     )
+
+
+_QUANT_SQL = """
+    WITH dv AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE vec_id % 9 = 0
+    ), scaled AS (
+      SELECT vec_id, label, v,
+             list_max(list_transform(v, x -> abs(x))) AS max_abs
+      FROM dv
+    ), coded AS (
+      SELECT vec_id, label, v, max_abs,
+             list_transform(v, x -> CAST(round(x * 127.0 / max_abs) AS BIGINT))
+               AS codes
+      FROM scaled WHERE max_abs > 0
+    )
+    SELECT vec_id, label,
+           CAST(floor(max_abs * 1073741824.0) AS BIGINT) AS max_abs_fp30,
+           len(codes) AS dim,
+           list_max(codes) AS code_max,
+           list_min(codes) AS code_min,
+           len(list_filter(codes, c -> c = 127 OR c = -127)) AS n_saturated,
+           CAST(floor(list_max(list_transform(range(1, len(v) + 1),
+             i -> abs(v[i] - codes[i] * max_abs / 127.0)))
+             * 1073741824.0) AS BIGINT) AS max_abs_err_fp30
+    FROM coded ORDER BY vec_id
+    """
+
+
+@query("embedding_quantize_int8", _QUANT_SQL)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the
+    storage/serving compression step of a training-data pipeline (4×
+    smaller vectors for the ANN index, with a per-vector scale). Emits
+    the code envelope and the max reconstruction error per vector so
+    the quality loss is observable.
+
+    Scale: entirely row-local array arithmetic in codegen — a zero-
+    shuffle map over the corpus (the orderBy is presentation-only);
+    quantized codes would be written alongside the float column and
+    the IVF/LSH index probes them."""
+    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 9 == 0)
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    d = e.select("vec_id", "label", v.alias("v"))
+    d = d.withColumn(
+        "max_abs", F.array_max(F.transform("v", lambda x: F.abs(x)))
+    ).filter(F.col("max_abs") > 0)
+    codes = F.transform("v", lambda x: F.round(x * 127.0 / F.col("max_abs")).cast("bigint"))
+    d = d.withColumn("codes", codes)
+    err = F.array_max(
+        F.zip_with(
+            "v", "codes", lambda x, c: F.abs(x - c * F.col("max_abs") / 127.0)
+        )
+    )
+    # binary fixed-point (floor at 2^30) instead of decimal ROUND: the
+    # underlying doubles are bit-identical across engines (same ops,
+    # same order), and floor is exact on doubles — no half-way-digit
+    # divergence the way ROUND(,9) can flip the last decimal.
+    fp30 = lambda c: F.floor(c * 1073741824.0).cast("bigint")  # noqa: E731
+    return d.select(
+        "vec_id",
+        "label",
+        fp30(F.col("max_abs")).alias("max_abs_fp30"),
+        F.size("codes").cast("bigint").alias("dim"),
+        F.array_max("codes").alias("code_max"),
+        F.array_min("codes").alias("code_min"),
+        F.size(F.filter("codes", lambda c: (c == 127) | (c == -127)))
+        .cast("bigint")
+        .alias("n_saturated"),
+        fp30(err).alias("max_abs_err_fp30"),
+    ).orderBy("vec_id")

@@ -144,6 +144,10 @@ DRIVER_ORDER_TIER2: list[str] = [
     "weighted_median",
     "geo_distance",
     "ngram_repetition_quality",
+    "zorder_clustering",
+    "data_quality_checks",
+    "scd2_intervals",
+    "embedding_quantize_int8",
     "source_text_roundtrip",
     "source_binaryfile_scan",
     "stream_stream_join",
@@ -197,5 +201,5 @@ def load_all() -> None:
     from .sources import connectors  # noqa: F401
     from .streaming import batch_windows, stream_ops  # noqa: F401
     from .operators import llm_dedup, llm_similarity, llm_text, multimodal  # noqa: F401
-    from .operators import analytics_ext  # noqa: F401
+    from .operators import analytics_ext, layout_quality  # noqa: F401
     _loaded = True
