@@ -48,6 +48,9 @@ HEADLINE = [
     "funnel_conversion",
     "ann_ivf_topk",
     "dedup_embedding_cosine",
+    "ngram_repetition_quality",
+    "zorder_clustering",
+    "scd2_intervals",
 ]
 
 

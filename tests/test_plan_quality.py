@@ -215,3 +215,31 @@ def test_ivf_probe_prunes_index_partitions(spark):
     assert "PartitionFilters" in plan
     seg = plan[plan.index("PartitionFilters"):].splitlines()[0]
     assert "cell" in seg, f"cell filter not in partition filters: {seg}"
+
+
+def test_repetition_filter_is_shuffle_free(spark):
+    """ngram_repetition_quality claims a zero-shuffle corpus map: the
+    only Exchange allowed is the presentation-only final sort's range
+    exchange — no hash-partition exchange anywhere."""
+    plan = plan_of(spark, "ngram_repetition_quality")
+    assert "hashpartitioning" not in plan.lower()
+
+
+def test_quantization_is_shuffle_free(spark):
+    plan = plan_of(spark, "embedding_quantize_int8")
+    assert "hashpartitioning" not in plan.lower()
+
+
+def test_scd2_reuses_one_user_partitioning(spark):
+    """All SCD2 windows and the aggregate key on user_id: exactly one
+    hash-partition exchange on user_id should appear (AQE may reuse it;
+    additional hash exchanges would mean the partitioning is NOT being
+    reused across the window/agg steps)."""
+    plan = plan_of(spark, "scd2_intervals")
+    n_hash = plan.lower().count("hashpartitioning(")
+    assert n_hash == 1, f"expected 1 hash exchange, saw {n_hash}"
+
+
+def test_data_quality_fk_probe_is_broadcast(spark):
+    plan = plan_of(spark, "data_quality_checks")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
