@@ -331,3 +331,91 @@ def geo_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.degrees(F.atan2(F.col("lat") - 48.8566, F.col("lon") - 2.3522)), 3
         ).alias("bearing_flat"),
     ).orderBy("c_custkey")
+
+
+@query(
+    "conditional_aggregates",
+    f"""
+    SELECT l_returnflag,
+           COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+           {sql_dec_sum('l_extendedprice')} AS sum_all,
+           CAST(COALESCE(SUM(CAST(l_extendedprice AS DECIMAL(30,4)))
+                  FILTER (WHERE l_quantity >= 25), 0) AS DOUBLE) AS sum_bulk,
+           MIN(l_extendedprice) FILTER (WHERE l_linestatus = 'F') AS min_f,
+           MAX(l_extendedprice) FILTER (WHERE l_linestatus = 'O') AS max_o,
+           COUNT(DISTINCT l_suppkey) FILTER (WHERE l_tax > 0.04)
+             AS n_taxed_supps
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def conditional_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse `-If` aggregate-combinator parity (`countIf`/`sumIf`/
+    `minIf`/`maxIf`/`uniqExactIf`): conditional aggregation without
+    pre-filtering the scan — one pass computes every branch, where a
+    filter-per-aggregate would need N scans.
+
+    Scale: all conditions evaluate map-side inside one partial
+    aggregate; the shuffle still carries one row per (partition, group)."""
+    l = table(spark, sf_dir, "lineitem")
+    when = lambda c, v: F.when(c, v)  # noqa: E731
+    disc = F.col("l_discount") > 0.05
+    bulk = F.col("l_quantity") >= 25
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.count(when(disc, 1)).alias("n_discounted"),
+            dec_sum("l_extendedprice").alias("sum_all"),
+            F.coalesce(
+                F.sum(when(bulk, F.col("l_extendedprice")).cast("decimal(30,4)")),
+                F.lit(0).cast("decimal(30,4)"),
+            )
+            .cast("double")
+            .alias("sum_bulk"),
+            F.min(when(F.col("l_linestatus") == "F", F.col("l_extendedprice"))).alias(
+                "min_f"
+            ),
+            F.max(when(F.col("l_linestatus") == "O", F.col("l_extendedprice"))).alias(
+                "max_o"
+            ),
+            F.countDistinct(
+                when(F.col("l_tax") > 0.04, F.col("l_suppkey"))
+            ).alias("n_taxed_supps"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "string_search_funcs",
+    """
+    SELECT doc_id,
+           position('merge' IN text) AS pos_merge,
+           text LIKE '%join%' AS has_join,
+           starts_with(text, 'the') AS starts_the,
+           suffix(text, 'dup') AS ends_dup,
+           regexp_matches(text, 'batch (batch )+batch') AS has_batch_run,
+           len(regexp_extract_all(text, 'scan', 0)) AS n_scan,
+           len(string_split(text, 'data')) - 1 AS n_data
+    FROM documents WHERE doc_id % 13 = 0 ORDER BY doc_id
+    """,
+)
+def string_search_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse string-search family parity (`position`, `like`,
+    `startsWith`/`endsWith`, `match`, `countSubstrings`,
+    `countMatches`): substring location and counting entirely in
+    codegen — the text-mining primitives under the quality filters.
+
+    Scale: row-local; the modulo filter prunes 12/13 at the scan."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 13 == 0)
+    return d.select(
+        "doc_id",
+        F.instr("text", "merge").cast("bigint").alias("pos_merge"),
+        F.col("text").like("%join%").alias("has_join"),
+        F.startswith("text", F.lit("the")).alias("starts_the"),
+        F.endswith("text", F.lit("dup")).alias("ends_dup"),
+        F.regexp_like("text", F.lit("batch (batch )+batch")).alias("has_batch_run"),
+        F.size(F.regexp_extract_all("text", F.lit("scan"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_scan"),
+        (F.size(F.split("text", "data")) - 1).cast("bigint").alias("n_data"),
+    ).orderBy("doc_id")

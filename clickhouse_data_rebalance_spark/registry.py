@@ -161,6 +161,9 @@ DRIVER_ORDER_TIER2: list[str] = [
     "funnel_conversion",
     "time_gap_fill",
     "stream_custom_state",
+    "ch_dialect_rollup",
+    "conditional_aggregates",
+    "string_search_funcs",
 ]
 
 
@@ -197,7 +200,7 @@ def load_all() -> None:
         windows,
     )
     from .functions import ch_parity, scalar_funcs, text, vectors  # noqa: F401
-    from .plans import rebalance_queries  # noqa: F401
+    from .plans import ch_dialect, rebalance_queries  # noqa: F401
     from .sources import connectors  # noqa: F401
     from .streaming import batch_windows, stream_ops  # noqa: F401
     from .operators import llm_dedup, llm_similarity, llm_text, multimodal  # noqa: F401

@@ -193,3 +193,52 @@ def test_pack_token_shards_boundary_independent(spark, sf_dir):
             .collect()
         )
         assert got == base, f"shard assignment changed at n_parts={n_parts}"
+
+
+# ---------------------------------------------------------------------------
+# ClickHouse dialect translator (plans/ch_dialect.py)
+# ---------------------------------------------------------------------------
+
+
+def test_ch_dialect_translate_rewrites():
+    from clickhouse_data_rebalance_spark.plans.ch_dialect import translate
+
+    assert translate("SELECT toUInt32(x) FROM t") == "SELECT CAST(x AS BIGINT) FROM t"
+    assert (
+        translate("SELECT sumIf(a, b > 1) FROM t")
+        == "SELECT sum(a) FILTER (WHERE b > 1) FROM t"
+    )
+    assert translate("SELECT count() FROM t") == "SELECT count(*) FROM t"
+    assert (
+        translate("SELECT toUInt32(count()) FROM t")
+        == "SELECT CAST(count(*) AS BIGINT) FROM t"
+    )
+    assert translate("SELECT uniqExact(lower(x)) FROM t") == (
+        "SELECT COUNT(DISTINCT lower(x)) FROM t"
+    )
+    assert translate("SELECT x FROM t PREWHERE x > 0") == (
+        "SELECT x FROM t WHERE x > 0"
+    )
+    assert translate("SELECT x FROM t FORMAT JSONEachRow").rstrip() == (
+        "SELECT x FROM t"
+    )
+
+
+def test_ch_dialect_refuses_untranslatable():
+    import pytest as _pytest
+
+    from clickhouse_data_rebalance_spark.plans.ch_dialect import (
+        UnsupportedClickHouseSQL,
+        translate,
+    )
+
+    for sql in [
+        "SELECT x FROM t LIMIT 3 BY g",
+        "SELECT multiIf(a, 1, 2) FROM t",
+        "SELECT x FROM t SAMPLE 0.1",
+        # nested beyond one paren level inside a rewritten call must
+        # raise (residual check), never silently mistranslate
+        "SELECT sumIf(coalesce(a, nullif(b, 0)), c > least(d, e(f))) FROM t",
+    ]:
+        with _pytest.raises(UnsupportedClickHouseSQL):
+            translate(sql)
