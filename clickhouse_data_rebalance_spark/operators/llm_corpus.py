@@ -1,0 +1,305 @@
+"""Corpus-preparation operators for a training-data pipeline (the
+round-2 extension surface next to `llm_dedup` / `llm_text`): document
+chunking, PII redaction, deterministic dataset splits, and
+benchmark-contamination screening.
+
+Everything is split / slice / sequence / md5 expression work — zero
+Python in the row path — so each operator is a codegen'd corpus map or
+one bounded join. All four carry exact DuckDB oracle twins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..registry import query
+from ..tables import table
+from ..functions.text import tokens
+
+# chunking geometry: 40-token windows advancing by 30 (10-token overlap)
+CHUNK_W, CHUNK_S = 40, 30
+
+
+@query(
+    "chunk_documents",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+    ),
+    s AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             unnest(generate_series(0, len(toks) - 1, {CHUNK_S})) AS start
+      FROM t
+    )
+    SELECT doc_id,
+           start // {CHUNK_S} AS chunk_id,
+           array_to_string(toks[start + 1 : start + {CHUNK_W}], ' ')
+             AS chunk_text,
+           least({CHUNK_W}, n - start) AS n_chunk_tokens
+    FROM s ORDER BY doc_id, chunk_id
+    """,
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking: split each document into
+    {W}-token windows advancing by {S} tokens (context-window packing for
+    training; the overlap preserves cross-boundary n-grams).
+
+    Tokenize once, explode the window starts, then slice per row — flat
+    columns, not nested higher-order lambdas, so the text is split
+    exactly once per document (see functions/text.let_ for why).
+
+    Scale: a pure per-document flatMap in codegen — no shuffle, no
+    Python; output rows ≈ input tokens / stride, linear in corpus size.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    base = d.select("doc_id", toks.alias("toks"), F.size(toks).alias("n"))
+    starts = base.select(
+        "doc_id",
+        "toks",
+        "n",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n") - 1, F.lit(CHUNK_S))
+        ).alias("start"),
+    )
+    return starts.select(
+        "doc_id",
+        (F.col("start") / CHUNK_S).cast("bigint").alias("chunk_id"),
+        F.array_join(F.slice("toks", F.col("start") + 1, F.lit(CHUNK_W)), " ").alias(
+            "chunk_text"
+        ),
+        F.least(F.lit(CHUNK_W), F.col("n") - F.col("start"))
+        .cast("bigint")
+        .alias("n_chunk_tokens"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+chunk_documents.__doc__ = chunk_documents.__doc__.format(W=CHUNK_W, S=CHUNK_S)
+
+
+_EMAIL_RE = r"[a-z0-9._]+@[a-z0-9.-]+"
+_PHONE_RE = r"[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+_NUM_RE = r"[0-9]{4,}"
+
+
+@query(
+    "redact_pii",
+    f"""
+    WITH notes AS (
+      SELECT c_custkey,
+             c_name || ' <' || lower(regexp_replace(c_name, '[^A-Za-z0-9]', '', 'g'))
+               || '@example.com> call '
+               || lpad(CAST(10 + c_custkey % 80 AS VARCHAR), 2, '0') || '-'
+               || lpad(CAST(c_custkey * 7 % 1000 AS VARCHAR), 3, '0') || '-'
+               || lpad(CAST(c_custkey * 13 % 1000 AS VARCHAR), 3, '0') || '-'
+               || lpad(CAST(c_custkey * 31 % 10000 AS VARCHAR), 4, '0')
+               || ' ref ' || CAST(c_custkey * 1000003 AS VARCHAR) AS note
+      FROM customer WHERE c_custkey % 7 = 0
+    )
+    SELECT c_custkey,
+           regexp_replace(regexp_replace(regexp_replace(note,
+             '{_EMAIL_RE}', '[EMAIL]', 'g'),
+             '{_PHONE_RE}', '[PHONE]', 'g'),
+             '{_NUM_RE}', '[NUM]', 'g') AS note_redacted,
+           len(regexp_extract_all(note, '{_EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(note, '{_PHONE_RE}')) AS n_phones
+    FROM notes ORDER BY c_custkey
+    """,
+)
+def redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass: mask emails, phone numbers, then residual
+    long digit runs (in that order — phone fragments must not survive as
+    [NUM]s) over a composed free-text field, with per-row match counts
+    for the scrub audit.
+
+    Spark's regexp_replace is global; the DuckDB twin needs the
+    explicit 'g' flag — a known cross-engine trap.
+
+    Scale: row-local regex in codegen, zero shuffle; the modulo
+    predicate prunes at the scan.
+    """
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 7 == 0)
+    email = F.concat(
+        F.lower(F.regexp_replace("c_name", "[^A-Za-z0-9]", "")),
+        F.lit("@example.com"),
+    )
+    k = F.col("c_custkey")
+    pad = lambda c, n: F.lpad(c.cast("string"), n, "0")  # noqa: E731
+    phone = F.concat_ws(
+        "-",
+        pad(k % 80 + 10, 2),
+        pad(k * 7 % 1000, 3),
+        pad(k * 13 % 1000, 3),
+        pad(k * 31 % 10000, 4),
+    )
+    note = F.concat(
+        F.col("c_name"),
+        F.lit(" <"),
+        email,
+        F.lit("> call "),
+        phone,
+        F.lit(" ref "),
+        (k * 1000003).cast("string"),
+    )
+    masked = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(note, _EMAIL_RE, "[EMAIL]"),
+            _PHONE_RE,
+            "[PHONE]",
+        ),
+        _NUM_RE,
+        "[NUM]",
+    )
+    n_of = lambda pat: (  # noqa: E731
+        F.size(F.regexp_extract_all(note, F.lit(pat), F.lit(0))).cast("bigint")
+    )
+    return c.select(
+        "c_custkey",
+        masked.alias("note_redacted"),
+        n_of(_EMAIL_RE).alias("n_emails"),
+        n_of(_PHONE_RE).alias("n_phones"),
+    ).orderBy("c_custkey")
+
+
+def _md5_bucket(c, n: int):
+    """First 32 md5 bits of the key, mod n — engine-independent,
+    layout-independent, reproducible (same contract as
+    relational.sample_fraction / llm_text.sample_k_per_group)."""
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    ) % n
+
+
+@query(
+    "train_val_test_split",
+    """
+    WITH assigned AS (
+      SELECT lang, n_chars,
+             len(string_split(trim(text), ' ')) AS n_toks,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 100 AS bucket
+      FROM documents
+    )
+    SELECT lang,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           SUM(n_toks) AS n_tokens,
+           SUM(n_chars) AS sum_chars
+    FROM assigned GROUP BY 1, 2 ORDER BY lang, split
+    """,
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 dataset split: the md5-bucket of doc_id
+    assigns each document to train/val/test independent of run, engine,
+    partition layout, or corpus growth (a doc keeps its split when new
+    data arrives — the property RNG-based splits lack). Reported as
+    per-language token/char budgets, the mixture sheet a data-curation
+    run signs off on.
+
+    Scale: split assignment is a row-local expression; the only shuffle
+    is the tiny (lang, split) rollup of map-side partials.
+    """
+    d = table(spark, sf_dir, "documents")
+    bucket = _md5_bucket(F.col("doc_id"), 100)
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        d.select(
+            "lang",
+            split.alias("split"),
+            F.size(tokens("text")).cast("bigint").alias("n_toks"),
+            "n_chars",
+        )
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("lang", "split")
+    )
+
+
+_GRAM_K = 8  # contamination n-gram width
+
+
+@query(
+    "contamination_ngram_overlap",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(
+               array_to_string(toks[i : i + {_GRAM_K - 1}], ' ')), 1, 15))
+               AS BIGINT) AS gh
+      FROM (SELECT doc_id, toks,
+                   unnest(generate_series(1, len(toks) - {_GRAM_K - 1})) AS i
+            FROM t WHERE len(toks) >= {_GRAM_K})
+    ),
+    tg AS (SELECT DISTINCT doc_id, gh FROM g WHERE doc_id % 53 <> 0),
+    eg AS (SELECT DISTINCT gh FROM g WHERE doc_id % 53 = 0)
+    SELECT tg.doc_id,
+           COUNT(*) AS n_grams,
+           COUNT(eg.gh) AS n_shared,
+           ROUND(CAST(COUNT(eg.gh) AS DOUBLE) / COUNT(*), 9) AS contamination
+    FROM tg LEFT JOIN eg ON tg.gh = eg.gh
+    GROUP BY tg.doc_id ORDER BY tg.doc_id
+    """,
+)
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination screen: per training document, the share
+    of its distinct 8-gram hashes that also occur in the held-out set
+    (docs with doc_id % 53 = 0 stand in for the benchmark suite) — the
+    n-gram-overlap decontamination check run before training.
+
+    Gram generation is explode-the-start-index then slice — flat
+    columns, one tokenize per document. Grams travel as 60-bit md5
+    prefixes, never as text.
+
+    Scale: the eval side is benchmark-sized, so its distinct gram set
+    broadcasts and the corpus-sized train grams NEVER shuffle for the
+    probe; the only wide exchange is the per-doc distinct/count on
+    doc_id. Output is one row per training document.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    base = d.select("doc_id", toks.alias("t"), F.size(toks).alias("n")).filter(
+        F.col("n") >= _GRAM_K
+    )
+    grams = base.select(
+        "doc_id",
+        "t",
+        F.explode(F.sequence(F.lit(1), F.col("n") - (_GRAM_K - 1))).alias("i"),
+    ).select(
+        "doc_id",
+        F.conv(
+            F.substring(
+                F.md5(F.array_join(F.slice("t", F.col("i"), _GRAM_K), " ")), 1, 15
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("gh"),
+    )
+    is_eval = F.col("doc_id") % 53 == 0
+    train_g = grams.filter(~is_eval).distinct()
+    eval_g = (
+        grams.filter(is_eval).select(F.col("gh").alias("gh_e")).distinct()
+    )
+    probed = train_g.join(
+        F.broadcast(eval_g), train_g.gh == eval_g.gh_e, "left"
+    )
+    return (
+        probed.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count("gh_e").alias("n_shared"),
+            F.round(F.count("gh_e") / F.count("*"), 9).alias("contamination"),
+        )
+        .orderBy("doc_id")
+    )

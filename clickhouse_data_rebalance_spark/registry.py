@@ -164,6 +164,10 @@ DRIVER_ORDER_TIER2: list[str] = [
     "ch_dialect_rollup",
     "conditional_aggregates",
     "string_search_funcs",
+    "chunk_documents",
+    "redact_pii",
+    "train_val_test_split",
+    "contamination_ngram_overlap",
 ]
 
 
@@ -203,6 +207,6 @@ def load_all() -> None:
     from .plans import ch_dialect, rebalance_queries  # noqa: F401
     from .sources import connectors  # noqa: F401
     from .streaming import batch_windows, stream_ops  # noqa: F401
-    from .operators import llm_dedup, llm_similarity, llm_text, multimodal  # noqa: F401
+    from .operators import llm_corpus, llm_dedup, llm_similarity, llm_text, multimodal  # noqa: F401
     from .operators import analytics_ext, layout_quality  # noqa: F401
     _loaded = True

@@ -243,3 +243,28 @@ def test_scd2_reuses_one_user_partitioning(spark):
 def test_data_quality_fk_probe_is_broadcast(spark):
     plan = plan_of(spark, "data_quality_checks")
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_chunking_is_shuffle_free(spark):
+    # chunk_documents is a per-document flatMap; only the final
+    # presentation sort may exchange
+    plan = plan_of(spark, "chunk_documents")
+    body = plan.split("Sort")[0]
+    assert "Exchange" not in body
+    assert "Generate" in plan  # explode of window starts
+
+
+def test_contamination_probe_broadcasts_eval_grams(spark):
+    # the benchmark-side gram set must broadcast; corpus grams must not
+    # shuffle for the probe join
+    plan = plan_of(spark, "contamination_ngram_overlap")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_split_assignment_is_row_local(spark):
+    # only the (lang, split) rollup shuffles — exactly one exchange
+    # pair (partial/final agg) plus the presentation sort
+    plan = plan_of(spark, "train_val_test_split")
+    n_exchanges = plan.count("Exchange")
+    assert n_exchanges <= 4, plan  # hashagg exchange + sort exchange (+AQE reuse lines)

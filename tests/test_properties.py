@@ -242,3 +242,87 @@ def test_ch_dialect_refuses_untranslatable():
     ]:
         with _pytest.raises(UnsupportedClickHouseSQL):
             translate(sql)
+
+
+# ---------------------------------------------------------------------------
+# Corpus-preparation operators (operators/llm_corpus.py)
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_documents_covers_every_token(spark, sf_dir):
+    """Chunks start at 0, advance by the stride, and the last chunk ends
+    exactly at the document's token count — no token dropped or invented."""
+    from clickhouse_data_rebalance_spark.operators.llm_corpus import (
+        CHUNK_S,
+        CHUNK_W,
+        chunk_documents,
+    )
+    from clickhouse_data_rebalance_spark.functions.text import tokens
+    from clickhouse_data_rebalance_spark.tables import table
+    from pyspark.sql import functions as F
+
+    n_toks = {
+        r["doc_id"]: r["n"]
+        for r in table(spark, sf_dir, "documents")
+        .select("doc_id", F.size(tokens("text")).alias("n"))
+        .collect()
+    }
+    by_doc: dict[int, list] = {}
+    for r in chunk_documents(spark, sf_dir).collect():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(n_toks)
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_id"])
+        n = n_toks[doc_id]
+        assert [c["chunk_id"] for c in chunks] == list(range(len(chunks)))
+        for c in chunks:
+            start = c["chunk_id"] * CHUNK_S
+            assert c["n_chunk_tokens"] == min(CHUNK_W, n - start)
+            assert len(c["chunk_text"].split(" ")) == c["n_chunk_tokens"]
+        last = chunks[-1]
+        assert last["chunk_id"] * CHUNK_S + last["n_chunk_tokens"] == n
+        # stride < width => consecutive chunks overlap, none skipped
+        assert (len(chunks) - 1) * CHUNK_S < n
+
+
+def test_redact_pii_leaves_no_pii(spark, sf_dir):
+    import re
+
+    from clickhouse_data_rebalance_spark.operators.llm_corpus import redact_pii
+
+    rows = redact_pii(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        s = r["note_redacted"]
+        assert "@example.com" not in s and "@" not in s.replace("[EMAIL]", "")
+        assert not re.search(r"[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}", s)
+        assert not re.search(r"[0-9]{4,}", s)
+        assert r["n_emails"] == 1 and r["n_phones"] == 1
+
+
+def test_train_val_test_split_deterministic_and_complete(spark, sf_dir):
+    from clickhouse_data_rebalance_spark.operators.llm_corpus import (
+        train_val_test_split,
+    )
+    from clickhouse_data_rebalance_spark.tables import table
+
+    a = [tuple(r) for r in train_val_test_split(spark, sf_dir).collect()]
+    b = [tuple(r) for r in train_val_test_split(spark, sf_dir).collect()]
+    assert a == b, "split assignment must be run-independent"
+    total = sum(r[2] for r in a)
+    assert total == table(spark, sf_dir, "documents").count()
+    train = sum(r[2] for r in a if r[1] == "train")
+    assert 0.7 <= train / total <= 0.9, "md5 bucketing should land near 80%"
+
+
+def test_contamination_excludes_eval_docs_and_bounds_ratio(spark, sf_dir):
+    from clickhouse_data_rebalance_spark.operators.llm_corpus import (
+        contamination_ngram_overlap,
+    )
+
+    rows = contamination_ngram_overlap(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["doc_id"] % 53 != 0, "held-out docs must not appear as train"
+        assert 0 <= r["n_shared"] <= r["n_grams"]
+        assert abs(r["contamination"] - round(r["n_shared"] / r["n_grams"], 9)) < 1e-12
