@@ -51,6 +51,11 @@ HEADLINE = [
     "ngram_repetition_quality",
     "zorder_clustering",
     "scd2_intervals",
+    # round 2, second wave: corpus-prep + multi-grain surface
+    "chunk_documents",
+    "contamination_ngram_overlap",
+    "bpe_merge_step",
+    "multi_grain_rollup",
 ]
 
 

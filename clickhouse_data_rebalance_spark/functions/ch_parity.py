@@ -419,3 +419,124 @@ def string_search_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_scan"),
         (F.size(F.split("text", "data")) - 1).cast("bigint").alias("n_data"),
     ).orderBy("doc_id")
+
+
+@query(
+    "dict_get_lookup",
+    f"""
+    SELECT r_name AS region_name,
+           COUNT(*) AS n_custs,
+           COUNT(DISTINCT n_name) AS n_nations,
+           {sql_dec_sum('c_acctbal')} AS sum_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name ORDER BY region_name
+    """,
+)
+def dict_get_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse external-dictionary parity (`dictGet('nation', 'name',
+    key)`): the nation/region dimensions are collected once (25 + 5 rows
+    — dictionary metadata, same driver-side exception as IVF centroids)
+    and pinned as literal maps, so enrichment is a pure row-local
+    expression — no join operator, not even a broadcast exchange.
+
+    Scale: removes two joins from the fact path entirely; the dictionary
+    rebuild is a per-batch metadata read exactly like ClickHouse's
+    dictionary refresh. The oracle states the equivalent joins."""
+    nat = {
+        r["n_nationkey"]: (r["n_name"], r["n_regionkey"])
+        for r in table(spark, sf_dir, "nation").collect()
+    }
+    reg = {r["r_regionkey"]: r["r_name"] for r in table(spark, sf_dir, "region").collect()}
+    nation_name = F.create_map(
+        *[F.lit(x) for k, (name, _) in sorted(nat.items()) for x in (k, name)]
+    )
+    region_name = F.create_map(
+        *[F.lit(x) for k, (_, rk) in sorted(nat.items()) for x in (k, reg[rk])]
+    )
+    c = table(spark, sf_dir, "customer")
+    key = F.col("c_nationkey")
+    return (
+        c.select(
+            region_name[key].alias("region_name"),
+            nation_name[key].alias("nation_name"),
+            "c_acctbal",
+        )
+        .groupBy("region_name")
+        .agg(
+            F.count("*").alias("n_custs"),
+            F.countDistinct("nation_name").alias("n_nations"),
+            dec_sum("c_acctbal").alias("sum_acctbal"),
+        )
+        .orderBy("region_name")
+    )
+
+
+@query(
+    "format_funcs",
+    """
+    WITH t AS (
+      SELECT o_orderkey,
+             (CAST(ROUND(o_totalprice * 100) AS BIGINT) << (o_orderkey % 20)) AS b
+      FROM orders WHERE o_orderkey % 101 = 0
+    ),
+    u AS (
+      SELECT o_orderkey, b,
+             CASE WHEN b < 1024 THEN 0 WHEN b < 1048576 THEN 1
+                  WHEN b < 1073741824 THEN 2
+                  WHEN b < 1099511627776 THEN 3 ELSE 4 END AS i
+      FROM t
+    )
+    SELECT o_orderkey, b AS n_bytes,
+           CAST(b // (CAST(1 AS BIGINT) << (10 * i)) AS VARCHAR) || '.'
+             || lpad(CAST((b % (CAST(1 AS BIGINT) << (10 * i))) * 100 // (CAST(1 AS BIGINT) << (10 * i))
+                          AS VARCHAR), 2, '0')
+             || ' ' || ['B', 'KiB', 'MiB', 'GiB', 'TiB'][i + 1]
+             AS readable_size,
+           repeat('#', CAST(o_orderkey % 11 AS INTEGER)) AS bar10
+    FROM u ORDER BY o_orderkey
+    """,
+)
+def format_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse presentation-function parity (`formatReadableSize`,
+    `bar`): human-readable byte sizes and inline histogram bars.
+
+    The two-decimal mantissa is computed with INTEGER arithmetic
+    (quotient + scaled remainder against a power-of-two divisor), so
+    both engines format bit-identically — float division + round would
+    diverge at half-ulp boundaries.
+
+    Scale: row-local codegen string ops; the modulo filter prunes at
+    the scan."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 101 == 0)
+    # shiftleft with a COLUMN shift amount is SQL-only (the Python
+    # wrapper insists on a literal int)
+    b = F.expr(
+        "shiftleft(CAST(ROUND(o_totalprice * 100) AS BIGINT), CAST(o_orderkey % 20 AS INT))"
+    )
+    t = o.select("o_orderkey", b.alias("b"))
+    i = (
+        F.when(F.col("b") < 1024, 0)
+        .when(F.col("b") < 1048576, 1)
+        .when(F.col("b") < 1073741824, 2)
+        .when(F.col("b") < 1099511627776, 3)
+        .otherwise(4)
+    )
+    u = t.select("o_orderkey", "b", i.alias("i"))
+    div = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(i * 10 AS INT))")
+    whole = F.floor(F.col("b") / div).cast("bigint")
+    frac2 = F.floor((F.col("b") % div) * 100 / div).cast("bigint")
+    units = F.array(*[F.lit(s) for s in ["B", "KiB", "MiB", "GiB", "TiB"]])
+    return u.select(
+        "o_orderkey",
+        F.col("b").alias("n_bytes"),
+        F.concat(
+            whole.cast("string"),
+            F.lit("."),
+            F.lpad(frac2.cast("string"), 2, "0"),
+            F.lit(" "),
+            F.element_at(units, F.col("i") + 1),
+        ).alias("readable_size"),
+        F.expr("repeat('#', CAST(o_orderkey % 11 AS INT))").alias("bar10"),
+    ).orderBy("o_orderkey")

@@ -625,3 +625,130 @@ def weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "multi_grain_rollup",
+    f"""
+    WITH g AS (
+      SELECT date_trunc('hour', ts) AS h, date_trunc('day', ts) AS d,
+             date_trunc('month', ts) AS m, value
+      FROM events
+    )
+    SELECT CASE WHEN GROUPING(h) = 0 THEN 'hour'
+                WHEN GROUPING(d) = 0 THEN 'day' ELSE 'month' END AS grain,
+           COALESCE(h, d, m) AS bucket_start,
+           COUNT(*) AS n_events,
+           {sql_dec_sum('value')} AS total_value
+    FROM g GROUP BY GROUPING SETS ((h), (d), (m))
+    ORDER BY grain, bucket_start
+    """,
+)
+def multi_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-grain time rollup in ONE pass: hour, day, and month
+    aggregates from a single scan via GROUPING SETS — the ClickHouse
+    cascading-materialized-view pattern (hourly MV feeding daily feeding
+    monthly) collapsed into one job.
+
+    Scale: one scan + one expand + one shuffle instead of three separate
+    jobs (or an MV chain with refresh lag); partial aggregation still
+    applies map-side per grain, and the hour grain dominates the row
+    count so the expand factor stays under 3/2."""
+    from ..tables import load_tables
+
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        f"""
+        WITH g AS (
+          SELECT date_trunc('hour', ts) AS h, date_trunc('day', ts) AS d,
+                 date_trunc('month', ts) AS m, value
+          FROM events
+        )
+        SELECT CASE WHEN GROUPING(h) = 0 THEN 'hour'
+                    WHEN GROUPING(d) = 0 THEN 'day' ELSE 'month' END AS grain,
+               COALESCE(h, d, m) AS bucket_start,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS total_value
+        FROM g GROUP BY GROUPING SETS ((h), (d), (m))
+        ORDER BY grain, bucket_start
+        """
+    )
+
+
+@query(
+    "concurrent_sessions",
+    """
+    WITH b AS (
+      SELECT CAST(ts AS DATE) AS day, ts AS bts, 1 AS delta FROM events
+      UNION ALL
+      SELECT CAST(ts + INTERVAL 5 MINUTE AS DATE), ts + INTERVAL 5 MINUTE, -1
+      FROM events
+    ),
+    r AS (
+      SELECT day, delta,
+             SUM(delta) OVER (PARTITION BY day ORDER BY bts, delta
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS run
+      FROM b
+    ),
+    c AS (
+      SELECT CAST(ts + INTERVAL 5 MINUTE AS DATE) AS day, COUNT(*) AS carry
+      FROM events
+      WHERE CAST(ts AS DATE) < CAST(ts + INTERVAL 5 MINUTE AS DATE)
+      GROUP BY 1
+    )
+    SELECT r.day,
+           SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS n_starts,
+           COALESCE(MAX(c.carry), 0) + GREATEST(0, MAX(run)) AS max_concurrent
+    FROM r LEFT JOIN c ON r.day = c.day
+    GROUP BY r.day ORDER BY r.day
+    """,
+)
+def concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse `runningConcurrency` analog: peak number of
+    simultaneously-open 5-minute sessions per day, via the boundary
+    trick — each interval emits (+1 at start, -1 at end), a running sum
+    over ordered boundaries IS the concurrency curve.
+
+    The prefix sum is PARTITIONED BY DAY (not one global window): each
+    day's curve starts from a carry-in count of sessions spanning
+    midnight, computed by a tiny per-day aggregate that broadcast-joins
+    back. Sessions shorter than the grain guarantee the carry never
+    reaches further than one day. For coarser partitions at 100 TB the
+    two-level prefix-sum pattern (pack_token_shards) applies instead.
+    """
+    e = table(spark, sf_dir, "events")
+    ts_end = F.col("ts") + F.expr("INTERVAL 5 MINUTES")
+    starts = e.select(
+        F.to_date("ts").alias("day"), F.col("ts").alias("bts"), F.lit(1).alias("delta")
+    )
+    ends = e.select(
+        F.to_date(ts_end).alias("day"), ts_end.alias("bts"), F.lit(-1).alias("delta")
+    )
+    w = (
+        W.partitionBy("day")
+        .orderBy("bts", "delta")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    r = starts.unionAll(ends).withColumn("run", F.sum("delta").over(w))
+    carry = (
+        e.filter(F.to_date("ts") < F.to_date(ts_end))
+        .groupBy(F.to_date(ts_end).alias("day"))
+        .agg(F.count("*").alias("carry"))
+    )
+    return (
+        r.groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("delta") == 1, 1).otherwise(0)).alias("n_starts"),
+            F.max("run").alias("mx"),
+        )
+        .join(F.broadcast(carry), "day", "left")
+        .select(
+            "day",
+            F.col("n_starts").cast("bigint").alias("n_starts"),
+            (F.coalesce(F.col("carry"), F.lit(0)) + F.greatest(F.lit(0), F.col("mx")))
+            .cast("bigint")
+            .alias("max_concurrent"),
+        )
+        .orderBy("day")
+    )

@@ -303,3 +303,48 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "bpe_merge_step",
+    """
+    WITH t AS (
+      SELECT string_split(trim(text), ' ') AS toks FROM documents
+    ),
+    p AS (
+      SELECT toks[i] || ' ' || toks[i + 1] AS pair
+      FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+            FROM t WHERE len(toks) >= 2)
+    )
+    SELECT pair, COUNT(*) AS n_occurrences
+    FROM p GROUP BY pair ORDER BY n_occurrences DESC, pair LIMIT 20
+    """,
+)
+def bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One step of BPE-style vocabulary induction: the most frequent
+    adjacent token pairs across the corpus (the pair a byte-pair-encoding
+    trainer would merge next). A full trainer loops this query, rewriting
+    the token stream with the winning merge each round.
+
+    Scale: explode to bigrams (map-side combine collapses each partition
+    to one row per distinct pair before the shuffle), then a global
+    top-20 via TakeOrderedAndProject — no full sort, no driver-side
+    counting. Ties break on the pair text so the winner is deterministic
+    across engines and runs.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    base = d.select(toks.alias("t"), F.size(toks).alias("n")).filter(F.col("n") >= 2)
+    pairs = base.select(
+        F.explode(F.sequence(F.lit(1), F.col("n") - 1)).alias("i"), "t"
+    ).select(
+        F.concat_ws(
+            " ", F.element_at("t", F.col("i")), F.element_at("t", F.col("i") + 1)
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("pair"))
+        .limit(20)
+    )

@@ -168,6 +168,12 @@ DRIVER_ORDER_TIER2: list[str] = [
     "redact_pii",
     "train_val_test_split",
     "contamination_ngram_overlap",
+    "dict_get_lookup",
+    "format_funcs",
+    "multi_grain_rollup",
+    "concurrent_sessions",
+    "stream_sliding_equiv",
+    "bpe_merge_step",
 ]
 
 

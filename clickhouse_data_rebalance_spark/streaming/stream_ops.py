@@ -446,3 +446,42 @@ def stream_session_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_value",
     ).orderBy("user_id", "session_start")
+
+
+@query(
+    "stream_sliding_equiv",
+    f"""
+    WITH starts AS (
+      SELECT unnest(generate_series(
+               TIMESTAMP '2023-12-31 23:15:00',
+               TIMESTAMP '2024-01-31 00:00:00',
+               INTERVAL '15 minutes')) AS win_start
+    )
+    SELECT s.win_start,
+           COUNT(*) AS n_events,
+           {sql_dec_sum('e.value')} AS total_value
+    FROM events e JOIN starts s
+      ON e.ts >= s.win_start AND e.ts < s.win_start + INTERVAL '1 hour'
+    GROUP BY s.win_start
+    ORDER BY s.win_start
+    """,
+)
+def stream_sliding_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C49 as a real stream: 1-hour windows sliding every 15 min over
+    the replayed events, complete-mode memory sink — each event lands in
+    4 overlapping window states; the final table must equal the batch
+    range-join oracle (the same one sliding_window_agg states).
+
+    Scale: sliding state is 4× tumbling state but still bounded by
+    (windows in watermark horizon) × groups, independent of stream
+    length."""
+    table(spark, sf_dir, "events")  # ensures session confs (nanosAsLong)
+    agg = (
+        events_stream(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dec_sum("value").alias("total_value"))
+    )
+    out = run_to_memory(agg, "stream_sliding_out", "complete")
+    return out.select(
+        F.col("w.start").alias("win_start"), "n_events", "total_value"
+    ).orderBy("win_start")

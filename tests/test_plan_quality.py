@@ -268,3 +268,26 @@ def test_split_assignment_is_row_local(spark):
     plan = plan_of(spark, "train_val_test_split")
     n_exchanges = plan.count("Exchange")
     assert n_exchanges <= 4, plan  # hashagg exchange + sort exchange (+AQE reuse lines)
+
+
+def test_dict_get_lookup_has_no_join_operator(spark):
+    # dictionary enrichment must be a pure expression — no join, not
+    # even a broadcast one
+    plan = plan_of(spark, "dict_get_lookup")
+    assert "Join" not in plan, plan
+
+
+def test_multi_grain_rollup_single_scan(spark):
+    # hour+day+month grains from ONE events scan via Expand
+    plan = plan_of(spark, "multi_grain_rollup")
+    assert "Expand" in plan
+    import re
+
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_concurrent_sessions_window_is_day_partitioned(spark):
+    # the prefix sum must run per-day, never in one global partition
+    plan = plan_of(spark, "concurrent_sessions")
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(day" in plan
