@@ -512,13 +512,20 @@ def ngram_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda i: F.array_join(F.slice("w", i + 1, 5), " "),
     )
     g = d.select("doc_id", ngrams.alias("ngrams"))
-    n = F.size("ngrams").cast("bigint")
-    nd = F.size(F.array_distinct("ngrams")).cast("bigint")
-    dup = 1.0 - nd.cast("double") / n.cast("double")
-    return g.select(
+    # project the two sizes FIRST: dup_frac and keep_doc then reference
+    # plain columns, so array_distinct runs once per row, not three times
+    g2 = g.select(
         "doc_id",
-        n.alias("n_ngrams"),
-        nd.alias("n_distinct_ngrams"),
+        F.size("ngrams").cast("bigint").alias("n_ngrams"),
+        F.size(F.array_distinct("ngrams")).cast("bigint").alias("n_distinct_ngrams"),
+    )
+    dup = 1.0 - F.col("n_distinct_ngrams").cast("double") / F.col("n_ngrams").cast(
+        "double"
+    )
+    return g2.select(
+        "doc_id",
+        "n_ngrams",
+        "n_distinct_ngrams",
         F.round(dup, 9).alias("dup_frac"),
         (dup <= 0.2).alias("keep_doc"),
     ).orderBy("doc_id")

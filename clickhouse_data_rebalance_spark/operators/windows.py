@@ -187,3 +187,45 @@ def top_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .orderBy("c_nationkey", "rn")
     )
+
+
+@query(
+    "window_distribution",
+    """
+    SELECT o_custkey, o_orderkey,
+           ROUND(PERCENT_RANK() OVER w, 9) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 9) AS cume,
+           ROUND(CAST(o_totalprice AS DOUBLE)
+                 / CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) OVER p
+                        AS DOUBLE), 9) AS share_of_cust
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey),
+           p AS (PARTITION BY o_custkey)
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C15 completion: distribution window functions — percent_rank,
+    cume_dist, and ratio-to-report (each order's share of its customer's
+    total spend).
+
+    The share denominator accumulates through DECIMAL so the partition
+    sum is order-independent and exact in both engines; the final
+    division is one double op on identical operands. ORDER BY carries the
+    unique o_orderkey tiebreaker so ranks are total.
+
+    Scale: one hash partitioning on o_custkey serves all three windows
+    (same partition key); no global sort beyond presentation."""
+    o = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    p = W.partitionBy("o_custkey")
+    share = F.col("o_totalprice").cast("double") / F.sum(
+        F.col("o_totalprice").cast(_DEC)
+    ).over(p).cast("double")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cume"),
+        F.round(share, 9).alias("share_of_cust"),
+    ).orderBy("o_custkey", "o_orderkey")

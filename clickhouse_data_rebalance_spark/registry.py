@@ -174,6 +174,7 @@ DRIVER_ORDER_TIER2: list[str] = [
     "concurrent_sessions",
     "stream_sliding_equiv",
     "bpe_merge_step",
+    "window_distribution",
 ]
 
 
