@@ -39,6 +39,7 @@ translator raises rather than mistranslating when it cannot match).
 
 from __future__ import annotations
 
+import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -62,11 +63,13 @@ _REFUSALS: list[tuple[re.Pattern[str], str]] = [
     (re.compile(r"\bON\s+CLUSTER\b", re.I), "cluster DDL is Spark-global (A4)"),
 ]
 
-# an argument: non-paren/comma text, allowing one level of nested
+# an argument: non-paren/comma text, allowing single-quoted literals
+# (whose internal commas/parens are opaque) and one level of nested
 # parenthesized calls (whose internal commas are fine) — so
-# `toUInt32(count(*))` or `uniqExact(lower(x))` match; deeper nesting
-# falls through to the residual check, which raises
-_ARG = r"([^(),]*(?:\([^()]*\)[^(),]*)*)"
+# `toUInt32(count(*))`, `uniqExact(lower(x))`, `splitByChar(',', s)`
+# match; deeper nesting falls through to the residual check, which raises
+_ATOM = r"(?:'[^']*'|[^'(),])"
+_ARG = rf"({_ATOM}*(?:\([^()]*\){_ATOM}*)*)"
 
 _REWRITES: list[tuple[re.Pattern[str], str]] = [
     # argless count() is ClickHouse-legal; Spark wants count(*)
@@ -79,6 +82,10 @@ _REWRITES: list[tuple[re.Pattern[str], str]] = [
     (re.compile(r"\btoDate\s*\(", re.I), "to_date("),
     # ---- date rounding ----
     (
+        re.compile(rf"\btoStartOfHour\s*\(\s*{_ARG}\s*\)", re.I),
+        r"date_trunc('hour', \1)",
+    ),
+    (
         re.compile(rf"\btoStartOfDay\s*\(\s*{_ARG}\s*\)", re.I),
         r"date_trunc('day', \1)",
     ),
@@ -89,6 +96,10 @@ _REWRITES: list[tuple[re.Pattern[str], str]] = [
     (
         re.compile(rf"\btoStartOfYear\s*\(\s*{_ARG}\s*\)", re.I),
         r"CAST(date_trunc('year', \1) AS DATE)",
+    ),
+    (
+        re.compile(rf"\btoYYYYMMDD\s*\(\s*{_ARG}\s*\)", re.I),
+        r"CAST(date_format(\1, 'yyyyMMdd') AS BIGINT)",
     ),
     (
         re.compile(rf"\btoYYYYMM\s*\(\s*{_ARG}\s*\)", re.I),
@@ -104,6 +115,18 @@ _REWRITES: list[tuple[re.Pattern[str], str]] = [
     (re.compile(r"\buniq(Combined|HLL12)?\s*\(", re.I), "approx_count_distinct("),
     (re.compile(r"\bany(Last)?\s*\(", re.I), "any_value("),
     # ---- misc scalar ----
+    (
+        re.compile(rf"\bintDiv\s*\(\s*{_ARG}\s*,\s*{_ARG}\s*\)", re.I),
+        r"(\1 div \2)",
+    ),
+    (
+        re.compile(rf"\bsplitByChar\s*\(\s*{_ARG}\s*,\s*{_ARG}\s*\)", re.I),
+        r"split(\2, \1)",  # ClickHouse takes (sep, s); Spark takes (s, sep)
+    ),
+    (re.compile(r"\bhas\s*\(", re.I), "array_contains("),
+    (re.compile(r"\bindexOf\s*\(", re.I), "array_position("),
+    (re.compile(r"\barrayStringConcat\s*\(", re.I), "array_join("),
+    (re.compile(r"\blengthUTF8\s*\(", re.I), "length("),
     (re.compile(r"\barrayJoin\s*\(", re.I), "explode("),
     (re.compile(rf"\bnotEmpty\s*\(\s*{_ARG}\s*\)", re.I), r"(length(\1) > 0)"),
     (re.compile(rf"\bempty\s*\(\s*{_ARG}\s*\)", re.I), r"(length(\1) = 0)"),
@@ -116,8 +139,9 @@ _REWRITES: list[tuple[re.Pattern[str], str]] = [
 # any surviving ClickHouse-only name means a rewrite failed to match
 # (e.g. nested arguments) — refuse rather than ship wrong SQL
 _RESIDUALS = re.compile(
-    r"\b(toU?Int\d+|toFloat\d+|toString|toStartOf\w+|toYYYYMM|sumIf|avgIf"
-    r"|minIf|maxIf|uniqExact|arrayJoin|notEmpty|multiIf)\s*\(",
+    r"\b(toU?Int\d+|toFloat\d+|toString|toStartOf\w+|toYYYYMM(DD)?|sumIf|avgIf"
+    r"|minIf|maxIf|uniqExact|arrayJoin|notEmpty|multiIf|intDiv|splitByChar"
+    r"|arrayStringConcat|lengthUTF8)\s*\(",
     re.I,
 )
 
@@ -198,3 +222,166 @@ def ch_dialect_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     treats it like any native plan — pushdown, partial aggregation, AQE
     all apply; the modulo PREWHERE lands in the scan as a WHERE."""
     return ch_sql(spark, sf_dir, _CH_QUERY)
+
+
+# ---------------------------------------------------------------------------
+# DDL translation: the reference's whole job is string surgery over
+# ClickHouse CREATE TABLE statements (sharding_recreation.py:49-107
+# versions table names inside raw DDL, :71-76 injects IF NOT EXISTS).
+# This shim does the Spark-native equivalent for a user's MergeTree DDL.
+# ---------------------------------------------------------------------------
+
+_CH_TYPE_MAP: list[tuple[re.Pattern[str], str]] = [
+    (re.compile(r"\bLowCardinality\s*\(\s*([^()]+)\s*\)", re.I), r"\1"),
+    (re.compile(r"\bNullable\s*\(\s*([^()]+)\s*\)", re.I), r"\1"),
+    (re.compile(r"\bUInt(8|16)\b"), "INT"),
+    (re.compile(r"\bUInt(32|64)\b"), "BIGINT"),
+    (re.compile(r"\bInt(8|16|32)\b"), "INT"),
+    (re.compile(r"\bInt64\b"), "BIGINT"),
+    (re.compile(r"\bFloat32\b"), "FLOAT"),
+    (re.compile(r"\bFloat64\b"), "DOUBLE"),
+    (re.compile(r"\bFixedString\s*\(\s*\d+\s*\)", re.I), "STRING"),
+    (re.compile(r"\bString\b"), "STRING"),
+    (re.compile(r"\bDateTime64?\s*(\(\s*\d+\s*\))?", re.I), "TIMESTAMP"),
+    (re.compile(r"\bDate\b"), "DATE"),
+    # Array(T) after element translation
+    (re.compile(r"\bArray\s*\(\s*([^()]+)\s*\)", re.I), r"ARRAY<\1>"),
+]
+
+_DDL_REFUSALS: list[tuple[re.Pattern[str], str]] = [
+    (
+        re.compile(r"\bCREATE\s+MATERIALIZED\s+VIEW\b", re.I),
+        "use streaming/stream_ops.stream_mv_maintain (B5)",
+    ),
+    (re.compile(r"\bTTL\b", re.I), "use ttl_expiry (table-TTL analog)"),
+    (
+        re.compile(r"\bPARTITION\s+BY\s+\w+\s*\(", re.I),
+        "expression partitioning: derive the column first "
+        "(sources.sink_partitioned_parquet shows the shape)",
+    ),
+]
+
+
+def translate_ddl(ch_ddl: str) -> str:
+    """Translate a ClickHouse MergeTree CREATE TABLE to Spark SQL DDL.
+
+    Handles: IF NOT EXISTS, ON CLUSTER (stripped — the Spark catalog is
+    cluster-global, SURVEY A4), the scalar/array type system,
+    ENGINE = *MergeTree(...) -> USING parquet, bare-column PARTITION BY,
+    and ORDER BY (the MergeTree sort key), which Spark tables do not
+    declare — it is preserved as a trailing comment so a writer can apply
+    sortWithinPartitions / zorder_clustering at load time.
+
+    Refuses (with the native replacement): MATERIALIZED VIEW DDL, TTL
+    clauses, expression partitioning.
+
+    Caveat for INSERTs that follow: Spark relocates partition columns to
+    the END of the table schema, so positional ClickHouse INSERTs against
+    the declared column order can bind wrong — use by-name inserts
+    (``INSERT INTO t (cols…) SELECT``), which both dialects support.
+    """
+    for pat, hint in _DDL_REFUSALS:
+        if pat.search(ch_ddl):
+            raise UnsupportedClickHouseSQL(
+                f"{pat.pattern!r} has no one-line Spark DDL equivalent — {hint}"
+            )
+    s = " ".join(ch_ddl.split())
+    s = re.sub(r"\s+ON\s+CLUSTER\s+'?\{?\w+\}?'?", "", s, flags=re.I)
+    for pat, repl in _CH_TYPE_MAP:
+        s = pat.sub(repl, s)
+    # ORDER BY (sort key) -> comment; PARTITION BY col -> PARTITIONED BY
+    sort_key = None
+    m = re.search(r"\bORDER\s+BY\s+(\([^)]*\)|[\w.]+)", s, flags=re.I)
+    if m:
+        sort_key = m.group(1).strip("()")
+        s = s[: m.start()] + s[m.end() :]
+    part = None
+    m = re.search(r"\bPARTITION\s+BY\s+(\w+)", s, flags=re.I)
+    if m:
+        part = m.group(1)
+        s = s[: m.start()] + s[m.end() :]
+    m = re.search(r"\bENGINE\s*=\s*\w*MergeTree\s*(\([^)]*\))?", s, flags=re.I)
+    if not m:
+        raise UnsupportedClickHouseSQL(
+            "only *MergeTree engines translate (Distributed tables are "
+            "Spark-meaningless: every table is cluster-global, SURVEY A4)"
+        )
+    s = s[: m.start()] + "USING parquet" + s[m.end() :]
+    s = re.sub(r"\bSETTINGS\s+.*$", "", s, flags=re.I)
+    if part:
+        s += f" PARTITIONED BY ({part})"
+    s = " ".join(s.split())
+    if sort_key:
+        s += f" /* MergeTree sort key: {sort_key} — apply at write time */"
+    return s
+
+
+_CH_DDL = """
+    CREATE TABLE IF NOT EXISTS cdr_ddl_demo ON CLUSTER '{cluster}' (
+        o_orderkey UInt64,
+        o_orderstatus LowCardinality(String),
+        o_totalprice Float64,
+        flag Nullable(UInt8)
+    ) ENGINE = MergeTree()
+    PARTITION BY o_orderstatus
+    ORDER BY (o_orderkey)
+    SETTINGS index_granularity = 8192
+"""
+
+# the INSERT names its columns: Spark relocates partition columns to the
+# schema tail, so a positional ClickHouse INSERT would bind wrong —
+# by-name inserts are order-proof in both dialects (translate_ddl's
+# docstring carries the caveat)
+_CH_INSERT = """
+    INSERT INTO cdr_ddl_demo (o_orderkey, o_orderstatus, o_totalprice, flag)
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           toUInt32(o_orderkey % 2)
+    FROM orders PREWHERE o_orderkey % 31 = 0
+"""
+
+_CH_READBACK = """
+    SELECT o_orderstatus,
+           toUInt32(count()) AS n_rows,
+           uniqExact(o_orderkey) AS n_keys,
+           sumIf(flag, o_totalprice > 100000) AS n_flagged_big
+    FROM cdr_ddl_demo
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+@query(
+    "ch_ddl_roundtrip",
+    """
+    SELECT o_orderstatus,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT o_orderkey) AS n_keys,
+           SUM(o_orderkey % 2) FILTER (WHERE o_totalprice > 100000)
+             AS n_flagged_big
+    FROM orders WHERE o_orderkey % 31 = 0
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def ch_ddl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's DDL pipeline end-to-end in the shim: a verbatim
+    ClickHouse MergeTree CREATE (ON CLUSTER, LowCardinality/Nullable
+    types, PARTITION BY, sort key, SETTINGS) is translated and executed,
+    a ClickHouse INSERT-SELECT (the reference's one real query shape,
+    `sharding_recreation.py:145-161`) populates it through
+    ``translate``, and a combinator-laden readback must match the oracle
+    computed straight from the source table.
+
+    Scale: the created table is partitioned as declared; the INSERT is
+    an ordinary pushed-filter scan + partitioned write."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
+    spark.sql("DROP TABLE IF EXISTS cdr_ddl_demo")
+    # a crashed prior run can leave files at the managed location, which
+    # CREATE IF NOT EXISTS would silently adopt (the pipeline.py lesson)
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")).path
+    shutil.rmtree(os.path.join(wh, "cdr_ddl_demo"), ignore_errors=True)
+    spark.sql(translate_ddl(_CH_DDL))
+    spark.sql(translate(_CH_INSERT))
+    return spark.sql(translate(_CH_READBACK))

@@ -175,6 +175,8 @@ DRIVER_ORDER_TIER2: list[str] = [
     "stream_sliding_equiv",
     "bpe_merge_step",
     "window_distribution",
+    "ch_ddl_roundtrip",
+    "stream_static_enrich",
 ]
 
 

@@ -485,3 +485,34 @@ def stream_sliding_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("w.start").alias("win_start"), "n_events", "total_value"
     ).orderBy("win_start")
+
+
+@query(
+    "stream_static_enrich",
+    f"""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_events,
+           {sql_dec_sum('value')} AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the replayed event stream enriched against the
+    static customer dimension (the lookup-table pattern — ClickHouse
+    would use a dictionary or a JOIN to a small table), then aggregated
+    per segment in complete mode.
+
+    Scale: the static side broadcasts once per micro-batch planning
+    cycle — no stream-side state for the join at all (unlike
+    stream-stream joins, which buffer both sides); aggregate state is
+    |segments| rows."""
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    agg = (
+        events_stream(spark, sf_dir)
+        .join(F.broadcast(cust), F.col("user_id") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_events"), dec_sum("value").alias("total_value"))
+    )
+    out = run_to_memory(agg, "stream_static_out", "complete")
+    return out.orderBy("c_mktsegment")

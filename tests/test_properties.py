@@ -326,3 +326,66 @@ def test_contamination_excludes_eval_docs_and_bounds_ratio(spark, sf_dir):
         assert r["doc_id"] % 53 != 0, "held-out docs must not appear as train"
         assert 0 <= r["n_shared"] <= r["n_grams"]
         assert abs(r["contamination"] - round(r["n_shared"] / r["n_grams"], 9)) < 1e-12
+
+
+def test_ch_ddl_translate_full_mergetree():
+    from clickhouse_data_rebalance_spark.plans.ch_dialect import translate_ddl
+
+    out = translate_ddl(
+        """
+        CREATE TABLE IF NOT EXISTS t ON CLUSTER '{cluster}' (
+            k UInt64, s LowCardinality(String), v Nullable(Float32),
+            tags Array(String), d Date, dt DateTime64(3)
+        ) ENGINE = ReplacingMergeTree()
+        PARTITION BY d ORDER BY (k, d)
+        SETTINGS index_granularity = 8192
+        """
+    )
+    assert "ON CLUSTER" not in out and "SETTINGS" not in out
+    assert "USING parquet" in out and "PARTITIONED BY (d)" in out
+    assert "k BIGINT" in out and "s STRING" in out and "v FLOAT" in out
+    assert "tags ARRAY<STRING>" in out and "d DATE" in out and "dt TIMESTAMP" in out
+    assert "sort key: k, d" in out
+
+
+def test_ch_ddl_refusals():
+    import pytest as _pytest
+
+    from clickhouse_data_rebalance_spark.plans.ch_dialect import (
+        UnsupportedClickHouseSQL,
+        translate_ddl,
+    )
+
+    for ddl in [
+        "CREATE MATERIALIZED VIEW mv TO t AS SELECT 1",
+        "CREATE TABLE t (k UInt64) ENGINE = MergeTree() ORDER BY k TTL d + INTERVAL 1 DAY",
+        "CREATE TABLE t (ts DateTime) ENGINE = MergeTree() PARTITION BY toYYYYMM(ts) ORDER BY ts",
+        "CREATE TABLE t (k UInt64) ENGINE = Distributed(c, db, t_local, rand())",
+    ]:
+        with _pytest.raises(UnsupportedClickHouseSQL):
+            translate_ddl(ddl)
+
+
+def test_ch_dialect_extended_rewrites():
+    from clickhouse_data_rebalance_spark.plans.ch_dialect import translate
+
+    assert translate("SELECT toStartOfHour(ts) FROM t") == (
+        "SELECT date_trunc('hour', ts) FROM t"
+    )
+    assert translate("SELECT toYYYYMMDD(ts) FROM t") == (
+        "SELECT CAST(date_format(ts, 'yyyyMMdd') AS BIGINT) FROM t"
+    )
+    assert translate("SELECT intDiv(a, b) FROM t") == "SELECT (a div b) FROM t"
+    # ClickHouse splitByChar takes (sep, s); Spark split takes (s, sep)
+    assert translate("SELECT splitByChar(',', s) FROM t") == (
+        "SELECT split(s, ',') FROM t"
+    )
+    assert translate("SELECT has(tags, 'x'), indexOf(tags, 'x') FROM t") == (
+        "SELECT array_contains(tags, 'x'), array_position(tags, 'x') FROM t"
+    )
+    assert translate("SELECT arrayStringConcat(tags, ' ') FROM t") == (
+        "SELECT array_join(tags, ' ') FROM t"
+    )
+    assert translate("SELECT lengthUTF8(s) FROM t") == "SELECT length(s) FROM t"
+    # hasAll must NOT be mangled by the has( rewrite — it survives verbatim
+    assert "hasAll(tags, x)" in translate("SELECT hasAll(tags, x) FROM t")
