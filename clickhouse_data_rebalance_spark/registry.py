@@ -177,6 +177,7 @@ DRIVER_ORDER_TIER2: list[str] = [
     "window_distribution",
     "ch_ddl_roundtrip",
     "stream_static_enrich",
+    "uniq_state_merge",
 ]
 
 
