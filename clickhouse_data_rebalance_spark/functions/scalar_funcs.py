@@ -391,3 +391,72 @@ def array_lambda_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.forall(dbl, lambda x: x <= 1.0).alias("all_le1"),
         F.element_at(F.zip_with(dbl, F.reverse(dbl), lambda x, y: x + y), 1).alias("zsum0"),
     ).orderBy("vec_id")
+
+
+@query(
+    "array_running_funcs",
+    """
+    WITH t AS (
+      SELECT o_orderkey,
+             list_transform(generate_series(1, CAST(o_orderkey % 6 + 2 AS BIGINT)),
+                            i -> (o_orderkey * i) % 97) AS arr
+      FROM orders WHERE o_orderkey % 113 = 0
+    )
+    SELECT o_orderkey,
+           array_to_string(list_transform(generate_series(1, len(arr)),
+                           i -> CAST(list_sum(arr[1:i]) AS BIGINT)), ',')
+             AS cumsum_csv,
+           array_to_string(list_transform(generate_series(1, len(arr)),
+                           i -> CAST(CASE WHEN i = 1 THEN arr[1]
+                                          ELSE arr[i] - arr[i-1] END AS BIGINT)), ',')
+             AS diff_csv,
+           CAST(list_sum(arr) AS BIGINT) AS arr_total
+    FROM t ORDER BY o_orderkey
+    """,
+)
+def array_running_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse `arrayCumSum` / `arrayDifference` parity: running sum
+    and first-difference over an array column, computed with one
+    O(n) `aggregate` fold (state = (running list, total)) rather than an
+    O(n²) per-index re-sum. Arrays serialize to CSV at the boundary.
+
+    Scale: row-local array expressions in codegen; the modulo filter
+    prunes at the scan. (The DuckDB twin uses the quadratic prefix re-sum
+    for clarity — fixture arrays are <=7 elements.)"""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 113 == 0)
+    k = F.col("o_orderkey")
+    arr = F.transform(
+        F.sequence(F.lit(1).cast("bigint"), k % 6 + 2), lambda i: (k * i) % 97
+    )
+    t = o.select("o_orderkey", arr.alias("arr"))
+    cumsum = F.aggregate(
+        F.col("arr"),
+        F.struct(
+            F.array().cast("array<bigint>").alias("acc"),
+            F.lit(0).cast("bigint").alias("run"),
+        ),
+        lambda st, x: F.struct(
+            F.concat(st.acc, F.array(st.run + x)).alias("acc"),
+            (st.run + x).alias("run"),
+        ),
+        lambda st: st.acc,
+    )
+    # shift-by-one with an explicit length-n slice so zip_with sees two
+    # equal-length arrays (no null-padding to rely on)
+    shifted = F.slice(
+        F.concat(F.array(F.lit(0).cast("bigint")), F.col("arr")),
+        1,
+        F.size("arr"),
+    )
+    diff = F.zip_with(F.col("arr"), shifted, lambda a, prev: a - prev)
+    to_csv = lambda c: F.array_join(  # noqa: E731
+        F.transform(c, lambda x: x.cast("string")), ","
+    )
+    return t.select(
+        "o_orderkey",
+        to_csv(cumsum).alias("cumsum_csv"),
+        to_csv(diff).alias("diff_csv"),
+        F.aggregate(
+            F.col("arr"), F.lit(0).cast("bigint"), lambda a, x: a + x
+        ).alias("arr_total"),
+    ).orderBy("o_orderkey")

@@ -178,6 +178,7 @@ DRIVER_ORDER_TIER2: list[str] = [
     "ch_ddl_roundtrip",
     "stream_static_enrich",
     "uniq_state_merge",
+    "array_running_funcs",
 ]
 
 
