@@ -389,3 +389,48 @@ def test_ch_dialect_extended_rewrites():
     assert translate("SELECT lengthUTF8(s) FROM t") == "SELECT length(s) FROM t"
     # hasAll must NOT be mangled by the has( rewrite — it survives verbatim
     assert "hasAll(tags, x)" in translate("SELECT hasAll(tags, x) FROM t")
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.recursive(
+        st.sampled_from(["x", "y", "ts", "42", "'a,b'"]),
+        lambda inner: st.builds(
+            lambda f, a: f.format(a),
+            st.sampled_from(
+                [
+                    "toUInt32({})",
+                    "toString({})",
+                    "toStartOfDay({})",
+                    "uniqExact({})",
+                    "lower({})",
+                    "notEmpty({})",
+                    "intDiv({}, 7)",
+                    "has(tags, {})",
+                ]
+            ),
+            inner,
+        ),
+        max_leaves=4,
+    )
+)
+def test_ch_dialect_never_leaks_clickhouse_names(expr):
+    """Fuzz the translator over random compositions of supported
+    constructs: every outcome must be either a clean translation (no
+    ClickHouse-only function name survives) or an explicit
+    UnsupportedClickHouseSQL — never silently-mistranslated output."""
+    from clickhouse_data_rebalance_spark.plans.ch_dialect import (
+        UnsupportedClickHouseSQL,
+        translate,
+    )
+
+    sql = f"SELECT {expr} FROM t"
+    try:
+        out = translate(sql)
+    except UnsupportedClickHouseSQL:
+        return
+    import re as _re
+
+    assert not _re.search(
+        r"\b(toU?Int\d+|toString|toStartOf|uniqExact|notEmpty|intDiv)\s*\(", out
+    ), f"{sql!r} -> {out!r}"
