@@ -56,6 +56,7 @@ HEADLINE = [
     "contamination_ngram_overlap",
     "bpe_merge_step",
     "multi_grain_rollup",
+    "corpus_pipeline_e2e",
 ]
 
 

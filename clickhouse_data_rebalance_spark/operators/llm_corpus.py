@@ -348,3 +348,85 @@ def bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), F.asc("pair"))
         .limit(20)
     )
+
+
+@query(
+    "corpus_pipeline_e2e",
+    """
+    WITH w AS (
+      SELECT doc_id, lang, text, string_split(text, ' ') AS toks
+      FROM documents WHERE len(string_split(text, ' ')) >= 5
+    ),
+    q AS (
+      SELECT doc_id, lang, text, toks FROM w
+      WHERE (1.0 - CAST(len(list_distinct(list_transform(
+                     range(1, len(toks) - 3),
+                     i -> array_to_string(toks[i:i+4], ' ')))) AS DOUBLE)
+                 / (len(toks) - 4)) <= 0.2
+    ),
+    d AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(lower(trim(text)))
+                                   ORDER BY doc_id) AS rn
+      FROM q
+    ),
+    a AS (
+      SELECT lang, len(toks) AS n_toks,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                            AS BIGINT) % 100 < 80 THEN 'train'
+                  WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                            AS BIGINT) % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM d WHERE rn = 1
+    )
+    SELECT lang, split, COUNT(*) AS n_docs, SUM(n_toks) AS n_tokens
+    FROM a GROUP BY 1, 2 ORDER BY lang, split
+    """,
+)
+def corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data pipeline end-to-end, composed from this
+    package's own stages: Gopher repetition gate (duplicate-5-gram frac
+    <= 0.2) -> exact dedup (normalized-md5 fingerprint, deterministic
+    min-doc_id keeper) -> md5-bucket 80/10/10 split -> per-(lang, split)
+    token budget. One query proves the operators compose.
+
+    Scale: quality gate and split are row-local maps; the ONLY
+    corpus-wide shuffle is the dedup window on the fingerprint hash;
+    the final rollup exchanges |langs|x3 partial rows. At 100 TB this
+    is the shape you want: filter early (gate before dedup shrinks the
+    shuffle), hash-partition once, aggregate partials."""
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    base = d.select("doc_id", "lang", "text", w.alias("toks")).filter(
+        F.size(w) >= 5
+    )
+    ngrams = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - 5),
+        lambda i: F.array_join(F.slice("toks", i + 1, 5), " "),
+    )
+    sized = base.select(
+        "doc_id",
+        "lang",
+        "text",
+        "toks",
+        F.size(F.array_distinct(ngrams)).cast("double").alias("nd"),
+        (F.size("toks") - 4).cast("double").alias("ng"),
+    )
+    gated = sized.filter(1.0 - F.col("nd") / F.col("ng") <= 0.2)
+    fp = F.md5(F.lower(F.trim("text")))
+    keeper = gated.withColumn(
+        "rn", F.row_number().over(W.partitionBy(fp).orderBy("doc_id"))
+    ).filter(F.col("rn") == 1)
+    bucket = _md5_bucket(F.col("doc_id"), 100)
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        keeper.select(
+            "lang", split.alias("split"), F.size("toks").cast("bigint").alias("n_toks")
+        )
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_toks").alias("n_tokens"))
+        .orderBy("lang", "split")
+    )

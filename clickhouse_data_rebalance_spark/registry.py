@@ -179,6 +179,7 @@ DRIVER_ORDER_TIER2: list[str] = [
     "stream_static_enrich",
     "uniq_state_merge",
     "array_running_funcs",
+    "corpus_pipeline_e2e",
 ]
 
 

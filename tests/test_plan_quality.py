@@ -291,3 +291,12 @@ def test_concurrent_sessions_window_is_day_partitioned(spark):
     plan = plan_of(spark, "concurrent_sessions")
     assert "SinglePartition" not in plan
     assert "hashpartitioning(day" in plan
+
+
+def test_corpus_pipeline_single_wide_shuffle(spark):
+    # quality gate + split are maps; only the dedup window and the final
+    # rollup/sort may exchange — and never into a single partition
+    plan = plan_of(spark, "corpus_pipeline_e2e")
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
