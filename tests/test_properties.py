@@ -434,3 +434,23 @@ def test_ch_dialect_never_leaks_clickhouse_names(expr):
     assert not _re.search(
         r"\b(toU?Int\d+|toString|toStartOf|uniqExact|notEmpty|intDiv)\s*\(", out
     ), f"{sql!r} -> {out!r}"
+
+
+def test_registry_driver_order_consistency():
+    """Every curated driver-order name must exist, carry an oracle
+    (DRIVER_ORDER is the budget-capped correctness cover — a typo there
+    silently drops a component's only correctness row), and appear once."""
+    from clickhouse_data_rebalance_spark import registry
+
+    registry.load_all()
+    order = registry.DRIVER_ORDER + registry.DRIVER_ORDER_TIER2
+    assert len(order) == len(set(order)), "duplicate names in driver order"
+    missing = [n for n in order if n not in registry.QUERIES]
+    assert not missing, f"driver order references unknown queries: {missing}"
+    no_oracle = [n for n in registry.DRIVER_ORDER if n not in registry.ORACLES]
+    assert not no_oracle, f"first-50 cover entries without oracles: {no_oracle}"
+    assert len(registry.DRIVER_ORDER) == 50
+    # ordered_queries must lead with the cover, then tier 2, then the rest
+    names = list(registry.ordered_queries())
+    assert names[: len(order)] == order
+    assert set(names) == set(registry.QUERIES)
