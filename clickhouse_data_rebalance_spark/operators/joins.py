@@ -98,6 +98,31 @@ def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_right_outer",
+    """
+    SELECT c.c_custkey, c.c_name, COUNT(o.o_orderkey) AS n_orders
+    FROM orders o RIGHT JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY c.c_custkey
+    """,
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5's right-outer variant (orders RIGHT JOIN customer — every
+    customer survives, orderless ones count 0). Same preserved-side
+    semantics as join_left_outer, so the two must agree row-for-row;
+    Spark plans both as the identical shuffled hash join with the
+    preserved side on the build-appropriate end."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.join(c, c.c_custkey == o.o_custkey, "right")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .orderBy("c_custkey")
+    )
+
+
+@query(
     "join_full_outer",
     """
     SELECT COALESCE(cs.nk, ss.nk) AS nationkey,

@@ -66,10 +66,14 @@ def _weighted_avg(pdf: pd.DataFrame) -> pd.DataFrame:
     w = np.rint(pdf["l_quantity"].to_numpy()).astype(np.int64)
     num = int((p4 * w).sum())
     wsum = int(w.sum())
+    # ROUND(,9) on BOTH sides (here and the SQL twin): when num > 2^53 the
+    # float(num)/1e4/wsum sequence and DuckDB's exact-decimal→double→/wsum
+    # sequence can land 1 ulp apart; at fixture magnitudes (wavg ≲ 1e6,
+    # ulp ≲ 1e-10) the shared 1e-9 rounding collapses both to one double.
     return pd.DataFrame(
         {
             "l_returnflag": [pdf["l_returnflag"].iloc[0]],
-            "wavg_price": [float(num) / 10000.0 / float(wsum)],
+            "wavg_price": [round(float(num) / 10000.0 / float(wsum), 9)],
             "qty_total": [wsum],
             "n": [len(pdf)],
         }
@@ -80,9 +84,9 @@ def _weighted_avg(pdf: pd.DataFrame) -> pd.DataFrame:
     "grouped_map_udaf",
     """
     SELECT l_returnflag,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,4))
-                    * CAST(l_quantity AS BIGINT)) AS DOUBLE)
-             / CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS wavg_price,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,4))
+                          * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+                 / CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE), 9) AS wavg_price,
            SUM(CAST(l_quantity AS BIGINT)) AS qty_total,
            COUNT(*) AS n
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag

@@ -117,6 +117,7 @@ DRIVER_ORDER: list[str] = [
 # these (the round-2 flagship operators) should receive rows next —
 # before the long tail of per-function suite variants.
 DRIVER_ORDER_TIER2: list[str] = [
+    "join_right_outer",
     "dedup_embedding_cosine",
     "dedup_clusters_cc",
     "knn_join",

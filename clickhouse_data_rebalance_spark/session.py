@@ -11,6 +11,8 @@ fixtures and the DuckDB oracle, Arrow enabled for the Pandas-UDF paths.
 from __future__ import annotations
 
 import os
+import shutil
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -35,6 +37,33 @@ def get_spark(app_name: str = "clickhouse_data_rebalance_spark") -> SparkSession
     return spark
 
 
+def ship_package(spark: SparkSession) -> None:
+    """Ship this package's source to executors via ``addPyFile`` (the
+    programmatic ``--py-files``).
+
+    Module-level functions handed to applyInPandas / mapInPandas /
+    applyInPandasWithState are cloudpickled BY REFERENCE: the worker
+    re-imports ``clickhouse_data_rebalance_spark``, which only works if
+    the repo happens to be on the worker's import path (driver cwd in
+    local mode; not at all on a real cluster unless someone remembered
+    ``--py-files``). Shipping the zip once per SparkContext makes the
+    engine self-contained wherever the driver got the package from.
+    """
+    sc = spark.sparkContext
+    if sc.environment.get("_cdr_pkg_shipped"):
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    staging = tempfile.mkdtemp(prefix="cdr_pyfiles_")
+    zip_path = shutil.make_archive(
+        os.path.join(staging, "clickhouse_data_rebalance_spark"),
+        "zip",
+        root_dir=os.path.dirname(pkg_dir),
+        base_dir=os.path.basename(pkg_dir),
+    )
+    sc.addPyFile(zip_path)
+    sc.environment["_cdr_pkg_shipped"] = "1"
+
+
 def tune_session(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable conf to an externally-supplied session.
 
@@ -47,12 +76,18 @@ def tune_session(spark: SparkSession) -> SparkSession:
         ("spark.sql.adaptive.enabled", "true"),
         ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
         ("spark.sql.adaptive.skewJoin.enabled", "true"),
-        # events.parquet carries TIMESTAMP(NANOS) — read as long, converted
-        # to a µs TimestampType in tables.load_tables.
+        # Harmless when events.ts is already timestamp[us] (current
+        # fixtures); if a regeneration reverts to TIMESTAMP(NANOS), this
+        # lets the read succeed as a long, which tables.normalize_events_ts
+        # then converts to a µs TimestampType based on the loaded dtype.
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
     ]:
         try:
             spark.conf.set(k, v)
         except Exception:
             pass  # non-mutable in this session build; best effort
+    try:
+        ship_package(spark)
+    except Exception:
+        pass  # e.g. Connect sessions without a SparkContext; best effort
     return spark

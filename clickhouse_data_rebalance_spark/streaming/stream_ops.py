@@ -17,27 +17,40 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..registry import query
-from ..tables import table
+from ..tables import normalize_events_ts, table
 from ..operators._util import dec_sum, sql_dec_sum
-
-_EVENT_DDL = (
-    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
-    "value DOUBLE, props STRING"
-)
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Replay the events table as a file-source stream. ts arrives as
-    nanos-long (same reader quirk as batch) → convert to µs timestamp."""
+    """Replay the events table as a file-source stream.
+
+    The stream schema is taken from a batch read of the SAME file (footer
+    only — no data scan), so whatever ts encoding the fixture carries
+    (nanos-as-long or timestamp[us]) the stream sees the same raw dtype as
+    batch, and the shared ``normalize_events_ts`` guard applies the same
+    conversion. Hardcoding a DDL here silently mis-read regenerated
+    fixtures (ts BIGINT read µs ints, div 1000 → 1970-era windows).
+
+    ts is then cast to TIMESTAMP (LTZ): withWatermark rejects
+    TIMESTAMP_NTZ event time. With the session timezone pinned to UTC the
+    cast is value-preserving; outputs cast event-time columns back to NTZ
+    (``_ntz``) so stream results stay dtype-identical with batch."""
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     # the fixture is a single parquet FILE — stream from the directory with
     # a glob filter (the file source requires a directory basePath)
     raw = (
-        spark.readStream.schema(_EVENT_DDL)
+        spark.readStream.schema(raw_schema)
         .option("maxFilesPerTrigger", 1)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_events_ts(raw).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def _ntz(col: str, alias: str) -> "F.Column":
+    """Cast an event-time output back to TIMESTAMP_NTZ (identity under the
+    UTC session tz) so stream results match the batch/oracle dtype."""
+    return F.col(col).cast("timestamp_ntz").alias(alias)
 
 
 def run_to_memory(agg: DataFrame, name: str, output_mode: str) -> DataFrame:
@@ -80,7 +93,7 @@ def stream_tumbling_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_to_memory(agg, "stream_tumbling_out", "complete")
     return out.select(
-        F.col("w.start").alias("win_start"), "event_type", "n_events", "total_value"
+        _ntz("w.start", "win_start"), "event_type", "n_events", "total_value"
     ).orderBy("win_start", "event_type")
 
 
@@ -159,7 +172,7 @@ def watermarked_counts(spark: SparkSession, sf_dir: str, delay: str = "10 minute
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
     return run_to_memory(agg, "stream_watermark_out", "append").select(
-        F.col("w.start").alias("win_start"), "n_events"
+        _ntz("w.start", "win_start"), "n_events"
     )
 
 
@@ -183,7 +196,7 @@ def mv_maintain(spark: SparkSession, sf_dir: str, dst_path: str) -> DataFrame:
         .withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(F.col("w.start").alias("day"), "event_type", "n_events")
+        .select(_ntz("w.start", "day"), "event_type", "n_events")
     )
 
     def _fold(batch_df: DataFrame, epoch_id: int) -> None:
@@ -388,7 +401,7 @@ def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             "event_type",
-            F.col("ts").alias("latest_ts"),
+            _ntz("ts", "latest_ts"),
             F.col("value").alias("latest_value"),
         )
         .orderBy("user_id", "event_type")
@@ -441,8 +454,8 @@ def stream_session_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = run_to_memory(agg, "stream_session_out", "complete")
     return out.select(
         "user_id",
-        F.col("w.start").alias("session_start"),
-        F.col("w.end").alias("session_end"),
+        _ntz("w.start", "session_start"),
+        _ntz("w.end", "session_end"),
         "n_events",
         "total_value",
     ).orderBy("user_id", "session_start")
@@ -483,7 +496,7 @@ def stream_sliding_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_to_memory(agg, "stream_sliding_out", "complete")
     return out.select(
-        F.col("w.start").alias("win_start"), "n_events", "total_value"
+        _ntz("w.start", "win_start"), "n_events", "total_value"
     ).orderBy("win_start")
 
 

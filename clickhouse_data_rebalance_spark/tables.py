@@ -11,6 +11,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import LongType
 
 from .session import tune_session
 
@@ -36,6 +37,21 @@ _loaded: dict[tuple[int, str], dict[str, DataFrame]] = {}
 # are keyed by bare name, so switching sf_dir must re-point them or a
 # cached sf_dir would silently serve another sf_dir's data
 _active: dict[int, str] = {}
+
+
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize events.ts to a µs timestamp regardless of fixture vintage.
+
+    The driver has regenerated the fixtures with different ts encodings
+    across rounds: TIMESTAMP(NANOS) (arrives as a long via the
+    ``nanosAsLong`` conf — truncate ns -> µs exactly like DuckDB does on
+    read) vs plain ``timestamp[us]`` (arrives as a timestamp already —
+    pass through untouched). Guard on the loaded dtype so either vintage
+    works; used by both the batch loader and the streaming replay source.
+    """
+    if isinstance(df.schema["ts"].dataType, LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def _session_id(spark: SparkSession) -> int:
@@ -65,10 +81,7 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         path = os.path.join(sf_dir, f"{name}.parquet")
         df = spark.read.parquet(path)
         if name == "events":
-            # events.ts is parquet TIMESTAMP(NANOS) — illegal for Spark's
-            # reader; tune_session sets nanosAsLong so it arrives as a long,
-            # then truncate ns -> µs exactly like DuckDB does on read.
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            df = normalize_events_ts(df)
         dfs[name] = df
         df.createOrReplaceTempView(name)
     _loaded[key] = dfs

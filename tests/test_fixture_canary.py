@@ -1,0 +1,103 @@
+"""Fixture-drift canary (judge r3 item #3).
+
+Environment drift in the driver-generated parquet has burned two rounds
+(r1: events.ts was TIMESTAMP(NANOS); r3: regenerated as timestamp[us]
+while the loader still assumed nanos-as-long). This test pins the
+invariants every query depends on, so the NEXT regeneration fails here
+— one cheap, obvious assertion — instead of as 50 identical driver
+crashes.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
+
+from clickhouse_data_rebalance_spark.tables import (
+    TABLE_NAMES,
+    load_tables,
+    normalize_events_ts,
+)
+
+SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_events_ts_loads_as_timestamp(spark, sf_dir):
+    events = load_tables(spark, sf_dir)["events"]
+    dtype = events.schema["ts"].dataType
+    assert isinstance(dtype, (TimestampNTZType, TimestampType)), (
+        f"events.ts loaded as {dtype} in {sf_dir} — fixture encoding drifted; "
+        "update tables.normalize_events_ts"
+    )
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_events_ts_in_documented_year_range(spark, sf_dir):
+    # Fixtures are seed=42 synthetic events spanning Jan 2024. A nanos/µs
+    # mixup lands everything in 1970 (silent!), a µs-as-nanos mixup in
+    # ~56000 AD — either violates this band loudly.
+    row = load_tables(spark, sf_dir)["events"].selectExpr(
+        "min(ts) AS lo", "max(ts) AS hi"
+    ).first()
+    lo, hi = row["lo"], row["hi"]
+    assert datetime.datetime(2020, 1, 1) <= lo <= hi <= datetime.datetime(2032, 1, 1), (
+        f"events.ts range [{lo}, {hi}] outside sane fixture band in {sf_dir} — "
+        "unit mixup in the ts normalization?"
+    )
+
+
+def test_all_fixture_tables_present(spark):
+    dfs = load_tables(spark, SF_DIRS[0])
+    assert set(dfs) == set(TABLE_NAMES)
+    for name, df in dfs.items():
+        assert len(df.columns) > 0, name
+
+
+def test_normalize_guard_converts_longs(spark):
+    # deliberately mis-typed frame: a long ts must be treated as nanos
+    long_df = spark.createDataFrame([(1704067200_000_000_000,)], "ts BIGINT")
+    out = normalize_events_ts(long_df)
+    assert isinstance(out.schema["ts"].dataType, (TimestampNTZType, TimestampType))
+    assert out.first()["ts"].year == 2024
+    assert not isinstance(out.schema["ts"].dataType, LongType)
+
+
+def test_normalize_guard_passes_through_timestamps(spark):
+    ts_df = spark.sql("SELECT TIMESTAMP_NTZ '2024-01-15 12:00:00' AS ts")
+    out = normalize_events_ts(ts_df)
+    assert out.first()["ts"] == datetime.datetime(2024, 1, 15, 12, 0, 0)
+
+
+def test_weighted_avg_udaf_ulp_adversarial():
+    """grouped_map_udaf vs its DECIMAL-sum SQL twin on a constructed group
+    whose integer-unit numerator exceeds 2^53 — the regime where the two
+    rounding sequences (int→double→/1e4→/wsum vs exact-decimal→double→
+    /wsum) can land 1 ulp apart. The shared ROUND(,9) must collapse both
+    to the identical double."""
+    import duckdb
+    import pandas as pd
+
+    from clickhouse_data_rebalance_spark.operators.udfs import _weighted_avg
+
+    # 1000 rows of price=1e6 qty=1000 → num = 1e16 units; +1 unit makes it
+    # odd (inexact as a double). wavg ≈ 1e6, ulp ≈ 1e-10 « 0.5e-9.
+    pdf = pd.DataFrame(
+        {
+            "l_returnflag": ["A"] * 1001,
+            "l_extendedprice": [1000000.0] * 1000 + [0.0001],
+            "l_quantity": [1000.0] * 1000 + [1.0],
+        }
+    )
+    ours = _weighted_avg(pdf)["wavg_price"].iloc[0]
+    oracle = duckdb.sql(
+        """
+        SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,4))
+                            * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+                     / CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE), 9)
+        FROM pdf
+        """
+    ).fetchone()[0]
+    assert ours == oracle

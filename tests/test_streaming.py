@@ -12,6 +12,7 @@ from clickhouse_data_rebalance_spark.streaming.stream_ops import (
     streaming_dedup,
     watermarked_counts,
 )
+from clickhouse_data_rebalance_spark.tables import normalize_events_ts
 
 from .conftest import SF_SMALL
 
@@ -54,9 +55,7 @@ def test_streaming_dedup_no_duplicate_pairs(spark):
 
 def test_mv_maintain_matches_batch(spark, tmp_path):
     mv = mv_maintain(spark, SF_SMALL, str(tmp_path / "mv")).collect()
-    events = spark.read.parquet(f"{SF_SMALL}/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    events = normalize_events_ts(spark.read.parquet(f"{SF_SMALL}/events.parquet"))
     batch = (
         events.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
