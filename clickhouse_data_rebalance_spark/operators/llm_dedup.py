@@ -340,20 +340,30 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale the same plan runs with the IVF cell assignment from
     `build_ivf_index` (llm_similarity.py) as the blocking key — coarse
     cells bound each group exactly like `label` does here."""
-    from ..functions.vectors import cosine
+    from ..functions.vectors import dot, norm
 
     e = table(spark, sf_dir, "embeddings")
+    # Precompute each row's norm BEFORE the self-join: the norm is a
+    # per-row quantity, so computing it inside the pairwise filter would
+    # traverse both arrays 2 extra times per PAIR (|block|× more work than
+    # per ROW). Same expression → bit-identical cosine, 3× less per-pair
+    # array traversal.
+    ev = e.select("vec_id", "label", "embedding", norm(F.col("embedding")).alias("nrm"))
     # spread the probe side: broadcast pair-generation otherwise keeps
     # every pairwise cosine in the single scan partition
-    a = e.repartition(32, "vec_id").alias("a")
-    b = e.alias("b")
+    a = ev.repartition(32, "vec_id").alias("a")
+    b = ev.alias("b")
+    pair_cos = F.try_divide(
+        dot(F.col("a.embedding"), F.col("b.embedding")),
+        F.col("a.nrm") * F.col("b.nrm"),
+    )
     dropped = (
         a.join(
             b,
             (F.col("a.label") == F.col("b.label"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .filter(cosine(F.col("a.embedding"), F.col("b.embedding")) >= 0.3)
+        .filter(pair_cos >= 0.3)
         .select(F.col("b.vec_id").alias("vec_id"))
         .distinct()
     )
