@@ -376,6 +376,96 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DuckDB twin of the IVF cell assignment (llm_similarity.build_ivf_index):
+# seeds = the IVF_CLUSTERS lowest-vec_id vectors (cell number = seed rank),
+# cell = argmax cosine against the seeds, first-max tie-break — exactly the
+# pandas-UDF quantizer, so the oracle re-derives the same partition keys
+# the persisted index stores.
+_EMB_DEDUP_IVF_ORACLE = """
+    WITH seeds AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS sv
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {k})
+    ),
+    assign AS (
+      SELECT e.vec_id, e.embedding,
+             (SELECT s.cell FROM seeds s
+              ORDER BY list_cosine_similarity(
+                         list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                         s.sv) DESC, s.cell
+              LIMIT 1) AS cell
+      FROM embeddings e
+    ),
+    dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM assign a JOIN assign b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(
+              list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+              list_transform(b.embedding, x -> CAST(x AS DOUBLE))) >= 0.3
+    )
+    SELECT d.doc_id, d.lang, s.cell
+    FROM documents d JOIN assign s ON s.vec_id = d.doc_id
+    WHERE d.doc_id NOT IN (SELECT vec_id FROM dropped)
+    ORDER BY d.doc_id
+"""
+
+
+def _emb_dedup_ivf_oracle() -> str:
+    from .llm_similarity import IVF_CLUSTERS
+
+    return _EMB_DEDUP_IVF_ORACLE.replace("{k}", str(IVF_CLUSTERS))
+
+
+@query("dedup_embedding_cosine_ivf", _emb_dedup_ivf_oracle())
+def dedup_embedding_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup blocked by IVF CELL — the corpus-scale variant of
+    `dedup_embedding_cosine` (same drop rule: a doc dies when a
+    smaller-vec_id doc in the SAME cell has cosine >= 0.3 against it).
+
+    This is the blocking key that survives 100 TB: `label` is a fixture
+    convenience, but the IVF coarse quantizer exists for ANY embedding
+    corpus, its cell count is a tuning knob (so block sizes are bounded
+    by design), and the pairwise join reads the PERSISTED cell-partitioned
+    index from `build_ivf_index` — `cell` is a partition directory, not a
+    data column, so the self-join is equi-partitioned on a key the layout
+    already materializes (and an incremental dedup of a new batch would
+    partition-prune to the cells the batch actually touches)."""
+    from .llm_similarity import _ivf_index_for
+    from ..functions.vectors import dot, norm
+
+    idx = spark.read.parquet(_ivf_index_for(spark, sf_dir))
+    ev = idx.select(
+        "vec_id",
+        F.col("cell").cast("int").alias("cell"),
+        "embedding",
+        norm(F.col("embedding")).alias("nrm"),
+    )
+    a = ev.alias("a")
+    b = ev.alias("b")
+    pair_cos = F.try_divide(
+        dot(F.col("a.embedding"), F.col("b.embedding")),
+        F.col("a.nrm") * F.col("b.nrm"),
+    )
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(pair_cos >= 0.3)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    survivors = ev.select("vec_id", "cell").join(dropped, "vec_id", "left_anti")
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.join(survivors, d["doc_id"] == survivors["vec_id"])
+        .select("doc_id", "lang", "cell")
+        .orderBy("doc_id")
+    )
+
+
 _JACCARD_ORACLE = """
     WITH toks AS (
       SELECT doc_id, source,

@@ -118,6 +118,7 @@ DRIVER_ORDER: list[str] = [
 # before the long tail of per-function suite variants.
 DRIVER_ORDER_TIER2: list[str] = [
     "join_right_outer",
+    "dedup_embedding_cosine_ivf",
     "dedup_embedding_cosine",
     "dedup_clusters_cc",
     "knn_join",

@@ -85,7 +85,7 @@ def run_to_memory(agg: DataFrame, name: str, output_mode: str) -> DataFrame:
 def stream_tumbling_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C48/C53 as a real stream: tumbling agg over the replayed events,
     complete-mode memory sink; result must equal the batch oracle."""
-    table(spark, sf_dir, "events")  # ensures session confs (nanosAsLong)
+    table(spark, sf_dir, "events")  # ensures session confs + package shipping
     agg = (
         events_stream(spark, sf_dir)
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -366,7 +366,7 @@ def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     the equivalence contract are unchanged."""
     import uuid
 
-    table(spark, sf_dir, "events")  # ensures session confs (nanosAsLong)
+    table(spark, sf_dir, "events")  # ensures session confs + package shipping
     # per-invocation state root; versioned subdirs (v{batch}) so a merge
     # never overwrites the files it is reading — the same new-version-
     # then-swap discipline as plans/catalog.py, and no managed-table
@@ -445,7 +445,7 @@ def stream_session_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: streaming session state is per (user, open session); a
     watermark bounds it in a continuous deployment (complete mode +
     availableNow here because the replay is finite)."""
-    table(spark, sf_dir, "events")  # ensures session confs (nanosAsLong)
+    table(spark, sf_dir, "events")  # ensures session confs + package shipping
     agg = (
         events_stream(spark, sf_dir)
         .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
@@ -488,7 +488,7 @@ def stream_sliding_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: sliding state is 4× tumbling state but still bounded by
     (windows in watermark horizon) × groups, independent of stream
     length."""
-    table(spark, sf_dir, "events")  # ensures session confs (nanosAsLong)
+    table(spark, sf_dir, "events")  # ensures session confs + package shipping
     agg = (
         events_stream(spark, sf_dir)
         .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))

@@ -33,10 +33,26 @@ TABLE_NAMES = [
 BROADCAST_DIMS = {"region", "nation"}
 
 _loaded: dict[tuple[int, str], dict[str, DataFrame]] = {}
+# fixture fingerprint (mtime+size per file) captured when a cache entry
+# was built: a fixture regenerated UNDER THE SAME PATH mid-session (it
+# has happened between rounds) must invalidate the cached frames, whose
+# schemas were resolved from the old footers
+_fingerprints: dict[tuple[int, str], tuple] = {}
 # which sf_dir's views are CURRENTLY registered per session — temp views
 # are keyed by bare name, so switching sf_dir must re-point them or a
 # cached sf_dir would silently serve another sf_dir's data
 _active: dict[int, str] = {}
+
+
+def _fingerprint(sf_dir: str) -> tuple:
+    fp = []
+    for name in TABLE_NAMES:
+        try:
+            st = os.stat(os.path.join(sf_dir, f"{name}.parquet"))
+            fp.append((name, st.st_mtime_ns, st.st_size))
+        except OSError:
+            fp.append((name, None, None))
+    return tuple(fp)
 
 
 def normalize_events_ts(df: DataFrame) -> DataFrame:
@@ -70,12 +86,18 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     sid = _session_id(spark)
     key = (sid, sf_dir)
     if key in _loaded:
-        if _active.get(sid) != sf_dir:
-            for name, df in _loaded[key].items():
-                df.createOrReplaceTempView(name)
-            _active[sid] = sf_dir
-        return _loaded[key]
+        if _fingerprints.get(key) != _fingerprint(sf_dir):
+            # fixture files changed under the cached path — drop the entry
+            # and fall through to a fresh read (stat of 10 files, ~µs)
+            del _loaded[key]
+        else:
+            if _active.get(sid) != sf_dir:
+                for name, df in _loaded[key].items():
+                    df.createOrReplaceTempView(name)
+                _active[sid] = sf_dir
+            return _loaded[key]
     tune_session(spark)
+    fp = _fingerprint(sf_dir)
     dfs = {}
     for name in TABLE_NAMES:
         path = os.path.join(sf_dir, f"{name}.parquet")
@@ -85,6 +107,7 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         dfs[name] = df
         df.createOrReplaceTempView(name)
     _loaded[key] = dfs
+    _fingerprints[key] = fp
     _active[sid] = sf_dir
     return dfs
 

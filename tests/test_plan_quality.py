@@ -300,3 +300,34 @@ def test_corpus_pipeline_single_wide_shuffle(spark):
     assert "SinglePartition" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_ivf_dedup_reads_cell_partitioned_index(spark):
+    """dedup_embedding_cosine_ivf must read the persisted IVF index with
+    `cell` served as a PARTITION column (directory layout), not a data
+    column — the property that lets an incremental dedup partition-prune
+    and keeps the pairwise join equi-partitioned on the stored key."""
+    plan = plan_of(spark, "dedup_embedding_cosine_ivf")
+    scan_lines = [
+        ln for ln in plan.splitlines() if "Location" in ln and "ivf_index" in ln
+    ]
+    assert scan_lines, "plan does not scan the persisted IVF index"
+    # cell is partition metadata: present in the scan Output, absent from
+    # the parquet data schema actually read; the pairwise-join scans carry
+    # a partition filter (the survivors-side scan legitimately has none)
+    saw_partition_filter = False
+    for chunk in plan.split("Scan parquet")[1:]:
+        if "ivf_index" not in chunk.split("ReadSchema:")[0]:
+            continue
+        head = chunk.split("ReadSchema:")
+        if len(head) > 1:
+            assert "cell" not in head[1].split("\n")[0]
+        if "PartitionFilters: [isnotnull(cell" in chunk:
+            saw_partition_filter = True
+    assert saw_partition_filter
+
+
+def test_ivf_dedup_no_cartesian(spark):
+    plan = plan_of(spark, "dedup_embedding_cosine_ivf")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
