@@ -60,9 +60,27 @@ HEADLINE = [
 ]
 
 
+def _cpu_calibration() -> float:
+    """Single-core spin benchmark (seconds for a fixed integer loop).
+
+    Round-over-round bench totals have swung ±50% with IDENTICAL plans
+    purely from driver-box hardware variance (r4→r5 A/B in
+    tools/bench_ab_r05.json: every session-level code toggle measured
+    zero; the box's spin time fully explained the delta). Publishing the
+    calibration constant with every run lets any two BENCH_r*.json files
+    be compared hardware-normalized: query_sec / cal_spin_sec.
+    """
+    t0 = time.perf_counter()
+    s = 0
+    for i in range(10**7):
+        s += i * i
+    return round(time.perf_counter() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    cal = _cpu_calibration()
     registry.load_all()
     spark = get_spark("cdr-bench")
 
@@ -93,6 +111,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
+                "cal_spin_sec": cal,
             }
         )
     )

@@ -66,14 +66,18 @@ def _weighted_avg(pdf: pd.DataFrame) -> pd.DataFrame:
     w = np.rint(pdf["l_quantity"].to_numpy()).astype(np.int64)
     num = int((p4 * w).sum())
     wsum = int(w.sum())
-    # ROUND(,9) on BOTH sides (here and the SQL twin): when num > 2^53 the
-    # float(num)/1e4/wsum sequence and DuckDB's exact-decimal→double→/wsum
-    # sequence can land 1 ulp apart; at fixture magnitudes (wavg ≲ 1e6,
-    # ulp ≲ 1e-10) the shared 1e-9 rounding collapses both to one double.
+    # The weighted average leaves this function as floor(num/wsum) in 1e-4
+    # units — a BIGINT. No float is ever emitted, so the result cannot
+    # ulp-diverge from the SQL twin under ANY rounding implementation
+    # (Python's correctly-rounded round vs DuckDB's scaled multiply-round
+    # both disappear from the picture). Driver rows r2/r4 proved a double
+    # output here straddles 1-ulp boundaries between engines.
     return pd.DataFrame(
         {
             "l_returnflag": [pdf["l_returnflag"].iloc[0]],
-            "wavg_price": [round(float(num) / 10000.0 / float(wsum), 9)],
+            # exact int floor division; the twin uses DuckDB integer `//`
+            # (truncating — identical to floor here: num, wsum > 0)
+            "wavg_price_e4": [num // wsum],
             "qty_total": [wsum],
             "n": [len(pdf)],
         }
@@ -84,25 +88,27 @@ def _weighted_avg(pdf: pd.DataFrame) -> pd.DataFrame:
     "grouped_map_udaf",
     """
     SELECT l_returnflag,
-           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,4))
-                          * CAST(l_quantity AS BIGINT)) AS DOUBLE)
-                 / CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE), 9) AS wavg_price,
-           SUM(CAST(l_quantity AS BIGINT)) AS qty_total,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 10000) AS BIGINT)
+                    * CAST(ROUND(l_quantity) AS BIGINT))
+                // SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS wavg_price_e4,
+           CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS qty_total,
            COUNT(*) AS n
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
 )
 def grouped_map_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandas UDAF: one shuffle on the group key, per-group pandas.
-    Exact integer-unit arithmetic inside the UDAF makes the float result
-    deterministic and equal to the DECIMAL-sum SQL twin."""
+    Exact integer-unit arithmetic inside the UDAF, and the weighted average
+    is emitted as an integer-scaled BIGINT (1e-4 units, floor semantics on
+    both sides) — integer outputs cannot ulp-diverge between engines, which
+    retires the r2/r4 driver hash-mismatch class for good."""
     l = table(spark, sf_dir, "lineitem")
     return (
         l.select("l_returnflag", "l_extendedprice", "l_quantity")
         .groupBy("l_returnflag")
         .applyInPandas(
             _weighted_avg,
-            schema="l_returnflag string, wavg_price double, qty_total long, n long",
+            schema="l_returnflag string, wavg_price_e4 long, qty_total long, n long",
         )
         .orderBy("l_returnflag")
     )

@@ -52,17 +52,19 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # --------------------------------------------------------------------------
 DRIVER_ORDER: list[str] = [
     # reference surface: rebalance / catalog lifecycle / data movement
+    # (r5: rebalance_range_invariants and source_csv_roundtrip rotated to
+    # tier 2 after passing 2+ driver rounds — their slots go to round 4's
+    # riskiest new work, per the "budget on newest surface" rule)
     "rebalance_invariants",
-    "rebalance_range_invariants",
     "rebalance_shard_stats",
     "insert_select_roundtrip",
     "rebalance_pipeline",
     "table_swap_lifecycle",
-    "source_csv_roundtrip",
     # LLM data-pipeline operators
     "dedup_exact_text",
     "ngram_jaccard_pairs",
     "dedup_minhash_lsh",
+    "dedup_embedding_cosine_ivf",
     "cosine_topk_exact",
     "ann_ivf_topk",
     "cosine_pairs_threshold",
@@ -89,6 +91,7 @@ DRIVER_ORDER: list[str] = [
     # joins
     "join_inner",
     "join_left_outer",
+    "join_right_outer",
     "join_broadcast_dims",
     "join_semi",
     "join_theta_range",
@@ -114,11 +117,24 @@ DRIVER_ORDER: list[str] = [
 
 
 # Tier 2: if the driver's correctness budget exceeds the 50-name cover,
-# these (the round-2 flagship operators) should receive rows next —
-# before the long tail of per-function suite variants.
+# these should receive rows next — ordered by drift risk, not by the
+# round they landed in: streaming equivalence checks lead (the family
+# most sensitive to fixture/timestamp drift — it silently broke in r1
+# and r3), then the rows rotated out of the cover after 2+ green driver
+# rounds, then the round-2 flagship operators, then the long tail of
+# per-function suite variants.
 DRIVER_ORDER_TIER2: list[str] = [
-    "join_right_outer",
-    "dedup_embedding_cosine_ivf",
+    # drift-prone: streaming/event-time equivalences first
+    "stream_session_equiv",
+    "stream_sliding_equiv",
+    "stream_static_enrich",
+    "stream_stream_join",
+    "stream_upsert_sink",
+    "stream_custom_state",
+    # rotated out of the 50-row cover in r5 (2+ green driver rounds each)
+    "rebalance_range_invariants",
+    "source_csv_roundtrip",
+    # round-2 flagship operators
     "dedup_embedding_cosine",
     "dedup_clusters_cc",
     "knn_join",
@@ -127,7 +143,6 @@ DRIVER_ORDER_TIER2: list[str] = [
     "sample_k_per_group",
     "agg_state_merge",
     "upsert_latest_wins",
-    "stream_upsert_sink",
     "sequence_match_funnel3",
     "sum_map_props",
     "ttl_expiry",
@@ -135,7 +150,6 @@ DRIVER_ORDER_TIER2: list[str] = [
     "collapsing_sign_merge",
     "char_entropy",
     "edit_distance_topk",
-    "stream_session_equiv",
     "variant_json_extract",
     "bitwise_funcs",
     "ip_funcs",
@@ -152,7 +166,6 @@ DRIVER_ORDER_TIER2: list[str] = [
     "embedding_quantize_int8",
     "source_text_roundtrip",
     "source_binaryfile_scan",
-    "stream_stream_join",
     "compaction_roundtrip",
     "heavy_hitters",
     "cohort_retention",
@@ -162,7 +175,6 @@ DRIVER_ORDER_TIER2: list[str] = [
     "embedding_norms",
     "funnel_conversion",
     "time_gap_fill",
-    "stream_custom_state",
     "ch_dialect_rollup",
     "conditional_aggregates",
     "string_search_funcs",
@@ -174,11 +186,9 @@ DRIVER_ORDER_TIER2: list[str] = [
     "format_funcs",
     "multi_grain_rollup",
     "concurrent_sessions",
-    "stream_sliding_equiv",
     "bpe_merge_step",
     "window_distribution",
     "ch_ddl_roundtrip",
-    "stream_static_enrich",
     "uniq_state_merge",
     "array_running_funcs",
     "corpus_pipeline_e2e",

@@ -10,11 +10,17 @@ fixtures and the DuckDB oracle, Arrow enabled for the Pandas-UDF paths.
 
 from __future__ import annotations
 
+import atexit
 import os
 import shutil
 import tempfile
 
 from pyspark.sql import SparkSession
+
+# SparkContexts (by applicationId) that already received the package zip;
+# module-level so repeated tune_session calls stay one-zip-per-context.
+# (sc.environment is meant for executor env vars — don't repurpose it.)
+_shipped_app_ids: set[str] = set()
 
 
 def get_spark(app_name: str = "clickhouse_data_rebalance_spark") -> SparkSession:
@@ -50,10 +56,14 @@ def ship_package(spark: SparkSession) -> None:
     engine self-contained wherever the driver got the package from.
     """
     sc = spark.sparkContext
-    if sc.environment.get("_cdr_pkg_shipped"):
+    if sc.applicationId in _shipped_app_ids:
         return
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     staging = tempfile.mkdtemp(prefix="cdr_pyfiles_")
+    # Spark copies the zip into its own file server on addPyFile, but the
+    # staging dir itself is ours to clean up (it used to leak one dir per
+    # SparkContext for the life of /tmp).
+    atexit.register(shutil.rmtree, staging, ignore_errors=True)
     zip_path = shutil.make_archive(
         os.path.join(staging, "clickhouse_data_rebalance_spark"),
         "zip",
@@ -61,7 +71,7 @@ def ship_package(spark: SparkSession) -> None:
         base_dir=os.path.basename(pkg_dir),
     )
     sc.addPyFile(zip_path)
-    sc.environment["_cdr_pkg_shipped"] = "1"
+    _shipped_app_ids.add(sc.applicationId)
 
 
 def tune_session(spark: SparkSession) -> SparkSession:

@@ -73,18 +73,20 @@ def test_normalize_guard_passes_through_timestamps(spark):
 
 
 def test_weighted_avg_udaf_ulp_adversarial():
-    """grouped_map_udaf vs its DECIMAL-sum SQL twin on a constructed group
-    whose integer-unit numerator exceeds 2^53 — the regime where the two
-    rounding sequences (int→double→/1e4→/wsum vs exact-decimal→double→
-    /wsum) can land 1 ulp apart. The shared ROUND(,9) must collapse both
-    to the identical double."""
+    """grouped_map_udaf vs its integer SQL twin on a constructed group
+    whose integer-unit numerator exceeds 2^53 — the regime where r2/r4
+    float outputs ulp-diverged between the pandas path and DuckDB. With
+    the BIGINT fixed-point output (floor(num/wsum) in 1e-4 units) the two
+    sides must be EXACTLY equal as integers — no tolerance, no rounding
+    implementation in the picture at all."""
     import duckdb
     import pandas as pd
 
     from clickhouse_data_rebalance_spark.operators.udfs import _weighted_avg
 
-    # 1000 rows of price=1e6 qty=1000 → num = 1e16 units; +1 unit makes it
-    # odd (inexact as a double). wavg ≈ 1e6, ulp ≈ 1e-10 « 0.5e-9.
+    # 1000 rows of price=1e6 qty=1000 → num = 1e16 units (> 2^53); +1 unit
+    # makes it odd (inexact as a double) — the exact shape that used to
+    # straddle a 1-ulp boundary when the output was a double.
     pdf = pd.DataFrame(
         {
             "l_returnflag": ["A"] * 1001,
@@ -92,16 +94,18 @@ def test_weighted_avg_udaf_ulp_adversarial():
             "l_quantity": [1000.0] * 1000 + [1.0],
         }
     )
-    ours = _weighted_avg(pdf)["wavg_price"].iloc[0]
+    out = _weighted_avg(pdf)
+    ours = out["wavg_price_e4"].iloc[0]
+    assert out["wavg_price_e4"].dtype.kind == "i", "output must be integer-typed"
     oracle = duckdb.sql(
         """
-        SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,4))
-                            * CAST(l_quantity AS BIGINT)) AS DOUBLE)
-                     / CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE), 9)
+        SELECT SUM(CAST(ROUND(l_extendedprice * 10000) AS BIGINT)
+                   * CAST(ROUND(l_quantity) AS BIGINT))
+                 // SUM(CAST(ROUND(l_quantity) AS BIGINT))
         FROM pdf
         """
     ).fetchone()[0]
-    assert ours == oracle
+    assert int(ours) == int(oracle)
 
 
 def test_loader_cache_invalidates_on_fixture_swap(spark, tmp_path):

@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Bench-regression canary (VERDICT r4 task 6).
+
+Runs bench.py fresh and compares per-query times against the newest
+committed tools/bench_local_r*.json. Fails (exit 1) if any query is
+>1.5x its reference time after hardware normalization, so a plan
+regression is caught BEFORE commit instead of by diffing driver JSONs a
+round later.
+
+Hardware normalization: boxes differ ~1.5x between rounds with identical
+plans (see tools/bench_ab_r05.json). When both JSONs carry
+``cal_spin_sec`` (bench.py publishes it), times are scaled by the spin
+ratio first; without it the raw ratio is used and a warning printed.
+
+Usage: python tools/bench_canary.py [--against FILE] [--threshold 1.5]
+       python tools/bench_canary.py --compare NEW.json  (no fresh run)
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def newest_reference() -> str:
+    cands = sorted(glob.glob(os.path.join(REPO, "tools", "bench_local_r*.json")))
+    if not cands:
+        sys.exit("no tools/bench_local_r*.json to compare against")
+    return cands[-1]
+
+
+def run_fresh() -> dict:
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True, text=True, check=False,
+    )
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if out.returncode != 0 or not lines:
+        sys.exit(f"bench.py failed rc={out.returncode}:\n{out.stderr[-2000:]}")
+    return json.loads(lines[-1])
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--against", default=None)
+    ap.add_argument("--threshold", type=float, default=1.5)
+    ap.add_argument("--compare", default=None,
+                    help="compare this bench JSON instead of running fresh")
+    args = ap.parse_args()
+
+    ref_path = args.against or newest_reference()
+    ref = json.load(open(ref_path))
+    new = json.load(open(args.compare)) if args.compare else run_fresh()
+
+    scale = 1.0
+    if ref.get("cal_spin_sec") and new.get("cal_spin_sec"):
+        scale = ref["cal_spin_sec"] / new["cal_spin_sec"]
+        print(f"hardware normalization: x{scale:.3f} "
+              f"(ref spin {ref['cal_spin_sec']}s, new spin {new['cal_spin_sec']}s)")
+    else:
+        print("WARNING: no cal_spin_sec in one of the JSONs — raw comparison "
+              "(cross-box runs may false-alarm)")
+
+    regressions = []
+    for name, t_ref in ref["queries"].items():
+        t_new = new["queries"].get(name)
+        if t_new is None or not t_ref:
+            continue
+        ratio = (t_new * scale) / t_ref
+        flag = " <-- REGRESSION" if ratio > args.threshold else ""
+        print(f"{name:32s} ref={t_ref:6.3f} new={t_new:6.3f} norm_x{ratio:.2f}{flag}")
+        if ratio > args.threshold:
+            regressions.append((name, round(ratio, 2)))
+
+    tot = sum(new["queries"].values())
+    print(f"total: ref={ref['value']}s new={round(tot, 3)}s")
+    if regressions:
+        print(f"FAIL: {len(regressions)} quer{'y' if len(regressions) == 1 else 'ies'} "
+              f">{args.threshold}x normalized: {regressions}")
+        sys.exit(1)
+    print("OK: no per-query regression above threshold")
+
+
+if __name__ == "__main__":
+    main()
