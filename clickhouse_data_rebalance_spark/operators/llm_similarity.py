@@ -217,13 +217,13 @@ IVF_PROBES = 8
 _IVF_ROOT = "/tmp/cdr_spark/ivf_index"
 
 
-def _ivf_seed_matrix(e: DataFrame):
+def _ivf_seed_matrix(e: DataFrame, n_clusters: int = IVF_CLUSTERS):
     """(K, dim) row-normalized seed-vector matrix — index metadata, a
     K-row collect (not a data-path collect)."""
     import numpy as np
 
     rows = (
-        e.orderBy("vec_id").select("embedding").limit(IVF_CLUSTERS).collect()
+        e.orderBy("vec_id").select("embedding").limit(n_clusters).collect()
     )
     C = np.array([r["embedding"] for r in rows], dtype=np.float64)
     return C / np.linalg.norm(C, axis=1, keepdims=True)
@@ -243,11 +243,13 @@ def _make_cell_udf(C):
     return cell_of
 
 
-def build_ivf_index(e: DataFrame, index_path: str) -> None:
+def build_ivf_index(
+    e: DataFrame, index_path: str, n_clusters: int = IVF_CLUSTERS
+) -> None:
     """Assign cells and persist the corpus partitioned by cell — the
     write-once side of the index. One numpy matmul per Arrow batch; the
     partitionBy layout is what lets probes prune directories."""
-    C = _ivf_seed_matrix(e)
+    C = _ivf_seed_matrix(e, n_clusters)
     cell_of = _make_cell_udf(C)
     (
         e.withColumn("cell", cell_of("embedding"))
@@ -257,24 +259,51 @@ def build_ivf_index(e: DataFrame, index_path: str) -> None:
     )
 
 
-def _ivf_index_for(spark: SparkSession, sf_dir: str) -> str:
-    """Build the index for this corpus once; later queries reuse it."""
+def _ivf_index_for(
+    spark: SparkSession, sf_dir: str, n_clusters: int = IVF_CLUSTERS
+) -> str:
+    """Build the index for this corpus once; later queries reuse it.
+
+    The cache key fingerprints the SOURCE (embeddings.parquet mtime_ns +
+    size, mirroring tables._fingerprint) in addition to the path and the
+    cluster count: a fixture regenerated UNDER THE SAME PATH — the exact
+    drift that has burned prior rounds, and which survives process
+    restarts when the key is path-only — lands on a fresh index directory
+    and triggers a rebuild instead of silently probing stale cells."""
     import hashlib
     import os
 
-    path = os.path.join(_IVF_ROOT, hashlib.md5(sf_dir.encode()).hexdigest()[:12])
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(emb_path)
+        src_fp = f"{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        src_fp = "missing"
+    key = f"{sf_dir}|{src_fp}|k={n_clusters}"
+    path = os.path.join(_IVF_ROOT, hashlib.md5(key.encode()).hexdigest()[:16])
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        build_ivf_index(table(spark, sf_dir, "embeddings"), path)
+        build_ivf_index(table(spark, sf_dir, "embeddings"), path, n_clusters)
     return path
 
 
 @query("ann_ivf_topk", _COSINE_TOPK_ORACLE)
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_ivf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    n_clusters: int = IVF_CLUSTERS,
+    n_probes: int = IVF_PROBES,
+) -> DataFrame:
     """C42 scale path #2: IVF probe against the persisted index — rank
     cells by query-to-seed cosine (driver-side math on K index vectors),
     read ONLY those cell partitions, exact cosine re-rank inside.
 
-    Oracle: the exact top-k SQL — on this corpus the 4 probed cells
+    The knobs are arguments (registered query = the defaults): the
+    defaults are tuned so the probe set provably covers the exact top-k
+    on the fixture corpus (property-tested in
+    tests/test_properties.py::test_ivf_registered_knobs_recall_1) —
+    callers at other corpus geometries pick their own recall/cost point.
+
+    Oracle: the exact top-k SQL — on this corpus the probed cells
     contain the entire true top-10 (verified deterministic, since both
     the quantizer and the probe ranking are RNG-free), so the
     approximate path must return exactly the exact answer. The recall
@@ -282,14 +311,14 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     e = table(spark, sf_dir, "embeddings")
-    index_path = _ivf_index_for(spark, sf_dir)
+    index_path = _ivf_index_for(spark, sf_dir, n_clusters)
     idx = spark.read.parquet(index_path)
 
-    C = _ivf_seed_matrix(e)
+    C = _ivf_seed_matrix(e, n_clusters)
     qrow = e.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding").head()
     qv = np.asarray(qrow["embedding"], dtype=np.float64)
     qn = qv / np.linalg.norm(qv)
-    probe = [int(c) for c in np.argsort(-(C @ qn))[:IVF_PROBES]]
+    probe = [int(c) for c in np.argsort(-(C @ qn))[:n_probes]]
 
     qdf = F.broadcast(spark.createDataFrame([(qrow["embedding"],)], "qv array<float>"))
     return (

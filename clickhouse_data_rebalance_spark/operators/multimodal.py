@@ -2,11 +2,13 @@
 opaque binary payloads with typed metadata, decode/feature-extract as
 Arrow-batched Pandas UDFs over mapInPandas.
 
-The container has no image/audio codecs, so the decode step is a
-clearly-marked deterministic fake (`_fake_decode`) — the Spark-side
-plumbing (binary column, metadata struct schema, partitioning, batch
-iteration, UDF signature) is real and is what the operator contract
-covers. Swap `_fake_decode` for PIL/ffmpeg in a real deployment.
+The environment has no image/audio codecs, so payloads use a synthetic
+binary container format (magic + big-endian dims header + body) — but
+the decode step is REAL byte parsing (`_decode_media`: magic validation,
+struct.unpack dims, body md5), fully oracle-checked against DuckDB's
+independent derivation. Swap the body fingerprint for PIL/ffmpeg feature
+extraction in a real deployment; the plumbing (binary column, schema,
+partitioning, Arrow batch iteration, UDF signature) is unchanged.
 """
 
 from __future__ import annotations
@@ -78,38 +80,78 @@ def binary_payload_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _FEATURE_SCHEMA = (
-    "doc_id bigint, n_bytes bigint, checksum bigint, feat0 double, feat1 double"
+    "doc_id bigint, width bigint, height bigint, n_body_bytes bigint, "
+    "body_md5 string"
 )
 
+# Synthetic media container: 4-byte magic + 4-byte BE width + 4-byte BE
+# height + body. A stand-in for a real image header (BMP/PNG-style) that
+# keeps the decode step REAL — the UDF validates magic and recovers the
+# dimensions by parsing bytes, not by passing columns through.
+_MAGIC = b"CDRM"
 
-def _fake_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """STUB decode/feature-extract. A real deployment decodes the binary
-    payload (image/audio) here; the container has no codecs, so features
-    are a deterministic function of the raw bytes. Raises on non-bytes to
-    make the stub boundary explicit.
+
+def _decode_media(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Decode/feature-extract over the binary container format above:
+    magic check, big-endian dimension parse (struct.unpack), body length
+    and md5 fingerprint — every output value is computed FROM THE BYTES.
+    A real deployment swaps the body fingerprint for PIL/ffmpeg feature
+    extraction; the parsing/validation shape is identical. Raises on a
+    bad magic so corrupt payloads fail loudly, not silently.
     """
+    import hashlib
+    import struct
+
     for pdf in batches:
-        payloads = pdf["payload"]
-        if len(payloads) and not isinstance(payloads.iloc[0], (bytes, bytearray)):
-            raise NotImplementedError("payload column must be binary")
-        n_bytes = payloads.map(len)
-        checksum = payloads.map(lambda b: sum(b[:64]) if b else 0)
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"],
-                "n_bytes": n_bytes,
-                "checksum": checksum,
-                "feat0": checksum / (n_bytes + 1),
-                "feat1": n_bytes.astype("float64") % 257,
-            }
-        )
+        out = {"doc_id": [], "width": [], "height": [], "n_body_bytes": [],
+               "body_md5": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            if not isinstance(payload, (bytes, bytearray)):
+                raise NotImplementedError("payload column must be binary")
+            if payload[:4] != _MAGIC:
+                raise ValueError(f"bad media magic {payload[:4]!r} (doc {doc_id})")
+            width = struct.unpack(">I", payload[4:8])[0]
+            height = struct.unpack(">I", payload[8:12])[0]
+            body = bytes(payload[12:])
+            out["doc_id"].append(doc_id)
+            out["width"].append(width)
+            out["height"].append(height)
+            out["n_body_bytes"].append(len(body))
+            out["body_md5"].append(hashlib.md5(body).hexdigest())
+        yield pd.DataFrame(out)
 
 
-@query("media_feature_extract")  # Pandas-UDF path → rows-only
+@query(
+    "media_feature_extract",
+    """
+    SELECT doc_id,
+           doc_id % 640 + 16 AS width,
+           (doc_id * 7) % 480 + 16 AS height,
+           octet_length(encode(text)) AS n_body_bytes,
+           md5(text) AS body_md5
+    FROM documents ORDER BY doc_id
+    """,
+)
 def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas feature extraction over binary payloads (C34+C47):
-    Arrow-batched, per-partition iterator — the real multimodal hot path
-    shape. Deterministic fake features (see `_fake_decode`)."""
+    Arrow-batched, per-partition iterator — the real multimodal hot-path
+    shape, now with a REAL decode: the payload is a binary container
+    (magic + big-endian dims header + body) built JVM-side, and the UDF
+    recovers every output by parsing bytes (magic validation,
+    struct.unpack dims, body md5). The oracle derives the same values
+    independently (dims arithmetically — they were encoded from doc_id —
+    body length/md5 via octet_length/md5), so a parsing bug on either
+    side breaks the hash match."""
     d = table(spark, sf_dir, "documents")
-    media = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
-    return media.mapInPandas(_fake_decode, schema=_FEATURE_SCHEMA).orderBy("doc_id")
+    # header ints -> 4-byte big-endian binary via hex round-trip (codegen)
+    be4 = lambda c: F.unhex(F.lpad(F.hex(c.cast("bigint")), 8, "0"))  # noqa: E731
+    media = d.select(
+        "doc_id",
+        F.concat(
+            F.lit(_MAGIC),
+            be4(F.col("doc_id") % 640 + 16),
+            be4((F.col("doc_id") * 7) % 480 + 16),
+            F.encode("text", "UTF-8"),
+        ).alias("payload"),
+    )
+    return media.mapInPandas(_decode_media, schema=_FEATURE_SCHEMA).orderBy("doc_id")

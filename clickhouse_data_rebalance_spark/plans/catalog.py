@@ -80,6 +80,18 @@ def swap(spark: SparkSession, name: str, token: str, keep_old: bool = True) -> N
     ``name`` errors; the reference has the identical window (its renames
     are two separate cluster-wide DDLs). Keep the window small — both
     renames are metadata-only.
+
+    Crash recovery (B3 failure mode, undocumented in the reference): a
+    crash between the two renames leaves the catalog with ``name`` GONE,
+    ``{name}__old`` = the previous data, ``{name}__v{token}`` = the new
+    data — every state survives (both renames are durable metastore
+    updates; no data files move). The state is unambiguous, so recovery
+    is mechanical: ``recover_swap`` rolls FORWARD (completes the second
+    rename — the versioned table was already validated before the swap
+    began), after which ``drop_versions`` GCs ``__old`` exactly as in
+    the non-crashed path. A crash after the second rename needs no
+    repair at all: ``swap`` re-invoked is a no-op-with-error on the
+    missing ``vname``, and ``drop_versions`` still GCs ``__old``.
     """
     vname = versioned_name(name, token)
     oname = old_name(name)
@@ -92,6 +104,36 @@ def swap(spark: SparkSession, name: str, token: str, keep_old: bool = True) -> N
     spark.sql(f"ALTER TABLE {vname} RENAME TO {name}")
     if not keep_old and table_exists(spark, oname):
         spark.sql(f"DROP TABLE {oname}")
+
+
+def recover_swap(spark: SparkSession, name: str, token: str) -> str:
+    """Repair an interrupted ``swap`` (crash between its two renames).
+
+    Detects the mid-swap state — ``name`` missing while the versioned
+    and/or ``__old`` side-tables exist — and rolls forward: the
+    versioned table completes its rename into place (it was validated
+    before the swap started, so forward is always the right direction;
+    the previous data remains in ``{name}__old`` for ``drop_versions``).
+    If only ``__old`` survives (versioned table lost), rolls back so
+    ``name`` resolves again. Idempotent: any already-consistent state
+    returns unchanged.
+
+    Returns one of: ``"consistent"`` (nothing to do), ``"forward"``
+    (completed the swap), ``"rollback"`` (restored the old table).
+    """
+    vname = versioned_name(name, token)
+    oname = old_name(name)
+    if table_exists(spark, name):
+        return "consistent"
+    if table_exists(spark, vname):
+        spark.sql(f"ALTER TABLE {vname} RENAME TO {name}")
+        return "forward"
+    if table_exists(spark, oname):
+        spark.sql(f"ALTER TABLE {oname} RENAME TO {name}")
+        return "rollback"
+    raise ValueError(
+        f"unrecoverable: none of {name}, {vname}, {oname} exist in the catalog"
+    )
 
 
 def drop_versions(spark: SparkSession, name: str, tokens: list[str] | None = None) -> int:

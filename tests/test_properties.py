@@ -10,9 +10,12 @@ Spark latency is not the property under test).
 from __future__ import annotations
 
 import hashlib
+import os
 
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
+
+from tests.conftest import SF_MED, SF_SMALL
 
 from clickhouse_data_rebalance_spark.functions.text import fingerprint, shingles, tokens
 from clickhouse_data_rebalance_spark.plans.rebalance import rebalance, shard_id
@@ -454,3 +457,88 @@ def test_registry_driver_order_consistency():
     names = list(registry.ordered_queries())
     assert names[: len(order)] == order
     assert set(names) == set(registry.QUERIES)
+
+
+def test_ivf_registered_knobs_recall_1(spark):
+    """VERDICT r4 task 5: the registered IVF knobs (IVF_CLUSTERS/
+    IVF_PROBES defaults) must give recall = 1 vs the exact top-k on the
+    fixture — the property the ann_ivf_topk oracle equivalence rests on.
+    Run at both fixture scales the driver evaluates."""
+    from clickhouse_data_rebalance_spark.operators.llm_similarity import (
+        ann_ivf_topk,
+        cosine_topk_exact,
+    )
+
+    for sf in (SF_SMALL, SF_MED):
+        exact = [r["vec_id"] for r in cosine_topk_exact(spark, sf).collect()]
+        approx = [r["vec_id"] for r in ann_ivf_topk(spark, sf).collect()]
+        assert approx == exact, (
+            f"IVF defaults lost recall at {sf}: exact={exact} approx={approx} — "
+            "re-tune IVF_PROBES or the oracle equivalence claim is void"
+        )
+
+
+def test_ivf_index_invalidates_on_fixture_swap(spark, tmp_path):
+    """ADVICE r4: the persisted IVF index is keyed by a fingerprint of
+    embeddings.parquet (mtime_ns+size), so a fixture regenerated UNDER
+    THE SAME PATH must land on a different index directory (and hence
+    rebuild) instead of probing stale cells."""
+    import shutil
+
+    from clickhouse_data_rebalance_spark.operators.llm_similarity import (
+        _ivf_index_for,
+    )
+
+    fix = tmp_path / "sf_ivf_swap"
+    shutil.copytree(SF_SMALL, fix)
+    os.chmod(fix, 0o755)
+    for f in fix.iterdir():
+        os.chmod(f, 0o644)
+
+    first = _ivf_index_for(spark, str(fix))
+    assert os.path.exists(os.path.join(first, "_SUCCESS"))
+
+    # regenerate embeddings under the same path (drop one row)
+    emb = spark.read.parquet(str(fix / "embeddings.parquet")).toPandas()
+    emb.iloc[:-1].to_parquet(str(fix / "embeddings.parquet"))
+
+    second = _ivf_index_for(spark, str(fix))
+    assert second != first, "regenerated fixture must not reuse the stale index"
+    assert os.path.exists(os.path.join(second, "_SUCCESS"))
+    # and the rebuilt index reflects the new corpus row count
+    n_idx = spark.read.parquet(second).count()
+    assert n_idx == len(emb) - 1
+
+
+def test_ivf_quantizer_argmax_margin(spark):
+    """ADVICE r4 (latent flake): the Spark quantizer (numpy matmul,
+    SIMD/pairwise accumulation) and the DuckDB oracle twin (left-to-right
+    double accumulation) can disagree on a vector's cell only when the
+    top-2 seed similarities are within accumulation error (~1e-12).
+    Measure the actual top1-top2 margin across every fixture vector and
+    assert it is orders of magnitude wider — the documented guarantee
+    that dedup_embedding_cosine_ivf's oracle cannot flake on cell ties."""
+    import numpy as np
+
+    from clickhouse_data_rebalance_spark.operators.llm_similarity import (
+        IVF_CLUSTERS,
+        _ivf_seed_matrix,
+    )
+    from clickhouse_data_rebalance_spark.tables import table
+
+    for sf in (SF_SMALL, SF_MED):
+        e = table(spark, sf, "embeddings")
+        C = _ivf_seed_matrix(e, IVF_CLUSTERS)
+        X = np.array(
+            [r["embedding"] for r in e.select("embedding").collect()],
+            dtype=np.float64,
+        )
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        sims = Xn @ C.T
+        top2 = np.sort(sims, axis=1)[:, -2:]
+        margin = float(np.min(top2[:, 1] - top2[:, 0]))
+        assert margin > 1e-9, (
+            f"{sf}: min argmax margin {margin:.2e} is within float accumulation "
+            "error — the oracle's independent cell re-derivation could flake; "
+            "derive oracle cells from the persisted index instead"
+        )

@@ -142,6 +142,48 @@ def test_swap_lifecycle(spark, tmp_path):
     spark.sql("DROP TABLE IF EXISTS tswap")
 
 
+def test_swap_crash_recovery(spark, tmp_path):
+    """Kill the swap between its two renames (the documented non-atomic
+    window in catalog.swap) and verify recover_swap repairs the catalog:
+    roll-forward when the versioned table survived, roll-back when only
+    __old did, no-op when already consistent."""
+    base = str(tmp_path / "crash")
+    for t in ["tcrash", "tcrash__vr1", "tcrash__old"]:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    spark.range(10).withColumnRenamed("id", "x").write.option(
+        "path", f"{base}/tcrash"
+    ).saveAsTable("tcrash")
+    # new version holds different data so roll-forward is observable
+    spark.range(25).withColumnRenamed("id", "x").write.option(
+        "path", f"{base}/tcrash__vr1"
+    ).saveAsTable("tcrash__vr1")
+
+    # simulate the crash: first rename done, second never ran
+    spark.sql("ALTER TABLE tcrash RENAME TO tcrash__old")
+    assert not cat.table_exists(spark, "tcrash")
+
+    # mid-swap state: reads of the logical name fail (the documented window)
+    with pytest.raises(Exception):
+        spark.table("tcrash").count()
+
+    assert cat.recover_swap(spark, "tcrash", "r1") == "forward"
+    assert spark.table("tcrash").count() == 25  # new data took over
+    assert spark.table("tcrash__old").count() == 10  # old data retained
+    # idempotent once consistent
+    assert cat.recover_swap(spark, "tcrash", "r1") == "consistent"
+    # phase-8 GC completes recovery exactly like the non-crashed path
+    assert cat.drop_versions(spark, "tcrash") == 1
+
+    # rollback path: versioned table lost, only __old survives
+    spark.sql("ALTER TABLE tcrash RENAME TO tcrash__old")
+    assert cat.recover_swap(spark, "tcrash", "r1") == "rollback"
+    assert spark.table("tcrash").count() == 25
+    # nothing left at all -> unrecoverable raises
+    spark.sql("DROP TABLE tcrash")
+    with pytest.raises(ValueError):
+        cat.recover_swap(spark, "tcrash", "r1")
+
+
 def test_property_rebalance_preserves_random_tables(spark, tmp_path):
     # lightweight property check: several seeds, content hash preserved
     for seed in [1, 7, 42]:
