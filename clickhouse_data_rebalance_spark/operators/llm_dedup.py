@@ -466,6 +466,110 @@ def dedup_embedding_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Incremental variant: new-batch rows (vec_id % 10 = 7 stands in for "the
+# day's arrivals") dedup against the ALREADY-INDEXED corpus. Same seeds/
+# assign derivation as the full IVF oracle; only the join shape differs.
+_EMB_DEDUP_INCR_ORACLE = """
+    WITH seeds AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS sv
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {k})
+    ),
+    assign AS (
+      SELECT e.vec_id, e.embedding,
+             (SELECT s.cell FROM seeds s
+              ORDER BY list_cosine_similarity(
+                         list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                         s.sv) DESC, s.cell
+              LIMIT 1) AS cell
+      FROM embeddings e
+    ),
+    batch AS (SELECT * FROM assign WHERE vec_id % 10 = 7),
+    corpus AS (SELECT * FROM assign WHERE vec_id % 10 <> 7),
+    dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM corpus c JOIN batch b ON c.cell = b.cell
+      WHERE list_cosine_similarity(
+              list_transform(c.embedding, x -> CAST(x AS DOUBLE)),
+              list_transform(b.embedding, x -> CAST(x AS DOUBLE))) >= 0.3
+    )
+    SELECT d.doc_id, d.lang, b.cell
+    FROM documents d JOIN batch b ON b.vec_id = d.doc_id
+    WHERE d.doc_id NOT IN (SELECT vec_id FROM dropped)
+    ORDER BY d.doc_id
+"""
+
+
+def _emb_dedup_incr_oracle() -> str:
+    from .llm_similarity import IVF_CLUSTERS
+
+    return _EMB_DEDUP_INCR_ORACLE.replace("{k}", str(IVF_CLUSTERS))
+
+
+@query("dedup_incremental_batch", _emb_dedup_incr_oracle())
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental semantic dedup: a NEW BATCH of documents (vec_id % 10
+    = 7 models the day's arrivals) dedups against the already-indexed
+    corpus — the steady-state shape of a production pipeline, where the
+    full-corpus self-join of `dedup_embedding_cosine_ivf` is a one-time
+    backfill and every day after runs THIS.
+
+    Scale design, and why it wins at 100 TB: the batch's cell
+    assignments are known from the same quantizer that built the index,
+    so the corpus side is read with `cell IN (touched cells)` — a
+    PARTITION-PRUNED scan of the persisted index (plan-asserted in
+    test_plan_quality). A batch that is 0.1% of the corpus touching
+    1/10th of the cells reads 10% of the index, not 100%; the corpus
+    rows never shuffle (the join broadcasts or equi-partitions on cell,
+    a key the directory layout already materializes). The touched-cell
+    list is a <=n_clusters-row collect — index metadata, not data."""
+    from .llm_similarity import _ivf_index_for
+    from ..functions.vectors import dot, norm
+
+    index_path = _ivf_index_for(spark, sf_dir)
+    is_batch = F.col("vec_id") % 10 == 7
+
+    batch = (
+        spark.read.parquet(index_path)
+        .filter(is_batch)
+        .select(
+            "vec_id",
+            F.col("cell").cast("int").alias("cell"),
+            "embedding",
+            norm(F.col("embedding")).alias("nrm"),
+        )
+    )
+    # metadata-size collect: at most n_clusters distinct cell ids
+    touched = [int(r["cell"]) for r in batch.select("cell").distinct().collect()]
+    corpus = (
+        spark.read.parquet(index_path)
+        .filter(F.col("cell").isin(touched) & ~is_batch)
+        .select(
+            F.col("vec_id").alias("c_vec_id"),
+            F.col("cell").cast("int").alias("c_cell"),
+            F.col("embedding").alias("c_embedding"),
+            norm(F.col("embedding")).alias("c_nrm"),
+        )
+    )
+    pair_cos = F.try_divide(
+        dot(F.col("c_embedding"), F.col("embedding")),
+        F.col("c_nrm") * F.col("nrm"),
+    )
+    dropped = (
+        corpus.join(batch, F.col("c_cell") == F.col("cell"))
+        .filter(pair_cos >= 0.3)
+        .select("vec_id")
+        .distinct()
+    )
+    survivors = batch.select("vec_id", "cell").join(dropped, "vec_id", "left_anti")
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.join(survivors, d["doc_id"] == survivors["vec_id"])
+        .select("doc_id", "lang", "cell")
+        .orderBy("doc_id")
+    )
+
+
 _JACCARD_ORACLE = """
     WITH toks AS (
       SELECT doc_id, source,

@@ -330,6 +330,123 @@ def ann_ivf_topk(
     )
 
 
+# ---- IVF quantizer refinement: one Lloyd iteration, DataFrame-native ------
+# The medoid-seeded quantizer above is deterministic but data-oblivious
+# beyond seed choice; this is the promised offline refinement step
+# (docstring at IVF_CLUSTERS): recompute each cell's centroid from its
+# members, then re-assign. Centroid sums use FIXED-POINT integers
+# (floor(v*2^40) per component — exact for float32-origin values at this
+# magnitude, and integer addition is order-independent), so both engines
+# derive bit-identical centroids regardless of partition/accumulation
+# order; only then does the (margin-safe, see
+# test_ivf_quantizer_argmax_margin) cosine argmax run on doubles.
+_FP40 = 1099511627776.0  # 2^40
+
+_KMEANS_ORACLE = """
+    WITH seeds AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS sv
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {k})
+    ),
+    a0 AS (
+      SELECT e.vec_id,
+             list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS v,
+             (SELECT s.cell FROM seeds s
+              ORDER BY list_cosine_similarity(
+                         list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                         s.sv) DESC, s.cell
+              LIMIT 1) AS cell
+      FROM embeddings e
+    ),
+    comp AS (
+      SELECT cell, p.pos,
+             SUM(CAST(floor(v[p.pos] * {fp}) AS BIGINT)) AS s_fp,
+             COUNT(*) AS n
+      FROM a0 CROSS JOIN (SELECT unnest(generate_series(1, {dim})) AS pos) p
+      GROUP BY cell, p.pos
+    ),
+    cents AS (
+      SELECT cell, list(s_fp / {fp} / n ORDER BY pos) AS cv
+      FROM comp GROUP BY cell
+    ),
+    a1 AS (
+      SELECT a0.vec_id,
+             (SELECT c.cell FROM cents c
+              ORDER BY list_cosine_similarity(a0.v, c.cv) DESC, c.cell
+              LIMIT 1) AS cell
+      FROM a0
+    )
+    SELECT cell, COUNT(*) AS n_vectors, MIN(vec_id) AS min_vec_id
+    FROM a1 GROUP BY cell ORDER BY cell
+"""
+
+
+def _kmeans_oracle() -> str:
+    return (
+        _KMEANS_ORACLE.replace("{k}", str(IVF_CLUSTERS))
+        .replace("{dim}", str(EMBED_DIM))
+        .replace("{fp}", repr(_FP40))
+    )
+
+
+def refined_centroids(spark: SparkSession, sf_dir: str):
+    """One Lloyd step over the persisted index: (K, dim) refined centroid
+    matrix. Per-component sums are exact int64 fixed point computed by a
+    groupBy over the posexploded members (map-side combine; the shuffle
+    carries at most K*dim partial rows per map partition), and the
+    K*dim-row collect is index metadata, not data."""
+    import numpy as np
+
+    idx = spark.read.parquet(_ivf_index_for(spark, sf_dir))
+    comp = (
+        idx.select(
+            "cell", F.posexplode(F.col("embedding").cast("array<double>"))
+        )
+        .select(
+            "cell",
+            F.col("pos"),
+            F.floor(F.col("col") * _FP40).cast("long").alias("v_fp"),
+        )
+        .groupBy("cell", "pos")
+        .agg(F.sum("v_fp").alias("s_fp"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    C = np.zeros((IVF_CLUSTERS, EMBED_DIM), dtype=np.float64)
+    for r in comp:
+        C[int(r["cell"]), int(r["pos"])] = r["s_fp"] / _FP40 / r["n"]
+    return C
+
+
+@query("ivf_kmeans_cells", _kmeans_oracle())
+def ivf_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means-refined IVF cell histogram: members per cell + min vec_id
+    after one Lloyd re-assignment — the offline index-maintenance job
+    that upgrades the medoid-seeded quantizer toward real cluster
+    structure (better cell balance → tighter ANN probe budgets).
+
+    Scale: the refinement never moves vectors — one scan of the persisted
+    index computes exact fixed-point centroid sums via map-side-combined
+    groupBy (shuffle rows <= K*dim per map partition), the K*dim collect
+    is metadata, and re-assignment is the same one-matmul-per-batch
+    pandas UDF the index build uses. An N-iteration refine is this in a
+    loop; each iteration costs one corpus scan and no corpus shuffle."""
+    import numpy as np
+
+    C1 = refined_centroids(spark, sf_dir)
+    C1n = C1 / np.maximum(np.linalg.norm(C1, axis=1, keepdims=True), 1e-12)
+    cell_of = _make_cell_udf(C1n)
+    idx = spark.read.parquet(_ivf_index_for(spark, sf_dir))
+    return (
+        idx.select("vec_id", cell_of("embedding").alias("cell"))
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.min("vec_id").alias("min_vec_id"),
+        )
+        .orderBy("cell")
+    )
+
+
 @query("embedding_norms", f"""
     SELECT vec_id, label,
            sqrt(list_dot_product(

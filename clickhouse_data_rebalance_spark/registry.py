@@ -131,6 +131,9 @@ DRIVER_ORDER_TIER2: list[str] = [
     "stream_stream_join",
     "stream_upsert_sink",
     "stream_custom_state",
+    # round-5 new work (newest-riskiest next in line for driver rows)
+    "dedup_incremental_batch",
+    "ivf_kmeans_cells",
     # rotated out of the 50-row cover in r5 (2+ green driver rounds each)
     "rebalance_range_invariants",
     "source_csv_roundtrip",

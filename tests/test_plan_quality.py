@@ -331,3 +331,21 @@ def test_ivf_dedup_no_cartesian(spark):
     plan = plan_of(spark, "dedup_embedding_cosine_ivf")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_incremental_dedup_prunes_to_touched_cells(spark):
+    """dedup_incremental_batch's corpus-side scan must carry the
+    `cell IN (touched)` predicate as a PartitionFilters entry — the
+    property that makes the daily-batch dedup read batch-touched cell
+    directories instead of the whole index, and never cartesian."""
+    plan = plan_of(spark, "dedup_incremental_batch")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    saw_cell_in = False
+    for chunk in plan.split("Scan parquet")[1:]:
+        if "ivf_index" not in chunk.split("ReadSchema:")[0]:
+            continue
+        pf_lines = [ln for ln in chunk.splitlines() if "PartitionFilters" in ln]
+        if any("cell IN" in ln or ("cell" in ln and " IN " in ln) for ln in pf_lines):
+            saw_cell_in = True
+    assert saw_cell_in, "corpus scan lacks the cell IN (...) partition filter"

@@ -542,3 +542,19 @@ def test_ivf_quantizer_argmax_margin(spark):
             "error — the oracle's independent cell re-derivation could flake; "
             "derive oracle cells from the persisted index instead"
         )
+
+        # same guard for the k-means-refined centroids (ivf_kmeans_cells):
+        # the fixed-point centroid derivation is bit-identical across
+        # engines, so the only cross-engine divergence left is the cosine
+        # argmax itself — its margin must also dwarf accumulation error
+        from clickhouse_data_rebalance_spark.operators.llm_similarity import (
+            refined_centroids,
+        )
+
+        C1 = refined_centroids(spark, sf)
+        C1n = C1 / np.maximum(np.linalg.norm(C1, axis=1, keepdims=True), 1e-12)
+        top2r = np.sort(Xn @ C1n.T, axis=1)[:, -2:]
+        margin_r = float(np.min(top2r[:, 1] - top2r[:, 0]))
+        assert margin_r > 1e-9, (
+            f"{sf}: refined-centroid argmax margin {margin_r:.2e} too tight"
+        )
