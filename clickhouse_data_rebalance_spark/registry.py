@@ -169,6 +169,7 @@ DRIVER_ORDER_TIER2: list[str] = [
     "embedding_quantize_int8",
     "source_text_roundtrip",
     "source_binaryfile_scan",
+    "source_schema_evolution",
     "compaction_roundtrip",
     "heavy_hitters",
     "cohort_retention",

@@ -67,6 +67,45 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "source_schema_evolution",
+    """
+    SELECT n_nationkey, n_name, n_regionkey, CAST(NULL AS INT) AS extra_flag
+    FROM nation WHERE n_nationkey < 13
+    UNION ALL
+    SELECT n_nationkey, n_name, n_regionkey, CAST(n_regionkey * 10 AS INT)
+    FROM nation WHERE n_nationkey >= 13
+    ORDER BY n_nationkey
+    """,
+)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on a parquet dataset (C1 depth): an old batch
+    written with 3 columns and a new batch with an added column are read
+    as ONE dataset via mergeSchema — old rows surface NULL for the new
+    column, the Spark answer to ClickHouse's ALTER TABLE ADD COLUMN
+    default-on-read behavior.
+
+    Scale: schema merging reads footers (metadata), not data; at 100 TB
+    pin the merged schema explicitly after evolution settles so readers
+    skip the per-file footer union."""
+    n = table(spark, sf_dir, "nation")
+    path = os.path.join(_TMP, "nation_evolving")
+    shutil.rmtree(path, ignore_errors=True)
+    n.filter(F.col("n_nationkey") < 13).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    ).write.parquet(os.path.join(path, "batch=v1"))
+    n.filter(F.col("n_nationkey") >= 13).select(
+        "n_nationkey",
+        "n_name",
+        "n_regionkey",
+        (F.col("n_regionkey") * 10).cast("int").alias("extra_flag"),
+    ).write.parquet(os.path.join(path, "batch=v2"))
+    back = spark.read.option("mergeSchema", "true").parquet(path)
+    return back.select(
+        "n_nationkey", "n_name", "n_regionkey", "extra_flag"
+    ).orderBy("n_nationkey")
+
+
+@query(
     "sink_partitioned_parquet",
     """
     SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,

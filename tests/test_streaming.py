@@ -81,3 +81,48 @@ def test_custom_state_final_equals_batch(spark):
         n, t = batch[r["user_id"]]
         assert r["n_events"] == n
         assert abs(r["total_value"] - t) < 1e-6 * max(1.0, abs(t))
+
+
+def test_checkpoint_resume_is_exactly_once(spark, tmp_path):
+    """Restart semantics: a stream stopped after processing file 1 and
+    restarted FROM THE SAME CHECKPOINT after file 2 arrives must process
+    only file 2 — the sink ends with every input row exactly once, no
+    re-emission of file 1. This is the durability contract the
+    fresh-checkpoint replay queries deliberately don't exercise."""
+    src = tmp_path / "src"
+    sink = tmp_path / "sink"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+
+    events = normalize_events_ts(
+        spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    ).select("event_id", "user_id", "value")
+    first = events.limit(100).toPandas()
+    first.to_parquet(str(src / "f1.parquet"))
+
+    schema = spark.read.parquet(str(src / "f1.parquet")).schema
+
+    def run_once() -> None:
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(str(src))
+            .writeStream.format("parquet")
+            .option("path", str(sink))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    assert spark.read.parquet(str(sink)).count() == 100
+
+    # second file lands; SAME checkpoint — only the delta is processed
+    second = events.limit(150).toPandas().iloc[100:]
+    second.to_parquet(str(src / "f2.parquet"))
+    run_once()
+
+    out = spark.read.parquet(str(sink))
+    assert out.count() == 150, "restart must process exactly the new file"
+    # every event exactly once (no re-emission of f1 under the restart)
+    assert out.select("event_id").distinct().count() == 150
