@@ -89,14 +89,15 @@ def main() -> None:
     for df in dfs.values():
         df.count()
 
-    # two passes per query: pass 1 pays one-time plan/codegen compilation,
-    # pass 2 is the steady-state number a long-running cluster would see.
-    # Reported time = min of the two (the runs do identical work).
+    # three passes per query: pass 1 pays one-time plan/codegen
+    # compilation (and JIT tiering often still settles during pass 2);
+    # the reported time = min of the three — the steady-state number a
+    # long-running cluster would see. The runs do identical work.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry.QUERIES[name]
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             fn(spark, sf_dir).collect()
             best = min(best, time.perf_counter() - t0)

@@ -349,3 +349,20 @@ def test_incremental_dedup_prunes_to_touched_cells(spark):
         if any("cell IN" in ln or ("cell" in ln and " IN " in ln) for ln in pf_lines):
             saw_cell_in = True
     assert saw_cell_in, "corpus scan lacks the cell IN (...) partition filter"
+
+
+def test_media_decode_scan_prunes_columns(spark):
+    """media_feature_extract builds its binary container from doc_id +
+    text only; the documents scan must prune to exactly those columns
+    (a decode pipeline that drags every column through Arrow serialization
+    pays for it at corpus scale)."""
+    plan = plan_of(spark, "media_feature_extract")
+    for chunk in plan.split("Scan parquet")[1:]:
+        if "documents" not in chunk.split("ReadSchema:")[0]:
+            continue
+        schema_line = chunk.split("ReadSchema:")[1].splitlines()[0]
+        assert "text" in schema_line and "doc_id" in schema_line
+        for col in ("lang", "source", "label"):
+            assert col not in schema_line, (
+                f"unpruned column {col} in media decode scan: {schema_line}"
+            )
