@@ -306,3 +306,70 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "asof_join_tolerance",
+    """
+    SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
+           CASE WHEN c.ts >= p.ts - INTERVAL 1 HOUR THEN c.ts END AS click_ts,
+           CASE WHEN c.ts >= p.ts - INTERVAL 1 HOUR THEN c.value END AS click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    ORDER BY p.event_id
+    """,
+)
+def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a match tolerance (pandas merge_asof's
+    ``tolerance=``, kdb wj's window): the most recent click counts only
+    if it is within 1 hour of the purchase — stale matches become NULL
+    instead of silently attributing a day-old click.
+
+    Same single-shuffle union + window-fill composition as `asof_join`
+    (the nearest preceding match IS the window-fill result, so the
+    tolerance is a row-local post-predicate — no extra shuffle, no
+    range-join blowup). Oracle: DuckDB native ASOF with the same CASE."""
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(None).cast("timestamp").alias("c_ts"),
+        F.lit(None).cast("double").alias("c_val"),
+        F.lit(1).alias("is_p"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("ts").alias("c_ts"),
+        F.col("value").alias("c_val"),
+        F.lit(0).alias("is_p"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "is_p")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    in_tol = F.col("raw_click_ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR")
+    filled = (
+        p.unionByName(c)
+        .withColumn("raw_click_ts", F.last("c_ts", ignorenulls=True).over(w))
+        .withColumn("raw_click_value", F.last("c_val", ignorenulls=True).over(w))
+        .withColumn("click_ts", F.when(in_tol, F.col("raw_click_ts")))
+        .withColumn("click_value", F.when(in_tol, F.col("raw_click_value")))
+    )
+    return (
+        filled.filter(F.col("is_p") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "click_ts",
+            "click_value",
+        )
+        .orderBy("event_id")
+    )

@@ -134,6 +134,8 @@ DRIVER_ORDER_TIER2: list[str] = [
     # round-5 new work (newest-riskiest next in line for driver rows)
     "dedup_incremental_batch",
     "ivf_kmeans_cells",
+    "asof_join_tolerance",
+    "source_schema_evolution",
     # rotated out of the 50-row cover in r5 (2+ green driver rounds each)
     "rebalance_range_invariants",
     "source_csv_roundtrip",
@@ -169,7 +171,6 @@ DRIVER_ORDER_TIER2: list[str] = [
     "embedding_quantize_int8",
     "source_text_roundtrip",
     "source_binaryfile_scan",
-    "source_schema_evolution",
     "compaction_roundtrip",
     "heavy_hitters",
     "cohort_retention",

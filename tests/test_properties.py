@@ -558,3 +558,46 @@ def test_ivf_quantizer_argmax_margin(spark):
         assert margin_r > 1e-9, (
             f"{sf}: refined-centroid argmax margin {margin_r:.2e} too tight"
         )
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["A", "N", "R"]),
+            # 2-decimal prices (the fixture's shape) spanning magnitudes,
+            # including values whose group sums exceed 2^53 in 1e-4 units
+            st.integers(1, 10_000_000_00).map(lambda c: c / 100.0),
+            st.integers(1, 1000).map(float),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_weighted_avg_udaf_matches_duckdb_on_random_groups(rows):
+    """Property form of the grouped_map_udaf equivalence: for ANY mix of
+    2-decimal prices and integral quantities, the pandas UDAF's integer
+    fixed-point weighted average must equal DuckDB's integer derivation
+    EXACTLY (int equality, no tolerance) on every group."""
+    import duckdb
+    import pandas as pd
+
+    from clickhouse_data_rebalance_spark.operators.udfs import _weighted_avg
+
+    pdf = pd.DataFrame(rows, columns=["l_returnflag", "l_extendedprice", "l_quantity"])
+    ours = {
+        flag: int(_weighted_avg(g)["wavg_price_e4"].iloc[0])
+        for flag, g in pdf.groupby("l_returnflag")
+    }
+    oracle = dict(
+        duckdb.sql(
+            """
+            SELECT l_returnflag,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 10000) AS BIGINT)
+                            * CAST(ROUND(l_quantity) AS BIGINT))
+                        // SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT)
+            FROM pdf GROUP BY l_returnflag
+            """
+        ).fetchall()
+    )
+    assert ours == {k: int(v) for k, v in oracle.items()}
