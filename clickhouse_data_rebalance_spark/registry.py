@@ -136,6 +136,7 @@ DRIVER_ORDER_TIER2: list[str] = [
     "ivf_kmeans_cells",
     "asof_join_tolerance",
     "source_schema_evolution",
+    "time_gap_fill_interpolate",
     # rotated out of the 50-row cover in r5 (2+ green driver rounds each)
     "rebalance_range_invariants",
     "source_csv_roundtrip",

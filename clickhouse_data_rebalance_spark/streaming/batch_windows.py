@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..registry import query
 from ..tables import table
-from ..operators._util import dec_sum, sql_dec_sum
+from ..operators._util import dec_sum, sql_dec_avg, sql_dec_sum
 
 
 @query(
@@ -176,6 +176,114 @@ def time_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hr")
     )
+
+
+@query(
+    "time_gap_fill_interpolate",
+    f"""
+    WITH ev AS (SELECT * FROM events WHERE user_id < 5),
+    bounds AS (
+      SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+      FROM ev
+    ), hours AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS hr FROM bounds
+    ), spine AS (
+      SELECT u.user_id, h.hr
+      FROM (SELECT DISTINCT user_id FROM ev) u CROSS JOIN hours h
+    ), hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS hr,
+             {sql_dec_avg('value')} AS v
+      FROM ev GROUP BY 1, 2
+    ), joined AS (
+      SELECT s.user_id, s.hr, h.v
+      FROM spine s LEFT JOIN hourly h ON s.user_id = h.user_id AND s.hr = h.hr
+    ), ctx AS (
+      SELECT user_id, hr, v,
+             last_value(v IGNORE NULLS) OVER w_prev AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS)
+               OVER w_prev AS ph,
+             first_value(v IGNORE NULLS) OVER w_next AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS)
+               OVER w_next AS nh
+      FROM joined
+      WINDOW
+        w_prev AS (PARTITION BY user_id ORDER BY hr
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        w_next AS (PARTITION BY user_id ORDER BY hr
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, hr,
+           CAST(floor(
+             CASE
+               WHEN v IS NOT NULL THEN v
+               WHEN pv IS NULL THEN nv
+               WHEN nv IS NULL THEN pv
+               ELSE pv + (nv - pv) * ((epoch(hr) - epoch(ph))
+                                      / (epoch(nh) - epoch(ph)))
+             END * 1073741824.0) AS BIGINT) AS v_fp30,
+           CAST(v IS NULL AS INT) AS filled
+    FROM ctx ORDER BY user_id, hr
+    """,
+)
+def time_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap fill with LINEAR INTERPOLATION (ClickHouse ``WITH FILL ...
+    INTERPOLATE`` analog): each user's hourly average series is
+    densified on the hour spine and missing hours take the straight line
+    between the surrounding known points (edges extend the nearest known
+    value). The two direction-scans are window fills over ONE user_id
+    partitioning; output is fixed-point (floor at 2^30) since both
+    engines evaluate the identical arithmetic on identical doubles.
+
+    Scale: the spine is |users-in-scope| x |hours| — generated, not
+    shuffled; the only data shuffle is the hourly rollup, and both
+    window passes reuse its user partitioning."""
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    hours = (
+        e.agg(
+            F.date_trunc("hour", F.min("ts")).alias("lo"),
+            F.date_trunc("hour", F.max("ts")).alias("hi"),
+        )
+        .select(
+            F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hr")
+        )
+    )
+    spine = e.select("user_id").distinct().crossJoin(F.broadcast(hours))
+    hourly = e.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hr")
+    ).agg((dec_sum("value") / F.count(F.lit(1))).alias("v"))
+    joined = spine.join(hourly, ["user_id", "hr"], "left")
+
+    w_prev = (
+        W.partitionBy("user_id").orderBy("hr")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_next = (
+        W.partitionBy("user_id").orderBy("hr")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    known_hr = F.when(F.col("v").isNotNull(), F.col("hr"))
+    ctx = (
+        joined.withColumn("pv", F.last("v", ignorenulls=True).over(w_prev))
+        .withColumn("ph", F.last(known_hr, ignorenulls=True).over(w_prev))
+        .withColumn("nv", F.first("v", ignorenulls=True).over(w_next))
+        .withColumn("nh", F.first(known_hr, ignorenulls=True).over(w_next))
+    )
+    ep = lambda c: F.col(c).cast("double")  # noqa: E731 — epoch seconds
+    frac = (ep("hr") - ep("ph")) / (ep("nh") - ep("ph"))
+    filled = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
+    )
+    return ctx.select(
+        "user_id",
+        "hr",
+        F.floor(filled * 1073741824.0).cast("bigint").alias("v_fp30"),
+        F.col("v").isNull().cast("int").alias("filled"),
+    ).orderBy("user_id", "hr")
 
 
 @query(

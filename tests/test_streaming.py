@@ -126,3 +126,79 @@ def test_checkpoint_resume_is_exactly_once(spark, tmp_path):
     assert out.count() == 150, "restart must process exactly the new file"
     # every event exactly once (no re-emission of f1 under the restart)
     assert out.select("event_id").distinct().count() == 150
+
+
+def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
+    """Multi-batch watermark semantics, not just the single-file replay:
+    run 1 carries on-time rows through 12:00, so the watermark advances
+    to 11:50 and append mode finalizes exactly the 10:00 window (n=3).
+    Run 2 (same checkpoint) carries one row at 10:05 — 105 minutes late,
+    beyond the 10-minute delay, into that already-finalized window. The
+    late row must be silently DROPPED: nothing new is emitted and the
+    10:00 count is never corrected."""
+    import pandas as pd
+
+    src = tmp_path / "wm_src"
+    sink = tmp_path / "wm_sink"
+    src.mkdir()
+
+    def write_batch(name, rows):
+        pdf = pd.DataFrame(
+            {"ts": pd.to_datetime(rows), "user_id": range(len(rows))}
+        )
+        # µs precision: pandas defaults to ns, which Spark's vectorized
+        # parquet reader rejects (TIMESTAMP(NANOS)) without the legacy conf
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        pdf.to_parquet(str(src / name))
+
+    # on-time: three rows in the 10:00 window, two in 11:00, one at 12:00
+    write_batch("b1.parquet", [
+        "2024-01-01 10:01", "2024-01-01 10:02", "2024-01-01 10:03",
+        "2024-01-01 11:01", "2024-01-01 11:02",
+        "2024-01-01 12:00",
+    ])
+    schema = spark.read.parquet(str(src / "b1.parquet")).schema
+    from clickhouse_data_rebalance_spark.streaming.stream_ops import (
+        _ckpt_dir,
+        _stream_state_partitions,
+    )
+
+    ckpt = _ckpt_dir("wm_late_")
+
+    def run():
+        # parquet sink: append-mode, checkpoint-recoverable (memory sinks
+        # are not) — each run appends only newly-finalized windows
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("win_start"), "n")
+        )
+        with _stream_state_partitions(spark):
+            q = (
+                stream.writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", str(sink))
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        return {
+            r["win_start"].strftime("%H"): r["n"]
+            for r in spark.read.parquet(str(sink)).collect()
+        }
+
+    first = run()
+    # watermark 11:50 -> exactly the 10:00 window finalized, on-time count
+    assert first == {"10": 3}, f"unexpected finalized windows: {first}"
+
+    # a row 105 min late into the closed 10:00 window; same checkpoint
+    write_batch("b2.parquet", ["2024-01-01 10:05"])
+    second = run()
+    # dropped: no re-emission, no correction, nothing new finalized
+    assert second == {"10": 3}, f"late row leaked: {second}"
