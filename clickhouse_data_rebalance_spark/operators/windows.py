@@ -124,6 +124,46 @@ def window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "window_range_interval",
+    f"""
+    SELECT user_id, ts,
+           COUNT(*) OVER w AS n_last_hour,
+           CAST(SUM(CAST(value AS {_DEC})) OVER w AS DOUBLE) AS value_last_hour
+    FROM events
+    WHERE user_id < 20
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, ts
+    """,
+)
+def window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over event TIME (not row position): each event's
+    trailing 1-hour activity — the moving-window shape rate limiting,
+    anomaly scoring, and sliding feature extraction need, where a ROWS
+    frame is wrong whenever events arrive unevenly.
+
+    Spark's rangeBetween needs a numeric ordering column, so ts is cast
+    to epoch seconds for the frame and the 3600-second bound matches the
+    oracle's INTERVAL '1 hour'. One shuffle on user_id; the frame scan
+    is O(events-in-window) per row. Ties on (user_id, ts) are absorbed:
+    RANGE frames include ALL peers of the current ts on both engines."""
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    # NTZ -> LTZ cast is value-preserving under the pinned UTC session tz;
+    # NTZ has no direct cast to long
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    w = W.partitionBy("user_id").orderBy(epoch).rangeBetween(-3600, 0)
+    return (
+        e.select(
+            "user_id",
+            "ts",
+            F.count(F.lit(1)).over(w).alias("n_last_hour"),
+            F.sum(F.col("value").cast(_DEC)).over(w).cast("double").alias("value_last_hour"),
+        )
+        .orderBy("user_id", "ts")
+    )
+
+
+@query(
     "sort_multi_key",
     """
     SELECT s_suppkey, s_name, s_nationkey, s_acctbal
