@@ -235,6 +235,39 @@ def join_theta_pure(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_null_safe",
+    """
+    WITH a AS (SELECT n_nationkey, n_name, NULLIF(n_regionkey, 0) AS rk FROM nation),
+         b AS (SELECT r_regionkey, r_name, NULLIF(r_regionkey, 0) AS rk FROM region)
+    SELECT a.n_nationkey, a.n_name, b.r_name
+    FROM a JOIN b ON a.rk IS NOT DISTINCT FROM b.rk
+    ORDER BY a.n_nationkey
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (Spark ``<=>`` / SQL IS NOT DISTINCT FROM):
+    NULL keys MATCH each other instead of vanishing — the semantics
+    change-data and SCD pipelines rely on when the join key is nullable
+    (a plain equi-join silently drops every NULL-keyed row). Keys here
+    are made nullable with NULLIF so both arms are exercised: region 0
+    rows pair through NULL<=>NULL, the rest through normal equality.
+
+    Scale: ``<=>`` stays a hash-joinable equi-condition (NULLs hash to
+    one partition — salt if a nullable key is null-heavy)."""
+    n = table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", F.nullif("n_regionkey", F.lit(0)).alias("rk")
+    )
+    r = table(spark, sf_dir, "region").select(
+        "r_name", F.nullif("r_regionkey", F.lit(0)).alias("rk")
+    )
+    return (
+        n.join(r, n["rk"].eqNullSafe(r["rk"]))
+        .select("n_nationkey", "n_name", "r_name")
+        .orderBy("n_nationkey")
+    )
+
+
+@query(
     "join_cross",
     """
     SELECT r.r_name, n.n_name

@@ -138,6 +138,7 @@ DRIVER_ORDER_TIER2: list[str] = [
     "source_schema_evolution",
     "time_gap_fill_interpolate",
     "window_range_interval",
+    "join_null_safe",
     # rotated out of the 50-row cover in r5 (2+ green driver rounds each)
     "rebalance_range_invariants",
     "source_csv_roundtrip",
