@@ -5,6 +5,8 @@ oracle get a rows-run smoke check.
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from clickhouse_data_rebalance_spark import registry
@@ -50,3 +52,23 @@ def test_driver_order_covers_components():
     oq = registry.ordered_queries()
     assert list(oq)[:50] == order
     assert set(oq) == set(registry.QUERIES)
+
+
+@pytest.mark.skipif(
+    os.environ.get("CDR_SF01_COVER") != "1",
+    reason="~3 min: full 50-query driver cover at sf0.1; set CDR_SF01_COVER=1",
+)
+def test_driver_cover_at_sf01(spark):
+    """Scale-up differential: the whole 50-query driver cover must
+    exact-match its oracles at sf0.1 too (10x the driver's gate scale) —
+    proves the engineered float determinism (decimal sums, fixed-point
+    outputs) is scale-independent, not tuned to one fixture size.
+    Verified green 2026-08-14 (round 5); run explicitly before rounds
+    that touch numeric aggregation paths."""
+    sf = "/root/testdata/sf0.1"
+    con = duck_connection(sf)
+    try:
+        for name in registry.DRIVER_ORDER:
+            compare(registry.QUERIES[name](spark, sf), con, registry.ORACLES[name])
+    finally:
+        con.close()
