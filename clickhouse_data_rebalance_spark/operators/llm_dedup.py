@@ -310,6 +310,86 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.filter(F.col("hamming") <= 12).orderBy("doc_a", "doc_b")
 
 
+# SimHash with an md5-derived token hash, which BOTH engines can compute —
+# upgrades the signature computation (the hard part of `dedup_simhash`,
+# whose xxhash64 is Spark-only) to a full cross-engine oracle. 60 bits
+# (15 hex chars) keeps the hash inside signed-int64 range on both sides.
+_SIMHASH_SIG_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_distinct(string_split(lower(trim(text)), ' '))) AS w
+      FROM documents
+    ), th AS (
+      SELECT doc_id, CAST(concat('0x', substring(md5(w), 1, 15)) AS BIGINT) AS h
+      FROM toks
+    ), votes AS (
+      SELECT doc_id, b.b AS bit,
+             SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM th CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b) b
+      GROUP BY doc_id, b.b
+    ), sig AS (
+      SELECT doc_id,
+             SUM(CASE WHEN v >= 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS sig
+      FROM votes GROUP BY doc_id
+    )
+    SELECT doc_id, sig,
+           sig & 32767 AS band0,
+           (sig >> 15) & 32767 AS band1,
+           (sig >> 30) & 32767 AS band2,
+           (sig >> 45) & 32767 AS band3
+    FROM sig ORDER BY doc_id
+"""
+
+
+@query("simhash_signatures", _SIMHASH_SIG_ORACLE)
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures with a cross-engine-computable token hash
+    (md5 60-bit prefix): per-document 60-bit signature + its 4 banding
+    chunks, exact-matched against DuckDB's independent derivation. This
+    oracles the part of `dedup_simhash` that is otherwise unverifiable
+    (its xxhash64 exists only in Spark); the banded candidate join
+    downstream is the same already-oracled pattern as MinHash.
+
+    Scale: explode distinct tokens -> one md5+conv per token -> 60
+    codegen bit-vote sums with map-side combine; the shuffle carries one
+    60-int row per document per map partition. Bit votes tie to 1 at
+    vote=0 on both sides."""
+    from functools import reduce
+    from operator import add
+
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(tokens(F.lower(F.col("text"))))).alias("w"),
+    )
+    h = t.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long").alias("h"),
+    )
+    votes = h.groupBy("doc_id").agg(
+        *[
+            F.sum(F.shiftright("h", j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"v{j}")
+            for j in range(60)
+        ]
+    )
+    sig = reduce(
+        add,
+        [
+            F.when(F.col(f"v{j}") >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+            for j in range(60)
+        ],
+    ).cast("long")
+    out = votes.select("doc_id", sig.alias("sig"))
+    return out.select(
+        "doc_id",
+        "sig",
+        F.col("sig").bitwiseAND(F.lit(32767)).alias("band0"),
+        F.shiftright("sig", 15).bitwiseAND(F.lit(32767)).alias("band1"),
+        F.shiftright("sig", 30).bitwiseAND(F.lit(32767)).alias("band2"),
+        F.shiftright("sig", 45).bitwiseAND(F.lit(32767)).alias("band3"),
+    ).orderBy("doc_id")
+
+
 _EMB_DEDUP_ORACLE = """
     WITH dropped AS (
       SELECT DISTINCT b.vec_id

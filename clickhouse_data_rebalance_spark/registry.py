@@ -139,6 +139,7 @@ DRIVER_ORDER_TIER2: list[str] = [
     "time_gap_fill_interpolate",
     "window_range_interval",
     "join_null_safe",
+    "simhash_signatures",
     # rotated out of the 50-row cover in r5 (2+ green driver rounds each)
     "rebalance_range_invariants",
     "source_csv_roundtrip",
