@@ -12,6 +12,11 @@ plans (see tools/bench_ab_r05.json). When both JSONs carry
 ``cal_spin_sec`` (bench.py publishes it), times are scaled by the spin
 ratio first; without it the raw ratio is used and a warning printed.
 
+Caveat: the calibration is sampled once at bench start, but box speed
+also drifts WITHIN a run — so treat a flag as a lead, not a verdict:
+re-time the flagged query solo (min of 4) before concluding a plan
+regressed. Two r5 flags dissolved exactly this way.
+
 Usage: python tools/bench_canary.py [--against FILE] [--threshold 1.5]
        python tools/bench_canary.py --compare NEW.json  (no fresh run)
 """
