@@ -287,7 +287,9 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
            c.ts AS click_ts, c.value AS click_value
     FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT user_id, ts, arg_max(value, event_id) AS value
+                    FROM events WHERE event_type = 'click'
+                    GROUP BY user_id, ts) c
       ON p.user_id = c.user_id AND p.ts >= c.ts
     ORDER BY p.event_id
     """,
@@ -297,7 +299,13 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN): each purchase matched to the user's most recent click at or
     before it. Spark lacks the operator — the scale-correct composition is
     union both sides + window last(ignorenulls) fill: ONE shuffle on
-    (user, ts), no range-join row blowup. Oracle: DuckDB's native ASOF."""
+    (user, ts), no range-join row blowup. Oracle: DuckDB's native ASOF.
+
+    Determinism: two clicks by one user can share an identical ts, and
+    neither window-last nor native ASOF specifies which wins — so both
+    engines first collapse clicks to one row per (user_id, ts) with an
+    arg_max(value, event_id) tiebreak (map-side-combined agg, same
+    user_id shuffle key the window reuses)."""
     from pyspark.sql import Window as W
 
     e = table(spark, sf_dir, "events")
@@ -309,13 +317,18 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("c_val"),
         F.lit(1).alias("is_p"),
     )
-    c = e.filter(F.col("event_type") == "click").select(
-        "user_id",
-        "ts",
-        F.lit(None).cast("long").alias("event_id"),
-        F.col("ts").alias("c_ts"),
-        F.col("value").alias("c_val"),
-        F.lit(0).alias("is_p"),
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("value"))
+        .select(
+            "user_id",
+            "ts",
+            F.lit(None).cast("long").alias("event_id"),
+            F.col("ts").alias("c_ts"),
+            F.col("value").alias("c_val"),
+            F.lit(0).alias("is_p"),
+        )
     )
     # at equal ts the click sorts first (is_p asc) → '>=' semantics
     w = (
@@ -348,7 +361,9 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN c.ts >= p.ts - INTERVAL 1 HOUR THEN c.ts END AS click_ts,
            CASE WHEN c.ts >= p.ts - INTERVAL 1 HOUR THEN c.value END AS click_value
     FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT user_id, ts, arg_max(value, event_id) AS value
+                    FROM events WHERE event_type = 'click'
+                    GROUP BY user_id, ts) c
       ON p.user_id = c.user_id AND p.ts >= c.ts
     ORDER BY p.event_id
     """,
@@ -359,10 +374,13 @@ def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     if it is within 1 hour of the purchase — stale matches become NULL
     instead of silently attributing a day-old click.
 
-    Same single-shuffle union + window-fill composition as `asof_join`
-    (the nearest preceding match IS the window-fill result, so the
+    Same single-shuffle union + window-fill composition as `asof_join`,
+    including its (user_id, ts) click collapse with the
+    arg_max(value, event_id) tiebreak — same-ts clicks would otherwise
+    be picked nondeterministically by both window-last and native ASOF.
+    The nearest preceding match IS the window-fill result, so the
     tolerance is a row-local post-predicate — no extra shuffle, no
-    range-join blowup). Oracle: DuckDB native ASOF with the same CASE."""
+    range-join blowup. Oracle: DuckDB native ASOF with the same CASE."""
     from pyspark.sql import Window as W
 
     e = table(spark, sf_dir, "events")
@@ -374,13 +392,18 @@ def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("c_val"),
         F.lit(1).alias("is_p"),
     )
-    c = e.filter(F.col("event_type") == "click").select(
-        "user_id",
-        "ts",
-        F.lit(None).cast("long").alias("event_id"),
-        F.col("ts").alias("c_ts"),
-        F.col("value").alias("c_val"),
-        F.lit(0).alias("is_p"),
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("value"))
+        .select(
+            "user_id",
+            "ts",
+            F.lit(None).cast("long").alias("event_id"),
+            F.col("ts").alias("c_ts"),
+            F.col("value").alias("c_val"),
+            F.lit(0).alias("is_p"),
+        )
     )
     w = (
         W.partitionBy("user_id")

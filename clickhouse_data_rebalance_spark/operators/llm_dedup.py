@@ -332,11 +332,11 @@ _SIMHASH_SIG_ORACLE = """
              SUM(CASE WHEN v >= 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS sig
       FROM votes GROUP BY doc_id
     )
-    SELECT doc_id, sig,
-           sig & 32767 AS band0,
-           (sig >> 15) & 32767 AS band1,
-           (sig >> 30) & 32767 AS band2,
-           (sig >> 45) & 32767 AS band3
+    SELECT doc_id, CAST(sig AS BIGINT) AS sig,
+           CAST(sig & 32767 AS BIGINT) AS band0,
+           CAST((sig >> 15) & 32767 AS BIGINT) AS band1,
+           CAST((sig >> 30) & 32767 AS BIGINT) AS band2,
+           CAST((sig >> 45) & 32767 AS BIGINT) AS band3
     FROM sig ORDER BY doc_id
 """
 

@@ -143,15 +143,17 @@ def window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame is wrong whenever events arrive unevenly.
 
     Spark's rangeBetween needs a numeric ordering column, so ts is cast
-    to epoch seconds for the frame and the 3600-second bound matches the
-    oracle's INTERVAL '1 hour'. One shuffle on user_id; the frame scan
-    is O(events-in-window) per row. Ties on (user_id, ts) are absorbed:
-    RANGE frames include ALL peers of the current ts on both engines."""
+    to MICROSECOND epoch — the fixtures carry sub-second timestamps, so
+    ordering by whole seconds would merge distinct-µs peers and clip the
+    1-hour lower bound, diverging from the oracle's microsecond-exact
+    RANGE INTERVAL frame. One shuffle on user_id; the frame scan is
+    O(events-in-window) per row. Ties on the full (user_id, ts) are
+    absorbed: RANGE frames include ALL peers of the current ts on both
+    engines."""
     e = table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
-    # NTZ -> LTZ cast is value-preserving under the pinned UTC session tz;
-    # NTZ has no direct cast to long
-    epoch = F.col("ts").cast("timestamp").cast("long")
-    w = W.partitionBy("user_id").orderBy(epoch).rangeBetween(-3600, 0)
+    # NTZ -> LTZ cast is value-preserving under the pinned UTC session tz
+    epoch = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = W.partitionBy("user_id").orderBy(epoch).rangeBetween(-3600 * 10**6, 0)
     return (
         e.select(
             "user_id",
