@@ -252,9 +252,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: 64-bit signatures, pairs at Hamming distance ≤ 12.
 
-    Banded by the signature's 4 16-bit chunks (a near-dup pair at d≤12
-    usually collides on ≥1 chunk) so the self-join is bucket-local, not
-    quadratic."""
+    Banded by the signature's 4 16-bit chunks so the self-join is
+    bucket-local, not quadratic. Recall is BOUNDED, not guaranteed: a
+    pair is found only if some chunk contains NONE of its d differing
+    bits, so any 3/3/3/3-style spread that touches all four chunks is
+    missed. d <= 3 always collides (pigeonhole: 3 bits can hit at most
+    3 chunks); beyond that the uniform-spread collision probability is
+    ~4*(3/4)^d — ~80% at d=5, ~32% at d=8, ~13% at d=12 — so against
+    the full Hamming<=12 threshold this banding is a high-precision
+    candidate generator, not an exhaustive one (measured on the fixture:
+    recall 1.0 at d<=3, ~0.65 at d<=6, ~0.13 at d<=12; floors asserted
+    in tests/test_properties.py::test_simhash_banding_recall_floor).
+    Closing the tail costs fan-out, not a new plan: more/overlapping
+    bands (e.g. a 5th band over bits 8..23) or Manku-style rotated
+    signature tables drop into the same explode -> bucket-join shape."""
     d = table(spark, sf_dir, "documents")
     # token hashes stay JVM-side (explode + xxhash64 in codegen); the
     # 64-bit vote/pack step runs as one numpy pass per Arrow batch — a
@@ -431,7 +442,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = e.select("vec_id", "label", "embedding", norm(F.col("embedding")).alias("nrm"))
     # spread the probe side: broadcast pair-generation otherwise keeps
     # every pairwise cosine in the single scan partition
-    a = ev.repartition(32, "vec_id").alias("a")
+    a = ev.repartition("vec_id").alias("a")
     b = ev.alias("b")
     pair_cos = F.try_divide(
         dot(F.col("a.embedding"), F.col("b.embedding")),
@@ -734,7 +745,7 @@ def dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vectors import cosine
 
     e = table(spark, sf_dir, "embeddings")
-    a = e.repartition(32, "vec_id").alias("a")
+    a = e.repartition("vec_id").alias("a")
     b = e.alias("b")
     edges = (
         a.join(

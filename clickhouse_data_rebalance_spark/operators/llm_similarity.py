@@ -259,31 +259,97 @@ def build_ivf_index(
     )
 
 
-def _ivf_index_for(
-    spark: SparkSession, sf_dir: str, n_clusters: int = IVF_CLUSTERS
-) -> str:
-    """Build the index for this corpus once; later queries reuse it.
-
-    The cache key fingerprints the SOURCE (embeddings.parquet mtime_ns +
-    size, mirroring tables._fingerprint) in addition to the path and the
-    cluster count: a fixture regenerated UNDER THE SAME PATH — the exact
-    drift that has burned prior rounds, and which survives process
-    restarts when the key is path-only — lands on a fresh index directory
-    and triggers a rebuild instead of silently probing stale cells."""
-    import hashlib
+def _ivf_src_fp(sf_dir: str) -> str:
     import os
 
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     try:
         st = os.stat(emb_path)
-        src_fp = f"{st.st_mtime_ns}:{st.st_size}"
+        return f"{st.st_mtime_ns}:{st.st_size}"
     except OSError:
-        src_fp = "missing"
-    key = f"{sf_dir}|{src_fp}|k={n_clusters}"
+        return "missing"
+
+
+def _gc_stale_indexes(sf_dir: str, src_fp: str) -> None:
+    """Prune index generations that can never be probed again: sibling
+    dirs under _IVF_ROOT whose _KEY records THIS corpus path with a
+    DIFFERENT source fingerprint (a regenerated fixture orphans the old
+    build — previously these accumulated forever), plus dirs with no
+    _KEY at all (pre-marker layouts; rebuilding is cheap and correct).
+    Dirs for other corpus paths or other (k, generation) variants of the
+    live fingerprint are kept."""
+    import os
+    import shutil
+
+    if not os.path.isdir(_IVF_ROOT):
+        return
+    for name in os.listdir(_IVF_ROOT):
+        d = os.path.join(_IVF_ROOT, name)
+        if not os.path.isdir(d):
+            continue
+        try:
+            recorded = open(os.path.join(d, "_KEY")).read()
+        except OSError:
+            shutil.rmtree(d, ignore_errors=True)
+            continue
+        parts = recorded.split("|")
+        if len(parts) >= 2 and parts[0] == sf_dir and parts[1] != src_fp:
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def _ivf_index_for(
+    spark: SparkSession,
+    sf_dir: str,
+    n_clusters: int = IVF_CLUSTERS,
+    generation: str = "seed",
+) -> str:
+    """Build the index for this corpus once; later queries reuse it.
+
+    The cache key fingerprints the SOURCE (embeddings.parquet mtime_ns +
+    size, mirroring tables._fingerprint) in addition to the path, the
+    cluster count, and the index GENERATION ("seed" = medoid-seeded
+    quantizer, "refined" = one-Lloyd-step k-means centroids from
+    `refined_centroids`): a fixture regenerated UNDER THE SAME PATH —
+    the exact drift that has burned prior rounds, and which survives
+    process restarts when the key is path-only — lands on a fresh index
+    directory and triggers a rebuild instead of silently probing stale
+    cells. Each build writes its key to `_KEY` and GCs siblings of the
+    same corpus with dead fingerprints."""
+    import hashlib
+    import os
+
+    src_fp = _ivf_src_fp(sf_dir)
+    key = f"{sf_dir}|{src_fp}|k={n_clusters}|gen={generation}"
     path = os.path.join(_IVF_ROOT, hashlib.md5(key.encode()).hexdigest()[:16])
+    _gc_stale_indexes(sf_dir, src_fp)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        build_ivf_index(table(spark, sf_dir, "embeddings"), path, n_clusters)
+        e = table(spark, sf_dir, "embeddings")
+        if generation == "seed":
+            build_ivf_index(e, path, n_clusters)
+        elif generation == "refined":
+            C1n = _ivf_centroids(spark, sf_dir, n_clusters, "refined")
+            cell_of = _make_cell_udf(C1n)
+            (
+                e.withColumn("cell", cell_of("embedding"))
+                .write.mode("overwrite")
+                .partitionBy("cell")
+                .parquet(path)
+            )
+        else:
+            raise ValueError(f"unknown IVF index generation: {generation!r}")
+        with open(os.path.join(path, "_KEY"), "w") as f:
+            f.write(key)
     return path
+
+
+def rebuild_ivf_index(
+    spark: SparkSession, sf_dir: str, n_clusters: int = IVF_CLUSTERS
+) -> str:
+    """Materialize the REFINED index generation (cells = one-Lloyd-step
+    k-means centroids) and return its path — the offline index-
+    maintenance job that feeds `refined_centroids` back into the layout
+    the probe path reads. Idempotent per (corpus fingerprint, k)."""
+    return _ivf_index_for(spark, sf_dir, n_clusters, generation="refined")
 
 
 @query("ann_ivf_topk", _COSINE_TOPK_ORACLE)
@@ -292,10 +358,14 @@ def ann_ivf_topk(
     sf_dir: str,
     n_clusters: int = IVF_CLUSTERS,
     n_probes: int = IVF_PROBES,
+    generation: str = "seed",
 ) -> DataFrame:
     """C42 scale path #2: IVF probe against the persisted index — rank
-    cells by query-to-seed cosine (driver-side math on K index vectors),
-    read ONLY those cell partitions, exact cosine re-rank inside.
+    cells by query-to-centroid cosine (driver-side math on K index
+    vectors), read ONLY those cell partitions, exact cosine re-rank
+    inside. ``generation`` selects which index layout to probe: "seed"
+    (medoid quantizer) or "refined" (k-means centroids via
+    `rebuild_ivf_index` — see `ann_ivf_topk_refined`).
 
     The knobs are arguments (registered query = the defaults): the
     defaults are tuned so the probe set provably covers the exact top-k
@@ -311,10 +381,10 @@ def ann_ivf_topk(
     import numpy as np
 
     e = table(spark, sf_dir, "embeddings")
-    index_path = _ivf_index_for(spark, sf_dir, n_clusters)
+    index_path = _ivf_index_for(spark, sf_dir, n_clusters, generation)
     idx = spark.read.parquet(index_path)
 
-    C = _ivf_seed_matrix(e, n_clusters)
+    C = _ivf_centroids(spark, sf_dir, n_clusters, generation)
     qrow = e.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding").head()
     qv = np.asarray(qrow["embedding"], dtype=np.float64)
     qn = qv / np.linalg.norm(qv)
@@ -389,7 +459,9 @@ def _kmeans_oracle() -> str:
     )
 
 
-def refined_centroids(spark: SparkSession, sf_dir: str):
+def refined_centroids(
+    spark: SparkSession, sf_dir: str, n_clusters: int = IVF_CLUSTERS
+):
     """One Lloyd step over the persisted index: (K, dim) refined centroid
     matrix. Per-component sums are exact int64 fixed point computed by a
     groupBy over the posexploded members (map-side combine; the shuffle
@@ -397,7 +469,7 @@ def refined_centroids(spark: SparkSession, sf_dir: str):
     K*dim-row collect is index metadata, not data."""
     import numpy as np
 
-    idx = spark.read.parquet(_ivf_index_for(spark, sf_dir))
+    idx = spark.read.parquet(_ivf_index_for(spark, sf_dir, n_clusters))
     comp = (
         idx.select(
             "cell", F.posexplode(F.col("embedding").cast("array<double>"))
@@ -411,10 +483,29 @@ def refined_centroids(spark: SparkSession, sf_dir: str):
         .agg(F.sum("v_fp").alias("s_fp"), F.count(F.lit(1)).alias("n"))
         .collect()
     )
-    C = np.zeros((IVF_CLUSTERS, EMBED_DIM), dtype=np.float64)
+    C = np.zeros((n_clusters, EMBED_DIM), dtype=np.float64)
     for r in comp:
         C[int(r["cell"]), int(r["pos"])] = r["s_fp"] / _FP40 / r["n"]
     return C
+
+
+def _ivf_centroids(
+    spark: SparkSession,
+    sf_dir: str,
+    n_clusters: int = IVF_CLUSTERS,
+    generation: str = "seed",
+):
+    """Row-normalized (K, dim) quantizer matrix for a generation — the
+    SAME matrix the matching index build partitioned by, so probe
+    ranking and cell layout can never disagree."""
+    import numpy as np
+
+    if generation == "seed":
+        return _ivf_seed_matrix(table(spark, sf_dir, "embeddings"), n_clusters)
+    if generation == "refined":
+        C1 = refined_centroids(spark, sf_dir, n_clusters)
+        return C1 / np.maximum(np.linalg.norm(C1, axis=1, keepdims=True), 1e-12)
+    raise ValueError(f"unknown IVF index generation: {generation!r}")
 
 
 @query("ivf_kmeans_cells", _kmeans_oracle())
@@ -445,6 +536,22 @@ def ivf_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+@query("ann_ivf_topk_refined", _COSINE_TOPK_ORACLE)
+def ann_ivf_topk_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C42: IVF probe against the REFINED index generation — the k-means
+    refinement of `ivf_kmeans_cells` fed back into a `rebuild_ivf_index`
+    layout and actually consumed by the probe path (round 5 computed the
+    refined centroids but kept probing the medoid-seeded layout; this
+    closes that loop). Same probe budget, same oracle-exactness bar as
+    `ann_ivf_topk`: the refined cells probed must still contain the
+    entire true top-10, which holds because the fixed-point centroid
+    derivation is deterministic on both engines (`ivf_kmeans_cells`'s
+    oracle proves the assignment) and the probe ranking uses the very
+    matrix the index was partitioned by."""
+    rebuild_ivf_index(spark, sf_dir)
+    return ann_ivf_topk(spark, sf_dir, generation="refined")
 
 
 @query("embedding_norms", f"""
@@ -495,7 +602,10 @@ def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Broadcast-joined pair generation inherits the probe side's
     # partitioning, so spread the probe side first — otherwise every
     # pairwise cosine lands in the partition(s) of one small scan.
-    a = e.repartition(32, "vec_id").alias("a")
+    # No partition count: repartition(col) uses spark.sql.shuffle
+    # .partitions, so the spread tracks the session/cluster size
+    # instead of a local[32]-shaped constant.
+    a = e.repartition("vec_id").alias("a")
     b = e.alias("b")
     pairs = (
         a.join(
@@ -514,6 +624,133 @@ def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 3)
         .orderBy("vec_id", "rnk")
+    )
+
+
+# IVF-cell-blocked pairwise variants: the corpus-scale blocking the
+# label-blocked queries' docstrings promise. The oracle re-derives the
+# quantizer (seeds = K lowest-vec_id vectors, argmax-cosine assignment,
+# first-max tie-break) exactly as `build_ivf_index` computes it — the
+# same cross-engine derivation `dedup_embedding_cosine_ivf` proved out.
+_IVF_ASSIGN_CTE = """
+    WITH seeds AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS sv
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {k})
+    ),
+    assign AS (
+      SELECT e.vec_id, e.embedding,
+             (SELECT s.cell FROM seeds s
+              ORDER BY list_cosine_similarity(
+                         list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                         s.sv) DESC, s.cell
+              LIMIT 1) AS cell
+      FROM embeddings e
+    )
+"""
+
+_KNN_IVF_ORACLE = (
+    _IVF_ASSIGN_CTE
+    + f"""
+    SELECT vec_id, nn_id, sim, rnk FROM (
+      SELECT a.vec_id, b.vec_id AS nn_id, {_KNN_SIM} AS sim,
+             ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                ORDER BY {_KNN_SIM} DESC, b.vec_id) AS rnk
+      FROM assign a JOIN assign b
+        ON a.cell = b.cell AND a.vec_id <> b.vec_id) t
+    WHERE rnk <= 3 ORDER BY vec_id, rnk
+"""
+)
+
+
+def _knn_ivf_oracle() -> str:
+    return _KNN_IVF_ORACLE.replace("{k}", str(IVF_CLUSTERS))
+
+
+@query("knn_join_ivf", _knn_ivf_oracle())
+def knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch k-NN join blocked by IVF CELL — the 100 TB form of
+    `knn_join` (whose label key is a fixture convenience that goes
+    quadratic the moment one label dominates). Reads the PERSISTED
+    cell-partitioned index from `build_ivf_index`: `cell` is a partition
+    directory, so the pairwise self-join is equi-partitioned on a key
+    the layout already materializes, pair count is bounded by the sum of
+    squared CELL sizes (a knob, via the cluster count), and the rank
+    window re-shuffles only (vec_id, nn_id, sim) triples. Multi-probe
+    (assign each vector to its p nearest cells) trades pair count for
+    recall without changing this plan."""
+    from pyspark.sql import Window as W
+
+    idx = spark.read.parquet(_ivf_index_for(spark, sf_dir))
+    ev = idx.select("vec_id", F.col("cell").cast("int").alias("cell"), "embedding")
+    a = ev.alias("a")
+    b = ev.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.cell") == F.col("b.cell"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_id"),
+        F.col("b.vec_id").alias("nn_id"),
+        cosine(F.col("a.embedding"), F.col("b.embedding")).alias("sim"),
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("nn_id"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .orderBy("vec_id", "rnk")
+    )
+
+
+_PAIRS_IVF_ORACLE = (
+    _IVF_ASSIGN_CTE
+    + """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cell,
+           list_cosine_similarity(
+             list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+             list_transform(b.embedding, x -> CAST(x AS DOUBLE))) AS sim
+    FROM assign a JOIN assign b
+      ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(
+             list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+             list_transform(b.embedding, x -> CAST(x AS DOUBLE))) >= 0.3
+    ORDER BY id_a, id_b
+"""
+)
+
+
+def _pairs_ivf_oracle() -> str:
+    return _PAIRS_IVF_ORACLE.replace("{k}", str(IVF_CLUSTERS))
+
+
+@query("cosine_pairs_ivf", _pairs_ivf_oracle())
+def cosine_pairs_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C43 similarity join blocked by IVF CELL — the corpus-scale form
+    of `cosine_pairs_threshold`: candidate pairs come only from the same
+    coarse-quantizer cell of the persisted index, so the join is
+    equi-partitioned on the cell directory key and never all-pairs.
+    Threshold 0.3 sits above the fixture's near-isotropic background
+    (top-10 cosine ≈ 0.28–0.37) so the result exercises real matches
+    rather than an empty set."""
+    idx = spark.read.parquet(_ivf_index_for(spark, sf_dir))
+    ev = idx.select("vec_id", F.col("cell").cast("int").alias("cell"), "embedding")
+    a = ev.alias("a")
+    b = ev.alias("b")
+    sim = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.col("a.cell").alias("cell"),
+            sim.alias("sim"),
+        )
+        .filter(F.col("sim") >= 0.3)
+        .orderBy("id_a", "id_b")
     )
 
 

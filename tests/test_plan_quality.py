@@ -351,6 +351,52 @@ def test_incremental_dedup_prunes_to_touched_cells(spark):
     assert saw_cell_in, "corpus scan lacks the cell IN (...) partition filter"
 
 
+def _assert_cell_blocked_index_scan(plan: str) -> None:
+    """Shared shape check for the IVF-cell-blocked pairwise queries:
+    both join sides scan the persisted index with `cell` as partition
+    metadata (PartitionFilters on the join key, cell absent from the
+    parquet data schema), and the pair generation is an equi-join —
+    never a cartesian/nested-loop."""
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    ivf_chunks = [
+        c for c in plan.split("Scan parquet")[1:]
+        if "ivf_index" in c.split("ReadSchema:")[0]
+    ]
+    assert ivf_chunks, "plan does not scan the persisted IVF index"
+    saw_partition_filter = False
+    for chunk in ivf_chunks:
+        head = chunk.split("ReadSchema:")
+        if len(head) > 1:
+            assert "cell" not in head[1].split("\n")[0]
+        if "PartitionFilters: [isnotnull(cell" in chunk:
+            saw_partition_filter = True
+    assert saw_partition_filter
+
+
+def test_knn_join_ivf_cell_blocked(spark):
+    _assert_cell_blocked_index_scan(plan_of(spark, "knn_join_ivf"))
+
+
+def test_cosine_pairs_ivf_cell_blocked(spark):
+    _assert_cell_blocked_index_scan(plan_of(spark, "cosine_pairs_ivf"))
+
+
+def test_ann_refined_probe_prunes_cells(spark):
+    """ann_ivf_topk_refined must read the REFINED index generation with
+    a `cell IN (probed)` partition filter — the refinement is only real
+    once the probe path consumes its layout."""
+    plan = plan_of(spark, "ann_ivf_topk_refined")
+    saw_cell_in = False
+    for chunk in plan.split("Scan parquet")[1:]:
+        if "ivf_index" not in chunk.split("ReadSchema:")[0]:
+            continue
+        pf_lines = [ln for ln in chunk.splitlines() if "PartitionFilters" in ln]
+        if any("cell" in ln and " IN " in ln for ln in pf_lines):
+            saw_cell_in = True
+    assert saw_cell_in, "refined probe lacks the cell IN (...) partition filter"
+
+
 def test_media_decode_scan_prunes_columns(spark):
     """media_feature_extract builds its binary container from doc_id +
     text only; the documents scan must prune to exactly those columns

@@ -508,6 +508,134 @@ def test_ivf_index_invalidates_on_fixture_swap(spark, tmp_path):
     # and the rebuilt index reflects the new corpus row count
     n_idx = spark.read.parquet(second).count()
     assert n_idx == len(emb) - 1
+    # VERDICT r5 #5: the orphaned generation is GC'd on rebuild — index
+    # dirs for this corpus path must not accumulate across regenerations
+    assert not os.path.exists(first), (
+        "stale index generation survived the rebuild; _gc_stale_indexes "
+        "should have pruned it"
+    )
+
+    # regenerate AGAIN: still exactly one live dir for this corpus path
+    emb.iloc[:-2].to_parquet(str(fix / "embeddings.parquet"))
+    third = _ivf_index_for(spark, str(fix))
+    assert not os.path.exists(second)
+    from clickhouse_data_rebalance_spark.operators.llm_similarity import _IVF_ROOT
+
+    live = []
+    for name in os.listdir(_IVF_ROOT):
+        key_file = os.path.join(_IVF_ROOT, name, "_KEY")
+        if os.path.exists(key_file) and open(key_file).read().startswith(str(fix) + "|"):
+            live.append(name)
+    assert live == [os.path.basename(third)]
+
+
+def test_ivf_refined_generation(spark):
+    """VERDICT r5 #3: the k-means refinement must be CONSUMED — the
+    refined index is a distinct persisted layout that coexists with the
+    seed generation (same corpus fingerprint), covers the same corpus,
+    and the refined probe path keeps recall 1 vs the exact top-k at both
+    driver fixture scales (the bar its oracle equivalence rests on)."""
+    from clickhouse_data_rebalance_spark.operators.llm_similarity import (
+        _ivf_index_for,
+        ann_ivf_topk_refined,
+        cosine_topk_exact,
+        rebuild_ivf_index,
+    )
+
+    for sf in (SF_SMALL, SF_MED):
+        seed = _ivf_index_for(spark, sf)
+        refined = rebuild_ivf_index(spark, sf)
+        assert refined != seed
+        assert os.path.exists(os.path.join(seed, "_SUCCESS"))
+        assert os.path.exists(os.path.join(refined, "_SUCCESS"))
+        assert (
+            spark.read.parquet(refined).count()
+            == spark.read.parquet(seed).count()
+        )
+        exact = [r["vec_id"] for r in cosine_topk_exact(spark, sf).collect()]
+        approx = [r["vec_id"] for r in ann_ivf_topk_refined(spark, sf).collect()]
+        assert approx == exact, (
+            f"refined IVF lost recall at {sf}: exact={exact} approx={approx}"
+        )
+
+
+def test_simhash_banding_recall_floor(spark):
+    """VERDICT r5 #7: dedup_simhash's 4x16-bit chunk banding has BOUNDED
+    recall (see its docstring) — pin the guarantees: every pair at
+    Hamming <= 3 is found (pigeonhole), and the measured d<=6 recall
+    stays above the documented floor. Brute-force ground truth over all
+    signature pairs (500 docs -> 125k XORs, trivial at fixture scale)."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from clickhouse_data_rebalance_spark.operators.llm_dedup import (
+        _simhash_from_hashes,
+        dedup_simhash,
+    )
+    from clickhouse_data_rebalance_spark.functions.text import tokens
+    from clickhouse_data_rebalance_spark.tables import table
+
+    for sf in (SF_SMALL, SF_MED):
+        d = table(spark, sf, "documents")
+        tok = d.select(
+            "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("tok")
+        )
+        hashes = tok.groupBy("doc_id").agg(
+            F.collect_list(F.xxhash64("tok")).alias("hs")
+        )
+        rows = hashes.select(
+            "doc_id", _simhash_from_hashes("hs").alias("sig")
+        ).collect()
+        ids = np.array([r["doc_id"] for r in rows])
+        s = np.array([r["sig"] for r in rows], dtype=np.int64)
+        x = s[:, None] ^ s[None, :]
+        ham = np.unpackbits(
+            x.view(np.uint8).reshape(len(s), len(s), 8), axis=2
+        ).sum(axis=2)
+        iu = np.triu_indices(len(s), 1)
+        got = {(r["doc_a"], r["doc_b"]) for r in dedup_simhash(spark, sf).collect()}
+
+        def recall(dmax):
+            truth = {
+                (min(ids[i], ids[j]), max(ids[i], ids[j]))
+                for i, j in zip(*iu)
+                if ham[i, j] <= dmax
+            }
+            return len(truth & got) / max(len(truth), 1), len(truth)
+
+        r3, n3 = recall(3)
+        assert n3 > 0 and r3 == 1.0, f"{sf}: d<=3 recall {r3} (pigeonhole broken)"
+        r6, _ = recall(6)
+        assert r6 >= 0.6, f"{sf}: d<=6 recall {r6:.3f} fell below documented floor"
+
+
+def test_ivf_refined_argmax_margin(spark):
+    """Same flake guard as test_ivf_quantizer_argmax_margin, for the
+    REFINED centroids: the ivf_kmeans_cells oracle re-derives the
+    refined assignment independently in DuckDB, which is only safe if
+    no vector sits within accumulation error of a cell boundary."""
+    import numpy as np
+
+    from clickhouse_data_rebalance_spark.operators.llm_similarity import (
+        _ivf_centroids,
+    )
+    from clickhouse_data_rebalance_spark.tables import table
+
+    for sf in (SF_SMALL, SF_MED):
+        C = _ivf_centroids(spark, sf, generation="refined")
+        e = table(spark, sf, "embeddings")
+        X = np.array(
+            [r["embedding"] for r in e.select("embedding").collect()],
+            dtype=np.float64,
+        )
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        sims = Xn @ C.T
+        top2 = np.sort(sims, axis=1)[:, -2:]
+        margin = float(np.min(top2[:, 1] - top2[:, 0]))
+        assert margin > 1e-9, (
+            f"{sf}: refined argmax margin {margin:.2e} within accumulation error"
+        )
 
 
 def test_ivf_quantizer_argmax_margin(spark):
