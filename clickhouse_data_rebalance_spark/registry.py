@@ -52,23 +52,36 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # --------------------------------------------------------------------------
 DRIVER_ORDER: list[str] = [
     # reference surface: rebalance / catalog lifecycle / data movement
-    # (r5: rebalance_range_invariants and source_csv_roundtrip rotated to
-    # tier 2 after passing 2+ driver rounds — their slots go to round 4's
-    # riskiest new work, per the "budget on newest surface" rule)
+    # (r6 rotation, per the "budget on newest surface" rule: the eight
+    # round-5 operators + cosine_pairs_ivf enter; nine 2+-green-round
+    # veterans leave for tier 2 — every departing component keeps a
+    # cover representative, see COVERAGE.md for the merge mapping:
+    # insert_select_roundtrip -> rebalance_pipeline (its INSERT-SELECT
+    # phase), join_inner -> join_broadcast_dims (inner equi-join),
+    # join_left_outer -> join_right_outer + asof_join_tolerance's ASOF
+    # LEFT fill, asof_join -> asof_join_tolerance (superset semantics),
+    # cosine_pairs_threshold -> cosine_pairs_ivf (same op, corpus-scale
+    # blocking), tokenize_normalize -> tf_idf's tokenize stage,
+    # approx_quantiles -> approx_count_distinct keeps the approx family,
+    # ngram_jaccard_pairs / dedup_exact's siblings keep the dedup family,
+    # window_analytic -> C16 analytic fns ride time_gap_fill_interpolate
+    # + asof_join_tolerance (first/last ignorenulls fills) and C17
+    # frames ride window_range_interval)
     "rebalance_invariants",
     "rebalance_shard_stats",
-    "insert_select_roundtrip",
+    "source_schema_evolution",
     "rebalance_pipeline",
     "table_swap_lifecycle",
     # LLM data-pipeline operators
     "dedup_exact_text",
-    "ngram_jaccard_pairs",
+    "dedup_incremental_batch",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine_ivf",
+    "simhash_signatures",
     "cosine_topk_exact",
     "ann_ivf_topk",
-    "cosine_pairs_threshold",
-    "tokenize_normalize",
+    "ivf_kmeans_cells",
+    "cosine_pairs_ivf",
     "tf_idf",
     "text_quality",
     "multimodal_roundtrip",
@@ -89,23 +102,22 @@ DRIVER_ORDER: list[str] = [
     "cast_coercion",
     "sample_fraction",
     # joins
-    "join_inner",
-    "join_left_outer",
     "join_right_outer",
     "join_broadcast_dims",
     "join_semi",
     "join_theta_range",
-    "asof_join",
+    "join_null_safe",
+    "asof_join_tolerance",
     # aggregation
     "agg_multikey",
     "collect_agg",
-    "approx_quantiles",
     "approx_count_distinct",
     "grouping_sets",
     "having_filter",
-    # windows / sort / top-k
+    # windows / sort / top-k / event-time
     "window_ranking",
-    "window_analytic",
+    "window_range_interval",
+    "time_gap_fill_interpolate",
     "top_k",
     "top_k_per_group",
     # set ops + subqueries
@@ -124,22 +136,28 @@ DRIVER_ORDER: list[str] = [
 # rounds, then the round-2 flagship operators, then the long tail of
 # per-function suite variants.
 DRIVER_ORDER_TIER2: list[str] = [
-    # drift-prone: streaming/event-time equivalences first
-    "stream_session_equiv",
-    "stream_sliding_equiv",
-    "stream_static_enrich",
+    # next in line for driver rows (VERDICT r5 #8): the stream trio that
+    # has never had an external row — the family that silently broke in
+    # r1 and r3 — then round-6's new IVF surface
     "stream_stream_join",
     "stream_upsert_sink",
     "stream_custom_state",
-    # round-5 new work (newest-riskiest next in line for driver rows)
-    "dedup_incremental_batch",
-    "ivf_kmeans_cells",
-    "asof_join_tolerance",
-    "source_schema_evolution",
-    "time_gap_fill_interpolate",
-    "window_range_interval",
-    "join_null_safe",
-    "simhash_signatures",
+    "ann_ivf_topk_refined",
+    "knn_join_ivf",
+    # drift-prone streaming/event-time equivalences
+    "stream_session_equiv",
+    "stream_sliding_equiv",
+    "stream_static_enrich",
+    # rotated out of the 50-row cover in r6 (2+ green driver rounds each)
+    "asof_join",
+    "join_inner",
+    "join_left_outer",
+    "insert_select_roundtrip",
+    "cosine_pairs_threshold",
+    "approx_quantiles",
+    "ngram_jaccard_pairs",
+    "tokenize_normalize",
+    "window_analytic",
     # rotated out of the 50-row cover in r5 (2+ green driver rounds each)
     "rebalance_range_invariants",
     "source_csv_roundtrip",
