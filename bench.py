@@ -104,19 +104,67 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-                "cal_spin_sec": cal,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+        "cal_spin_sec": cal,
+    }
+    out.update(_vs_prev(timings, total, cal))
+    print(json.dumps(out))
     spark.stop()
+
+
+def _vs_prev(timings: dict, total: float, cal: float) -> dict:
+    """Hardware-normalized comparison against the newest prior
+    BENCH_r*.json that recorded a calibration (VERDICT r5 #6): raw
+    second-ratios across rounds conflate code changes with the ~2x
+    driver-box variance, so each ratio is (sec/cal_now)/(sec/cal_prev).
+    A cal-normalized ratio > 1 is a real regression; raw-only deltas are
+    box noise until proven otherwise."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    prev = None
+    for p in sorted(glob.glob(os.path.join(here, "BENCH_r*.json")), reverse=True):
+        if not re.search(r"BENCH_r\d+\.json$", p):
+            continue
+        try:
+            with open(p) as f:
+                cand = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        # the driver records bench output wrapped as {"rc", "tail",
+        # "parsed": {...}}; accept both that and bench.py's own line
+        if isinstance(cand.get("parsed"), dict):
+            cand = cand["parsed"]
+        if cand.get("cal_spin_sec") and cand.get("queries"):
+            prev = (os.path.basename(p), cand)
+            break
+    if prev is None:
+        return {}
+    name, d = prev
+    pcal = d["cal_spin_sec"]
+    ratios = {
+        q: round((timings[q] / cal) / (d["queries"][q] / pcal), 3)
+        for q in timings
+        if d["queries"].get(q)
+    }
+    shared_now = sum(timings[q] for q in ratios)
+    shared_prev = sum(d["queries"][q] for q in ratios)
+    return {
+        "vs_prev": {
+            "prev": name,
+            "prev_cal_spin_sec": pcal,
+            "total_cal_ratio": round((shared_now / cal) / (shared_prev / pcal), 3)
+            if shared_prev
+            else None,
+            "query_cal_ratios": ratios,
+        }
+    }
 
 
 if __name__ == "__main__":

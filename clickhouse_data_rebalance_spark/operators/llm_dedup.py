@@ -46,6 +46,7 @@ def _simhash_from_hashes(hs: pd.Series) -> pd.Series:
     return pd.Series(out, dtype="int64")
 
 from ..registry import query
+from ..session import shuffle_partitions
 from ..tables import table
 from ..functions.text import (
     band_hashes,
@@ -442,7 +443,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = e.select("vec_id", "label", "embedding", norm(F.col("embedding")).alias("nrm"))
     # spread the probe side: broadcast pair-generation otherwise keeps
     # every pairwise cosine in the single scan partition
-    a = ev.repartition("vec_id").alias("a")
+    a = ev.repartition(shuffle_partitions(spark), "vec_id").alias("a")
     b = ev.alias("b")
     pair_cos = F.try_divide(
         dot(F.col("a.embedding"), F.col("b.embedding")),
@@ -745,7 +746,7 @@ def dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vectors import cosine
 
     e = table(spark, sf_dir, "embeddings")
-    a = e.repartition("vec_id").alias("a")
+    a = e.repartition(shuffle_partitions(spark), "vec_id").alias("a")
     b = e.alias("b")
     edges = (
         a.join(

@@ -19,6 +19,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..registry import query
+from ..session import shuffle_partitions
 from ..tables import table
 from ..functions.vectors import cosine, dot, norm
 
@@ -601,11 +602,11 @@ def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     # Broadcast-joined pair generation inherits the probe side's
     # partitioning, so spread the probe side first — otherwise every
-    # pairwise cosine lands in the partition(s) of one small scan.
-    # No partition count: repartition(col) uses spark.sql.shuffle
-    # .partitions, so the spread tracks the session/cluster size
-    # instead of a local[32]-shaped constant.
-    a = e.repartition("vec_id").alias("a")
+    # pairwise cosine lands in the partition(s) of one small scan. The
+    # explicit session-derived count (not a local[32] constant, and not
+    # a bare repartition(col), which AQE re-coalesces to ~1 partition
+    # on a small-bytes probe side — measured 4x) keeps the spread.
+    a = e.repartition(shuffle_partitions(spark), "vec_id").alias("a")
     b = e.alias("b")
     pairs = (
         a.join(

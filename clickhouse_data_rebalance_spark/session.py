@@ -101,3 +101,17 @@ def tune_session(spark: SparkSession) -> SparkSession:
     except Exception:
         pass  # e.g. Connect sessions without a SparkContext; best effort
     return spark
+
+
+def shuffle_partitions(spark: SparkSession) -> int:
+    """The session's shuffle width as an explicit integer, for
+    repartition() calls that must NOT be AQE-coalesced: a bare
+    repartition(col) is marked coalescable and AQE folds a small probe
+    side back to ~1 partition, serializing whatever fans out from it
+    (measured 4x on the pairwise-cosine paths). An explicit count is
+    respected by AQE and still tracks cluster size via conf instead of
+    hardcoding local[32]'s shape."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return spark.sparkContext.defaultParallelism

@@ -11,6 +11,12 @@ toggled off one at a time, in a fresh process per mode:
 
 Usage: python tools/ab_bench.py <mode>   (prints one JSON line)
        python tools/ab_bench.py          (spawns all modes, prints table)
+       python tools/ab_bench.py --norm A.json B.json
+           hardware-normalized comparison of two bench JSON files
+           (bench.py output or this tool's): per-query and total
+           (sec/cal_A)/(sec/cal_B) ratios. Files lacking cal_spin_sec
+           (rounds before r5) can only be compared raw — the tool
+           says so rather than printing a pseudo-normalized number.
 """
 
 from __future__ import annotations
@@ -79,12 +85,53 @@ def run_mode(mode: str) -> None:
             fn(spark, sf_dir).collect()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+    from bench import _cpu_calibration
+
     print(json.dumps({"mode": mode, "total": round(sum(timings.values()), 3),
-                      "queries": timings}))
+                      "queries": timings, "cal_spin_sec": _cpu_calibration()}))
     spark.stop()
 
 
+def norm_compare(path_a: str, path_b: str) -> None:
+    """Print per-query and total cal-normalized ratios A vs B."""
+    def load(p):
+        with open(p) as f:
+            d = json.load(f)
+        # driver-recorded BENCH_r*.json wraps bench output under "parsed"
+        return d["parsed"] if isinstance(d.get("parsed"), dict) else d
+
+    a, b = load(path_a), load(path_b)
+    qa, qb = a.get("queries", {}), b.get("queries", {})
+    ca, cb = a.get("cal_spin_sec"), b.get("cal_spin_sec")
+    shared = [q for q in qa if qb.get(q)]
+    raw_a = sum(qa[q] for q in shared)
+    raw_b = sum(qb[q] for q in shared)
+    out = {
+        "a": path_a,
+        "b": path_b,
+        "shared_queries": len(shared),
+        "raw_total_ratio": round(raw_a / raw_b, 3) if raw_b else None,
+    }
+    if ca and cb:
+        out["cal_a"], out["cal_b"] = ca, cb
+        out["box_speed_ratio_a_vs_b"] = round(ca / cb, 3)
+        out["cal_total_ratio"] = round((raw_a / ca) / (raw_b / cb), 3)
+        out["query_cal_ratios"] = {
+            q: round((qa[q] / ca) / (qb[q] / cb), 3) for q in shared
+        }
+    else:
+        out["note"] = (
+            "cal_spin_sec missing from "
+            + ", ".join(p for p, c in [(path_a, ca), (path_b, cb)] if not c)
+            + " — raw ratio only; do not read it as a code-speed delta"
+        )
+    print(json.dumps(out))
+
+
 def main() -> None:
+    if len(sys.argv) > 3 and sys.argv[1] == "--norm":
+        norm_compare(sys.argv[2], sys.argv[3])
+        return
     if len(sys.argv) > 1:
         run_mode(sys.argv[1])
         return
