@@ -85,13 +85,21 @@ DRIVER_ORDER: list[str] = [
     "tf_idf",
     "text_quality",
     "multimodal_roundtrip",
-    # structured streaming + event-time windows
+    # structured streaming + event-time windows (r6 second swap, VERDICT
+    # r5 #8: the stream trio that silently broke in r1/r3 and has never
+    # had an external row enters; three 2+-green veterans leave —
+    # collect_agg -> agg_multikey keeps C10, window_ranking ->
+    # top_k_per_group's row_number keeps C15, cast_coercion ->
+    # scalar_funcs_suite's CAST family keeps C32)
     "stream_tumbling_equiv",
     "sliding_window_agg",
     "session_window_agg",
     "stream_watermark_counts",
     "stream_dedup_events",
     "stream_mv_maintain",
+    "stream_stream_join",
+    "stream_upsert_sink",
+    "stream_custom_state",
     # scalar function families + UDF ladder
     "scalar_funcs_suite",
     "semi_structured_suite",
@@ -99,7 +107,6 @@ DRIVER_ORDER: list[str] = [
     # relational core
     "projection_expr",
     "filter_predicates",
-    "cast_coercion",
     "sample_fraction",
     # joins
     "join_right_outer",
@@ -110,12 +117,10 @@ DRIVER_ORDER: list[str] = [
     "asof_join_tolerance",
     # aggregation
     "agg_multikey",
-    "collect_agg",
     "approx_count_distinct",
     "grouping_sets",
     "having_filter",
     # windows / sort / top-k / event-time
-    "window_ranking",
     "window_range_interval",
     "time_gap_fill_interpolate",
     "top_k",
@@ -136,19 +141,21 @@ DRIVER_ORDER: list[str] = [
 # rounds, then the round-2 flagship operators, then the long tail of
 # per-function suite variants.
 DRIVER_ORDER_TIER2: list[str] = [
-    # next in line for driver rows (VERDICT r5 #8): the stream trio that
-    # has never had an external row — the family that silently broke in
-    # r1 and r3 — then round-6's new IVF surface
-    "stream_stream_join",
-    "stream_upsert_sink",
-    "stream_custom_state",
+    # next in line for driver rows: round-6's new surface (the stream
+    # trio moved INTO the cover in the r6 second swap)
     "ann_ivf_topk_refined",
     "knn_join_ivf",
+    "decontaminate_minhash",
+    "bucketed_join_noshuffle",
+    "quality_classifier_score",
     # drift-prone streaming/event-time equivalences
     "stream_session_equiv",
     "stream_sliding_equiv",
     "stream_static_enrich",
     # rotated out of the 50-row cover in r6 (2+ green driver rounds each)
+    "collect_agg",
+    "window_ranking",
+    "cast_coercion",
     "asof_join",
     "join_inner",
     "join_left_outer",
