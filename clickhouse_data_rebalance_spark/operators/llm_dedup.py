@@ -124,8 +124,11 @@ def minhash_candidates(spark: SparkSession, sf_dir: str, k_shingle: int = 3) -> 
     )
 
 
-def minhash_candidates_from(d: DataFrame, k_shingle: int = 3) -> DataFrame:
-    """LSH candidate pairs (a < b) sharing ≥1 MinHash band bucket.
+def lsh_band_buckets(d: DataFrame, k_shingle: int = 3) -> DataFrame:
+    """Capped LSH band buckets `(doc_id, band_idx, band_hash)` for every
+    document — the shared blocking structure under the self-join dedup
+    (`minhash_candidates_from`) and the cross-corpus decontamination join
+    (`decontaminate_minhash`).
 
     Signature computation is explode → 32 flat xxhash64 columns →
     groupBy(doc_id).min per seed: everything rides whole-stage codegen
@@ -171,11 +174,16 @@ def minhash_candidates_from(d: DataFrame, k_shingle: int = 3) -> DataFrame:
     from pyspark.sql import Window as W
 
     wb = W.partitionBy("band_idx", "band_hash")
-    capped = (
+    return (
         buckets.withColumn("bsz", F.count(F.lit(1)).over(wb))
         .filter(F.col("bsz") <= MAX_LSH_BUCKET)
         .drop("bsz")
     )
+
+
+def minhash_candidates_from(d: DataFrame, k_shingle: int = 3) -> DataFrame:
+    """LSH candidate pairs (a < b) sharing ≥1 MinHash band bucket."""
+    capped = lsh_band_buckets(d, k_shingle)
     a = capped.alias("a")
     b = capped.alias("b")
     return (
@@ -699,6 +707,97 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.4)
         .orderBy("doc_a", "doc_b")
     )
+
+
+_DECON_MINHASH_ORACLE = r"""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(w)-2, 0)),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      FROM w
+    ),
+    inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    pairs AS (
+      SELECT c.doc_id AS corpus_doc, b.doc_id AS bench_doc, COUNT(*) AS inter
+      FROM inv c JOIN inv b ON c.g = b.g
+      WHERE c.doc_id % 17 <> 0 AND b.doc_id % 17 = 0
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, len(s) AS n FROM sh)
+    SELECT p.corpus_doc, p.bench_doc,
+           CAST(p.inter AS DOUBLE) / (sc.n + sb.n - p.inter) AS jaccard
+    FROM pairs p JOIN sizes sc ON sc.doc_id = p.corpus_doc
+                 JOIN sizes sb ON sb.doc_id = p.bench_doc
+    WHERE CAST(p.inter AS DOUBLE) / (sc.n + sb.n - p.inter) >= 0.5
+    ORDER BY corpus_doc, bench_doc
+"""
+
+
+@query("decontaminate_minhash", _DECON_MINHASH_ORACLE)
+def decontaminate_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus near-dup decontamination: training documents whose
+    shingle Jaccard vs any benchmark document is ≥ 0.5, found via the
+    SAME MinHash band buckets as the self-join dedup but joined ACROSS
+    the corpus/benchmark split (benchmark = doc_id % 17 == 0 here; in
+    production the held-out eval set).
+
+    This is the document-level complement of `contamination_ngram_overlap`
+    (which screens on raw n-gram hits): near-duplicate eval documents that
+    share no long verbatim n-gram still collide in MinHash band space.
+
+    Scale shape: the corpus side never self-joins — its band buckets
+    probe the BENCHMARK bucket set, which is broadcast (eval suites are
+    MBs against a 100 TB corpus), so no corpus-scale shuffle happens at
+    all for the candidate step; the exact-Jaccard verify then touches
+    only candidate pairs. Oracle equivalence rests on the same banded
+    recall argument as `dedup_minhash_lsh`: fixture near-dups sit at
+    J ≥ 0.9 where 8×4 LSH recall is 1."""
+    d = table(spark, sf_dir, "documents")
+    buckets = lsh_band_buckets(d)
+    bench_ids = F.col("doc_id") % 17 == 0
+    corpus_b = buckets.filter(~bench_ids)
+    bench_b = buckets.filter(bench_ids)
+    cand = (
+        corpus_b.alias("c")
+        .join(
+            F.broadcast(bench_b.alias("b")),
+            (F.col("c.band_idx") == F.col("b.band_idx"))
+            & (F.col("c.band_hash") == F.col("b.band_hash")),
+        )
+        .select(
+            F.col("c.doc_id").alias("corpus_doc"), F.col("b.doc_id").alias("bench_doc")
+        )
+        .distinct()
+    )
+    sh = d.select(
+        "doc_id", F.array_distinct(shingles(F.lower(F.col("text")))).alias("sh")
+    )
+    scored = (
+        cand.join(
+            sh.select(F.col("doc_id").alias("corpus_doc"), F.col("sh").alias("sh_c")),
+            "corpus_doc",
+        )
+        .join(
+            F.broadcast(
+                sh.filter(bench_ids).select(
+                    F.col("doc_id").alias("bench_doc"), F.col("sh").alias("sh_b")
+                )
+            ),
+            "bench_doc",
+        )
+        .select(
+            "corpus_doc",
+            "bench_doc",
+            (
+                F.size(F.array_intersect("sh_c", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_c", "sh_b"))
+            ).alias("jaccard"),
+        )
+    )
+    return scored.filter(F.col("jaccard") >= 0.5).orderBy("corpus_doc", "bench_doc")
 
 
 _CC_ORACLE = """

@@ -109,6 +109,72 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+_QUALITY_CLASSIFIER_ORACLE = """
+    WITH feats AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(trim(text), ' ')) AS DOUBLE) AS n_words,
+             CAST(length(text) AS DOUBLE) / len(string_split(trim(text), ' '))
+               AS cpw,
+             CAST(len(list_filter(string_split(lower(trim(text)), ' '),
+                       w -> w IN ('the', 'and', 'of', 'to', 'a'))) AS DOUBLE)
+               / len(string_split(trim(text), ' ')) AS stop_r,
+             CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE)
+               / length(text) AS punct_r
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           ROUND(-2.0 + 0.01 * n_words + 6.0 * stop_r - 4.0 * punct_r
+                 - 0.2 * abs(cpw - 5.0), 9) AS logit,
+           (-2.0 + 0.01 * n_words + 6.0 * stop_r - 4.0 * punct_r
+                 - 0.2 * abs(cpw - 5.0)) > 0.0 AS keep
+    FROM feats ORDER BY doc_id
+"""
+
+
+@query("quality_classifier_score", _QUALITY_CLASSIFIER_ORACLE)
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (the fastText/logistic-classifier
+    stage of a training-data pipeline): a linear scorer over the same
+    row-local features `text_quality` extracts — word count, chars/word
+    deviation from the English mean, stopword density, punctuation
+    density — with fixed published-style weights arriving as literals
+    (in production: a broadcast weight vector).
+
+    The score stays LINEAR (the sigmoid is monotone, so thresholding the
+    logit ≡ thresholding the probability) — every operation is exact
+    IEEE arithmetic with the same association order in both engines, so
+    no libm call can diverge; ROUND(,9) on the reported logit is
+    belt-and-suspenders only.
+
+    Scale: pure row-local projection, zero shuffle; the classifier
+    screens the corpus at scan speed ahead of any dedup shuffle."""
+    d = table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    low_toks = tokens(F.lower(F.col("text")))
+    n_words = F.size(toks).cast("double")
+    cpw = F.length("text").cast("double") / F.size(toks)
+    stop_r = marker_count(low_toks, LANG_MARKERS["en"]).cast("double") / F.size(toks)
+    punct_r = (
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[^A-Za-z0-9 ]"), F.lit(0))).cast(
+            "double"
+        )
+        / F.length("text")
+    )
+    logit = (
+        F.lit(-2.0)
+        + F.lit(0.01) * n_words
+        + F.lit(6.0) * stop_r
+        - F.lit(4.0) * punct_r
+        - F.lit(0.2) * F.abs(cpw - F.lit(5.0))
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        F.round(logit, 9).alias("logit"),
+        (logit > F.lit(0.0)).alias("keep"),
+    ).orderBy("doc_id")
+
+
 _LANG_ID_ORACLE = """
     WITH scored AS (
       SELECT doc_id, lang,

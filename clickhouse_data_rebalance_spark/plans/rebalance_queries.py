@@ -198,6 +198,82 @@ def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("*", F.lit(n_files == 4).alias("file_count_ok"))
 
 
+_BUCKETED_JOIN_ORACLE = f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_items,
+           {sql_dec_sum('l_quantity')} AS sum_qty,
+           true AS join_no_exchange
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def _bucketed_fact_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Build-once bucketed copies of orders/lineitem, co-bucketed on the
+    join key — the persisted-co-location layout a re-shard targets. The
+    cache key fingerprints the source files (mtime_ns + size, the same
+    drift guard as the IVF index) so a regenerated fixture rebuilds
+    instead of probing stale buckets; stale table variants are dropped."""
+    import hashlib
+
+    from ..sources.connectors import write_bucketed
+
+    fps = []
+    for t in ("orders", "lineitem"):
+        st = os.stat(os.path.join(sf_dir, f"{t}.parquet"))
+        fps.append(f"{st.st_mtime_ns}:{st.st_size}")
+    key = hashlib.md5(f"{sf_dir}|{'|'.join(fps)}".encode()).hexdigest()[:10]
+    names = (f"cdr_bkt_orders_{key}", f"cdr_bkt_lineitem_{key}")
+    if all(spark.catalog.tableExists(n) for n in names):
+        return names
+    for t in spark.catalog.listTables():
+        if t.name.startswith("cdr_bkt_"):
+            spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+    base = os.path.join(_TMP, "bucketed", key)
+    shutil.rmtree(os.path.join(_TMP, "bucketed"), ignore_errors=True)
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed(o, names[0], N_SHARDS, ["o_orderkey"], os.path.join(base, "o"))
+    write_bucketed(l, names[1], N_SHARDS, ["l_orderkey"], os.path.join(base, "l"))
+    return names
+
+
+@query("bucketed_join_noshuffle", _BUCKETED_JOIN_ORACLE)
+def bucketed_join_noshuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted-co-location payoff of re-sharding (C-II at 100 TB):
+    orders and lineitem bucketed on the join key join with ZERO
+    exchanges — the bucket layout replaces the shuffle, and it keeps
+    paying on every subsequent join/aggregation on that key, which is
+    the whole point of re-sharding a 100 TB fact table once.
+
+    The plan property is part of the verified output: `join_no_exchange`
+    is computed from the bare join's physical plan with broadcast
+    disabled (so the fixture-sized tables see the same sort-merge plan
+    the full-scale tables would) and must come back true, alongside the
+    content invariants of the joined result."""
+    bo, bl = _bucketed_fact_pair(spark, sf_dir)
+    o, l = spark.table(bo), spark.table(bl)
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = o.join(l, F.col("o_orderkey") == F.col("l_orderkey"))
+        plan = j._jdf.queryExecution().explainString(  # noqa: SLF001
+            j._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        no_exchange = "Exchange" not in plan and "SortMergeJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    return (
+        o.join(l, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_items"), dec_sum("l_quantity").alias("sum_qty"))
+        .select("*", F.lit(no_exchange).alias("join_no_exchange"))
+        .orderBy("o_orderpriority")
+    )
+
+
 @query("table_swap_lifecycle", "SELECT * FROM nation ORDER BY n_nationkey")
 def table_swap_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C36: snapshot → swap → GC, the reference's phase 3-5+8 rename dance

@@ -74,6 +74,15 @@ def test_no_cartesian_in_scale_paths(spark):
         assert "CartesianProduct" not in plan, name
 
 
+def test_decontaminate_broadcasts_benchmark_buckets(spark):
+    """Cross-corpus decontamination must probe the benchmark band-bucket
+    set via broadcast — the corpus side never self-joins or shuffles for
+    the candidate step — and must never go cartesian."""
+    plan = plan_of(spark, "decontaminate_minhash")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_exact_topk_broadcasts_query_vector(spark):
     # the cross join against the single query vector must be a broadcast
     # nested loop (fine: 1-row side), never a shuffled cartesian
