@@ -148,6 +148,8 @@ DRIVER_ORDER_TIER2: list[str] = [
     "decontaminate_minhash",
     "bucketed_join_noshuffle",
     "quality_classifier_score",
+    "media_resize",
+    "media_frame_sample",
     # drift-prone streaming/event-time equivalences
     "stream_session_equiv",
     "stream_sliding_equiv",
