@@ -595,3 +595,97 @@ def ngram_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(dup, 9).alias("dup_frac"),
         (dup <= 0.2).alias("keep_doc"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Mergeable heavy-hitters state (ClickHouse `topK` as a STATE, not a
+# one-shot aggregate — the approxTopKState/-Merge pattern)
+# --------------------------------------------------------------------------
+
+MG_COUNTERS = 64
+
+
+def misra_gries_summary(items, k: int = MG_COUNTERS) -> dict:
+    """Misra-Gries frequency summary with k counters: seen item
+    increments its counter; an unseen item either claims a free counter
+    or decrements ALL counters (dropping zeros). Guarantees, for a
+    stream of n items: every item with true count > n/k survives, and
+    true - n/k <= est <= true. Summaries MERGE by summing per-item and
+    re-reducing to k counters — with total error still bounded by
+    n_total/k (Agarwal et al., "Mergeable Summaries").
+    Shared by the applyInPandas partial stage and the property tests."""
+    counters: dict = {}
+    for it in items:
+        if it in counters:
+            counters[it] += 1
+        elif len(counters) < k:
+            counters[it] = 1
+        else:
+            for key in list(counters):
+                counters[key] -= 1
+                if counters[key] == 0:
+                    del counters[key]
+    return counters
+
+
+def mg_reduce_to_k(summed: DataFrame, k: int = MG_COUNTERS) -> DataFrame:
+    """Reduce a merged (item, est) counter table back to <= k counters:
+    subtract the (k+1)-th largest estimate from all, drop non-positive.
+    Input is metadata-sized (|groups| x k rows), so the top-(k+1) probe
+    is a TakeOrdered, never a corpus operation."""
+    top = summed.orderBy(F.col("est").desc(), "item").limit(k + 1).collect()
+    if len(top) <= k:
+        return summed
+    cut = top[k]["est"]
+    return summed.select("item", (F.col("est") - F.lit(cut)).alias("est")).filter(
+        F.col("est") > 0
+    )
+
+
+@query(
+    "topk_state_merge",
+    """
+    WITH t AS (
+      SELECT unnest(string_split(lower(trim(text)), ' ')) AS item
+      FROM documents
+    )
+    SELECT item, COUNT(*) AS est FROM t GROUP BY item ORDER BY item
+    """,
+)
+def topk_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse `topKState`/`-Merge` parity: per-source Misra-Gries
+    token summaries (applyInPandas partials — the custom-sketch escape
+    hatch) merged distributively into a global heavy-hitters table
+    without rescanning the corpus. The merge is per-item summation of
+    the k-bounded partials plus one `mg_reduce_to_k` pass; its input is
+    |sources| x k rows — kilobytes — regardless of corpus size, which
+    is why state-style top-K wins at 100 TB (same argument as
+    `uniq_state_merge`).
+
+    Oracle: on this fixture the vocabulary (31 tokens) is smaller than
+    k=64, so no counter ever evicts and the sketch is EXACT — the
+    oracle states the exact token counts and the merged estimates must
+    hash-match them. The eviction/merge regime (vocab >> k, skewed) is
+    pinned separately by `test_properties.py::test_misra_gries_bounds`,
+    which asserts the n/k error bound and guaranteed-presence on
+    synthetic Zipf data."""
+    import pandas as pd
+
+    d = table(spark, sf_dir, "documents")
+
+    def _mg_part(pdf_iter):
+        for pdf in pdf_iter:
+            # per-batch MG over the concatenated token stream
+            counters = misra_gries_summary(
+                tok for text in pdf["text"] for tok in text.strip().lower().split()
+            )
+            if counters:
+                yield pd.DataFrame(
+                    {"item": list(counters), "est": list(counters.values())}
+                )
+
+    partials = d.select("source", "text").repartition("source").mapInPandas(
+        _mg_part, schema="item string, est bigint"
+    )
+    summed = partials.groupBy("item").agg(F.sum("est").alias("est"))
+    return mg_reduce_to_k(summed).orderBy("item")

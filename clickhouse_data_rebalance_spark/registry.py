@@ -150,6 +150,7 @@ DRIVER_ORDER_TIER2: list[str] = [
     "quality_classifier_score",
     "media_resize",
     "media_frame_sample",
+    "topk_state_merge",
     # drift-prone streaming/event-time equivalences
     "stream_session_equiv",
     "stream_sliding_equiv",

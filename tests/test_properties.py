@@ -729,3 +729,54 @@ def test_weighted_avg_udaf_matches_duckdb_on_random_groups(rows):
         ).fetchall()
     )
     assert ours == {k: int(v) for k, v in oracle.items()}
+
+
+@given(
+    st.lists(
+        st.integers(min_value=1, max_value=500).map(lambda z: f"w{z * z * z % 977}"),
+        min_size=1,
+        max_size=2000,
+    ),
+    st.integers(min_value=4, max_value=32),
+)
+@settings(max_examples=40, deadline=None)
+def test_misra_gries_bounds(items, k):
+    """The eviction regime the fixture can't reach (vocab >> k, skew):
+    Misra-Gries with k counters must (a) never overestimate, (b) under-
+    estimate by at most n/k, and (c) retain every item with true count
+    > n/k. Merging split summaries must satisfy the same bound."""
+    from collections import Counter
+
+    from clickhouse_data_rebalance_spark.operators.llm_text import (
+        misra_gries_summary,
+    )
+
+    truth = Counter(items)
+    n = len(items)
+
+    def check(summary):
+        for item, est in summary.items():
+            assert est <= truth[item]
+            assert truth[item] - est <= n / k
+        for item, c in truth.items():
+            if c > n / k:
+                assert item in summary, (item, c, n / k)
+
+    check(misra_gries_summary(items, k))
+
+    # merge of split-stream partials: sum per item, reduce to k by
+    # subtracting the (k+1)-th largest — same guarantee on the union
+    half = len(items) // 2
+    s1 = misra_gries_summary(items[:half], k)
+    s2 = misra_gries_summary(items[half:], k)
+    merged = Counter(s1) + Counter(s2)
+    if len(merged) > k:
+        cut = sorted(merged.values(), reverse=True)[k]
+        merged = {i: v - cut for i, v in merged.items() if v - cut > 0}
+    # merged error bound: n1/k + n2/k = n/k
+    for item, est in merged.items():
+        assert est <= truth[item]
+        assert truth[item] - est <= n / k + 1e-9
+    for item, c in truth.items():
+        if c > n / k:
+            assert item in merged, (item, c, n / k)
