@@ -57,6 +57,10 @@ HEADLINE = [
     "bpe_merge_step",
     "multi_grain_rollup",
     "corpus_pipeline_e2e",
+    # round 6 additions: cross-corpus decontamination + mergeable
+    # heavy-hitters state (vs_prev ratios compare the shared subset)
+    "decontaminate_minhash",
+    "topk_state_merge",
 ]
 
 

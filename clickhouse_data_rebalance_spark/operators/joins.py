@@ -355,6 +355,75 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "asof_join_forward",
+    """
+    SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
+           c.ts AS next_click_ts, c.value AS next_click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT user_id, ts, arg_max(value, event_id) AS value
+                    FROM events WHERE event_type = 'click'
+                    GROUP BY user_id, ts) c
+      ON p.user_id = c.user_id AND p.ts <= c.ts
+    ORDER BY p.event_id
+    """,
+)
+def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-direction as-of join (pandas merge_asof
+    ``direction='forward'``): each purchase matched to the user's
+    EARLIEST click at or after it — the "next action after conversion"
+    shape. Mirror composition of `asof_join`: union both sides + window
+    first(ignorenulls) over the FOLLOWING frame, one shuffle on
+    (user_id, ts); at equal ts the purchase sorts first (is_p desc) so
+    a same-instant click matches ('<=' semantics). Same deterministic
+    (user_id, ts) click collapse. Oracle: DuckDB native forward ASOF."""
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(None).cast("timestamp").alias("c_ts"),
+        F.lit(None).cast("double").alias("c_val"),
+        F.lit(1).alias("is_p"),
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("value"))
+        .select(
+            "user_id",
+            "ts",
+            F.lit(None).cast("long").alias("event_id"),
+            F.col("ts").alias("c_ts"),
+            F.col("value").alias("c_val"),
+            F.lit(0).alias("is_p"),
+        )
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("is_p").desc())
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    filled = (
+        p.unionByName(c)
+        .withColumn("next_click_ts", F.first("c_ts", ignorenulls=True).over(w))
+        .withColumn("next_click_value", F.first("c_val", ignorenulls=True).over(w))
+    )
+    return (
+        filled.filter(F.col("is_p") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "next_click_ts",
+            "next_click_value",
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
     "asof_join_tolerance",
     """
     SELECT p.event_id, p.user_id, p.ts AS purchase_ts,

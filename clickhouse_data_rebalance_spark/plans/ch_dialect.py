@@ -105,6 +105,65 @@ _REWRITES: list[tuple[re.Pattern[str], str]] = [
         re.compile(rf"\btoYYYYMM\s*\(\s*{_ARG}\s*\)", re.I),
         r"CAST(date_format(\1, 'yyyyMM') AS BIGINT)",
     ),
+    # ---- date part extraction ----
+    (re.compile(rf"\btoHour\s*\(\s*{_ARG}\s*\)", re.I), r"hour(\1)"),
+    (re.compile(rf"\btoMinute\s*\(\s*{_ARG}\s*\)", re.I), r"minute(\1)"),
+    (re.compile(rf"\btoSecond\s*\(\s*{_ARG}\s*\)", re.I), r"second(\1)"),
+    (re.compile(rf"\btoDayOfMonth\s*\(\s*{_ARG}\s*\)", re.I), r"day(\1)"),
+    (re.compile(rf"\btoDayOfYear\s*\(\s*{_ARG}\s*\)", re.I), r"dayofyear(\1)"),
+    # ClickHouse numbers Monday=1..Sunday=7; Spark's dayofweek is
+    # Sunday=1..Saturday=7 — shift so the two agree
+    (
+        re.compile(rf"\btoDayOfWeek\s*\(\s*{_ARG}\s*\)", re.I),
+        r"(((dayofweek(\1) + 5) % 7) + 1)",
+    ),
+    (
+        re.compile(rf"\btoMonday\s*\(\s*{_ARG}\s*\)", re.I),
+        r"CAST(date_trunc('week', \1) AS DATE)",
+    ),
+    (
+        re.compile(rf"\btoUnixTimestamp\s*\(\s*{_ARG}\s*\)", re.I),
+        r"unix_timestamp(\1)",
+    ),
+    (re.compile(r"\btoday\s*\(\s*\)", re.I), "current_date()"),
+    (re.compile(r"\byesterday\s*\(\s*\)", re.I), "date_sub(current_date(), 1)"),
+    # ---- higher-order array functions ----
+    # ClickHouse takes (lambda, arr); Spark takes (arr, lambda). The
+    # lambda arrow syntax `x -> expr` is identical in both dialects, so
+    # only the argument order swaps. Multi-array forms
+    # (arrayMap((x,y) -> …, a, b)) have a third argument the 2-slot
+    # pattern can't bind — they fall through to the residual check and
+    # refuse rather than mistranslate.
+    (
+        re.compile(rf"\barrayMap\s*\(\s*{_ARG}\s*,\s*{_ARG}\s*\)", re.I),
+        r"transform(\2, \1)",
+    ),
+    (
+        re.compile(rf"\barrayFilter\s*\(\s*{_ARG}\s*,\s*{_ARG}\s*\)", re.I),
+        r"filter(\2, \1)",
+    ),
+    (
+        re.compile(rf"\barrayExists\s*\(\s*{_ARG}\s*,\s*{_ARG}\s*\)", re.I),
+        r"exists(\2, \1)",
+    ),
+    (
+        re.compile(rf"\barrayAll\s*\(\s*{_ARG}\s*,\s*{_ARG}\s*\)", re.I),
+        r"forall(\2, \1)",
+    ),
+    (re.compile(r"\barrayDistinct\s*\(", re.I), "array_distinct("),
+    (re.compile(r"\barraySort\s*\(", re.I), "array_sort("),
+    (re.compile(r"\barrayReverse\s*\(", re.I), "reverse("),
+    (re.compile(r"\barrayFlatten\s*\(", re.I), "flatten("),
+    (re.compile(r"\barraySlice\s*\(", re.I), "slice("),
+    # ---- JSON extraction (literal key -> JSONPath) ----
+    (
+        re.compile(rf"\bJSONExtractString\s*\(\s*{_ARG}\s*,\s*'([^']*)'\s*\)", re.I),
+        r"get_json_object(\1, '$.\2')",
+    ),
+    (
+        re.compile(rf"\bJSONExtractInt\s*\(\s*{_ARG}\s*,\s*'([^']*)'\s*\)", re.I),
+        r"CAST(get_json_object(\1, '$.\2') AS BIGINT)",
+    ),
     # ---- aggregate combinators ----
     (re.compile(r"\bcountIf\s*\(", re.I), "count_if("),
     (
@@ -141,7 +200,10 @@ _REWRITES: list[tuple[re.Pattern[str], str]] = [
 _RESIDUALS = re.compile(
     r"\b(toU?Int\d+|toFloat\d+|toString|toStartOf\w+|toYYYYMM(DD)?|sumIf|avgIf"
     r"|minIf|maxIf|uniqExact|arrayJoin|notEmpty|multiIf|intDiv|splitByChar"
-    r"|arrayStringConcat|lengthUTF8)\s*\(",
+    r"|arrayStringConcat|lengthUTF8|toHour|toMinute|toSecond|toDayOf\w+"
+    r"|toMonday|toUnixTimestamp|arrayMap|arrayFilter|arrayExists|arrayAll"
+    r"|arrayDistinct|arraySort|arrayReverse|arrayFlatten|arraySlice"
+    r"|JSONExtract\w+)\s*\(",
     re.I,
 )
 

@@ -151,6 +151,7 @@ DRIVER_ORDER_TIER2: list[str] = [
     "media_resize",
     "media_frame_sample",
     "topk_state_merge",
+    "asof_join_forward",
     # drift-prone streaming/event-time equivalences
     "stream_session_equiv",
     "stream_sliding_equiv",

@@ -227,6 +227,50 @@ def test_ch_dialect_translate_rewrites():
     )
 
 
+def test_ch_dialect_datepart_and_hof_rewrites():
+    from clickhouse_data_rebalance_spark.plans.ch_dialect import translate
+
+    assert translate("SELECT toHour(ts), toDayOfMonth(ts) FROM t") == (
+        "SELECT hour(ts), day(ts) FROM t"
+    )
+    # CH Monday=1..Sunday=7 vs Spark Sunday=1..Saturday=7
+    assert translate("SELECT toDayOfWeek(ts) FROM t") == (
+        "SELECT (((dayofweek(ts) + 5) % 7) + 1) FROM t"
+    )
+    assert translate("SELECT toMonday(ts) FROM t") == (
+        "SELECT CAST(date_trunc('week', ts) AS DATE) FROM t"
+    )
+    # higher-order fns: (lambda, arr) -> (arr, lambda); arrow unchanged
+    assert translate("SELECT arrayMap(x -> x * 2, arr) FROM t") == (
+        "SELECT transform(arr, x -> x * 2) FROM t"
+    )
+    assert translate("SELECT arrayFilter(x -> x > 0, arr) FROM t") == (
+        "SELECT filter(arr, x -> x > 0) FROM t"
+    )
+    assert translate("SELECT arrayExists(x -> x = 1, arr) FROM t") == (
+        "SELECT exists(arr, x -> x = 1) FROM t"
+    )
+    assert translate("SELECT JSONExtractString(j, 'name') FROM t") == (
+        "SELECT get_json_object(j, '$.name') FROM t"
+    )
+    assert translate("SELECT JSONExtractInt(j, 'n') FROM t") == (
+        "SELECT CAST(get_json_object(j, '$.n') AS BIGINT) FROM t"
+    )
+
+
+def test_ch_dialect_dayofweek_semantics(spark):
+    """The toDayOfWeek shift must reproduce ClickHouse numbering:
+    Monday=1 … Sunday=7 (2026-08-10 is a Monday)."""
+    from clickhouse_data_rebalance_spark.plans.ch_dialect import translate
+
+    sql = translate(
+        "SELECT toDayOfWeek(CAST('2026-08-10' AS DATE)) AS mon, "
+        "toDayOfWeek(CAST('2026-08-16' AS DATE)) AS sun"
+    )
+    row = spark.sql(sql).collect()[0]
+    assert (row["mon"], row["sun"]) == (1, 7)
+
+
 def test_ch_dialect_refuses_untranslatable():
     import pytest as _pytest
 
@@ -242,6 +286,9 @@ def test_ch_dialect_refuses_untranslatable():
         # nested beyond one paren level inside a rewritten call must
         # raise (residual check), never silently mistranslate
         "SELECT sumIf(coalesce(a, nullif(b, 0)), c > least(d, e(f))) FROM t",
+        # multi-array arrayMap has a third argument the 2-slot rewrite
+        # cannot bind — must refuse, never drop an argument
+        "SELECT arrayMap((x, y) -> x + y, a, b) FROM t",
     ]:
         with _pytest.raises(UnsupportedClickHouseSQL):
             translate(sql)
