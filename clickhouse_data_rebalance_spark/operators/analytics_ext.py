@@ -306,6 +306,93 @@ def sequence_match_funnel3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "window_funnel_levels",
+    """
+    WITH clk AS (SELECT user_id, ts AS t1 FROM events WHERE event_type = 'click'),
+    chains2 AS (
+      SELECT c.user_id, c.t1, MIN(v.ts) AS t2
+      FROM clk c JOIN events v
+        ON v.user_id = c.user_id AND v.event_type = 'view'
+       AND v.ts > c.t1 AND v.ts <= c.t1 + INTERVAL 1 HOUR
+      GROUP BY c.user_id, c.t1
+    ),
+    l3 AS (
+      SELECT DISTINCT ch.user_id
+      FROM chains2 ch JOIN events p
+        ON p.user_id = ch.user_id AND p.event_type = 'purchase'
+       AND p.ts > ch.t2 AND p.ts <= ch.t1 + INTERVAL 1 HOUR
+    ),
+    l2 AS (SELECT DISTINCT user_id FROM chains2),
+    l1 AS (SELECT DISTINCT user_id FROM clk)
+    SELECT l1.user_id,
+           CAST(1 + CASE WHEN l2.user_id IS NOT NULL THEN 1 ELSE 0 END
+                  + CASE WHEN l3.user_id IS NOT NULL THEN 1 ELSE 0 END
+                AS BIGINT) AS funnel_level
+    FROM l1 LEFT JOIN l2 ON l1.user_id = l2.user_id
+            LEFT JOIN l3 ON l1.user_id = l3.user_id
+    ORDER BY l1.user_id
+    """,
+)
+def window_funnel_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse `windowFunnel(1h)(ts, click, view, purchase)` parity:
+    per user, the deepest click → view → purchase chain whose every
+    step lands within 1 hour OF THE CHAIN'S FIRST EVENT (CH anchors the
+    window at step 1 — unlike `sequence_match_funnel3`, which is the
+    unwindowed ordered-subsequence form).
+
+    Greedy-earliest is exact here: for a fixed chain start t1 the
+    window budget depends only on t1, so taking MIN(view ts) per
+    (user, t1) maximizes the room left for the purchase step — if any
+    chain from t1 completes, the min-view chain completes.
+
+    Scale: every join and aggregate is keyed on user_id — one
+    partitioning reused end-to-end; intermediate `chains2` is bounded
+    by per-user click counts, never a cross join (per-user row counts
+    bound the pair blowup, same argument as `funnel_conversion`)."""
+    e = table(spark, sf_dir, "events")
+    hour = F.expr("INTERVAL 1 HOUR")
+    clk = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("t1")
+    )
+    vw = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("tv")
+    )
+    pur = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("tp")
+    )
+    chains2 = (
+        clk.join(vw, clk["user_id"] == vw["v_user"])
+        .filter((F.col("tv") > F.col("t1")) & (F.col("tv") <= F.col("t1") + hour))
+        .groupBy("user_id", "t1")
+        .agg(F.min("tv").alias("t2"))
+    )
+    l3 = (
+        chains2.join(pur, chains2["user_id"] == pur["p_user"])
+        .filter((F.col("tp") > F.col("t2")) & (F.col("tp") <= F.col("t1") + hour))
+        .select("user_id")
+        .distinct()
+        .withColumn("has3", F.lit(1))
+    )
+    l2 = chains2.select("user_id").distinct().withColumn("has2", F.lit(1))
+    l1 = clk.select("user_id").distinct()
+    return (
+        l1.join(l2, "user_id", "left")
+        .join(l3, "user_id", "left")
+        .select(
+            "user_id",
+            (
+                F.lit(1)
+                + F.when(F.col("has2").isNotNull(), 1).otherwise(0)
+                + F.when(F.col("has3").isNotNull(), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("funnel_level"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
     "sum_map_props",
     f"""
     SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS prop_k,

@@ -825,3 +825,129 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_saturated"),
         fp30(err).alias("max_abs_err_fp30"),
     ).orderBy("vec_id")
+
+
+# ---- PQ (product quantization): the memory-compression leg of ANN ----------
+# 64-dim embeddings -> 4 subspaces x 16 dims, 16 centroids per subspace:
+# a vector becomes 4 code bytes (64x smaller than float32), and ANN
+# re-ranking can run over codes via per-subspace lookup tables. The
+# codebook uses the same deterministic medoid seeding as the IVF coarse
+# quantizer (K lowest-vec_id vectors), and every distance is computed in
+# EXACT int64 fixed point (floor(x * 2^20) per component), so the
+# argmin — and therefore every emitted code — is bit-reproducible and
+# cross-engine oracle-checkable with no float-ordering caveats at all.
+PQ_M, PQ_K, PQ_SUB = 4, 16, 16
+PQ_SCALE = 1 << 20
+
+
+def _pq_codebook(e: DataFrame):
+    """(M, K, PQ_SUB) int64-quantized codebook from the K lowest-vec_id
+    vectors — index metadata, a K-row collect (not a data path)."""
+    import numpy as np
+
+    rows = e.orderBy("vec_id").select("embedding").limit(PQ_K).collect()
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    Q = np.floor(X * PQ_SCALE).astype(np.int64)  # (K, dim)
+    return Q.reshape(PQ_K, PQ_M, PQ_SUB).transpose(1, 0, 2).copy()
+
+
+def _make_pq_udf(cb):
+    """Vectorized PQ encoder: one (batch, K) int64 distance matrix per
+    subspace per Arrow batch. np.argmin returns the FIRST minimum —
+    ties break to the lowest codebook index, same as the oracle's
+    ROW_NUMBER(ORDER BY d, cb_idx)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<c0: long, c1: long, c2: long, c3: long, err: long>")
+    def pq_encode(emb: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        X = np.stack(emb.to_numpy()).astype(np.float64)
+        Q = np.floor(X * PQ_SCALE).astype(np.int64).reshape(len(X), PQ_M, PQ_SUB)
+        codes = np.empty((len(X), PQ_M), dtype=np.int64)
+        err = np.zeros(len(X), dtype=np.int64)
+        for m in range(PQ_M):
+            d = ((Q[:, m, None, :] - cb[m][None, :, :]) ** 2).sum(axis=2)
+            codes[:, m] = np.argmin(d, axis=1)
+            err += d[np.arange(len(X)), codes[:, m]]
+        return pd.DataFrame(
+            {
+                "c0": codes[:, 0],
+                "c1": codes[:, 1],
+                "c2": codes[:, 2],
+                "c3": codes[:, 3],
+                "err": err,
+            }
+        )
+
+    return pq_encode
+
+
+_PQ_ORACLE = f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {float(PQ_SCALE)}) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    cbv AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cb_idx, qv AS cq
+      FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT {PQ_K})
+    ),
+    sub AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m),
+    dist AS (
+      SELECT q.vec_id, s.m, c.cb_idx,
+             list_reduce(list_transform(generate_series(1, {PQ_SUB}),
+               j -> (q.qv[s.m * {PQ_SUB} + j] - c.cq[s.m * {PQ_SUB} + j])
+                  * (q.qv[s.m * {PQ_SUB} + j] - c.cq[s.m * {PQ_SUB} + j])),
+               (a, b) -> a + b) AS d
+      FROM q, sub s, cbv c
+    ),
+    best AS (
+      SELECT vec_id, m, cb_idx, d,
+             ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                ORDER BY d, cb_idx) AS rn
+      FROM dist
+    )
+    SELECT vec_id,
+           CAST(MAX(CASE WHEN m = 0 THEN cb_idx END) AS BIGINT) AS code0,
+           CAST(MAX(CASE WHEN m = 1 THEN cb_idx END) AS BIGINT) AS code1,
+           CAST(MAX(CASE WHEN m = 2 THEN cb_idx END) AS BIGINT) AS code2,
+           CAST(MAX(CASE WHEN m = 3 THEN cb_idx END) AS BIGINT) AS code3,
+           CAST(SUM(d) AS BIGINT) AS err_fp
+    FROM best WHERE rn = 1
+    GROUP BY vec_id ORDER BY vec_id
+"""
+
+
+@query("embedding_pq", _PQ_ORACLE)
+def embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization of the embedding column — the memory-
+    compression leg of the ANN stack (int8 halves bytes per component;
+    PQ replaces the vector with M sub-space code indices: 4 bytes per
+    64-dim vector here, 64x under float32). A serving tier holds codes
+    + codebook in memory and re-ranks with per-subspace lookup tables;
+    the float vectors stay on disk for the final exact re-rank.
+
+    Determinism: all distances are exact int64 fixed point
+    (floor(x*2^20) per component), so the per-subspace argmin — and
+    the emitted codes and reconstruction error — are bit-identical in
+    any engine; the DuckDB twin re-derives the codebook and every
+    distance independently.
+
+    Scale: the codebook is a K-row metadata collect (same medoid
+    seeding as the IVF index); encoding is one numpy pass per Arrow
+    batch, row-local, zero shuffle (plan-asserted). An offline k-means
+    refinement would drop in exactly as `ivf_kmeans_cells` does for
+    the coarse quantizer."""
+    e = table(spark, sf_dir, "embeddings")
+    enc = _make_pq_udf(_pq_codebook(e))
+    d = e.select("vec_id", enc("embedding").alias("pq"))
+    return d.select(
+        "vec_id",
+        F.col("pq.c0").alias("code0"),
+        F.col("pq.c1").alias("code1"),
+        F.col("pq.c2").alias("code2"),
+        F.col("pq.c3").alias("code3"),
+        F.col("pq.err").alias("err_fp"),
+    ).orderBy("vec_id")

@@ -152,6 +152,8 @@ DRIVER_ORDER_TIER2: list[str] = [
     "media_frame_sample",
     "topk_state_merge",
     "asof_join_forward",
+    "window_funnel_levels",
+    "embedding_pq",
     # drift-prone streaming/event-time equivalences
     "stream_session_equiv",
     "stream_sliding_equiv",

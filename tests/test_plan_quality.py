@@ -69,6 +69,8 @@ def test_no_cartesian_in_scale_paths(spark):
         "dedup_embedding_cosine",
         "sequence_match_funnel3",
         "upsert_latest_wins",
+        "window_funnel_levels",
+        "decontaminate_minhash",
     ]:
         plan = plan_of(spark, name)
         assert "CartesianProduct" not in plan, name
@@ -236,6 +238,13 @@ def test_repetition_filter_is_shuffle_free(spark):
 
 def test_quantization_is_shuffle_free(spark):
     plan = plan_of(spark, "embedding_quantize_int8")
+    assert "hashpartitioning" not in plan.lower()
+
+
+def test_pq_encode_is_shuffle_free(spark):
+    """PQ encoding is a row-local map (codebook is driver metadata) —
+    no hash exchange may appear; the final sort is presentation-only."""
+    plan = plan_of(spark, "embedding_pq")
     assert "hashpartitioning" not in plan.lower()
 
 
