@@ -42,7 +42,7 @@ from __future__ import annotations
 import os
 import re
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..registry import query
 from ..tables import load_tables
@@ -284,6 +284,49 @@ def ch_dialect_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     treats it like any native plan — pushdown, partial aggregation, AQE
     all apply; the modulo PREWHERE lands in the scan as a WHERE."""
     return ch_sql(spark, sf_dir, _CH_QUERY)
+
+
+# a second verbatim-query shape exercising the round-6 rewrites:
+# weekday/hour extraction (with the Monday=1 shift), literal-key
+# JSONExtract, If-combinators over the derived parts
+_CH_WEEKDAY_QUERY = """
+    SELECT toDayOfWeek(ts) AS weekday,
+           countIf(toHour(ts) < 12) AS n_am,
+           countIf(toHour(ts) >= 12) AS n_pm,
+           uniqExact(JSONExtractString(props, 'k')) AS n_k,
+           toUInt32(count()) AS n_rows
+    FROM events
+    GROUP BY weekday
+    ORDER BY weekday
+"""
+
+# DuckDB's isodow IS ClickHouse's toDayOfWeek numbering (Mon=1..Sun=7),
+# so the oracle states the weekday independently of the Spark-side
+# dayofweek shift — a genuine cross-derivation
+_CH_WEEKDAY_ORACLE = """
+    SELECT CAST(isodow(ts) AS INT) AS weekday,
+           COUNT(*) FILTER (WHERE hour(ts) < 12) AS n_am,
+           COUNT(*) FILTER (WHERE hour(ts) >= 12) AS n_pm,
+           COUNT(DISTINCT json_extract_string(props, '$.k')) AS n_k,
+           COUNT(*) AS n_rows
+    FROM events
+    GROUP BY weekday
+    ORDER BY weekday
+"""
+
+
+@query("ch_dialect_weekday", _CH_WEEKDAY_ORACLE)
+def ch_dialect_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dialect shim end-to-end over the round-6 rewrites: a ClickHouse
+    weekday/daypart profile (toDayOfWeek / toHour / JSONExtractInt /
+    countIf) translated and executed as Spark SQL, oracled against
+    DuckDB's independent isodow derivation — which shares ClickHouse's
+    Monday=1 numbering, so a wrong shift on the Spark side cannot
+    cancel out."""
+    df = ch_sql(spark, sf_dir, _CH_WEEKDAY_QUERY)
+    # Spark's dayofweek arithmetic yields INT; pin the dtype for the
+    # cross-engine schema compare
+    return df.withColumn("weekday", F.col("weekday").cast("int"))
 
 
 # ---------------------------------------------------------------------------

@@ -154,6 +154,7 @@ DRIVER_ORDER_TIER2: list[str] = [
     "asof_join_forward",
     "window_funnel_levels",
     "embedding_pq",
+    "ch_dialect_weekday",
     # drift-prone streaming/event-time equivalences
     "stream_session_equiv",
     "stream_sliding_equiv",

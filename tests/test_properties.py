@@ -271,6 +271,32 @@ def test_ch_dialect_dayofweek_semantics(spark):
     assert (row["mon"], row["sun"]) == (1, 7)
 
 
+def test_ch_dialect_array_lambdas_execute(spark):
+    """The translated arrayMap/arrayFilter/has forms must EXECUTE in
+    Spark with ClickHouse semantics, including nested rewrites inside
+    the lambda argument slot (splitByChar inside arrayMap)."""
+    from clickhouse_data_rebalance_spark.plans.ch_dialect import translate
+
+    sql = translate(
+        "SELECT arrayFilter(x -> x > 2, array(1, 2, 3)) AS f, "
+        "arrayMap(x -> x * 2, array(1, 2, 3)) AS m, "
+        "has(arrayMap(w -> upper(w), splitByChar(' ', 'a b c')), 'B') AS h"
+    )
+    row = spark.sql(sql).collect()[0]
+    assert row["f"] == [3]
+    assert row["m"] == [2, 4, 6]
+    assert row["h"] is True
+    # chained HOFs exceed the one-nesting-level arg pattern -> refuse
+    import pytest as _pytest
+
+    from clickhouse_data_rebalance_spark.plans.ch_dialect import (
+        UnsupportedClickHouseSQL,
+    )
+
+    with _pytest.raises(UnsupportedClickHouseSQL):
+        translate("SELECT arrayFilter(x -> x > 2, arrayMap(x -> x * 2, array(1, 2, 3)))")
+
+
 def test_ch_dialect_refuses_untranslatable():
     import pytest as _pytest
 
