@@ -336,6 +336,18 @@ def _ivf_index_for(
                 .partitionBy("cell")
                 .parquet(path)
             )
+        elif generation == "pq":
+            # seed cells + 8-bit PQ codes: the IVF-PQ layout — ADC
+            # probes read the 16-byte code column, never the vectors
+            cell_of = _make_cell_udf(_ivf_seed_matrix(e, n_clusters))
+            enc = _make_pq_codes_udf(_ann_pq_codebook(spark, sf_dir))
+            (
+                e.withColumn("cell", cell_of("embedding"))
+                .withColumn("pq_codes", enc("embedding"))
+                .write.mode("overwrite")
+                .partitionBy("cell")
+                .parquet(path)
+            )
         else:
             raise ValueError(f"unknown IVF index generation: {generation!r}")
         with open(os.path.join(path, "_KEY"), "w") as f:
@@ -968,3 +980,151 @@ def embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pq.c3").alias("code3"),
         F.col("pq.err").alias("err_fp"),
     ).orderBy("vec_id")
+
+
+# ---- IVF-PQ ANN probe: ADC over code bytes, exact re-rank ------------------
+# The billion-scale ANN layout (Jégou et al., "Product Quantization for
+# Nearest Neighbor Search", TPAMI 2011; the FAISS IVFPQ index): the
+# coarse IVF quantizer prunes to n_probe cells, then candidates are
+# scored WITHOUT touching the float vectors — each vector is 16 code
+# bytes, and the query's similarity to a code is a lookup in a
+# (M, K) table computed once per query. Only a shortlist of the best
+# ADC scores is re-ranked against true vectors. At 100 TB that means
+# the scoring scan reads 16 B/vector instead of 256 B (column pruning
+# delivers it here: the ADC stage's parquet scan reads pq_codes and
+# never the embedding column — plan-asserted), and the exact re-rank
+# is a pushed-down point-fetch of `shortlist` ids.
+#
+# Unlike the 4x16 toy codebook of `embedding_pq` (kept small so its
+# full encode is cross-engine oracled), the search-grade codebook is
+# the standard 8-bit PQ: 16 subspaces x 4 dims, 256 centroids each —
+# on the near-isotropic fixture the worst true-top-10 ADC rank is 42
+# (sf0.001) / 12 (sf0.01) / 18 (sf0.1), so SHORTLIST=128 covers the
+# exact answer with ~3x margin (property-tested); clustered real
+# embeddings rank far better. Same determinism contract as the IVF
+# index: medoid codebook (K lowest-vec_id vectors), exact int64
+# fixed-point distances, first-min tie-break.
+ANN_PQ_M = 16
+ANN_PQ_K = 256
+ANN_PQ_SUB = EMBED_DIM // ANN_PQ_M
+PQ_SHORTLIST = 128
+
+_PQ_CB_CACHE: dict = {}
+
+
+def _ann_pq_codebook(spark: SparkSession, sf_dir: str):
+    """(M, K, SUB) int64 search-grade codebook — index metadata (a
+    K-row collect, same class as the IVF seed matrix), memoized per
+    corpus fingerprint like `_ivf_centroids`."""
+    import numpy as np
+
+    key = (sf_dir, _ivf_src_fp(sf_dir))
+    hit = _PQ_CB_CACHE.get(key)
+    if hit is not None:
+        return hit
+    e = table(spark, sf_dir, "embeddings")
+    rows = e.orderBy("vec_id").select("embedding").limit(ANN_PQ_K).collect()
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    Q = np.floor(X * PQ_SCALE).astype(np.int64)  # (kk, dim)
+    cb = Q.reshape(len(X), ANN_PQ_M, ANN_PQ_SUB).transpose(1, 0, 2).copy()
+    _PQ_CB_CACHE[key] = cb
+    return cb
+
+
+def _make_pq_codes_udf(cb):
+    """Vectorized 8-bit PQ encoder: per Arrow batch, one (batch, K)
+    int64 distance matrix per subspace; np.argmin's first-minimum rule
+    ties to the lowest codebook index (deterministic)."""
+    from pyspark.sql.functions import pandas_udf
+
+    M, _, SUB = cb.shape
+
+    @pandas_udf("array<int>")
+    def pq_codes(emb: pd.Series) -> pd.Series:
+        import numpy as np
+
+        X = np.stack(emb.to_numpy()).astype(np.float64)
+        Q = np.floor(X * PQ_SCALE).astype(np.int64).reshape(len(X), M, SUB)
+        codes = np.empty((len(X), M), dtype=np.int32)
+        for m in range(M):
+            d = ((Q[:, m, None, :] - cb[m][None, :, :]) ** 2).sum(axis=2)
+            codes[:, m] = np.argmin(d, axis=1)
+        return pd.Series(list(codes))
+
+    return pq_codes
+
+
+@query("ann_pq_topk", _COSINE_TOPK_ORACLE)
+def ann_pq_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    n_clusters: int = IVF_CLUSTERS,
+    n_probes: int = IVF_PROBES,
+    shortlist: int = PQ_SHORTLIST,
+) -> DataFrame:
+    """C42 scale path #3: IVF-PQ probe — coarse cells prune the scan,
+    ADC lookup tables score candidates from their 16 code bytes alone,
+    and only the `shortlist` best ADC scores get an exact cosine
+    re-rank against true vectors (a pushed-down vec_id IN fetch).
+
+    The ADC score is the faithful PQ-cosine: approx_ip / sqrt(approx
+    |x|^2), both reconstructed from the same per-subspace int64 tables
+    (query-side table = exact fixed-point dot of the query subvector
+    with each codebook entry), entirely in codegen via element_at over
+    constant-folded literal arrays — no Python in the probe path; the
+    pandas-UDF encoder runs only at index build.
+
+    Oracle: the exact top-k SQL — the shortlist provably covers the
+    true top-10 on the fixture corpus (see the recall margins above;
+    property-tested at every SF), so the re-rank returns exactly the
+    exact answer. `shortlist` is the recall/cost knob at other corpus
+    geometries."""
+    import numpy as np
+
+    e = table(spark, sf_dir, "embeddings")
+    index_path = _ivf_index_for(spark, sf_dir, n_clusters, "pq")
+    idx = spark.read.parquet(index_path)
+
+    C = _ivf_centroids(spark, sf_dir, n_clusters, "seed")
+    qrow = e.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding").head()
+    qv = np.asarray(qrow["embedding"], dtype=np.float64)
+    qn = qv / np.linalg.norm(qv)
+    probe = [int(c) for c in np.argsort(-(C @ qn))[:n_probes]]
+
+    cb = _ann_pq_codebook(spark, sf_dir)
+    Qq = np.floor(qv * PQ_SCALE).astype(np.int64).reshape(ANN_PQ_M, ANN_PQ_SUB)
+    ipt = np.einsum("ms,mks->mk", Qq, cb)  # (M, K) query-dot tables
+    nt = (cb**2).sum(axis=2)  # (M, K) reconstructed |x|^2 tables
+
+    def lut(vals):
+        return F.array(*[F.lit(int(v)) for v in vals])
+
+    code = lambda m: F.element_at(F.col("pq_codes"), m + 1) + F.lit(1)  # noqa: E731
+    aip = sum(F.element_at(lut(ipt[m]), code(m)) for m in range(ANN_PQ_M))
+    an2 = sum(F.element_at(lut(nt[m]), code(m)) for m in range(ANN_PQ_M))
+    adc = (
+        aip.cast("double") / F.sqrt(F.greatest(an2.cast("double"), F.lit(1.0)))
+    ).alias("adc")
+
+    # Stage 1 — ADC scan: reads ONLY (vec_id, pq_codes) of the probed
+    # cell directories; the 128-id shortlist is index metadata (same
+    # class as the probe-cell selection above), not a data collect.
+    short = (
+        idx.filter(F.col("cell").isin(probe) & (F.col("vec_id") != QUERY_VEC_ID))
+        .select("vec_id", adc)
+        .orderBy(F.col("adc").desc(), "vec_id")
+        .limit(shortlist)
+        .collect()
+    )
+    short_ids = [int(r["vec_id"]) for r in short]
+
+    # Stage 2 — exact re-rank: point-fetch of shortlist vectors (vec_id
+    # IN pushes to the parquet scan, cell list still prunes directories).
+    qdf = F.broadcast(spark.createDataFrame([(qrow["embedding"],)], "qv array<float>"))
+    return (
+        idx.filter(F.col("cell").isin(probe) & F.col("vec_id").isin(short_ids))
+        .crossJoin(qdf)
+        .select("vec_id", "label", cosine(F.col("embedding"), F.col("qv")).alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col("vec_id"))
+        .limit(TOP_K)
+    )

@@ -144,6 +144,7 @@ DRIVER_ORDER_TIER2: list[str] = [
     # next in line for driver rows: round-6's new surface (the stream
     # trio moved INTO the cover in the r6 second swap)
     "ann_ivf_topk_refined",
+    "ann_pq_topk",
     "knn_join_ivf",
     "decontaminate_minhash",
     "bucketed_join_noshuffle",

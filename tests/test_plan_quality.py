@@ -228,6 +228,40 @@ def test_ivf_probe_prunes_index_partitions(spark):
     assert "cell" in seg, f"cell filter not in partition filters: {seg}"
 
 
+def test_ivfpq_adc_scan_reads_codes_not_vectors(spark):
+    """The IVF-PQ ADC stage must read ONLY (vec_id, pq_codes) from the
+    probed cell directories — never the embedding column. That column
+    pruning is the 16x scan-IO reduction PQ exists for; PartitionFilters
+    on cell is the same pruning bar as the plain IVF probe."""
+    from clickhouse_data_rebalance_spark.operators import llm_similarity as sim
+
+    path = sim._ivf_index_for(spark, SF_SMALL, generation="pq")
+    idx = spark.read.parquet(path)
+    adc_stage = (
+        idx.filter(F.col("cell").isin([0, 1, 2]) & (F.col("vec_id") != 0))
+        .select("vec_id", "pq_codes")
+    )
+    plan = _plan(adc_stage)
+    assert "PartitionFilters" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "pq_codes" in read_schema
+    assert "embedding" not in read_schema, (
+        f"ADC scan reads the float vectors: {read_schema}"
+    )
+
+
+def test_ivfpq_rerank_pushes_id_fetch_and_stays_jvm_side(spark):
+    """The registered ann_pq_topk plan (the exact re-rank stage) must
+    push the shortlist vec_id IN fetch into the parquet scan, keep the
+    cell partition filter, and contain no Python evaluation — the
+    pandas-UDF encoder runs only at index build time."""
+    plan = plan_of(spark, "ann_pq_topk")
+    assert "PartitionFilters" in plan
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    assert "In(vec_id" in pushed, f"shortlist fetch not pushed down: {pushed}"
+    assert "EvalPython" not in plan, "probe path must not run Python"
+
+
 def test_repetition_filter_is_shuffle_free(spark):
     """ngram_repetition_quality claims a zero-shuffle corpus map: the
     only Exchange allowed is the presentation-only final sort's range

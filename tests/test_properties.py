@@ -632,6 +632,35 @@ def test_ivf_refined_generation(spark):
         )
 
 
+def test_ivfpq_shortlist_covers_exact_topk(spark):
+    """ann_pq_topk's oracle equivalence rests on the ADC shortlist
+    covering the true top-10 — pin it at both driver fixture scales,
+    and pin the ~3x safety margin by shrinking the shortlist to half:
+    recall must survive PQ_SHORTLIST // 2 too (the measured worst true
+    top-10 ADC rank is 42, see the IVF-PQ block comment)."""
+    from clickhouse_data_rebalance_spark.operators.llm_similarity import (
+        PQ_SHORTLIST,
+        ann_pq_topk,
+        cosine_topk_exact,
+    )
+
+    for sf in (SF_SMALL, SF_MED):
+        exact = [r["vec_id"] for r in cosine_topk_exact(spark, sf).collect()]
+        approx = [r["vec_id"] for r in ann_pq_topk(spark, sf).collect()]
+        assert approx == exact, (
+            f"IVF-PQ lost recall at {sf}: exact={exact} approx={approx} — "
+            "re-tune PQ_SHORTLIST or the oracle equivalence claim is void"
+        )
+        halved = [
+            r["vec_id"]
+            for r in ann_pq_topk(spark, sf, shortlist=PQ_SHORTLIST // 2).collect()
+        ]
+        assert halved == exact, (
+            f"IVF-PQ margin eroded at {sf}: shortlist {PQ_SHORTLIST // 2} "
+            "no longer covers the exact top-10"
+        )
+
+
 def test_simhash_banding_recall_floor(spark):
     """VERDICT r5 #7: dedup_simhash's 4x16-bit chunk banding has BOUNDED
     recall (see its docstring) — pin the guarantees: every pair at
