@@ -893,3 +893,182 @@ def uniq_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         within(F.col("est_daily"), F.col("exact_daily")).alias("daily_within_5pct"),
         within(F.col("est_month"), F.col("exact_month")).alias("month_within_5pct"),
     ).orderBy("day")
+
+
+@query(
+    "exponential_moving_avg",
+    """
+    WITH s AS (
+      SELECT user_id,
+             list(value ORDER BY ts, event_id) AS vals
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(vals) AS BIGINT) AS n_events,
+           CAST(floor(list_reduce(vals, (acc, v) -> 0.25 * v + 0.75 * acc)
+                      * 1073741824.0) AS BIGINT) AS ema_fp30
+    FROM s ORDER BY user_id
+    """,
+)
+def exponential_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse `exponentialMovingAverage` analog (row-count decay,
+    alpha = 0.25): the final EMA of `value` per user over events in
+    (ts, event_id) order — the smoothing step of a metrics pipeline.
+
+    Both engines fold the SAME ordered double sequence with the SAME
+    expression (0.25*v + 0.75*acc, seeded with the first element:
+    DuckDB's list_reduce and Spark's F.aggregate both start the
+    accumulator at element 1), so the IEEE result is bit-identical —
+    no float tolerance needed; the output is floor-fixed-point (2^30)
+    per the repo's cross-engine float convention.
+
+    Scale: one groupBy shuffle carrying (ts, event_id, value) triples;
+    the fold is row-local array math in codegen. Per-key state is the
+    user's event list — bounded by per-user activity, the same bound
+    every per-user sessionization op here carries. A streaming EMA
+    (applyInPandasWithState) keeps O(1) state instead; this is the
+    batch/backfill form.
+    """
+    e = table(spark, sf_dir, "events")
+    vals = F.transform(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))),
+        lambda s: s["value"],
+    )
+    g = e.groupBy("user_id").agg(vals.alias("vals"))
+    ema = F.aggregate(
+        F.slice(F.col("vals"), 2, F.greatest(F.size("vals") - 1, F.lit(0))),
+        F.element_at(F.col("vals"), 1),
+        lambda acc, v: F.lit(0.25) * v + F.lit(0.75) * acc,
+    )
+    return g.select(
+        "user_id",
+        F.size("vals").cast("bigint").alias("n_events"),
+        F.floor(ema * 1073741824.0).cast("bigint").alias("ema_fp30"),
+    ).orderBy("user_id")
+
+
+@query(
+    "interval_length_sum",
+    """
+    WITH iv AS (
+      SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 1800000000 AS e
+      FROM events
+    ),
+    m AS (
+      SELECT user_id, s, e,
+             MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max
+      FROM iv
+    ),
+    isl AS (
+      SELECT user_id, s, e,
+             SUM(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY s, e
+                     ROWS UNBOUNDED PRECEDING) AS island
+      FROM m
+    ),
+    g AS (
+      SELECT user_id, island, MAX(e) - MIN(s) AS len
+      FROM isl GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(len) AS BIGINT) AS union_len_us
+    FROM g GROUP BY user_id ORDER BY user_id
+    """,
+)
+def interval_length_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse `intervalLengthSum` analog: per user, the total length
+    of the UNION of [ts, ts + 30 min) activity intervals (overlaps
+    counted once) plus the merged-interval count — the classic
+    gaps-and-islands shape. Interval arithmetic runs on microsecond
+    epochs (exact BIGINT), never on engine-specific INTERVAL types.
+
+    Scale: ONE hash partitioning on user_id serves the running-max
+    window, the island-id running sum, and both aggregations — no
+    re-shuffle between stages; per-partition window state is O(1)
+    (running max / running sum), never the interval list.
+    """
+    e = table(spark, sf_dir, "events")
+    iv = e.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("s"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            + F.lit(1800000000).cast("long")
+        ).alias("e"),
+    )
+    w = W.partitionBy("user_id").orderBy("s", "e")
+    prev_max = F.max("e").over(w.rowsBetween(W.unboundedPreceding, -1))
+    m = iv.withColumn("prev_max", prev_max)
+    new_island = F.when(
+        F.col("prev_max").isNull() | (F.col("s") > F.col("prev_max")), 1
+    ).otherwise(0)
+    isl = m.withColumn(
+        "island",
+        F.sum(new_island).over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    g = isl.groupBy("user_id", "island").agg(
+        (F.max("e") - F.min("s")).alias("len")
+    )
+    return (
+        g.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+            F.sum("len").cast("bigint").alias("union_len_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "sequence_count_pattern",
+    """
+    WITH sym AS (
+      SELECT user_id,
+             string_agg(CASE event_type WHEN 'view' THEN 'a' ELSE 'b' END,
+                        '' ORDER BY ts, event_id) AS s
+      FROM events
+      WHERE event_type IN ('view', 'purchase')
+      GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST((length(s) - length(replace(s, 'ab', ''))) / 2 AS BIGINT)
+             AS n_matches
+    FROM sym ORDER BY user_id
+    """,
+)
+def sequence_count_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse `sequenceCount('(?1)(?2)')(ts, view, purchase)`
+    analog: per user, how many NON-OVERLAPPING times a view is
+    immediately followed by a purchase in the (ts, event_id)-ordered
+    sequence of view/purchase events. Complements the existence-only
+    `sequence_match_funnel3`: this one counts.
+
+    Both engines reduce the pattern to string algebra on an identical
+    symbol string — non-overlapping 'ab' occurrences are
+    (len(s) - len(replace(s,'ab',''))) / 2, the same left-to-right
+    greedy semantics CH uses.
+
+    Scale: the event filter pushes to the scan; one groupBy shuffle
+    carries (ts, event_id, 1-char symbol) triples; per-user state is
+    the filtered symbol string (bounded by per-user activity). For
+    adversarially long users, a segment-wise count (mapInPandas over
+    ts-sorted chunks, carrying one boundary char) keeps state O(chunk).
+    """
+    e = table(spark, sf_dir, "events")
+    f = e.filter(F.col("event_type").isin("view", "purchase"))
+    sym = F.when(F.col("event_type") == "view", "a").otherwise("b")
+    s = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", sym.alias("c")))),
+            lambda x: x["c"],
+        ),
+        "",
+    )
+    g = f.groupBy("user_id").agg(s.alias("s"))
+    n = (F.length("s") - F.length(F.replace(F.col("s"), F.lit("ab"), F.lit("")))) / 2
+    return g.select(
+        "user_id", n.cast("bigint").alias("n_matches")
+    ).orderBy("user_id")

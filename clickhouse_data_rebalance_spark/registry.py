@@ -156,6 +156,9 @@ DRIVER_ORDER_TIER2: list[str] = [
     "window_funnel_levels",
     "embedding_pq",
     "ch_dialect_weekday",
+    "exponential_moving_avg",
+    "interval_length_sum",
+    "sequence_count_pattern",
     # drift-prone streaming/event-time equivalences
     "stream_session_equiv",
     "stream_sliding_equiv",
