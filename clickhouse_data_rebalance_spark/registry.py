@@ -163,6 +163,7 @@ DRIVER_ORDER_TIER2: list[str] = [
     "stream_session_equiv",
     "stream_sliding_equiv",
     "stream_static_enrich",
+    "stream_ema_state",
     # rotated out of the 50-row cover in r6 (2+ green driver rounds each)
     "collect_agg",
     "window_ranking",

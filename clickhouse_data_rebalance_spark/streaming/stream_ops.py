@@ -574,3 +574,80 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_to_memory(agg, "stream_static_out", "complete")
     return out.orderBy("c_mktsegment")
+
+
+def _stateful_ema(key, pdf_iter, state):
+    """Order-DEPENDENT custom stateful operator: per-user exponential
+    moving average (alpha = 0.25) carried across micro-batches as
+    (n, ema). Each batch's rows are sorted by (ts, event_id) before the
+    fold, so with in-order batch arrival (true for this replay: the
+    whole fixture is one file-source batch) the recurrence replays the
+    exact batch fold — same IEEE ops in the same order, bit-identical
+    to `exponential_moving_avg` and its DuckDB twin. The recurrence is
+    inherently sequential per key (each step reads the previous
+    accumulator), so the per-key loop is irreducible; it is bounded by
+    the user's rows per batch inside an Arrow-batched grouped UDF."""
+    import pandas as pd
+
+    n, ema = state.get if state.exists else (0, 0.0)
+    rows = pd.concat(list(pdf_iter))
+    if len(rows):
+        rows = rows.sort_values(["ts", "event_id"])
+        for v in rows["value"].astype(float).tolist():
+            ema = v if n == 0 else 0.25 * v + 0.75 * ema
+            n += 1
+        state.update((n, ema))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "ema": [ema]})
+
+
+@query(
+    "stream_ema_state",
+    """
+    WITH s AS (
+      SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(vals) AS BIGINT) AS n_events,
+           CAST(floor(list_reduce(vals, (acc, v) -> 0.25 * v + 0.75 * acc)
+                      * 1073741824.0) AS BIGINT) AS ema_fp30
+    FROM s ORDER BY user_id
+    """,
+)
+def stream_ema_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming EMA via applyInPandasWithState — the O(1)-state online
+    form `exponential_moving_avg` promises: state per user is two
+    scalars (count + accumulator), not the event list the batch fold
+    carries. Demonstrates an ORDER-DEPENDENT custom stateful operator
+    (the counter in `stream_custom_state` is order-independent; an EMA
+    is not), with the in-order-arrival requirement stated: out-of-order
+    events need the source ordered per key (e.g. Kafka per-key
+    partitions) or a watermark-delayed sort upstream. The final update
+    per user must equal the batch/DuckDB fold exactly."""
+    table(spark, sf_dir, "events")  # session confs
+    updates = (
+        events_stream(spark, sf_dir)
+        .select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _stateful_ema,
+            outputStructType="user_id bigint, n_events bigint, ema double",
+            stateStructType="n bigint, ema double",
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )
+    out = run_to_memory(updates, "stream_ema_out", "update")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            F.floor(F.col("ema") * 1073741824.0).cast("bigint").alias("ema_fp30"),
+        )
+        .orderBy("user_id")
+    )
