@@ -1072,3 +1072,74 @@ def sequence_count_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select(
         "user_id", n.cast("bigint").alias("n_matches")
     ).orderBy("user_id")
+
+
+@query(
+    "bitmap_state_merge",
+    """
+    WITH sh AS (
+      SELECT event_type, user_id, COUNT(DISTINCT event_id % 4) AS u_shards
+      FROM events GROUP BY event_type, user_id
+    ),
+    tot AS (
+      SELECT event_type, COUNT(DISTINCT event_id % 4) AS n_shards
+      FROM events GROUP BY event_type
+    )
+    SELECT t.event_type,
+           CAST(t.n_shards AS BIGINT) AS n_shards,
+           CAST(COUNT(*) AS BIGINT) AS or_cardinality,
+           CAST(SUM(CASE WHEN s.u_shards = t.n_shards THEN 1 ELSE 0 END)
+                AS BIGINT) AS and_cardinality
+    FROM sh s JOIN tot t ON s.event_type = t.event_type
+    GROUP BY t.event_type, t.n_shards ORDER BY t.event_type
+    """,
+)
+def bitmap_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse `groupBitmapState` / `groupBitmapOrMerge` /
+    `groupBitmapAndMerge` parity: per (shard, event_type) the user-id
+    set is materialized as MERGEABLE STATE (a sorted distinct array —
+    the Spark-native stand-in for a roaring bitmap), then merged across
+    shards per event_type with a union fold (OR) and an intersection
+    fold (AND). Completes the -State/-Merge combinator family next to
+    `uniq_state_merge` (HLL sketch), `agg_state_merge` (sums) and
+    `topk_state_merge` (heavy hitters) with the set-algebra member.
+
+    The oracle is derivation-INDEPENDENT: it computes OR as plain
+    COUNT(DISTINCT user_id) and AND as users present in every shard —
+    so a bug in the fold can't hide in a twin of itself.
+
+    Scale: per-shard set state is bounded by per-shard distinct users;
+    the merge shuffles n_shards rows per type, and the folds emit only
+    cardinalities (order-independent, so collect_list's partition-
+    arrival nondeterminism is immaterial). For set cardinalities where
+    exact arrays blow past executor memory, the HLL path
+    (`uniq_state_merge`) is the documented fallback; a production
+    bitmap impl swaps the array state for roaring-serialized binary via
+    the same two-level plan."""
+    e = table(spark, sf_dir, "events")
+    st = (
+        e.withColumn("shard", F.col("event_id") % 4)
+        .groupBy("shard", "event_type")
+        .agg(F.array_sort(F.collect_set("user_id")).alias("bm"))
+    )
+    bms = F.collect_list("bm")
+    empty = F.array().cast("array<bigint>")
+    or_card = F.size(
+        F.aggregate(bms, empty, lambda a, x: F.array_union(a, x))
+    )
+    and_card = F.size(
+        F.aggregate(
+            F.slice(bms, 2, F.greatest(F.size(bms) - 1, F.lit(0))),
+            F.element_at(bms, 1),
+            lambda a, x: F.array_intersect(a, x),
+        )
+    )
+    return (
+        st.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shards"),
+            or_card.cast("bigint").alias("or_cardinality"),
+            and_card.cast("bigint").alias("and_cardinality"),
+        )
+        .orderBy("event_type")
+    )

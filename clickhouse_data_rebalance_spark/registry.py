@@ -159,6 +159,7 @@ DRIVER_ORDER_TIER2: list[str] = [
     "exponential_moving_avg",
     "interval_length_sum",
     "sequence_count_pattern",
+    "bitmap_state_merge",
     # drift-prone streaming/event-time equivalences
     "stream_session_equiv",
     "stream_sliding_equiv",
