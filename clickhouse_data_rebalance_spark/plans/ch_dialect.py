@@ -27,9 +27,11 @@ PREWHERE            WHERE (Spark pushes predicates anyway)
 FORMAT <fmt> tail   stripped (sinks are explicit in Spark)
 ==================  =========================================
 
-Constructs with no one-line Spark equivalent raise
+`LIMIT n BY cols` (ClickHouse's signature clause) translates to a
+ROW_NUMBER window in the flat single-SELECT shape (see
+`_rewrite_limit_by`). Constructs with no one-line Spark equivalent raise
 :class:`UnsupportedClickHouseSQL` with a pointer to the native operator
-in this package (`LIMIT n BY` -> top_k_per_group, `WITH FILL` ->
+in this package (nested `LIMIT n BY` -> top_k_per_group, `WITH FILL` ->
 time_gap_fill, `SAMPLE` -> sample_fraction, `multiIf` -> CASE WHEN).
 
 The single-argument rewrites use non-nested argument matching; deeply
@@ -56,7 +58,6 @@ class UnsupportedClickHouseSQL(ValueError):
 # constructs we refuse (instead of silently mistranslating), with the
 # package-native replacement the error message points at
 _REFUSALS: list[tuple[re.Pattern[str], str]] = [
-    (re.compile(r"\bLIMIT\s+\d+\s+BY\b", re.I), "use top_k_per_group (C20)"),
     (re.compile(r"\bWITH\s+FILL\b", re.I), "use time_gap_fill"),
     (re.compile(r"\bSAMPLE\s+[\d.]", re.I), "use sample_fraction (C33)"),
     (re.compile(r"\bmultiIf\s*\(", re.I), "rewrite as CASE WHEN"),
@@ -208,6 +209,51 @@ _RESIDUALS = re.compile(
 )
 
 
+# ClickHouse's signature `LIMIT n BY cols` clause: keep the first n rows
+# per distinct BY-group, in the query's ORDER BY order, before any final
+# LIMIT. Matched only in the flat single-SELECT shape — the ORDER BY
+# expression list and the BY column list must be paren-free, so a nested
+# subquery's ORDER BY/LIMIT can never be mis-bound (those shapes fall
+# through to the guarded refusal below).
+_LIMIT_BY = re.compile(
+    r"^(?P<body>[\s\S]*?)"
+    r"\bORDER\s+BY\s+(?P<ord>[^()]+?)"
+    r"\s+LIMIT\s+(?P<n>\d+)\s+BY\s+(?P<cols>[A-Za-z_][\w]*(?:\s*,\s*[A-Za-z_][\w]*)*)"
+    r"(?:\s+LIMIT\s+(?P<m>\d+))?\s*;?\s*$",
+    re.I,
+)
+
+
+def _rewrite_limit_by(sql: str) -> str:
+    """Rewrite `... ORDER BY o LIMIT n BY c1, c2 [LIMIT m]` to a
+    ROW_NUMBER window over the materialized inner select — the standard
+    translation (PARTITION BY the BY-columns, ORDER BY the query's sort;
+    both resolve against the select list's output columns, exactly the
+    names ClickHouse binds). Refuses LIMIT BY without an ORDER BY
+    (nondeterministic row choice) and nested shapes the flat pattern
+    can't bind."""
+    if not re.search(r"\bLIMIT\s+\d+\s+BY\b", sql, re.I):
+        return sql
+    m = _LIMIT_BY.match(sql.strip())
+    if not m:
+        raise UnsupportedClickHouseSQL(
+            "LIMIT n BY needs the flat `SELECT ... ORDER BY ... LIMIT n BY "
+            "cols [LIMIT m]` shape with a paren-free ORDER BY (the row-choice "
+            "order); nested forms: use top_k_per_group (C20)"
+        )
+    body, ordc, n, cols = m["body"].strip(), m["ord"].strip(), m["n"], m["cols"]
+    tail = f"\nLIMIT {m['m']}" if m["m"] else ""
+    return (
+        f"WITH _cdr_limit_by AS ({body})\n"
+        f"SELECT * EXCEPT (_cdr_rn) FROM (\n"
+        f"  SELECT *, ROW_NUMBER() OVER (PARTITION BY {cols} ORDER BY {ordc})"
+        f" AS _cdr_rn\n"
+        f"  FROM _cdr_limit_by)\n"
+        f"WHERE _cdr_rn <= {n}\n"
+        f"ORDER BY {ordc}{tail}"
+    )
+
+
 def translate(ch_sql: str) -> str:
     """Translate a ClickHouse-dialect SQL string to Spark SQL.
 
@@ -220,7 +266,7 @@ def translate(ch_sql: str) -> str:
             raise UnsupportedClickHouseSQL(
                 f"{pat.pattern!r} has no textual Spark equivalent — {hint}"
             )
-    out = ch_sql
+    out = _rewrite_limit_by(ch_sql)
     for pat, repl in _REWRITES:
         out = pat.sub(repl, out)
     residual = _RESIDUALS.search(out)
@@ -365,6 +411,40 @@ _DDL_REFUSALS: list[tuple[re.Pattern[str], str]] = [
         "(sources.sink_partitioned_parquet shows the shape)",
     ),
 ]
+
+
+# LIMIT BY end-to-end: each order's 2 cheapest line items — the exact
+# query shape ClickHouse users reach for LIMIT BY for (top-n per key
+# without window syntax)
+_CH_LIMIT_BY_QUERY = """
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice, l_orderkey, l_linenumber
+    LIMIT 2 BY l_orderkey
+"""
+
+_CH_LIMIT_BY_ORACLE = """
+    SELECT l_orderkey, l_linenumber, l_extendedprice FROM (
+      SELECT l_orderkey, l_linenumber, l_extendedprice,
+             ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn
+      FROM lineitem) t
+    WHERE rn <= 2
+    ORDER BY l_extendedprice, l_orderkey, l_linenumber
+"""
+
+
+@query("ch_dialect_limit_by", _CH_LIMIT_BY_ORACLE)
+def ch_dialect_limit_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dialect shim end-to-end for `LIMIT n BY` (previously a refusal,
+    now translated): each order's two cheapest line items, chosen and
+    returned in the query's ORDER BY order — ClickHouse's top-n-per-key
+    idiom executed as a Spark ROW_NUMBER window.
+
+    Scale: the rewrite is the same plan `top_k_per_group` (C20) builds
+    natively — one hash exchange on the BY-key for the window, rank
+    filter before the presentation sort."""
+    return ch_sql(spark, sf_dir, _CH_LIMIT_BY_QUERY)
 
 
 def translate_ddl(ch_ddl: str) -> str:

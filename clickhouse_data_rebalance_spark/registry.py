@@ -156,6 +156,7 @@ DRIVER_ORDER_TIER2: list[str] = [
     "window_funnel_levels",
     "embedding_pq",
     "ch_dialect_weekday",
+    "ch_dialect_limit_by",
     "exponential_moving_avg",
     "interval_length_sum",
     "sequence_count_pattern",

@@ -320,6 +320,46 @@ def test_ch_dialect_refuses_untranslatable():
             translate(sql)
 
 
+def test_ch_dialect_limit_by_rewrite(spark):
+    """`LIMIT n BY cols` (flat shape, with ORDER BY) now translates to a
+    ROW_NUMBER window and EXECUTES with ClickHouse semantics: first n
+    rows per BY-group in the query's order, globally ordered, optional
+    trailing LIMIT honored. Nested/unordered shapes still refuse."""
+    import pytest as _pytest
+
+    from clickhouse_data_rebalance_spark.plans.ch_dialect import (
+        UnsupportedClickHouseSQL,
+        translate,
+    )
+
+    sql = translate(
+        "SELECT g, v FROM VALUES (1, 10), (1, 20), (1, 30), (2, 5), (2, 7)"
+        " AS t(g, v) ORDER BY v DESC LIMIT 2 BY g"
+    )
+    assert "ROW_NUMBER() OVER (PARTITION BY g ORDER BY v DESC" in sql
+    rows = [(r["g"], r["v"]) for r in spark.sql(sql).collect()]
+    assert rows == [(1, 30), (1, 20), (2, 7), (2, 5)]
+
+    # trailing LIMIT m applies AFTER the per-group cut, CH order
+    sql2 = translate(
+        "SELECT g, v FROM VALUES (1, 10), (1, 20), (1, 30), (2, 5), (2, 7)"
+        " AS t(g, v) ORDER BY v DESC LIMIT 2 BY g LIMIT 3"
+    )
+    rows2 = [(r["g"], r["v"]) for r in spark.sql(sql2).collect()]
+    assert rows2 == [(1, 30), (1, 20), (2, 7)]
+
+    # a paren-bearing ORDER BY expression can't be bound unambiguously
+    # by the flat pattern — must refuse, never mis-window
+    with _pytest.raises(UnsupportedClickHouseSQL):
+        translate("SELECT g, v FROM t ORDER BY abs(v) DESC LIMIT 2 BY g")
+    # LIMIT BY buried in a subquery (not query-final) — refuse
+    with _pytest.raises(UnsupportedClickHouseSQL):
+        translate(
+            "SELECT * FROM (SELECT g, v FROM t ORDER BY v LIMIT 2 BY g) s "
+            "WHERE v > 0"
+        )
+
+
 # ---------------------------------------------------------------------------
 # Corpus-preparation operators (operators/llm_corpus.py)
 # ---------------------------------------------------------------------------
