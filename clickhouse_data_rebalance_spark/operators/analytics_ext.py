@@ -1143,3 +1143,191 @@ def bitmap_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "quantile_state_merge",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+      FROM events GROUP BY 1
+    )
+    SELECT day, CAST(n_events AS BIGINT) AS n_events,
+           TRUE AS daily_p50_rank_ok,
+           TRUE AS month_p50_rank_ok,
+           TRUE AS month_p95_rank_ok
+    FROM daily ORDER BY day
+    """,
+)
+def quantile_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse `quantileState` / `quantileMerge` parity: per-day KLL
+    quantile sketches (Apache DataSketches via Spark's
+    `kll_sketch_agg_double`) merged into a monthly sketch WITHOUT
+    rescanning events — the quantile member of the -State/-Merge
+    combinator family (`uniq_state_merge` HLL, `agg_state_merge` sums,
+    `topk_state_merge` heavy hitters, `bitmap_state_merge` sets).
+
+    Verification is in RANK space, where KLL's error guarantee lives
+    (Spark's `kll_sketch_get_rank_*` only takes a foldable probe, so the
+    check is inverted): read the estimated p50 VALUE out of each day's
+    sketch and the p50/p95 out of the MERGED monthly sketch, then
+    recompute each estimate's TRUE normalized rank exactly with a second
+    aggregation pass — `avg(value <= est)` per day / per month — and
+    gate it at the target rank +/- 0.05. KLL k=200 bounds rank error at
+    ~1.65% (99% conf), so the gate has 3-sigma margin yet catches a
+    broken merge outright. The oracle states the exact per-day counts
+    and the TRUE gates (derivation-independent; floats never cross
+    engines).
+
+    Scale: one shuffle on day for the sketches; the monthly merge
+    consumes |days| sketches of ~1-2 KB each — the rollup reads
+    kilobytes regardless of corpus size, which is the entire point of
+    mergeable quantile state at 100 TB. (The rank-recheck rescans events
+    once more; that is the verification harness, not the operator.)"""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.kll_sketch_agg_double("value").alias("sk"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    q_of = lambda sk, p: F.call_function(  # noqa: E731
+        "kll_sketch_get_quantile_double", sk, F.lit(p)
+    )
+    daily_est = daily.select(
+        "day", "n_events", q_of(F.col("sk"), 0.5).alias("est_daily_p50")
+    )
+    merged = daily.agg(F.kll_merge_agg_double("sk").alias("msk")).select(
+        q_of(F.col("msk"), 0.5).alias("est_m_p50"),
+        q_of(F.col("msk"), 0.95).alias("est_m_p95"),
+    )
+    # second pass: the estimates' true normalized ranks, computed exactly
+    frac_le = lambda est: F.avg(  # noqa: E731
+        (F.col("value") <= est).cast("double")
+    )
+    rank_ok = lambda rank, target, tol=0.05: (  # noqa: E731
+        F.abs(rank - F.lit(target)) <= tol
+    )
+    by_day = F.to_date("ts").alias("day")
+    daily_ranks = (
+        e.select(by_day, "value")
+        .join(F.broadcast(daily_est), "day")
+        .groupBy("day", "n_events")
+        .agg(frac_le(F.col("est_daily_p50")).alias("r_daily"))
+    )
+    month_ranks = (
+        e.select("value")
+        .crossJoin(F.broadcast(merged))
+        .agg(
+            frac_le(F.col("est_m_p50")).alias("r_m50"),
+            frac_le(F.col("est_m_p95")).alias("r_m95"),
+        )
+    )
+    return (
+        daily_ranks.crossJoin(F.broadcast(month_ranks))
+        .select(
+            "day",
+            "n_events",
+            rank_ok(F.col("r_daily"), 0.5).alias("daily_p50_rank_ok"),
+            rank_ok(F.col("r_m50"), 0.5).alias("month_p50_rank_ok"),
+            rank_ok(F.col("r_m95"), 0.95).alias("month_p95_rank_ok"),
+        )
+        .orderBy("day")
+    )
+
+
+@query(
+    "theta_set_ops",
+    """
+    WITH flags AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_p,
+             MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS has_e
+      FROM events WHERE event_type IN ('purchase', 'error')
+      GROUP BY user_id
+    )
+    SELECT CAST(SUM(has_p) AS BIGINT) AS exact_purchase,
+           CAST(SUM(has_e) AS BIGINT) AS exact_error,
+           CAST(COUNT(*) AS BIGINT) AS exact_union,
+           CAST(SUM(has_p * has_e) AS BIGINT) AS exact_both,
+           CAST(SUM(has_p * (1 - has_e)) AS BIGINT) AS exact_purchase_only,
+           TRUE AS union_within_5pct,
+           TRUE AS intersect_within_5pct,
+           TRUE AS diff_within_5pct
+    FROM flags
+    """,
+)
+def theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse `uniqTheta` set-algebra parity: theta sketches support
+    union AND intersection AND difference estimates (HLL only unions),
+    which is what CH's `uniqTheta` + `groupBitmapAnd/Or/Xor` family is
+    for. Purchasing users vs erroring users: |P u E|, |P n E|, |P \\ E|
+    estimated from two per-segment sketches, gated within 5% of exact.
+
+    The oracle computes the exact cardinalities from one per-user flag
+    aggregation (derivation-independent of the sketch path). Zero-sized
+    results (every purchaser also errored => P \\ E empty) gate on
+    est = 0 exactly, since a ratio test divides by zero.
+
+    Note the fixture honesty: at these SFs distinct users (<= 1500) sit
+    under theta's k=4096 retained-hash cap, so the sketches are in
+    exact mode and the 5% gates pass with zero slack consumed; at
+    production cardinality the same plan degrades gracefully to ~2%
+    relative error. Scale: each segment sketch is <= 64 KB regardless
+    of corpus size; set algebra on sketch state replaces a
+    multi-trillion-row distinct-join."""
+    e = table(spark, sf_dir, "events")
+    p_sk = e.filter(F.col("event_type") == "purchase").agg(
+        F.theta_sketch_agg("user_id").alias("p_sk")
+    )
+    e_sk = e.filter(F.col("event_type") == "error").agg(
+        F.theta_sketch_agg("user_id").alias("e_sk")
+    )
+    flags = (
+        e.filter(F.col("event_type").isin("purchase", "error"))
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("has_p"),
+            F.max(
+                F.when(F.col("event_type") == "error", 1).otherwise(0)
+            ).alias("has_e"),
+        )
+        .agg(
+            F.sum("has_p").cast("bigint").alias("exact_purchase"),
+            F.sum("has_e").cast("bigint").alias("exact_error"),
+            F.count(F.lit(1)).cast("bigint").alias("exact_union"),
+            F.sum(F.col("has_p") * F.col("has_e"))
+            .cast("bigint")
+            .alias("exact_both"),
+            F.sum(F.col("has_p") * (1 - F.col("has_e")))
+            .cast("bigint")
+            .alias("exact_purchase_only"),
+        )
+    )
+    est = lambda expr: F.theta_sketch_estimate(expr).cast("double")  # noqa: E731
+    within = lambda est_c, exact_c: F.when(  # noqa: E731
+        exact_c == 0, est_c == 0.0
+    ).otherwise(F.abs(est_c / exact_c.cast("double") - 1.0) <= 0.05)
+    return (
+        flags.crossJoin(F.broadcast(p_sk))
+        .crossJoin(F.broadcast(e_sk))
+        .select(
+            "exact_purchase",
+            "exact_error",
+            "exact_union",
+            "exact_both",
+            "exact_purchase_only",
+            within(
+                est(F.theta_union(F.col("p_sk"), F.col("e_sk"))),
+                F.col("exact_union"),
+            ).alias("union_within_5pct"),
+            within(
+                est(F.theta_intersection(F.col("p_sk"), F.col("e_sk"))),
+                F.col("exact_both"),
+            ).alias("intersect_within_5pct"),
+            within(
+                est(F.theta_difference(F.col("p_sk"), F.col("e_sk"))),
+                F.col("exact_purchase_only"),
+            ).alias("diff_within_5pct"),
+        )
+    )

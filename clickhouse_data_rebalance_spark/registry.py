@@ -161,6 +161,15 @@ DRIVER_ORDER_TIER2: list[str] = [
     "interval_length_sum",
     "sequence_count_pattern",
     "bitmap_state_merge",
+    # TPC-H-shaped multi-join suite (new r6 surface)
+    "shipping_priority_topk",
+    "local_supplier_volume",
+    "returned_item_report",
+    "large_volume_customers",
+    "promo_revenue_ratio",
+    # sketch-state family completions (new r6 surface)
+    "quantile_state_merge",
+    "theta_set_ops",
     # drift-prone streaming/event-time equivalences
     "stream_session_equiv",
     "stream_sliding_equiv",
@@ -280,5 +289,5 @@ def load_all() -> None:
     from .sources import connectors  # noqa: F401
     from .streaming import batch_windows, stream_ops  # noqa: F401
     from .operators import llm_corpus, llm_dedup, llm_similarity, llm_text, multimodal  # noqa: F401
-    from .operators import analytics_ext, layout_quality  # noqa: F401
+    from .operators import analytics_ext, analytics_tpch, layout_quality  # noqa: F401
     _loaded = True

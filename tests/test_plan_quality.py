@@ -464,3 +464,55 @@ def test_media_decode_scan_prunes_columns(spark):
             assert col not in schema_line, (
                 f"unpruned column {col} in media decode scan: {schema_line}"
             )
+
+
+# --------------------------------------------------------------------------
+# TPC-H-shaped multi-join suite (operators/analytics_tpch.py): pin the
+# physical shape the docstrings promise at 100 TB.
+# --------------------------------------------------------------------------
+
+_TPCH_SUITE = [
+    "shipping_priority_topk",
+    "local_supplier_volume",
+    "returned_item_report",
+    "large_volume_customers",
+    "promo_revenue_ratio",
+]
+
+
+def test_tpch_suite_no_cartesian(spark):
+    for name in _TPCH_SUITE:
+        assert "CartesianProduct" not in plan_of(spark, name), name
+
+
+def test_shipping_priority_pushes_filters_and_heaps_topk(spark):
+    plan = plan_of(spark, "shipping_priority_topk")
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+    assert "GreaterThan(l_shipdate" in plan
+    assert "LessThan(o_orderdate" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_local_supplier_volume_broadcasts_fixed_dims(spark):
+    """nation (25 rows) and region (5) are constant-size at any SF —
+    the plan must broadcast them, and the same-nation residual must ride
+    a hash join (no BroadcastNestedLoopJoin from a theta condition)."""
+    plan = plan_of(spark, "local_supplier_volume")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EqualTo(r_name,ASIA)" in plan
+
+
+def test_large_volume_customers_semi_join_stays_distributed(spark):
+    """The HAVING subquery must become a LeftSemi join on l_orderkey —
+    never a collected ID list — and the lineitem aggregation must
+    partial-aggregate map-side before its one shuffle."""
+    plan = plan_of(spark, "large_volume_customers")
+    assert "LeftSemi" in plan
+    assert "partial_sum" in plan.lower() or "HashAggregate" in plan
+
+
+def test_promo_revenue_pushes_month_filter(spark):
+    plan = plan_of(spark, "promo_revenue_ratio")
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_shipdate" in plan
