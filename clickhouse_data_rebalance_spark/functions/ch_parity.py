@@ -540,3 +540,67 @@ def format_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("readable_size"),
         F.expr("repeat('#', CAST(o_orderkey % 11 AS INT))").alias("bar10"),
     ).orderBy("o_orderkey")
+
+
+@query(
+    "retention_conditions",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'signup'
+                       AND CAST(ts AS DATE) <= DATE '2024-01-05'
+                      THEN 1 ELSE 0 END) AS r1,
+             MAX(CASE WHEN event_type = 'purchase'
+                       AND CAST(ts AS DATE) BETWEEN DATE '2024-01-06'
+                                               AND DATE '2024-01-15'
+                      THEN 1 ELSE 0 END) AS c2,
+             MAX(CASE WHEN event_type = 'purchase'
+                       AND CAST(ts AS DATE) >= DATE '2024-01-16'
+                      THEN 1 ELSE 0 END) AS c3
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(SUM(r1) AS BIGINT) AS n_cohort,
+           CAST(SUM(r1 * c2) AS BIGINT) AS ret_mid,
+           CAST(SUM(r1 * c3) AS BIGINT) AS ret_late,
+           CAST(SUM(r1 * c2 * c3) AS BIGINT) AS ret_both
+    FROM per_user
+    """,
+)
+def retention_conditions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse `retention(cond1, ..., condN)` parity: per user, the
+    aggregate evaluates an ordered condition list where the FIRST
+    condition gates all later ones (r[i] = cond1 AND condi) — here
+    "signed up in the first 5 days" gating "purchased mid-month" /
+    "purchased late-month" — then the rollup sums each slot over users,
+    giving the classic retention funnel numerators over the
+    denominator sum(r1). Differs from `cohort_retention` (the
+    signup-week x activity-week matrix): this is the CH aggregate's
+    exact gate-array semantics, including the ret_both conjunction slot
+    a cohort matrix cannot express.
+
+    Scale: one shuffle on user_id with map-side partial MAX flags
+    (per-user state = N condition bits), then a 1-row global sum of
+    partials — the same two-level shape at any corpus size; never a
+    per-user array materialization."""
+    e = table(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    flag = lambda cond: F.max(F.when(cond, 1).otherwise(0))  # noqa: E731
+    per_user = e.groupBy("user_id").agg(
+        flag(
+            (F.col("event_type") == "signup") & (day <= F.lit("2024-01-05"))
+        ).alias("r1"),
+        flag(
+            (F.col("event_type") == "purchase")
+            & day.between(F.lit("2024-01-06"), F.lit("2024-01-15"))
+        ).alias("c2"),
+        flag(
+            (F.col("event_type") == "purchase") & (day >= F.lit("2024-01-16"))
+        ).alias("c3"),
+    )
+    s = lambda c: F.sum(c).cast("bigint")  # noqa: E731
+    return per_user.agg(
+        s(F.col("r1")).alias("n_cohort"),
+        s(F.col("r1") * F.col("c2")).alias("ret_mid"),
+        s(F.col("r1") * F.col("c3")).alias("ret_late"),
+        s(F.col("r1") * F.col("c2") * F.col("c3")).alias("ret_both"),
+    )

@@ -10,7 +10,7 @@ one bounded join. All four carry exact DuckDB oracle twins.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..registry import query
 from ..tables import table
@@ -429,4 +429,68 @@ def corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "split")
         .agg(F.count("*").alias("n_docs"), F.sum("n_toks").alias("n_tokens"))
         .orderBy("lang", "split")
+    )
+
+
+N_SHUFFLE_SHARDS = 16
+
+
+@query(
+    "global_shuffle_shards",
+    f"""
+    WITH keyed AS (
+      SELECT doc_id,
+             md5('shuf:' || CAST(doc_id AS VARCHAR)) AS k,
+             CAST(('0x' || substr(md5('shuf:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % {N_SHUFFLE_SHARDS} AS shard
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(shard AS INT) AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY k, doc_id)
+                AS BIGINT) AS pos_in_shard
+    FROM keyed
+    ORDER BY shard, pos_in_shard
+    """,
+)
+def global_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training-data export: every
+    document gets a (shard, pos_in_shard) coordinate that is a
+    pseudorandom permutation of the corpus — the "shuffle before you
+    train" step — yet is reproducible across runs, engines, partition
+    layouts, and retries, because both coordinates derive from
+    md5('shuf:' || doc_id) and nothing else. The salt decorrelates the
+    permutation from `train_val_test_split`'s md5 buckets (same hash,
+    different preimage), so split and shuffle order are independent as
+    a training pipeline requires.
+
+    Scale: shard = first-32-md5-bits mod N is uniform by construction —
+    one skew-free shuffle on shard; each shard's order is a sort on the
+    random key WITHIN its partition (window per shard, no global
+    single-partition window). At 100 TB, raise N_SHUFFLE_SHARDS so a
+    shard fits an executor's sort buffer (the per-shard window is the
+    only per-key state), or equivalently `repartitionByRange` on
+    (shard, k) — the coordinates are layout-independent either way.
+    RNG-free, so speculative re-execution cannot fork the permutation.
+    """
+    d = table(spark, sf_dir, "documents")
+    salted = F.concat(F.lit("shuf:"), F.col("doc_id").cast("string"))
+    keyed = d.select(
+        "doc_id",
+        F.md5(salted).alias("k"),
+        (
+            F.conv(F.substring(F.md5(salted), 1, 8), 16, 10).cast("bigint")
+            % N_SHUFFLE_SHARDS
+        )
+        .cast("int")
+        .alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("k", "doc_id")
+    return (
+        keyed.select(
+            "doc_id",
+            "shard",
+            F.row_number().over(w).cast("bigint").alias("pos_in_shard"),
+        )
+        .orderBy("shard", "pos_in_shard")
     )

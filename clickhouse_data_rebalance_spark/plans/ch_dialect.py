@@ -24,8 +24,14 @@ arrayJoin           explode
 notEmpty/empty      length(x) > 0 / length(x) = 0
 modulo              mod
 PREWHERE            WHERE (Spark pushes predicates anyway)
+GROUP BY c WITH TOTALS   GROUP BY GROUPING SETS ((c), ())
 FORMAT <fmt> tail   stripped (sinks are explicit in Spark)
 ==================  =========================================
+
+`FROM t FINAL` refuses (the collapse needs the table's key/version
+columns the SQL text does not carry) and points at upsert_latest_wins;
+`WITH TOTALS` over expression group keys likewise refuses rather than
+mis-grouping.
 
 `LIMIT n BY cols` (ClickHouse's signature clause) translates to a
 ROW_NUMBER window in the flat single-SELECT shape (see
@@ -62,6 +68,13 @@ _REFUSALS: list[tuple[re.Pattern[str], str]] = [
     (re.compile(r"\bSAMPLE\s+[\d.]", re.I), "use sample_fraction (C33)"),
     (re.compile(r"\bmultiIf\s*\(", re.I), "rewrite as CASE WHEN"),
     (re.compile(r"\bON\s+CLUSTER\b", re.I), "cluster DDL is Spark-global (A4)"),
+    # FROM t FINAL forces ReplacingMergeTree collapse at read time; the
+    # correct translation needs the table's ORDER BY key and version
+    # column, which the SQL text does not carry
+    (
+        re.compile(r"\bFROM\s+[\w.]+\s+FINAL\b", re.I),
+        "use upsert_latest_wins (latest-wins collapse over the key/version)",
+    ),
 ]
 
 # an argument: non-paren/comma text, allowing single-quoted literals
@@ -192,6 +205,18 @@ _REWRITES: list[tuple[re.Pattern[str], str]] = [
     (re.compile(rf"\bempty\s*\(\s*{_ARG}\s*\)", re.I), r"(length(\1) = 0)"),
     (re.compile(r"\bmodulo\s*\(", re.I), "mod("),
     # ---- clauses ----
+    # GROUP BY cols WITH TOTALS: the totals block becomes the standard
+    # grouping-sets ALL row (NULL group keys) — bare-column lists only;
+    # expression group-bys fall through to the residual refusal
+    (
+        re.compile(
+            r"\bGROUP\s+BY\s+"
+            r"([A-Za-z_][\w]*(?:\s*,\s*[A-Za-z_][\w]*)*)"
+            r"\s+WITH\s+TOTALS\b",
+            re.I,
+        ),
+        r"GROUP BY GROUPING SETS ((\1), ())",
+    ),
     (re.compile(r"\bPREWHERE\b", re.I), "WHERE"),
     (re.compile(r"\bFORMAT\s+\w+\s*;?\s*$", re.I), ""),
 ]
@@ -269,6 +294,11 @@ def translate(ch_sql: str) -> str:
     out = _rewrite_limit_by(ch_sql)
     for pat, repl in _REWRITES:
         out = pat.sub(repl, out)
+    if re.search(r"\bWITH\s+TOTALS\b", out, re.I):
+        raise UnsupportedClickHouseSQL(
+            "WITH TOTALS over a non-bare-column GROUP BY — rewrite the "
+            "group keys as select-list aliases or use grouping_sets (C13)"
+        )
     residual = _RESIDUALS.search(out)
     if residual:
         raise UnsupportedClickHouseSQL(
@@ -373,6 +403,54 @@ def ch_dialect_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Spark's dayofweek arithmetic yields INT; pin the dtype for the
     # cross-engine schema compare
     return df.withColumn("weekday", F.col("weekday").cast("int"))
+
+
+# a third verbatim-query shape exercising WITH TOTALS (the grouping-sets
+# ALL row) plus array membership over a split string
+_CH_TOTALS_QUERY = """
+    SELECT o_orderpriority,
+           toUInt32(count()) AS n_orders,
+           countIf(has(splitByChar('-', o_orderpriority), 'HIGH')) AS n_high,
+           max(indexOf(splitByChar('-', o_orderpriority), 'LOW')) AS low_pos
+    FROM orders
+    PREWHERE o_orderkey % 3 = 0
+    GROUP BY o_orderpriority WITH TOTALS
+    ORDER BY o_orderpriority NULLS LAST
+"""
+
+# DuckDB derives the same blocks via GROUPING SETS; list_position yields
+# NULL where ClickHouse's indexOf (and Spark's array_position) yield 0
+_CH_TOTALS_ORACLE = """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(*) FILTER (
+               WHERE list_contains(string_split(o_orderpriority, '-'), 'HIGH')
+           ) AS BIGINT) AS n_high,
+           CAST(MAX(COALESCE(
+               list_position(string_split(o_orderpriority, '-'), 'LOW'), 0
+           )) AS BIGINT) AS low_pos
+    FROM orders
+    WHERE o_orderkey % 3 = 0
+    GROUP BY GROUPING SETS ((o_orderpriority), ())
+    ORDER BY o_orderpriority NULLS LAST
+"""
+
+
+@query("ch_dialect_totals", _CH_TOTALS_ORACLE)
+def ch_dialect_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dialect shim end-to-end over `GROUP BY ... WITH TOTALS` — the
+    totals block becomes the standard grouping-sets ALL row (NULL group
+    keys) — composed with array membership on a split string
+    (has / indexOf / splitByChar) and the If-combinator family. The
+    oracle derives the same result via DuckDB GROUPING SETS and
+    list_contains/list_position, with the NULL-vs-0 not-found
+    divergence (ClickHouse indexOf = Spark array_position = 0;
+    DuckDB = NULL) normalized oracle-side.
+
+    Scale: GROUPING SETS expands to one Expand node over a single scan
+    — the totals row costs one extra map-side aggregation stream, never
+    a second pass."""
+    return ch_sql(spark, sf_dir, _CH_TOTALS_QUERY)
 
 
 # ---------------------------------------------------------------------------

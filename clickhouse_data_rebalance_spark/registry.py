@@ -170,6 +170,9 @@ DRIVER_ORDER_TIER2: list[str] = [
     # sketch-state family completions (new r6 surface)
     "quantile_state_merge",
     "theta_set_ops",
+    "ch_dialect_totals",
+    "global_shuffle_shards",
+    "retention_conditions",
     # drift-prone streaming/event-time equivalences
     "stream_session_equiv",
     "stream_sliding_equiv",

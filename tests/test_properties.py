@@ -315,9 +315,27 @@ def test_ch_dialect_refuses_untranslatable():
         # multi-array arrayMap has a third argument the 2-slot rewrite
         # cannot bind — must refuse, never drop an argument
         "SELECT arrayMap((x, y) -> x + y, a, b) FROM t",
+        # FINAL needs the table's key/version columns the SQL text
+        # does not carry — refuse, pointing at upsert_latest_wins
+        "SELECT x FROM t FINAL WHERE x > 0",
+        # WITH TOTALS over expression group keys falls outside the
+        # bare-column rewrite — refuse, never mis-group
+        "SELECT count(*) FROM t GROUP BY x % 2 WITH TOTALS",
     ]:
         with _pytest.raises(UnsupportedClickHouseSQL):
             translate(sql)
+
+
+def test_ch_dialect_with_totals_rewrite():
+    from clickhouse_data_rebalance_spark.plans.ch_dialect import translate
+
+    out = translate(
+        "SELECT g, count() AS n FROM t GROUP BY g WITH TOTALS ORDER BY g NULLS LAST"
+    )
+    assert "GROUP BY GROUPING SETS ((g), ())" in out
+    assert "TOTALS" not in out
+    out2 = translate("SELECT a, b, count() FROM t GROUP BY a, b WITH TOTALS")
+    assert "GROUPING SETS ((a, b), ())" in out2
 
 
 def test_ch_dialect_limit_by_rewrite(spark):
