@@ -61,6 +61,12 @@ HEADLINE = [
     # heavy-hitters state (vs_prev ratios compare the shared subset)
     "decontaminate_minhash",
     "topk_state_merge",
+    # round 6, second wave: composed multi-join analytics + the
+    # training-export shuffle
+    "shipping_priority_topk",
+    "local_supplier_volume",
+    "large_volume_customers",
+    "global_shuffle_shards",
 ]
 
 
