@@ -317,3 +317,63 @@ def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("promo_revenue_pct")
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Q22 analog: idle high-balance customers — global scalar threshold + anti-join
+# --------------------------------------------------------------------------
+
+_IDLE_CUSTOMER_SQL = f"""
+WITH threshold AS (
+  SELECT {sql_dec_sum('c_acctbal')} / COUNT(*) AS avg_bal
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c.c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_custs,
+       {sql_dec_sum('c_acctbal')} AS total_bal
+FROM customer c, threshold t
+WHERE c.c_acctbal > t.avg_bal
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '1999-01-01'
+  )
+GROUP BY c.c_nationkey
+ORDER BY c.c_nationkey
+"""
+
+
+@query("idle_customer_balances", _IDLE_CUSTOMER_SQL)
+def idle_customer_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers whose balance beats the positive-balance
+    average but who placed no recent order — a global scalar subquery
+    feeding a filter, composed with an anti-join, grouped per nation.
+
+    Scale posture: the threshold is a 1-row aggregate broadcast into the
+    customer scan's filter (never a correlated per-row subquery); the
+    anti-join's probe side is pre-filtered to recent orders at the scan
+    and joins hash-wise on o_custkey (AQE broadcasts it when the recent
+    window is small). The exact decimal-summed average makes the
+    threshold — and therefore the qualifying SET, not just the sums —
+    bit-identical across engines, so the anti-join row membership is
+    deterministic."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    )
+    threshold = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg((dec_sum("c_acctbal") / F.count(F.lit(1))).alias("avg_bal"))
+    )
+    rich = c.crossJoin(F.broadcast(threshold)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    idle = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return (
+        idle.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_custs"),
+            dec_sum("c_acctbal").alias("total_bal"),
+        )
+        .orderBy("c_nationkey")
+    )

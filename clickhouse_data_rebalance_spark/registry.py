@@ -167,12 +167,14 @@ DRIVER_ORDER_TIER2: list[str] = [
     "returned_item_report",
     "large_volume_customers",
     "promo_revenue_ratio",
+    "idle_customer_balances",
     # sketch-state family completions (new r6 surface)
     "quantile_state_merge",
     "theta_set_ops",
     "ch_dialect_totals",
     "global_shuffle_shards",
     "retention_conditions",
+    "stream_stream_left_join",
     # drift-prone streaming/event-time equivalences
     "stream_session_equiv",
     "stream_sliding_equiv",

@@ -651,3 +651,75 @@ def stream_ema_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "stream_stream_left_join",
+    """
+    WITH c AS (
+      SELECT user_id, ts FROM events
+      WHERE event_type = 'click' AND ts <= TIMESTAMP '2024-01-28 00:00:00'
+    ),
+    p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+    SELECT c.user_id,
+           CAST(COUNT(p.ts) AS BIGINT) AS n_matched,
+           CAST(SUM(CASE WHEN p.ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unmatched_clicks
+    FROM c LEFT JOIN p
+      ON c.user_id = p.user_id
+     AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    GROUP BY c.user_id ORDER BY c.user_id
+    """,
+)
+def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join — the state-EXPIRY shape: an
+    unmatched click can only emit its null-padded row once the combined
+    watermark proves no future purchase can still match (watermark >
+    click_ts + join window), i.e. correctness depends on state eviction
+    timing, not just matching. Clicks are pre-filtered (both engines) to
+    at least 2 h (join window + watermark delay) before the fixture's
+    max event time, the horizon the stream is GUARANTEED to have
+    finalized by its last batch — rows after it would sit in state
+    awaiting a watermark that never comes, which is exactly the
+    documented always-running-job semantics, not a bug to paper over.
+
+    Scale: both sides' buffered state is bounded by the 1 h range
+    constraint + 1 h watermark delay per side; without the range bound
+    the state grows without limit (the inner-join twin's docstring
+    states the same — the outer form additionally ties EMISSION to
+    eviction)."""
+    table(spark, sf_dir, "events")
+    c = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("c_ts"))
+        # watermark BEFORE the horizon cut: the click watermark must keep
+        # tracking the full stream's event time, or it stalls 1 h behind
+        # the cutoff and the last ~2 h of unmatched clicks never flush
+        .withWatermark("c_ts", "1 hour")
+        .filter(F.col("c_ts") <= F.lit("2024-01-28 00:00:00").cast("timestamp"))
+    )
+    p = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = c.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    ).select("user_id", "c_ts", "p_ts")
+    out = run_to_memory(joined, "stream_stream_left_join_out", "append")
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.count("p_ts").cast("bigint").alias("n_matched"),
+            F.sum(F.when(F.col("p_ts").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_unmatched_clicks"),
+        )
+        .orderBy("user_id")
+    )

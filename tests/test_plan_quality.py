@@ -516,3 +516,58 @@ def test_promo_revenue_pushes_month_filter(spark):
     plan = plan_of(spark, "promo_revenue_ratio")
     assert "GreaterThanOrEqual(l_shipdate" in plan
     assert "LessThan(l_shipdate" in plan
+
+
+def test_idle_customer_balances_anti_join_and_scalar_broadcast(spark):
+    """Q22 shape: the global threshold must reach the filter via a
+    broadcast (1-row side), the no-recent-orders condition must be a
+    LeftAnti hash join on the pre-filtered orders scan — never a
+    correlated per-row subquery or cartesian."""
+    plan = plan_of(spark, "idle_customer_balances")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_runtime_bloom_filter_join_pruning(spark):
+    """100 TB posture: Spark's runtime bloom-filter injection (a bloom
+    built from the filtered dim's join keys pre-filters the fact scan
+    before the shuffle) must be ON in our session and actually inject
+    for a selective-dim shuffle join. Production defaults gate it on a
+    10 GB application-side scan, so at fixture scale the thresholds are
+    scaled down to demonstrate the same plan a 100 TB run gets for free."""
+    assert (
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+        == "true"
+    )
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        l = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+        sel = o.filter(F.col("o_orderpriority") == "1-URGENT")
+        j = (
+            l.join(sel, l.l_orderkey == sel.o_orderkey)
+            .groupBy("l_returnflag")
+            .count()
+        )
+        plan = _plan(j)
+        assert "might_contain" in plan, "bloom runtime filter not injected"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -968,3 +968,30 @@ def test_misra_gries_bounds(items, k):
     for item, c in truth.items():
         if c > n / k:
             assert item in merged, (item, c, n / k)
+
+
+def test_global_shuffle_permutation_properties(spark):
+    """global_shuffle_shards must emit a BIJECTION onto (shard,
+    pos_in_shard) coordinates — every doc exactly once, positions dense
+    1..k per shard — with near-uniform shard sizes, and be exactly
+    reproducible run-to-run (hash-derived, RNG-free)."""
+    from collections import defaultdict
+
+    from clickhouse_data_rebalance_spark.operators.llm_corpus import (
+        N_SHUFFLE_SHARDS,
+        global_shuffle_shards,
+    )
+
+    rows = global_shuffle_shards(spark, SF_SMALL).collect()
+    n = len(rows)
+    assert n > 0
+    assert len({r["doc_id"] for r in rows}) == n
+    by_shard = defaultdict(list)
+    for r in rows:
+        by_shard[r["shard"]].append(r["pos_in_shard"])
+    for ps in by_shard.values():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+    expected = n / N_SHUFFLE_SHARDS
+    for s, ps in by_shard.items():
+        assert 0.4 * expected <= len(ps) <= 1.6 * expected, (s, len(ps))
+    assert rows == global_shuffle_shards(spark, SF_SMALL).collect()
