@@ -103,15 +103,20 @@ def main() -> None:
     # compilation (and JIT tiering often still settles during pass 2);
     # the reported time = min of the three — the steady-state number a
     # long-running cluster would see. The runs do identical work.
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = registry.QUERIES[name]
-        best = float("inf")
-        for _ in range(3):
+    # Passes are INTERLEAVED (whole suite, three times) rather than
+    # back-to-back per query: this box drifts in multi-second windows
+    # (a canary run once measured one query 3.7x solo-retime with an
+    # identical plan), and back-to-back samples all land inside one bad
+    # window — interleaving spaces a query's samples ~30 s apart so the
+    # min sees at least one clean window.
+    best: dict[str, float] = {n: float("inf") for n in HEADLINE}
+    for _ in range(3):
+        for name in HEADLINE:
+            fn = registry.QUERIES[name]
             t0 = time.perf_counter()
             fn(spark, sf_dir).collect()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            best[name] = min(best[name], time.perf_counter() - t0)
+    timings = {n: round(v, 3) for n, v in best.items()}
 
     total = round(sum(timings.values()), 3)
     out = {

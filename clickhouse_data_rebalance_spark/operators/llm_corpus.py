@@ -494,3 +494,95 @@ def global_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard", "pos_in_shard")
     )
+
+
+# span length for line-level dedup: the fixture's documents are
+# delimiter-free word soup over a small vocabulary, so 3-word spans give
+# the cross-doc collision signal real newline-delimited corpora get from
+# whole lines; production swaps SPAN_W for a split on '\n'
+SPAN_W = 3
+
+
+@query(
+    "line_dedup_ratio",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+    ),
+    starts AS (
+      SELECT doc_id, w,
+             unnest(generate_series(
+               0, CAST(floor(len(w) / {SPAN_W}) AS BIGINT) - 1)) AS i
+      FROM toks
+    ),
+    segs AS (
+      SELECT doc_id,
+             md5(array_to_string(w[(i * {SPAN_W} + 1):(i * {SPAN_W} + {SPAN_W})], ' '))
+               AS fp
+      FROM starts
+    ),
+    fp_docs AS (
+      SELECT fp, COUNT(DISTINCT doc_id) AS n_docs FROM segs GROUP BY fp
+    )
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_spans,
+           CAST(SUM(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS dup_ratio,
+           (CAST(SUM(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*)) <= 0.5 AS keep
+    FROM segs s JOIN fp_docs f ON s.fp = f.fp
+    GROUP BY s.doc_id
+    ORDER BY s.doc_id
+    """,
+)
+def line_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb-style line-level dedup: fingerprint each document's
+    word spans, count how many DISTINCT documents each span appears in
+    corpus-wide, and score every document by its fraction of cross-doc
+    duplicated spans — the signal C4 uses to strip boilerplate
+    (headers, cookie banners) that exact whole-doc dedup can't see.
+    `keep` is the resulting filter decision at the 0.5 ratio.
+
+    Trailing partial spans are dropped (both engines compute
+    floor(n/SPAN_W) full spans), so a document's span set is a pure
+    function of its token array.
+
+    Scale: spans explode the corpus ~1/SPAN_W-fold but carry only
+    (doc_id, md5) — never the text. ONE shuffle on the fingerprint
+    (uniform by construction, no skew) serves both the distinct-doc
+    count and the per-occurrence dup tag via an unbounded window —
+    no count-join, no second pass over the span table — then the
+    per-doc rollup shuffles once on doc_id."""
+    d = table(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), " ")
+    n_full = F.floor(F.size(w) / SPAN_W).cast("int")
+    spans = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_full - 1),
+                lambda i: F.md5(
+                    F.array_join(F.slice(w, i * SPAN_W + 1, SPAN_W), " ")
+                ),
+            )
+        ).alias("fp"),
+    )
+    fp_w = Window.partitionBy("fp")
+    tagged = spans.withColumn(
+        "n_docs", F.size(F.collect_set("doc_id").over(fp_w))
+    )
+    dup = F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0))
+    per_doc = tagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        dup.cast("bigint").alias("n_dup_spans"),
+    )
+    ratio = F.col("n_dup_spans").cast("double") / F.col("n_spans")
+    return per_doc.select(
+        "doc_id",
+        "n_spans",
+        "n_dup_spans",
+        ratio.alias("dup_ratio"),
+        (ratio <= 0.5).alias("keep"),
+    ).orderBy("doc_id")

@@ -175,6 +175,7 @@ DRIVER_ORDER_TIER2: list[str] = [
     "global_shuffle_shards",
     "retention_conditions",
     "stream_stream_left_join",
+    "line_dedup_ratio",
     # drift-prone streaming/event-time equivalences
     "stream_session_equiv",
     "stream_sliding_equiv",

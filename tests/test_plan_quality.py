@@ -571,3 +571,18 @@ def test_runtime_bloom_filter_join_pruning(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_line_dedup_single_fp_shuffle(spark):
+    """line_dedup_ratio must tag dup spans via ONE fingerprint
+    partitioning (window over fp), never a count-join that re-shuffles
+    the span table: 3 exchanges total (fp window, doc rollup, output
+    sort) and no join operator."""
+    import re
+
+    plan = plan_of(spark, "line_dedup_ratio")
+    n_ex = len(
+        [l for l in plan.splitlines() if re.match(r"\(\d+\) Exchange", l.strip())]
+    )
+    assert n_ex <= 3, f"{n_ex} exchanges"
+    assert "Join" not in plan

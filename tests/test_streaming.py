@@ -163,7 +163,7 @@ def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
         _stream_state_partitions,
     )
 
-    ckpt = _ckpt_dir("wm_late_")
+    ckpt = _ckpt_dir("cdr_ckpt_wm_late_")
 
     def run():
         # parquet sink: append-mode, checkpoint-recoverable (memory sinks
