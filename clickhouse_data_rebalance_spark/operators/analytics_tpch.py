@@ -377,3 +377,53 @@ def idle_customer_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Q4 analog: late-shipment priority check — correlated EXISTS over the facts
+# --------------------------------------------------------------------------
+
+_PRIORITY_CHECK_SQL = """
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-07-01'
+  AND o.o_orderdate < TIMESTAMP '1997-10-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+
+
+@query("late_shipment_priority", _PRIORITY_CHECK_SQL)
+def late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders of one quarter having at least one
+    late-shipping lineitem (shipped >60 days after order), counted per
+    priority — the correlated-EXISTS pattern.
+
+    Scale posture: the EXISTS decorrelates to a LEFT SEMI join on
+    l_orderkey (each order tested once, no fan-out by matching
+    lineitems); the correlated date comparison rides the semi-join as
+    its residual condition, and the quarter filter prunes orders at the
+    scan before the shuffle. The per-priority rollup is a 5-row
+    map-side partial aggregate."""
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    l = table(spark, sf_dir, "lineitem")
+    late = o.join(
+        l,
+        (o.o_orderkey == l.l_orderkey)
+        & (l.l_shipdate > F.date_add(o.o_orderdate, 60)),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )

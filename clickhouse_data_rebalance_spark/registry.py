@@ -168,6 +168,7 @@ DRIVER_ORDER_TIER2: list[str] = [
     "large_volume_customers",
     "promo_revenue_ratio",
     "idle_customer_balances",
+    "late_shipment_priority",
     # sketch-state family completions (new r6 surface)
     "quantile_state_merge",
     "theta_set_ops",
@@ -175,6 +176,7 @@ DRIVER_ORDER_TIER2: list[str] = [
     "global_shuffle_shards",
     "retention_conditions",
     "stream_stream_left_join",
+    "stream_session_timeout_state",
     "line_dedup_ratio",
     # drift-prone streaming/event-time equivalences
     "stream_session_equiv",

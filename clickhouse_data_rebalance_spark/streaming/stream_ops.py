@@ -745,3 +745,128 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+_SESS_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+_SESS_WM_US = 10 * 60 * 1_000_000  # watermark delay
+
+
+def _stateful_sessionizer(key, pdf_iter, state):
+    """Custom sessionizer over GroupState with EVENT-TIME TIMEOUT: closed
+    sessions emit as soon as the in-batch gap closes them; each user's
+    final open session is held in state with a timeout at end + gap and
+    emits when the watermark passes it — the state-EVICTION emission
+    path `stream_custom_state`/`stream_ema_state` (NoTimeout) never
+    exercise. New session when ts - prev_ts > gap (strict, matching the
+    oracle's island rule). All timestamps travel as epoch micros."""
+    import pandas as pd
+
+    if state.hasTimedOut:
+        s, e, n = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "start_us": [s], "end_us": [e], "n_events": [n]}
+        )
+        return
+    parts = [pdf for pdf in pdf_iter]
+    ts = (
+        pd.concat(parts)["ts_us"].sort_values().to_numpy()
+        if parts
+        else []
+    )
+    sessions = []
+    if state.exists:
+        cur = list(state.get)  # carried open session (s, e, n)
+    else:
+        cur = None
+    for t in ts:
+        t = int(t)
+        if cur is None:
+            cur = [t, t, 1]
+        elif t - cur[1] > _SESS_GAP_US:
+            sessions.append(cur)
+            cur = [t, t, 1]
+        else:
+            cur[1] = t
+            cur[2] += 1
+    state.update(tuple(cur))
+    state.setTimeoutTimestamp(cur[1] // 1000 + _SESS_GAP_US // 1000)
+    if sessions:
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(sessions),
+                "start_us": [s[0] for s in sessions],
+                "end_us": [s[1] for s in sessions],
+                "n_events": [s[2] for s in sessions],
+            }
+        )
+
+
+@query(
+    "stream_session_timeout_state",
+    """
+    WITH marked AS (
+      SELECT user_id, epoch_us(ts) AS ts_us,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    numbered AS (
+      SELECT user_id, ts_us,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM marked
+    ),
+    sessions AS (
+      SELECT user_id, sess_id,
+             MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             MAX(sess_id) OVER (PARTITION BY user_id) AS last_sess,
+             (SELECT MAX(epoch_us(ts)) FROM events) AS max_us
+      FROM numbered GROUP BY user_id, sess_id
+    )
+    SELECT user_id, start_us, end_us, n_events
+    FROM sessions
+    WHERE sess_id < last_sess
+       OR end_us + 1800000000 < max_us - 600000000
+    ORDER BY user_id, start_us
+    """,
+)
+def stream_session_timeout_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization as a CUSTOM stateful streaming operator
+    (applyInPandasWithState + EventTimeTimeout): 30-min-gap sessions per
+    user; closed sessions emit in-batch, and the final open session
+    emits via the event-time TIMEOUT when the watermark (delay 10 min)
+    passes its end + gap — probed and confirmed: availableNow runs the
+    finalize batch and fires timeouts below the final watermark.
+
+    The oracle states the same sessions via gaps-and-islands, keeping a
+    user's LAST session only when the final watermark (max_ts - 10 min)
+    passes its timeout (end + 30 min) — open sessions that the stream
+    correctly still holds are excluded on both engines, so the compare
+    verifies both the session math AND the eviction timing.
+
+    Scale: state per user = one open session (3 ints); emission is
+    bounded by eviction, so state never accumulates closed sessions;
+    session_window (C50) is the declarative fast path — this is the
+    custom-operator escape hatch for semantics session_window can't
+    express (e.g. per-key dynamic gaps)."""
+    table(spark, sf_dir, "events")  # session confs
+    updates = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .select("user_id", "ts", F.unix_micros("ts").alias("ts_us"))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _stateful_sessionizer,
+            outputStructType=(
+                "user_id bigint, start_us bigint, end_us bigint, n_events bigint"
+            ),
+            stateStructType="s bigint, e bigint, n bigint",
+            outputMode="append",
+            timeoutConf="EventTimeTimeout",
+        )
+    )
+    out = run_to_memory(updates, "stream_sess_timeout_out", "append")
+    return out.orderBy("user_id", "start_us")
