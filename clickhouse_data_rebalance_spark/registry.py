@@ -178,6 +178,8 @@ DRIVER_ORDER_TIER2: list[str] = [
     "stream_stream_left_join",
     "stream_session_timeout_state",
     "line_dedup_ratio",
+    "source_python_datasource",
+    "stream_python_datasource",
     # drift-prone streaming/event-time equivalences
     "stream_session_equiv",
     "stream_sliding_equiv",
@@ -294,7 +296,7 @@ def load_all() -> None:
     )
     from .functions import ch_parity, scalar_funcs, text, vectors  # noqa: F401
     from .plans import ch_dialect, rebalance_queries  # noqa: F401
-    from .sources import connectors  # noqa: F401
+    from .sources import connectors, python_source  # noqa: F401
     from .streaming import batch_windows, stream_ops  # noqa: F401
     from .operators import llm_corpus, llm_dedup, llm_similarity, llm_text, multimodal  # noqa: F401
     from .operators import analytics_ext, analytics_tpch, layout_quality  # noqa: F401

@@ -995,3 +995,31 @@ def test_global_shuffle_permutation_properties(spark):
     for s, ps in by_shard.items():
         assert 0.4 * expected <= len(ps) <= 1.6 * expected, (s, len(ps))
     assert rows == global_shuffle_shards(spark, SF_SMALL).collect()
+
+
+def test_python_datasource_filter_pushdown_correct(spark):
+    """The pushed EqualTo('day', v) path generates rows by index
+    stepping — it must yield EXACTLY the rows a post-filter over the
+    full scan yields, for several days including partition-boundary
+    values, and other predicates must survive as post-filters."""
+    from clickhouse_data_rebalance_spark.sources.python_source import (
+        N_ROWS,
+        register_synthetic_source,
+    )
+
+    register_synthetic_source(spark)
+    src = lambda: spark.read.format("synthetic_events").load()  # noqa: E731
+    full = src().collect()
+    assert len(full) == N_ROWS
+    by_day = {}
+    for r in full:
+        by_day.setdefault(r["day"], []).append(tuple(r))
+    for day in (1, 7, 30):
+        got = sorted(
+            tuple(r) for r in src().filter(F.col("day") == day).collect()
+        )
+        assert got == sorted(by_day[day]), f"day={day}"
+    # non-pushable predicate composes with the pushed one
+    got = src().filter((F.col("day") == 7) & (F.col("kind") == "click")).collect()
+    want = [t for t in by_day[7] if t[2] == "click"]
+    assert sorted(tuple(r) for r in got) == sorted(want)
