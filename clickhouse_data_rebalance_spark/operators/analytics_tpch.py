@@ -427,3 +427,46 @@ def late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("order_count"))
         .orderBy("o_orderpriority")
     )
+
+
+# --------------------------------------------------------------------------
+# Q6 analog: forecast revenue change — pure filter + single aggregate
+# --------------------------------------------------------------------------
+
+_FORECAST_REVENUE_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(30,6))) AS DOUBLE)
+         AS potential_revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lineitems
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@query("forecast_revenue_change", _FORECAST_REVENUE_SQL)
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the all-filter single-aggregate scan — the purest
+    measure of predicate pushdown + vectorized scan + map-side
+    reduction. Every predicate reaches the parquet reader; the result
+    is one row, so the only exchange moves a handful of partial sums."""
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * F.col("l_discount")).cast(
+                    "decimal(30,6)"
+                )
+            )
+            .cast("double")
+            .alias("potential_revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lineitems"),
+        )
+    )

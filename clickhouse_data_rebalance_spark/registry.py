@@ -180,6 +180,8 @@ DRIVER_ORDER_TIER2: list[str] = [
     "line_dedup_ratio",
     "source_python_datasource",
     "stream_python_datasource",
+    "sink_python_datasource",
+    "forecast_revenue_change",
     # drift-prone streaming/event-time equivalences
     "stream_session_equiv",
     "stream_sliding_equiv",

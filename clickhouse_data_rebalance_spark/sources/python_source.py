@@ -315,3 +315,114 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("kind")
     )
+
+
+# ---------------------------------------------------------------------------
+# Write side: a custom SINK through DataSourceWriter — per-task files,
+# driver-side commit manifest (the two-phase protocol that makes partial
+# task failures invisible to readers).
+# ---------------------------------------------------------------------------
+
+
+def _make_jsonl_sink():
+    """Function-local for the same cloudpickle-by-value reason as
+    :func:`_make_stream_source` — the write planner/committer run in
+    Python workers that do not see addPyFile zips."""
+    import json as _json
+    import os as _os
+    import uuid as _uuid
+
+    from pyspark.sql.datasource import (
+        DataSource as _DS,
+        DataSourceWriter as _W,
+        WriterCommitMessage as _Msg,
+    )
+
+    class _FileMsg(_Msg):
+        def __init__(self, path: str, n: int):
+            self.path = path
+            self.n = n
+
+    class JsonlWriter(_W):
+        def __init__(self, options):
+            self.path = options["path"]
+
+        def write(self, rows):
+            _os.makedirs(self.path, exist_ok=True)
+            fname = _os.path.join(
+                self.path, f"part-{_uuid.uuid4().hex}.jsonl"
+            )
+            n = 0
+            with open(fname, "w") as f:
+                for row in rows:
+                    f.write(_json.dumps(row.asDict()) + "\n")
+                    n += 1
+            return _FileMsg(fname, n)
+
+        def commit(self, messages):
+            manifest = {
+                "files": sorted(
+                    [m.path, m.n] for m in messages if m is not None
+                ),
+            }
+            with open(_os.path.join(self.path, "_MANIFEST.json"), "w") as f:
+                _json.dump(manifest, f)
+
+        def abort(self, messages):
+            for m in messages:
+                if m is not None and _os.path.exists(m.path):
+                    _os.remove(m.path)
+
+    class JsonlSinkSource(_DS):
+        @classmethod
+        def name(cls):
+            return "jsonlines_sink"
+
+        def writer(self, schema, overwrite):
+            return JsonlWriter(self.options)
+
+    return JsonlSinkSource
+
+
+@query("sink_python_datasource", "SELECT * FROM nation ORDER BY n_nationkey")
+def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip through the custom Python SINK: nation is written via
+    DataSourceWriter (one jsonl file per task + commit messages), the
+    driver-side commit() publishes a manifest of exactly the committed
+    files, and the read-back goes through the manifest — so a file from
+    a failed/aborted task could never leak into the result. The oracle
+    is simply the source table: any dropped, duplicated, or
+    manifest-bypassing row breaks the value hash.
+
+    Scale posture: this IS the two-phase commit shape object-store
+    sinks use (task files + driver manifest = Iceberg/Delta's snapshot
+    commit in miniature); write() streams the iterator, state per task
+    is one open file handle."""
+    import json
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from ..tables import table as _table
+
+    tune_session(spark)
+    key = ("sink", spark.sparkContext.applicationId)
+    if key not in _registered_sessions:
+        spark.dataSource.register(_make_jsonl_sink())
+        _registered_sessions.add(key)
+    n = _table(spark, sf_dir, "nation")
+    out_dir = _tempfile.mkdtemp(prefix="cdr_jsonl_sink_")
+    import atexit as _atexit
+
+    _atexit.register(_shutil.rmtree, out_dir, ignore_errors=True)
+    n.write.format("jsonlines_sink").option("path", out_dir).mode(
+        "append"
+    ).save()
+    with open(f"{out_dir}/_MANIFEST.json") as f:
+        manifest = json.load(f)
+    files = [p for p, _ in manifest["files"]]
+    assert sum(cnt for _, cnt in manifest["files"]) == n.count()
+    return (
+        spark.read.schema("n_nationkey int, n_name string, n_regionkey int")
+        .json(files)
+        .orderBy("n_nationkey")
+    )
