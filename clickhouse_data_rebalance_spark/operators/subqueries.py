@@ -117,3 +117,72 @@ def cte_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "customer")
     table(spark, sf_dir, "orders")
     return spark.sql(_CTE)
+
+
+_LATERAL_TOPN = """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c,
+LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 2
+) t
+WHERE c.c_custkey % 11 = 0
+ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey
+"""
+
+
+@query("join_lateral_topn", _LATERAL_TOPN)
+def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery in FROM (SQL:1999 lateral derived
+    table; Spark 3.2+): each customer's two most expensive orders via a
+    per-row subquery — the declarative spelling of top-k-per-group
+    (C20), which Catalyst DECORRELATES into the same window/join plan
+    rather than executing per-row. Identical text runs on DuckDB, so
+    the oracle exercises the same construct, not a rewrite.
+
+    Scale: after decorrelation this is a join + per-key rank — no
+    nested-loop re-execution per outer row; the modulo filter pushes
+    to the customer scan."""
+    table(spark, sf_dir, "customer")
+    table(spark, sf_dir, "orders")
+    return spark.sql(_LATERAL_TOPN)
+
+
+_RECURSIVE_CHAIN = """
+WITH RECURSIVE chain(s_suppkey, depth) AS (
+  SELECT s_suppkey, 0 AS depth FROM supplier WHERE s_suppkey = 0
+  UNION ALL
+  SELECT s.s_suppkey, c.depth + 1
+  FROM supplier s
+  JOIN chain c
+    ON c.s_suppkey = CAST(FLOOR((s.s_suppkey - 1) / 2.0) AS BIGINT)
+  WHERE s.s_suppkey > 0
+)
+SELECT depth,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       CAST(MIN(s_suppkey) AS BIGINT) AS min_key,
+       CAST(MAX(s_suppkey) AS BIGINT) AS max_key
+FROM chain
+GROUP BY depth
+ORDER BY depth
+"""
+
+
+@query("recursive_cte_chain", _RECURSIVE_CHAIN)
+def recursive_cte_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (Spark 4.0+): per-level rollup of a reporting
+    hierarchy derived deterministically from the supplier table
+    (heap-parent rule: parent(k) = floor((k-1)/2)) — the org-chart /
+    BOM traversal SQL shape `dedup_clusters_cc` solves imperatively for
+    arbitrary graphs, here in its declarative form. The IDENTICAL
+    recursive text runs on DuckDB, so the oracle exercises the same
+    construct.
+
+    Scale: each recursion step is one distributed join of the frontier
+    against the child scan — depth x join cost, no driver-side loop
+    state beyond the frontier DataFrame; the heap rule bounds depth at
+    log2(n)."""
+    table(spark, sf_dir, "supplier")
+    return spark.sql(_RECURSIVE_CHAIN)

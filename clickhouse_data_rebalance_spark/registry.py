@@ -182,6 +182,8 @@ DRIVER_ORDER_TIER2: list[str] = [
     "stream_python_datasource",
     "sink_python_datasource",
     "forecast_revenue_change",
+    "join_lateral_topn",
+    "recursive_cte_chain",
     # drift-prone streaming/event-time equivalences
     "stream_session_equiv",
     "stream_sliding_equiv",
