@@ -140,3 +140,98 @@ def udtf_explode_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey", "tag")
     )
+
+
+_SQL_UDF_ORACLE = """
+SELECT o_orderpriority,
+       CAST(SUM(CAST(o_totalprice * 0.9 AS DECIMAL(30,6))) AS DOUBLE)
+         AS sum_net,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders
+WHERE o_totalprice * 0.9 > 150000
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@query("sql_udf_inlined", _SQL_UDF_ORACLE)
+def sql_udf_inlined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL UDF (CREATE FUNCTION ... RETURN expr, Spark 4): the
+    abstraction rung BELOW pandas UDFs on the cost ladder — Catalyst
+    INLINES the function body into the plan, so the filter still pushes
+    toward the scan and the whole pipeline stays in codegen; zero
+    serialization, unlike any Python rung. The oracle states the
+    inlined expression directly, so the comparison proves the UDF is
+    pure sugar.
+
+    Scale: indistinguishable from writing the expression inline —
+    which is the point; use SQL UDFs for shared business logic and
+    reserve Python for what expressions cannot say."""
+    table(spark, sf_dir, "orders")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION cdr_net_price(p DOUBLE) "
+        "RETURNS DOUBLE RETURN p * 0.9"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(SUM(CAST(cdr_net_price(o_totalprice) AS DECIMAL(30,6)))
+                    AS DOUBLE) AS sum_net,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders
+        WHERE cdr_net_price(o_totalprice) > 150000
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+_PY_UDTF_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+  WHERE doc_id % 25 = 0
+),
+pos AS (
+  SELECT doc_id, w,
+         unnest(generate_series(1, len(w) - 1)) AS i
+  FROM toks
+)
+SELECT doc_id,
+       CAST(i AS INT) AS pos,
+       w[i] || ' ' || w[i + 1] AS bigram
+FROM pos
+ORDER BY doc_id, pos
+"""
+
+
+@query("python_udtf_bigrams", _PY_UDTF_ORACLE)
+def python_udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL Python UDTF (@udtf, Spark 3.5+): one document row in, one
+    row per bigram out, via a generator class invoked with LATERAL —
+    completing the C34 ladder's table-function rung (the
+    `udtf_explode_fields` twin shows the built-in-generator fast path;
+    this shows the API for expansions expressions cannot write).
+
+    Scale: row-at-a-time Python — the SLOW rung, kept off hot paths by
+    policy (this query filters to 1/25 of documents); when the
+    expansion IS expressible as explode/transform, use that instead
+    (see the module docstring's ladder)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, bigram string")
+    class Bigrams:
+        def eval(self, text: str):
+            words = text.strip().split(" ")
+            for i in range(len(words) - 1):
+                yield i + 1, words[i] + " " + words[i + 1]
+
+    table(spark, sf_dir, "documents")
+    spark.udtf.register("cdr_bigrams", Bigrams)
+    return spark.sql(
+        """
+        SELECT d.doc_id, b.pos, b.bigram
+        FROM documents d, LATERAL cdr_bigrams(d.text) b
+        WHERE d.doc_id % 25 = 0
+        ORDER BY d.doc_id, b.pos
+        """
+    )

@@ -184,6 +184,8 @@ DRIVER_ORDER_TIER2: list[str] = [
     "forecast_revenue_change",
     "join_lateral_topn",
     "recursive_cte_chain",
+    "sql_udf_inlined",
+    "python_udtf_bigrams",
     # drift-prone streaming/event-time equivalences
     "stream_session_equiv",
     "stream_sliding_equiv",

@@ -586,3 +586,13 @@ def test_line_dedup_single_fp_shuffle(spark):
     )
     assert n_ex <= 3, f"{n_ex} exchanges"
     assert "Join" not in plan
+
+
+def test_sql_udf_inlines_into_codegen(spark):
+    """The SQL UDF must disappear into the plan: the filter it wraps
+    still reaches the parquet scan as a pushed predicate, and no
+    Python-eval operator appears."""
+    plan = plan_of(spark, "sql_udf_inlined")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "PushedFilters" in plan
+    assert "IsNotNull(o_totalprice)" in plan
