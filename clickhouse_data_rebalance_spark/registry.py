@@ -186,6 +186,8 @@ DRIVER_ORDER_TIER2: list[str] = [
     "recursive_cte_chain",
     "sql_udf_inlined",
     "python_udtf_bigrams",
+    "statestore_introspection",
+    "sink_observed_metrics",
     # drift-prone streaming/event-time equivalences
     "stream_session_equiv",
     "stream_sliding_equiv",

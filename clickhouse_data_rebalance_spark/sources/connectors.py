@@ -256,3 +256,56 @@ def source_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "sink_observed_metrics",
+    f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) FILTER (WHERE o_totalprice IS NULL) AS BIGINT)
+             AS n_null_price,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE)
+             AS total_price
+    FROM orders
+    """,
+)
+def sink_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality metrics via the Observation API: the counters ride
+    the WRITE job itself (per-task accumulators folded by the driver),
+    so ingest validation costs ZERO extra passes — the pattern for
+    'every load publishes its own row count / null count / checksum'.
+    The oracle recomputes the same metrics from the source table with a
+    separate scan, so a metric that under- or over-counted (e.g. from
+    task retries double-counting) would hash-mismatch.
+
+    Scale: observed metrics are Spark accumulators — bytes per task,
+    merged on the driver; the alternative (a second audit scan after
+    the write) reads the corpus twice."""
+    import tempfile
+
+    from pyspark.sql import Observation
+
+    o = table(spark, sf_dir, "orders")
+    obs = Observation("ingest_metrics")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("o_totalprice").isNull(), 1)).alias(
+            "n_null_price"
+        ),
+        F.sum(F.col("o_totalprice").cast("decimal(30,4)")).alias("total_price"),
+    )
+    dst = tempfile.mkdtemp(prefix="cdr_observed_sink_")
+    observed.write.mode("overwrite").parquet(dst)
+    m = obs.get
+    shutil.rmtree(dst, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n_rows"]),
+                int(m["n_null_price"]),
+                float(m["total_price"]),
+            )
+        ],
+        "n_rows bigint, n_null_price bigint, total_price double",
+    )

@@ -870,3 +870,51 @@ def stream_session_timeout_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_to_memory(updates, "stream_sess_timeout_out", "append")
     return out.orderBy("user_id", "start_us")
+
+
+@query(
+    "statestore_introspection",
+    """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def statestore_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read a streaming aggregation's STATE STORE back as a DataFrame
+    (Spark 4 `statestore` source): run the per-type count as a stream,
+    then load the checkpoint's state files and project (key, value) —
+    the state must equal the batch GROUP BY exactly, which is the
+    invariant an on-call engineer checks when a streaming job's output
+    looks wrong ("is the state corrupt, or the sink?").
+
+    The checkpoint is intentionally NOT deleted inline — the returned
+    DataFrame reads it lazily; the atexit hook from _ckpt_dir reclaims
+    it at process exit.
+
+    Scale: the state source reads state files directly (one partition
+    per state partition), no replay of the input stream — inspection
+    cost is O(state), not O(history)."""
+    table(spark, sf_dir, "events")
+    ckpt = _ckpt_dir("cdr_ckpt_ssread_")
+    agg = events_stream(spark, sf_dir).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    with _stream_state_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("cdr_ssread_out")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    st = spark.read.format("statestore").load(ckpt)
+    value_field = st.schema["value"].dataType.names[0]
+    return (
+        st.select(
+            F.col("key.event_type").alias("event_type"),
+            F.col(f"value.{value_field}").cast("bigint").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
