@@ -59,16 +59,20 @@ def test_driver_order_covers_components():
     reason="~3 min: full 50-query driver cover at sf0.1; set CDR_SF01_COVER=1",
 )
 def test_driver_cover_at_sf01(spark):
-    """Scale-up differential: the whole 50-query driver cover must
-    exact-match its oracles at sf0.1 too (10x the driver's gate scale) —
-    proves the engineered float determinism (decimal sums, fixed-point
-    outputs) is scale-independent, not tuned to one fixture size.
-    Verified green 2026-08-14 (round 5); run explicitly before rounds
-    that touch numeric aggregation paths."""
+    """Scale-up differential: the whole 50-query driver cover PLUS the
+    tier-2 head (the newest surface, next in line for driver rows) must
+    exact-match their oracles at sf0.1 too (10x the driver's gate
+    scale) — proves the engineered float determinism (decimal sums,
+    fixed-point outputs) is scale-independent, not tuned to one fixture
+    size. Verified green 2026-08-14 (rounds 5 and 6); run explicitly
+    before rounds that touch numeric aggregation paths."""
     sf = "/root/testdata/sf0.1"
     con = duck_connection(sf)
+    names = registry.DRIVER_ORDER + [
+        n for n in registry.DRIVER_ORDER_TIER2[:40] if n in registry.ORACLES
+    ]
     try:
-        for name in registry.DRIVER_ORDER:
+        for name in names:
             compare(registry.QUERIES[name](spark, sf), con, registry.ORACLES[name])
     finally:
         con.close()
