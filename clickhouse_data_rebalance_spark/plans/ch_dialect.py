@@ -23,6 +23,8 @@ any/anyLast         any_value
 arrayJoin           explode
 notEmpty/empty      length(x) > 0 / length(x) = 0
 modulo              mod
+ARRAY JOIN e AS x   LATERAL VIEW explode(e) AS x  (LEFT -> OUTER;
+                    multi-array zip form refuses: arrays_zip+explode)
 PREWHERE            WHERE (Spark pushes predicates anyway)
 GROUP BY c WITH TOTALS   GROUP BY GROUPING SETS ((c), ())
 FORMAT <fmt> tail   stripped (sinks are explicit in Spark)
@@ -74,6 +76,17 @@ _REFUSALS: list[tuple[re.Pattern[str], str]] = [
     (
         re.compile(r"\bFROM\s+[\w.]+\s+FINAL\b", re.I),
         "use upsert_latest_wins (latest-wins collapse over the key/version)",
+    ),
+    # multi-array ARRAY JOIN zips arrays positionally — that is
+    # arrays_zip + one explode, not two LATERAL VIEWs (which would
+    # cross-product); refuse rather than mis-shape
+    (
+        re.compile(
+            r"\bARRAY\s+JOIN\s+(?:'[^']*'|[^'(),]|\([^()]*\))+"
+            r",\s*(?:'[^']*'|[^'(),]|\([^()]*\))+\s+AS\s+",
+            re.I,
+        ),
+        "multi-array ARRAY JOIN zips positionally — use arrays_zip + explode",
     ),
 ]
 
@@ -205,6 +218,21 @@ _REWRITES: list[tuple[re.Pattern[str], str]] = [
     (re.compile(rf"\bempty\s*\(\s*{_ARG}\s*\)", re.I), r"(length(\1) = 0)"),
     (re.compile(r"\bmodulo\s*\(", re.I), "mod("),
     # ---- clauses ----
+    # ARRAY JOIN as a CLAUSE (ClickHouse's signature flatten): the
+    # expression form `FROM t ARRAY JOIN <expr> AS x` becomes a lateral
+    # explode; LEFT ARRAY JOIN keeps empty-array rows via explode_outer
+    (
+        re.compile(
+            rf"\bLEFT\s+ARRAY\s+JOIN\s+{_ARG}\s+AS\s+([A-Za-z_]\w*)", re.I
+        ),
+        r"LATERAL VIEW OUTER explode(\1) AS \2",
+    ),
+    (
+        re.compile(
+            rf"\bARRAY\s+JOIN\s+{_ARG}\s+AS\s+([A-Za-z_]\w*)", re.I
+        ),
+        r"LATERAL VIEW explode(\1) AS \2",
+    ),
     # GROUP BY cols WITH TOTALS: the totals block becomes the standard
     # grouping-sets ALL row (NULL group keys) — bare-column lists only;
     # expression group-bys fall through to the residual refusal
@@ -451,6 +479,49 @@ def ch_dialect_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the totals row costs one extra map-side aggregation stream, never
     a second pass."""
     return ch_sql(spark, sf_dir, _CH_TOTALS_QUERY)
+
+
+# a fourth verbatim-query shape: the ARRAY JOIN clause (flatten) over a
+# computed array, with an aggregate over the flattened rows
+_CH_ARRAY_JOIN_QUERY = """
+    SELECT tok,
+           toUInt32(count()) AS n_occurrences,
+           uniqExact(doc_id) AS n_docs
+    FROM documents
+    ARRAY JOIN splitByChar(' ', text) AS tok
+    WHERE doc_id % 10 = 0 AND lengthUTF8(tok) >= 6
+    GROUP BY tok
+    ORDER BY n_occurrences DESC, tok
+    LIMIT 15
+"""
+
+_CH_ARRAY_JOIN_ORACLE = """
+    SELECT tok,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE doc_id % 10 = 0
+    )
+    WHERE length(tok) >= 6
+    GROUP BY tok
+    ORDER BY n_occurrences DESC, tok
+    LIMIT 15
+"""
+
+
+@query("ch_dialect_array_join", _CH_ARRAY_JOIN_ORACLE)
+def ch_dialect_array_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dialect shim end-to-end over the ARRAY JOIN CLAUSE (ClickHouse's
+    signature flatten — distinct from the arrayJoin() function): the
+    expression form translates to LATERAL VIEW explode, LEFT ARRAY JOIN
+    to the OUTER variant, and the multi-array zip form REFUSES (two
+    lateral views would cross-product, not zip). The oracle flattens
+    via DuckDB unnest — an independent derivation of the same rows.
+
+    Scale: explode is a codegen Generate over the scan — the flatten
+    never shuffles; only the token rollup does."""
+    return ch_sql(spark, sf_dir, _CH_ARRAY_JOIN_QUERY)
 
 
 # ---------------------------------------------------------------------------

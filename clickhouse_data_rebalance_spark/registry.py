@@ -188,6 +188,7 @@ DRIVER_ORDER_TIER2: list[str] = [
     "python_udtf_bigrams",
     "statestore_introspection",
     "sink_observed_metrics",
+    "ch_dialect_array_join",
     # drift-prone streaming/event-time equivalences
     "stream_session_equiv",
     "stream_sliding_equiv",

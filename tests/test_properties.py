@@ -1023,3 +1023,25 @@ def test_python_datasource_filter_pushdown_correct(spark):
     got = src().filter((F.col("day") == 7) & (F.col("kind") == "click")).collect()
     want = [t for t in by_day[7] if t[2] == "click"]
     assert sorted(tuple(r) for r in got) == sorted(want)
+
+
+def test_ch_dialect_array_join_clause():
+    from clickhouse_data_rebalance_spark.plans.ch_dialect import (
+        UnsupportedClickHouseSQL,
+        translate,
+    )
+    import pytest as _pytest
+
+    assert translate("SELECT a, x FROM t ARRAY JOIN xs AS x") == (
+        "SELECT a, x FROM t LATERAL VIEW explode(xs) AS x"
+    )
+    assert translate("SELECT a, x FROM t LEFT ARRAY JOIN xs AS x") == (
+        "SELECT a, x FROM t LATERAL VIEW OUTER explode(xs) AS x"
+    )
+    # expression form (inner call translated too)
+    assert "LATERAL VIEW explode(split(s, ','))" in translate(
+        "SELECT x FROM t ARRAY JOIN splitByChar(',', s) AS x"
+    )
+    # multi-array zip form must refuse, never emit two lateral views
+    with _pytest.raises(UnsupportedClickHouseSQL):
+        translate("SELECT a FROM t ARRAY JOIN xs AS x, ys AS y")
