@@ -86,7 +86,7 @@ _REFUSALS: list[tuple[re.Pattern[str], str]] = [
             r",\s*(?:'[^']*'|[^'(),]|\([^()]*\))+\s+AS\s+",
             re.I,
         ),
-        "multi-array ARRAY JOIN zips positionally — use arrays_zip + explode",
+        "multi-array ARRAY JOIN zips positionally — use arrays_zip + explode (posexplode_words shows the positional form)",
     ),
 ]
 
