@@ -1331,3 +1331,70 @@ def theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("diff_within_5pct"),
         )
     )
+
+
+@query(
+    "uniq_sliding_window",
+    """
+    WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+    ex AS (
+      SELECT d.day, COUNT(DISTINCT e.user_id) AS exact7
+      FROM days d JOIN events e
+        ON CAST(e.ts AS DATE) BETWEEN d.day - INTERVAL 6 DAY AND d.day
+      GROUP BY d.day
+    )
+    SELECT day, CAST(exact7 AS BIGINT) AS exact7, TRUE AS within_5pct
+    FROM ex ORDER BY day
+    """,
+)
+def uniq_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users via WINDOWED SKETCH MERGE: the daily
+    HLL sketches (the same mergeable state `uniq_state_merge` rolls up
+    monthly) are unioned over a ROWS 6 PRECEDING frame — every rolling
+    horizon comes from ONE pass over |days| kilobyte-sized states, where
+    exact COUNT(DISTINCT) would re-scan each 7-day slice of the corpus
+    (7x read amplification, growing with the horizon).
+
+    The 5% gate vs the exact per-window count (computed independently
+    by a day-range join on both engines) has the same ~6-sigma margin
+    as `uniq_state_merge` (HLL lgK=12+ standard error under 1.6%).
+
+    Scale: the window runs over the DAILY AGGREGATE — its single
+    partition holds |days| sketch rows (metadata-sized at any corpus
+    volume; days grow with calendar time, not data size), never events."""
+    e = table(spark, sf_dir, "events")
+    day = F.to_date("ts").alias("day")
+    daily = e.groupBy(day).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    w = W.orderBy("day").rowsBetween(-6, 0)
+    est = daily.select(
+        "day",
+        F.hll_sketch_estimate(F.hll_union_agg("sk").over(w)).alias("est7"),
+    )
+    days = e.select(day).distinct()
+    exact = (
+        days.alias("d")
+        .join(
+            e.select(day, "user_id").alias("e"),
+            F.col("e.day").between(
+                F.date_sub(F.col("d.day"), 6), F.col("d.day")
+            ),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.countDistinct("user_id").cast("bigint").alias("exact7"))
+    )
+    return (
+        est.join(exact, "day")
+        .select(
+            "day",
+            "exact7",
+            (
+                F.abs(
+                    F.col("est7").cast("double")
+                    / F.col("exact7").cast("double")
+                    - 1.0
+                )
+                <= 0.05
+            ).alias("within_5pct"),
+        )
+        .orderBy("day")
+    )

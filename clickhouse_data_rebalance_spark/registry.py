@@ -172,6 +172,7 @@ DRIVER_ORDER_TIER2: list[str] = [
     # sketch-state family completions (new r6 surface)
     "quantile_state_merge",
     "theta_set_ops",
+    "uniq_sliding_window",
     "ch_dialect_totals",
     "global_shuffle_shards",
     "retention_conditions",
