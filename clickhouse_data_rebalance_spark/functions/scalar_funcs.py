@@ -460,3 +460,42 @@ def array_running_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("arr"), F.lit(0).cast("bigint"), lambda a, x: a + x
         ).alias("arr_total"),
     ).orderBy("o_orderkey")
+
+
+@query(
+    "timezone_funcs",
+    """
+    SELECT event_id,
+           (ts AT TIME ZONE 'UTC') AT TIME ZONE 'America/New_York' AS ts_ny,
+           CAST(hour((ts AT TIME ZONE 'UTC') AT TIME ZONE 'America/New_York')
+                AS INT) AS hour_ny,
+           (ts AT TIME ZONE 'UTC') AT TIME ZONE 'Asia/Tokyo' AS ts_tokyo,
+           CAST((ts AT TIME ZONE 'UTC') AT TIME ZONE 'Asia/Tokyo' AS DATE)
+             AS date_tokyo
+    FROM events
+    WHERE event_id % 97 = 0
+    ORDER BY event_id
+    """,
+)
+def timezone_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timezone conversion (ClickHouse `toTimeZone` analog): UTC event
+    times shifted to New-York / Tokyo wall time with derived local hour
+    and local date — the session-locale reporting shape. Spark's
+    `from_utc_timestamp` against DuckDB's double `AT TIME ZONE` hop:
+    two INDEPENDENT IANA tzdata consumers (JVM tzdb vs ICU) must agree
+    on the offsets, which they do for these zones in the fixture's
+    window (January — no DST transition; a DST-crossing fixture would
+    additionally pin transition handling).
+
+    Scale: row-local codegen expressions; the modulo filter prunes at
+    the scan."""
+    e = table(spark, sf_dir, "events").filter(F.col("event_id") % 97 == 0)
+    ny = F.from_utc_timestamp(F.col("ts").cast("timestamp"), "America/New_York")
+    tk = F.from_utc_timestamp(F.col("ts").cast("timestamp"), "Asia/Tokyo")
+    return e.select(
+        "event_id",
+        ny.cast("timestamp_ntz").alias("ts_ny"),
+        F.hour(ny).cast("int").alias("hour_ny"),
+        tk.cast("timestamp_ntz").alias("ts_tokyo"),
+        tk.cast("date").alias("date_tokyo"),
+    ).orderBy("event_id")

@@ -190,6 +190,7 @@ DRIVER_ORDER_TIER2: list[str] = [
     "statestore_introspection",
     "sink_observed_metrics",
     "ch_dialect_array_join",
+    "timezone_funcs",
     # drift-prone streaming/event-time equivalences
     "stream_session_equiv",
     "stream_sliding_equiv",
