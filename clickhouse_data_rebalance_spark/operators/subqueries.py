@@ -186,3 +186,54 @@ def recursive_cte_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     log2(n)."""
     table(spark, sf_dir, "supplier")
     return spark.sql(_RECURSIVE_CHAIN)
+
+
+_GROUP_BY_ALL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps
+FROM lineitem
+WHERE l_quantity >= 25
+GROUP BY ALL
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@query("group_by_all", _GROUP_BY_ALL)
+def group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`GROUP BY ALL` (Spark 3.4+ / DuckDB): the engine infers the
+    grouping keys from the non-aggregate select items — identical text
+    on both engines, so the oracle exercises the same inference, not a
+    rewrite. Same physical plan as the explicit GROUP BY."""
+    table(spark, sf_dir, "lineitem")
+    return spark.sql(_GROUP_BY_ALL)
+
+
+@query(
+    "identifier_parameterized",
+    """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders WHERE o_totalprice > 200000
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def identifier_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL with the IDENTIFIER() clause (Spark 3.5+): the
+    table name and the threshold bind as ARGUMENTS, not string splices —
+    the injection-safe Spark-native replacement for the reference's
+    f-string query assembly (`sharding_recreation.py:159-160` splices
+    `{database}.{table}` into raw SQL, its whole DDL surface is string
+    surgery). A hostile "name" like `orders; DROP TABLE x` fails to
+    BIND instead of executing.
+
+    Scale: identical plan to the literal query — parameter binding is
+    analysis-time only."""
+    table(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+        FROM IDENTIFIER(:tbl) WHERE o_totalprice > :thr
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        args={"tbl": "orders", "thr": 200000},
+    )

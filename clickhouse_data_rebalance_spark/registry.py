@@ -191,6 +191,8 @@ DRIVER_ORDER_TIER2: list[str] = [
     "sink_observed_metrics",
     "ch_dialect_array_join",
     "timezone_funcs",
+    "group_by_all",
+    "identifier_parameterized",
     # drift-prone streaming/event-time equivalences
     "stream_session_equiv",
     "stream_sliding_equiv",
