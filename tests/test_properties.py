@@ -1045,3 +1045,22 @@ def test_ch_dialect_array_join_clause():
     # multi-array zip form must refuse, never emit two lateral views
     with _pytest.raises(UnsupportedClickHouseSQL):
         translate("SELECT a FROM t ARRAY JOIN xs AS x, ys AS y")
+
+
+def test_identifier_clause_rejects_hostile_names(spark, sf_dir):
+    """IDENTIFIER() binding must REJECT a name carrying SQL — the exact
+    failure mode the reference's f-string splicing cannot have (it would
+    execute it)."""
+    import pytest as _pytest
+    from pyspark.errors import AnalysisException
+    from clickhouse_data_rebalance_spark.tables import table
+
+    table(spark, sf_dir, "orders")
+    with _pytest.raises((AnalysisException, Exception)) as ei:
+        spark.sql(
+            "SELECT COUNT(*) FROM IDENTIFIER(:tbl)",
+            args={"tbl": "orders WHERE 1=1; DROP TABLE orders"},
+        ).collect()
+    assert "INVALID_IDENTIFIER" in str(ei.value) or "PARSE" in str(
+        ei.value
+    ).upper() or "not found" in str(ei.value)
