@@ -1365,7 +1365,9 @@ def uniq_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     day = F.to_date("ts").alias("day")
     daily = e.groupBy(day).agg(F.hll_sketch_agg("user_id").alias("sk"))
-    w = W.orderBy("day").rowsBetween(-6, 0)
+    # RANGE over epoch-day numbers, not ROWS over present days: with a
+    # calendar gap a ROWS frame would reach >7 days back and overcount
+    w = W.orderBy(F.unix_date(F.col("day"))).rangeBetween(-6, 0)
     est = daily.select(
         "day",
         F.hll_sketch_estimate(F.hll_union_agg("sk").over(w)).alias("est7"),

@@ -416,10 +416,13 @@ def late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
     )
     l = table(spark, sf_dir, "lineitem")
+    # full-precision interval add: date_add would truncate the order
+    # TIMESTAMP to DATE and move the lateness threshold to midnight,
+    # diverging from the oracle for any order with a time-of-day part
     late = o.join(
         l,
         (o.o_orderkey == l.l_orderkey)
-        & (l.l_shipdate > F.date_add(o.o_orderdate, 60)),
+        & (l.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAY")),
         "left_semi",
     )
     return (

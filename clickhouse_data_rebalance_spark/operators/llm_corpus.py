@@ -558,11 +558,15 @@ def line_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     w = F.split(F.trim(F.col("text")), " ")
     n_full = F.floor(F.size(w) / SPAN_W).cast("int")
-    spans = d.select(
+    # docs shorter than one span have zero spans: filter BEFORE the
+    # sequence — Spark's sequence(0, -1) yields [0, -1] (descending
+    # default step), which would mint two phantom spans the oracle's
+    # generate_series(0, -1) = [] never emits
+    spans = d.filter(F.size(w) >= SPAN_W).select(
         "doc_id",
         F.explode(
             F.transform(
-                F.sequence(F.lit(0), n_full - 1),
+                F.sequence(F.lit(0), n_full - 1, F.lit(1)),
                 lambda i: F.md5(
                     F.array_join(F.slice(w, i * SPAN_W + 1, SPAN_W), " ")
                 ),

@@ -327,6 +327,13 @@ def translate(ch_sql: str) -> str:
             "WITH TOTALS over a non-bare-column GROUP BY — rewrite the "
             "group keys as select-list aliases or use grouping_sets (C13)"
         )
+    if re.search(r"\bARRAY\s+JOIN\b", out, re.I):
+        # an alias-less ARRAY JOIN survived the rewrite; passing it
+        # through would parse as `t AS ARRAY JOIN <relation>` — a silent
+        # condition-less join, never the flatten the user wrote
+        raise UnsupportedClickHouseSQL(
+            "ARRAY JOIN without an AS alias — write `ARRAY JOIN expr AS x`"
+        )
     residual = _RESIDUALS.search(out)
     if residual:
         raise UnsupportedClickHouseSQL(

@@ -65,15 +65,21 @@ if _HAS_PY_DATASOURCE:
             self.day_eq: int | None = None
 
         def pushFilters(self, filters):
-            """Accept EqualTo('day', v): matching rows are generated
-            directly (index stepping), everything else is reported back
-            as unsupported so Spark keeps a post-filter for it."""
+            """Accept ONE in-domain EqualTo('day', v): matching rows are
+            generated directly (index stepping). Everything else —
+            non-day filters, out-of-domain values (day is 1..30; a
+            modulo would silently alias 31 -> 1), and any SECOND day
+            equality (two different values must intersect to empty, not
+            last-write-wins) — is reported back as unsupported so Spark
+            keeps a post-filter for it."""
             unsupported = []
             for f in filters:
                 if (
                     isinstance(f, EqualTo)
                     and f.attribute == ("day",)
                     and isinstance(f.value, int)
+                    and 1 <= f.value <= 30
+                    and self.day_eq is None
                 ):
                     self.day_eq = f.value
                 else:

@@ -97,19 +97,25 @@ def _ckpt_dir(prefix: str) -> str:
 
     Lifecycle: callers rmtree the dir once their query terminates (it is
     dead weight in RAM on tmpfs); an atexit hook backstops error paths,
-    and stale siblings from killed processes (same prefix family, >1 h
-    old) are reaped opportunistically — the same no-accumulation rule
-    the IVF index GC applies (VERDICT r5 wrong-list #3).
+    and orphaned siblings are reaped opportunistically — the same
+    no-accumulation rule the IVF index GC applies (VERDICT r5 wrong-list
+    #3). Each dir embeds its creator's PID and the reaper only removes
+    dirs whose owner is DEAD — age alone must never delete a checkpoint
+    a live process still reads (e.g. statestore_introspection's lazily
+    consumed state, or a >1 h sibling session's active stream).
     """
     base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
-    now = time.time()
-    for stale in glob.glob(os.path.join(base, "cdr_ckpt_*")):
+    for stale in glob.glob(os.path.join(base, "cdr_ckpt_*__pid*_*")):
         try:
-            if now - os.path.getmtime(stale) > 3600:
-                shutil.rmtree(stale, ignore_errors=True)
-        except OSError:
-            pass
-    d = tempfile.mkdtemp(prefix=prefix, dir=base)
+            pid = int(stale.rsplit("__pid", 1)[1].split("_", 1)[0])
+            os.kill(pid, 0)  # raises if the owner is gone
+        except (ValueError, IndexError):
+            continue
+        except ProcessLookupError:
+            shutil.rmtree(stale, ignore_errors=True)
+        except PermissionError:
+            pass  # owner alive under another uid
+    d = tempfile.mkdtemp(prefix=f"{prefix}_pid{os.getpid()}_", dir=base)
     atexit.register(shutil.rmtree, d, ignore_errors=True)
     return d
 

@@ -68,8 +68,14 @@ def test_driver_cover_at_sf01(spark):
     before rounds that touch numeric aggregation paths."""
     sf = "/root/testdata/sf0.1"
     con = duck_connection(sf)
+    # tier-2 head = everything up to the first long-green rotated-out
+    # veteran ("collect_agg") — the whole newest surface, not a fixed
+    # index that silently truncates as the list grows
+    tier2_head = registry.DRIVER_ORDER_TIER2[
+        : registry.DRIVER_ORDER_TIER2.index("collect_agg")
+    ]
     names = registry.DRIVER_ORDER + [
-        n for n in registry.DRIVER_ORDER_TIER2[:40] if n in registry.ORACLES
+        n for n in tier2_head if n in registry.ORACLES
     ]
     try:
         for name in names:

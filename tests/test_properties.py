@@ -1064,3 +1064,55 @@ def test_identifier_clause_rejects_hostile_names(spark, sf_dir):
     assert "INVALID_IDENTIFIER" in str(ei.value) or "PARSE" in str(
         ei.value
     ).upper() or "not found" in str(ei.value)
+
+
+def test_python_datasource_out_of_domain_day(spark):
+    """Review finding: a pushed EqualTo('day', v) outside 1..30 must
+    return the EMPTY set (not v mod 30), and two different day
+    equalities must intersect to empty."""
+    from clickhouse_data_rebalance_spark.sources.python_source import (
+        register_synthetic_source,
+    )
+
+    register_synthetic_source(spark)
+    src = lambda: spark.read.format("synthetic_events").load()  # noqa: E731
+    assert src().filter(F.col("day") == 31).count() == 0
+    assert src().filter(F.col("day") == 0).count() == 0
+    assert src().filter((F.col("day") == 3) & (F.col("day") == 7)).count() == 0
+
+
+def test_ch_dialect_array_join_aliasless_refuses():
+    """Review finding: ARRAY JOIN without AS must refuse — passed
+    through, Spark would parse it as a condition-less join."""
+    import pytest as _pytest
+
+    from clickhouse_data_rebalance_spark.plans.ch_dialect import (
+        UnsupportedClickHouseSQL,
+        translate,
+    )
+
+    with _pytest.raises(UnsupportedClickHouseSQL):
+        translate("SELECT x FROM t ARRAY JOIN xs")
+
+
+def test_line_dedup_short_docs_have_no_phantom_spans(spark):
+    """Review finding: Spark sequence(0, -1) = [0, -1]; a document
+    shorter than one span must contribute ZERO spans, exactly like the
+    oracle's empty generate_series."""
+    from clickhouse_data_rebalance_spark.operators.llm_corpus import SPAN_W
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, ""), (3, "one two three four")],
+        "doc_id long, text string",
+    )
+    df.createOrReplaceTempView("documents_short_probe")
+    w = F.split(F.trim(F.col("text")), " ")
+    n_full = F.floor(F.size(w) / SPAN_W).cast("int")
+    spans = df.filter(F.size(w) >= SPAN_W).select(
+        "doc_id",
+        F.explode(
+            F.transform(F.sequence(F.lit(0), n_full - 1, F.lit(1)), lambda i: i)
+        ).alias("i"),
+    )
+    got = {(r["doc_id"], r["i"]) for r in spans.collect()}
+    assert got == {(3, 0)}  # only the 4-word doc, exactly one 3-word span
