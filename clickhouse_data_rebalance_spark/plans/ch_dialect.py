@@ -23,6 +23,7 @@ any/anyLast         any_value
 arrayJoin           explode
 notEmpty/empty      length(x) > 0 / length(x) = 0
 modulo              mod
+GLOBAL JOIN/IN      modifier stripped (planner owns distribution)
 ARRAY JOIN e AS x   LATERAL VIEW explode(e) AS x  (LEFT -> OUTER;
                     multi-array zip form refuses: arrays_zip+explode)
 PREWHERE            WHERE (Spark pushes predicates anyway)
@@ -33,7 +34,8 @@ FORMAT <fmt> tail   stripped (sinks are explicit in Spark)
 `FROM t FINAL` refuses (the collapse needs the table's key/version
 columns the SQL text does not carry) and points at upsert_latest_wins;
 `WITH TOTALS` over expression group keys likewise refuses rather than
-mis-grouping.
+mis-grouping; `ANY JOIN` (needs right-side key dedup the ON text can't
+state) and `ASOF JOIN` (native asof_join family) refuse with pointers.
 
 `LIMIT n BY cols` (ClickHouse's signature clause) translates to a
 ROW_NUMBER window in the flat single-SELECT shape (see
@@ -76,6 +78,19 @@ _REFUSALS: list[tuple[re.Pattern[str], str]] = [
     (
         re.compile(r"\bFROM\s+[\w.]+\s+FINAL\b", re.I),
         "use upsert_latest_wins (latest-wins collapse over the key/version)",
+    ),
+    # ANY JOIN keeps at most one right-side match per left row — the
+    # faithful translation needs the right side deduplicated BY THE JOIN
+    # KEYS, which the ON text does not carry reliably
+    (
+        re.compile(r"\bANY\s+(LEFT\s+|RIGHT\s+|INNER\s+)?JOIN\b", re.I),
+        "dedupe the right side first (dedup_by_key / upsert_latest_wins), "
+        "then plain JOIN",
+    ),
+    # ClickHouse ASOF JOIN: use the native as-of operator family
+    (
+        re.compile(r"\bASOF\s+(LEFT\s+)?JOIN\b", re.I),
+        "use asof_join / asof_join_tolerance / asof_join_forward",
     ),
     # multi-array ARRAY JOIN zips arrays positionally — that is
     # arrays_zip + one explode, not two LATERAL VIEWs (which would
@@ -218,6 +233,10 @@ _REWRITES: list[tuple[re.Pattern[str], str]] = [
     (re.compile(rf"\bempty\s*\(\s*{_ARG}\s*\)", re.I), r"(length(\1) = 0)"),
     (re.compile(r"\bmodulo\s*\(", re.I), "mod("),
     # ---- clauses ----
+    # GLOBAL JOIN/IN ships the right side to every shard — exactly what
+    # Spark's planner decides itself (broadcast by stats/AQE); the
+    # keyword is distribution advice with no Spark spelling, so strip it
+    (re.compile(r"\bGLOBAL\s+(?=(ANY|ALL|LEFT|RIGHT|INNER|FULL|CROSS|JOIN|IN\b))", re.I), ""),
     # ARRAY JOIN as a CLAUSE (ClickHouse's signature flatten): the
     # expression form `FROM t ARRAY JOIN <expr> AS x` becomes a lateral
     # explode; LEFT ARRAY JOIN keeps empty-array rows via explode_outer

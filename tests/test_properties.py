@@ -1116,3 +1116,27 @@ def test_line_dedup_short_docs_have_no_phantom_spans(spark):
     )
     got = {(r["doc_id"], r["i"]) for r in spans.collect()}
     assert got == {(3, 0)}  # only the 4-word doc, exactly one 3-word span
+
+
+def test_ch_dialect_join_modifiers():
+    """GLOBAL strips (Spark's planner owns distribution); ANY/ASOF join
+    modifiers refuse with native-operator pointers."""
+    import pytest as _pytest
+
+    from clickhouse_data_rebalance_spark.plans.ch_dialect import (
+        UnsupportedClickHouseSQL,
+        translate,
+    )
+
+    assert translate("SELECT * FROM a GLOBAL LEFT JOIN b ON a.k = b.k") == (
+        "SELECT * FROM a LEFT JOIN b ON a.k = b.k"
+    )
+    assert translate("SELECT * FROM a WHERE k GLOBAL IN (SELECT k FROM b)") == (
+        "SELECT * FROM a WHERE k IN (SELECT k FROM b)"
+    )
+    for bad in [
+        "SELECT * FROM a ANY LEFT JOIN b ON a.k = b.k",
+        "SELECT * FROM a ASOF JOIN b ON a.k = b.k AND a.ts >= b.ts",
+    ]:
+        with _pytest.raises(UnsupportedClickHouseSQL):
+            translate(bad)
