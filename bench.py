@@ -90,7 +90,7 @@ def _cpu_calibration() -> float:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    cal = _cpu_calibration()
+    cal_pre = _cpu_calibration()
     registry.load_all()
     spark = get_spark("cdr-bench")
 
@@ -118,6 +118,7 @@ def main() -> None:
             best[name] = min(best[name], time.perf_counter() - t0)
     timings = {n: round(v, 3) for n, v in best.items()}
 
+    cal_post = _cpu_calibration()
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total_runtime",
@@ -125,9 +126,16 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
-        "cal_spin_sec": cal,
+        # calibration sampled BEFORE and AFTER the queries, published as
+        # the mean: a single pre-run sample once diverged ~45% from the
+        # box state the queries actually ran under (uniform ~1.6x
+        # normalized inflation across every query — the tell that the
+        # probe, not the plans, moved)
+        "cal_spin_sec": round((cal_pre + cal_post) / 2, 3),
+        "cal_spin_pre": cal_pre,
+        "cal_spin_post": cal_post,
     }
-    out.update(_vs_prev(timings, total, cal))
+    out.update(_vs_prev(timings, total, (cal_pre + cal_post) / 2))
     print(json.dumps(out))
     spark.stop()
 
