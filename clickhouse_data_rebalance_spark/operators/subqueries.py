@@ -237,3 +237,41 @@ def identifier_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"tbl": "orders", "thr": 200000},
     )
+
+
+_PIVOT_SQL_CLAUSE = """
+SELECT l_returnflag,
+       CAST(f AS DOUBLE) AS qty_f,
+       CAST(o AS DOUBLE) AS qty_o
+FROM (
+  SELECT l_returnflag, l_linestatus, l_quantity FROM lineitem
+)
+PIVOT (
+  SUM(CAST(l_quantity AS DECIMAL(30,4))) FOR l_linestatus IN ('F' AS f, 'O' AS o)
+)
+ORDER BY l_returnflag
+"""
+
+_PIVOT_ORACLE = """
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(30,4)))
+            FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_f,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(30,4)))
+            FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS qty_o
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@query("pivot_sql_clause", _PIVOT_ORACLE)
+def pivot_sql_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL PIVOT clause (`pivot_agg` covers the DataFrame `.pivot`
+    API; this is the declarative spelling a SQL-first user writes). The
+    oracle derives the same cells via FILTERed conditional aggregates —
+    an independent derivation, so a mis-bound pivot column would
+    hash-mismatch. Catalyst compiles both to the same single-scan
+    conditional-aggregate plan: pivot columns are enumerated at analysis
+    time, never a second pass per column."""
+    table(spark, sf_dir, "lineitem")
+    return spark.sql(_PIVOT_SQL_CLAUSE)

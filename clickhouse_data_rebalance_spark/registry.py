@@ -193,6 +193,7 @@ DRIVER_ORDER_TIER2: list[str] = [
     "timezone_funcs",
     "group_by_all",
     "identifier_parameterized",
+    "pivot_sql_clause",
     # drift-prone streaming/event-time equivalences
     "stream_session_equiv",
     "stream_sliding_equiv",
