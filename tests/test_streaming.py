@@ -202,3 +202,32 @@ def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
     second = run()
     # dropped: no re-emission, no correction, nothing new finalized
     assert second == {"10": 3}, f"late row leaked: {second}"
+
+
+def test_ckpt_reaper_is_ownership_aware(spark):
+    """The checkpoint reaper must remove dirs whose creator PID is dead
+    and must NEVER touch a live owner's dir (review finding: age-based
+    reaping could delete checkpoints a >1 h session still reads)."""
+    import os
+
+    from clickhouse_data_rebalance_spark.streaming.stream_ops import _ckpt_dir
+
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    import tempfile
+
+    dead = tempfile.mkdtemp(prefix="cdr_ckpt_probe__pid999999_", dir=base)
+    live = tempfile.mkdtemp(
+        prefix=f"cdr_ckpt_probe__pid{os.getpid()}_", dir=base
+    )
+    unowned = tempfile.mkdtemp(prefix="cdr_ckpt_probe_noownertag_", dir=base)
+    try:
+        mine = _ckpt_dir("cdr_ckpt_probe_")  # triggers the reaper
+        assert not os.path.exists(dead), "dead-owner dir must be reaped"
+        assert os.path.exists(live), "live-owner dir must survive"
+        assert os.path.exists(unowned), "untagged dirs are never touched"
+        assert os.path.exists(mine)
+    finally:
+        import shutil
+
+        for d in (live, unowned):
+            shutil.rmtree(d, ignore_errors=True)
