@@ -1400,3 +1400,49 @@ def uniq_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "heavy_hitters_weighted",
+    """
+    SELECT * FROM (
+      SELECT l_returnflag, l_partkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS weight,
+             ROW_NUMBER() OVER (
+               PARTITION BY l_returnflag
+               ORDER BY SUM(CAST(l_quantity AS DECIMAL(30,4))) DESC, l_partkey
+             ) AS rnk
+      FROM lineitem GROUP BY l_returnflag, l_partkey) t
+    WHERE rnk <= 5 ORDER BY l_returnflag, rnk
+    """,
+)
+def heavy_hitters_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse `topKWeighted(5)(part, weight)` analog, computed
+    exactly: the heavy hitters ranked by SUMMED WEIGHT (quantity), not
+    occurrence count — `heavy_hitters` is the count-based sibling. Same
+    two-bounded-shuffle shape: per-(group, value) weight sums reduce
+    map-side before the per-group rank window; decimal-exact weights
+    with a key tiebreak make the top-5 deterministic on both engines.
+
+    Scale: identical argument to `heavy_hitters` — the first aggregation
+    collapses to |groups|x|values| rows before anything wide; the
+    mergeable-sketch form for unbounded value domains is
+    `topk_state_merge`."""
+    l = table(spark, sf_dir, "lineitem")
+    weights = l.groupBy("l_returnflag", "l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(30,4)")).alias("w_dec")
+    )
+    w = W.partitionBy("l_returnflag").orderBy(
+        F.col("w_dec").desc(), F.col("l_partkey")
+    )
+    return (
+        weights.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "l_returnflag",
+            "l_partkey",
+            F.col("w_dec").cast("double").alias("weight"),
+            "rnk",
+        )
+        .orderBy("l_returnflag", "rnk")
+    )

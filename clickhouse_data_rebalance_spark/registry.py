@@ -194,6 +194,7 @@ DRIVER_ORDER_TIER2: list[str] = [
     "group_by_all",
     "identifier_parameterized",
     "pivot_sql_clause",
+    "heavy_hitters_weighted",
     # drift-prone streaming/event-time equivalences
     "stream_session_equiv",
     "stream_sliding_equiv",
