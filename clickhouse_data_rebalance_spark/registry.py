@@ -195,6 +195,7 @@ DRIVER_ORDER_TIER2: list[str] = [
     "identifier_parameterized",
     "pivot_sql_clause",
     "heavy_hitters_weighted",
+    "mutation_delete_update",
     # drift-prone streaming/event-time equivalences
     "stream_session_equiv",
     "stream_sliding_equiv",

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..registry import query
 from ..tables import table
+from ..operators._util import dec_sum, sql_dec_sum
 
 _TMP = "/tmp/cdr_spark/sources"
 
@@ -308,4 +309,78 @@ def sink_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ],
         "n_rows bigint, n_null_price bigint, total_price double",
+    )
+
+
+@query(
+    "mutation_delete_update",
+    f"""
+    WITH mutated AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CASE WHEN o_orderstatus = 'O' AND o_totalprice < 50000
+                  THEN o_totalprice * 1.1 ELSE o_totalprice END AS o_totalprice
+      FROM orders
+      WHERE NOT (o_orderstatus = 'O' AND o_custkey % 100 = 7)
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {sql_dec_sum('o_totalprice')} AS total_price
+    FROM mutated
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def mutation_delete_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse `ALTER TABLE ... DELETE / UPDATE` (mutations) as
+    partition-scoped COPY-ON-WRITE: the GDPR-delete shape. The orders
+    table is laid out partitioned by status; a delete predicate
+    (forget customers ending in 07 among open orders) and an update
+    (repricing low-value open orders) both touch ONLY the 'O'
+    partition — with `partitionOverwriteMode=dynamic`, the rewrite
+    overwrites exactly the partitions the mutated frame contains, and
+    the untouched 'F'/'P' partition files are never rewritten (their
+    mtimes are asserted unchanged in the plan-quality suite).
+
+    The oracle states the post-mutation table content independently
+    (filter + CASE over the source), so a mutation that leaked into or
+    skipped a partition would hash-mismatch.
+
+    Scale: mutation cost = size of AFFECTED partitions, not the table —
+    the same cost model ClickHouse mutations and Delta/Iceberg
+    copy-on-write share; at 100 TB you partition so mutations localize
+    (status, date, tenant)."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    path = os.path.join(_TMP, "orders_mutable")
+    shutil.rmtree(path, ignore_errors=True)
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+
+    mutated_part = (
+        spark.read.parquet(path)
+        .filter(F.col("o_orderstatus") == "O")
+        .filter(~((F.col("o_custkey") % 100) == 7))  # DELETE WHERE
+        .withColumn(
+            "o_totalprice",  # UPDATE SET
+            F.when(
+                F.col("o_totalprice") < 50000, F.col("o_totalprice") * 1.1
+            ).otherwise(F.col("o_totalprice")),
+        )
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        mutated_part.write.mode("overwrite").partitionBy(
+            "o_orderstatus"
+        ).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            dec_sum("o_totalprice").alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
     )

@@ -596,3 +596,54 @@ def test_sql_udf_inlines_into_codegen(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "PushedFilters" in plan
     assert "IsNotNull(o_totalprice)" in plan
+
+
+def test_mutation_rewrites_only_affected_partitions(spark):
+    """mutation_delete_update claims partition-scoped copy-on-write: the
+    dynamic-overwrite mutation write must leave the untouched status
+    partitions' files byte-identical (same names and mtimes) and rewrite
+    only the mutated partition. Measured within one layout+mutate cycle
+    (the registered query re-lays its base table per invocation for
+    idempotence, so the check replicates its two steps inline)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from clickhouse_data_rebalance_spark.tables import table
+
+    path = "/tmp/cdr_spark/sources/orders_mutable_probe"
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    o = table(spark, SF_SMALL, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+
+    def snapshot(part):
+        d = os.path.join(path, f"o_orderstatus={part}")
+        return {
+            f: os.path.getmtime(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    before = {p: snapshot(p) for p in ("F", "P")}
+    before_o = snapshot("O")
+    mutated = (
+        spark.read.parquet(path)
+        .filter(F.col("o_orderstatus") == "O")
+        .filter(~((F.col("o_custkey") % 100) == 7))
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        mutated.write.mode("overwrite").partitionBy("o_orderstatus").parquet(
+            path
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    for p in ("F", "P"):
+        assert snapshot(p) == before[p], f"untouched partition {p} rewritten"
+    assert snapshot("O") != before_o, "mutated partition should be rewritten"
+    shutil.rmtree(path, ignore_errors=True)
