@@ -499,3 +499,40 @@ def timezone_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         tk.cast("timestamp_ntz").alias("ts_tokyo"),
         tk.cast("date").alias("date_tokyo"),
     ).orderBy("event_id")
+
+
+@query(
+    "multi_array_zip_flatten",
+    """
+    SELECT doc_id,
+           unnest(string_split(trim(text), ' ')) AS tok,
+           CAST(unnest(list_transform(string_split(trim(text), ' '),
+                                      x -> length(x))) AS INT) AS tok_len
+    FROM documents
+    WHERE doc_id % 50 = 0
+    ORDER BY doc_id, tok, tok_len
+    """,
+)
+def multi_array_zip_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The POSITIONAL multi-array flatten ClickHouse writes as
+    `ARRAY JOIN a AS x, b AS y` — the form the dialect shim refuses
+    with a pointer here: arrays_zip pairs the arrays element-by-element
+    and ONE explode emits the zipped rows (two LATERAL VIEWs would
+    cross-product instead). DuckDB's parallel unnest zips natively, so
+    the oracle derives the same rows through a different mechanism.
+
+    Scale: row-local codegen Generate — zero shuffle for the flatten;
+    output rows = total elements."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 50 == 0)
+    toks = F.split(F.trim(F.col("text")), " ")
+    lens = F.transform(toks, lambda x: F.length(x))
+    z = F.explode(F.arrays_zip(toks.alias("tok"), lens.alias("tok_len")))
+    return (
+        d.select("doc_id", z.alias("z"))
+        .select(
+            "doc_id",
+            F.col("z.tok").alias("tok"),
+            F.col("z.tok_len").cast("int").alias("tok_len"),
+        )
+        .orderBy("doc_id", "tok", "tok_len")
+    )

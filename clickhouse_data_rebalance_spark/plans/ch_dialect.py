@@ -101,7 +101,7 @@ _REFUSALS: list[tuple[re.Pattern[str], str]] = [
             r",\s*(?:'[^']*'|[^'(),]|\([^()]*\))+\s+AS\s+",
             re.I,
         ),
-        "multi-array ARRAY JOIN zips positionally — use arrays_zip + explode (posexplode_words shows the positional form)",
+        "multi-array ARRAY JOIN zips positionally — use arrays_zip + explode (see multi_array_zip_flatten)",
     ),
 ]
 

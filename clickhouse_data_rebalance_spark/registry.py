@@ -196,6 +196,7 @@ DRIVER_ORDER_TIER2: list[str] = [
     "pivot_sql_clause",
     "heavy_hitters_weighted",
     "mutation_delete_update",
+    "multi_array_zip_flatten",
     # drift-prone streaming/event-time equivalences
     "stream_session_equiv",
     "stream_sliding_equiv",
