@@ -689,3 +689,72 @@ def topk_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     summed = partials.groupBy("item").agg(F.sum("est").alias("est"))
     return mg_reduce_to_k(summed).orderBy("item")
+
+
+@query(
+    "length_bucket_packing",
+    """
+    WITH toks AS (
+      SELECT doc_id, len(string_split(trim(text), ' ')) AS n_tok
+      FROM documents
+    ),
+    bucketed AS (
+      SELECT doc_id, n_tok,
+             CAST(power(2, ceil(log2(greatest(n_tok, 1)))) AS BIGINT)
+               AS bucket
+      FROM toks
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS real_tokens,
+           CAST(COUNT(*) * bucket AS BIGINT) AS padded_tokens,
+           CAST(1.0 - SUM(n_tok) / CAST(COUNT(*) * bucket AS DOUBLE)
+                AS DOUBLE) AS padding_waste
+    FROM bucketed
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def length_bucket_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching efficiency: documents grouped into
+    power-of-two token-length buckets (the dynamic-batching strategy
+    that pads each sequence to its bucket size instead of the global
+    max), with per-bucket padding-waste accounting — the number a
+    batching design is judged by. Pairs with `pack_token_shards` (which
+    packs by cumulative budget): bucketing bounds per-batch padding,
+    packing bounds shard skew.
+
+    log2/power stay in exact-integer territory (power(2, ceil(log2 n))
+    on BIGINT counts), so both engines derive identical buckets and the
+    waste ratio divides identical integers.
+
+    Scale: bucket assignment is row-local; the only shuffle is the
+    |buckets|-row rollup of map-side partials."""
+    d = table(spark, sf_dir, "documents")
+    n_tok = F.size(tokens("text")).cast("bigint")
+    bucket = F.pow(
+        F.lit(2.0), F.ceil(F.log2(F.greatest(n_tok, F.lit(1))))
+    ).cast("bigint")
+    b = d.select(n_tok.alias("n_tok"), bucket.alias("bucket"))
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("real_tokens"),
+            (F.count(F.lit(1)) * F.first("bucket"))
+            .cast("bigint")
+            .alias("padded_tokens"),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "real_tokens",
+            "padded_tokens",
+            (
+                1.0
+                - F.col("real_tokens").cast("double")
+                / F.col("padded_tokens").cast("double")
+            ).alias("padding_waste"),
+        )
+        .orderBy("bucket")
+    )

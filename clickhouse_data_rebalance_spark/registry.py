@@ -197,6 +197,7 @@ DRIVER_ORDER_TIER2: list[str] = [
     "heavy_hitters_weighted",
     "mutation_delete_update",
     "multi_array_zip_flatten",
+    "length_bucket_packing",
     # drift-prone streaming/event-time equivalences
     "stream_session_equiv",
     "stream_sliding_equiv",
