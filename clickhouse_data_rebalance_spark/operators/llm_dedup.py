@@ -950,3 +950,75 @@ def edit_distance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("rel_dist", "doc_a", "doc_b")
         .limit(10)
     )
+
+
+_KEEP_BEST_ORACLE = """
+    WITH RECURSIVE edges AS (
+      SELECT a.vec_id AS ea, b.vec_id AS eb
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(
+              list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+              list_transform(b.embedding, x -> CAST(x AS DOUBLE))) >= 0.3
+    ), sym AS (
+      SELECT ea AS a, eb AS b FROM edges UNION ALL SELECT eb, ea FROM edges
+    ), reach(src, node) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT r.src, s.b FROM reach r JOIN sym s ON r.node = s.a
+    ), clusters AS (
+      SELECT src AS doc_id, MIN(node) AS cluster_id FROM reach GROUP BY src
+    ), ranked AS (
+      SELECT c.cluster_id, c.doc_id, d.n_chars,
+             ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                ORDER BY d.n_chars DESC, c.doc_id) AS rnk,
+             COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_members
+      FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+    )
+    SELECT cluster_id,
+           doc_id AS kept_doc_id,
+           CAST(n_members AS BIGINT) AS n_members,
+           CAST(n_chars AS BIGINT) AS kept_n_chars
+    FROM ranked WHERE rnk = 1 AND n_members >= 2
+    ORDER BY cluster_id
+"""
+
+
+@query("dedup_keep_best", _KEEP_BEST_ORACLE)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-representative SELECTION POLICY over the transitive
+    near-dup clusters: keep the LONGEST member (n_chars, tie-break
+    smallest id) of every multi-member cluster — the curation rule most
+    corpus pipelines actually want (the longest duplicate usually
+    carries the superset of content), where `dedup_clusters_cc` and the
+    pairwise dedup ops demonstrate the min-id keeper. The policy is a
+    pluggable ranked window over the cluster labels; swapping in a
+    quality-classifier score is the same one-line ORDER BY change.
+
+    Scale: adds ONE join (clusters x documents on id) and one
+    cluster-partitioned window on top of the CC labels — both on keys
+    the CC output already carries; no new corpus-wide shuffle class."""
+    from pyspark.sql import Window as W
+
+    clusters = dedup_clusters_cc(spark, sf_dir)
+    d = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = W.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    ranked = (
+        clusters.join(d, "doc_id")
+        .withColumn("rnk", F.row_number().over(w))
+        .withColumn(
+            "n_members", F.count(F.lit(1)).over(W.partitionBy("cluster_id"))
+        )
+    )
+    return (
+        ranked.filter((F.col("rnk") == 1) & (F.col("n_members") >= 2))
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("kept_doc_id"),
+            F.col("n_members").cast("bigint").alias("n_members"),
+            F.col("n_chars").cast("bigint").alias("kept_n_chars"),
+        )
+        .orderBy("cluster_id")
+    )

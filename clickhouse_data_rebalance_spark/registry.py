@@ -198,6 +198,7 @@ DRIVER_ORDER_TIER2: list[str] = [
     "mutation_delete_update",
     "multi_array_zip_flatten",
     "length_bucket_packing",
+    "dedup_keep_best",
     # drift-prone streaming/event-time equivalences
     "stream_session_equiv",
     "stream_sliding_equiv",
