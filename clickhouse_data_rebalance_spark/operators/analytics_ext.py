@@ -1446,3 +1446,71 @@ def heavy_hitters_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "rnk")
     )
+
+
+@query(
+    "mad_outlier_scores",
+    """
+    WITH med AS (
+      SELECT event_type, ROUND(quantile_cont(value, 0.5), 9) AS med
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+      FROM events e JOIN med m ON e.event_type = m.event_type
+    ),
+    mad AS (
+      SELECT event_type, med, ROUND(quantile_cont(adev, 0.5), 9) AS mad
+      FROM dev GROUP BY event_type, med
+    )
+    SELECT d.event_type,
+           m.med,
+           m.mad,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN abs(d.value - m.med) > 3 * m.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m ON d.event_type = m.event_type
+    GROUP BY d.event_type, m.med, m.mad
+    ORDER BY d.event_type
+    """,
+)
+def mad_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier scoring via MEDIAN ABSOLUTE DEVIATION: per event
+    type, median and MAD of `value`, and the count of |v - med| > 3-MAD
+    outliers — the robust alternative to z-scores (`agg_stats`' stddev
+    is dragged by the outliers it is supposed to find; the median pair
+    is not). Medians pass through the ROUND(,9) ulp-absorber
+    `median_exact` established, so the outlier SET — a strict float
+    comparison against 3*mad — is engine-identical, not just the
+    summary stats.
+
+    Scale: two grouped exact medians (group values co-located — the
+    honest exactness cost, sketchable via `quantile_state_merge`'s KLL
+    at corpus scale) plus one broadcast of the |types|-row median/MAD
+    table back across events; no corpus self-join."""
+    e = table(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 9).alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type", "med").agg(
+        F.round(F.percentile("adev", F.lit(0.5)), 9).alias("mad")
+    )
+    return (
+        dev.drop("med")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("med")) > 3 * F.col("mad"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )

@@ -199,6 +199,7 @@ DRIVER_ORDER_TIER2: list[str] = [
     "multi_array_zip_flatten",
     "length_bucket_packing",
     "dedup_keep_best",
+    "mad_outlier_scores",
     # drift-prone streaming/event-time equivalences
     "stream_session_equiv",
     "stream_sliding_equiv",
