@@ -9,7 +9,7 @@ whole-stage codegen and scales linearly with executors.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..registry import query
 from ..tables import table
@@ -757,4 +757,90 @@ def length_bucket_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("padding_waste"),
         )
         .orderBy("bucket")
+    )
+
+
+@query(
+    "corpus_datasheet",
+    """
+    WITH t AS (
+      SELECT doc_id, lang, n_chars,
+             len(string_split(trim(text), ' ')) AS n_tok,
+             md5(lower(trim(text))) AS fp
+      FROM documents
+    ),
+    langs AS (
+      SELECT lang, COUNT(*) AS n FROM t GROUP BY lang
+    ),
+    ent AS (
+      SELECT ROUND(-SUM((n / total) * log2(n / total)), 9) AS lang_entropy
+      FROM (SELECT n, CAST(SUM(n) OVER () AS DOUBLE) AS total FROM langs)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           ROUND(quantile_cont(n_tok, 0.5), 9) AS p50_tokens,
+           ROUND(quantile_cont(n_tok, 0.95), 9) AS p95_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           (SELECT lang_entropy FROM ent) AS lang_entropy,
+           CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) AS n_exact_dups
+    FROM t
+    """,
+)
+def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row DATASET CARD a corpus release ships with: document
+    and token totals, token-length percentiles, language count and
+    Shannon entropy of the language mix, and the exact-duplicate count
+    — every number a data-governance review asks for, from ONE pass
+    plus metadata-sized rollups. Percentiles and the entropy go through
+    the ROUND(,9) ulp-absorber; everything else is exact integers.
+
+    Scale: one corpus scan computes tokens/fingerprints row-locally;
+    the distinct-fingerprint count is the only corpus-wide shuffle, and
+    the language table (|langs| rows) is driver-trivial. Publish this
+    from the same job that writes the corpus (`sink_observed_metrics`
+    shows the zero-extra-pass accumulator variant for the subset it
+    can express)."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(tokens("text")).cast("bigint").alias("n_tok"),
+        F.md5(F.lower(F.trim(F.col("text")))).alias("fp"),
+    )
+    langs = t.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    total_w = Window.partitionBy()
+    ent = (
+        langs.withColumn("total", F.sum("n").over(total_w).cast("double"))
+        .agg(
+            F.round(
+                -F.sum(
+                    (F.col("n") / F.col("total"))
+                    * F.log2(F.col("n") / F.col("total"))
+                ),
+                9,
+            ).alias("lang_entropy")
+        )
+    )
+    stats = t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        F.round(F.percentile("n_tok", F.lit(0.5)), 9).alias("p50_tokens"),
+        F.round(F.percentile("n_tok", F.lit(0.95)), 9).alias("p95_tokens"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        (F.count(F.lit(1)) - F.countDistinct("fp"))
+        .cast("bigint")
+        .alias("n_exact_dups"),
+    )
+    return stats.crossJoin(F.broadcast(ent)).select(
+        "n_docs",
+        "total_tokens",
+        "p50_tokens",
+        "p95_tokens",
+        "total_chars",
+        "n_langs",
+        "lang_entropy",
+        "n_exact_dups",
     )

@@ -200,6 +200,7 @@ DRIVER_ORDER_TIER2: list[str] = [
     "length_bucket_packing",
     "dedup_keep_best",
     "mad_outlier_scores",
+    "corpus_datasheet",
     # drift-prone streaming/event-time equivalences
     "stream_session_equiv",
     "stream_sliding_equiv",
