@@ -1514,3 +1514,123 @@ def mad_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "user_churn_weekly",
+    """
+    WITH presence AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('week', ts) AS DATE) AS week
+      FROM events
+    ),
+    firsts AS (
+      SELECT user_id, MIN(week) AS first_week FROM presence GROUP BY user_id
+    ),
+    flags AS (
+      SELECT p.user_id, p.week,
+             CASE WHEN p.week = f.first_week THEN 1 ELSE 0 END AS is_new,
+             CASE WHEN EXISTS (
+               SELECT 1 FROM presence q
+               WHERE q.user_id = p.user_id
+                 AND q.week = p.week - INTERVAL 7 DAY
+             ) THEN 1 ELSE 0 END AS was_active_prev
+      FROM presence p JOIN firsts f ON p.user_id = f.user_id
+    ),
+    churn AS (
+      SELECT week + INTERVAL 7 DAY AS week, user_id
+      FROM flags
+      WHERE NOT EXISTS (
+        SELECT 1 FROM presence q
+        WHERE q.user_id = flags.user_id
+          AND q.week = flags.week + INTERVAL 7 DAY
+      )
+    )
+    SELECT f.week,
+           CAST(COUNT(*) AS BIGINT) AS active_users,
+           CAST(SUM(f.is_new) AS BIGINT) AS new_users,
+           CAST(SUM(f.was_active_prev) AS BIGINT) AS retained_users,
+           CAST((SELECT COUNT(*) FROM churn c
+                 WHERE CAST(c.week AS DATE) = f.week) AS BIGINT)
+             AS churned_in
+    FROM flags f
+    GROUP BY f.week
+    ORDER BY f.week
+    """,
+)
+def user_churn_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly active/new/retained/churned user accounting — the growth
+    dashboard's four numbers. Churned-in(w) counts users active in week
+    w-1 who did not return in w; new = first-ever week; retained =
+    active in both w-1 and w. Exact set logic via one per-(user, week)
+    presence table self-joined on the adjacent week — never a per-week
+    rescan of raw events, and the distinct presence rows (|users| x
+    |weeks| upper bound) are the ONLY thing that shuffles.
+
+    At corpus scale the same numbers come from the mergeable sketch
+    path: `theta_set_ops`' week-over-week difference estimates on
+    per-week theta sketches, reading KB-sized state instead of the
+    presence table — this operator is the exact auditor for it."""
+    e = table(spark, sf_dir, "events")
+    presence = e.select(
+        "user_id",
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+    ).distinct()
+    firsts = presence.groupBy("user_id").agg(F.min("week").alias("first_week"))
+    prev = presence.select(
+        F.col("user_id").alias("p_user"),
+        F.date_add(F.col("week"), 7).alias("next_week"),
+    )
+    flags = (
+        presence.join(firsts, "user_id")
+        .join(
+            prev,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("week") == F.col("next_week")),
+            "left",
+        )
+        .select(
+            "user_id",
+            "week",
+            F.when(F.col("week") == F.col("first_week"), 1)
+            .otherwise(0)
+            .alias("is_new"),
+            F.when(F.col("next_week").isNotNull(), 1).otherwise(0).alias(
+                "was_active_prev"
+            ),
+        )
+    )
+    nxt = presence.select(
+        F.col("user_id").alias("n_user"), F.col("week").alias("n_week")
+    )
+    churned = (
+        presence.join(
+            nxt,
+            (F.col("user_id") == F.col("n_user"))
+            & (F.date_add(F.col("week"), 7) == F.col("n_week")),
+            "left_anti",
+        )
+        .select(F.date_add(F.col("week"), 7).alias("week"))
+        .groupBy("week")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("churned_in"))
+    )
+    out = (
+        flags.groupBy("week")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("active_users"),
+            F.sum("is_new").cast("bigint").alias("new_users"),
+            F.sum("was_active_prev").cast("bigint").alias("retained_users"),
+        )
+        .join(churned, "week", "left")
+        .select(
+            "week",
+            "active_users",
+            "new_users",
+            "retained_users",
+            F.coalesce(F.col("churned_in"), F.lit(0))
+            .cast("bigint")
+            .alias("churned_in"),
+        )
+        .orderBy("week")
+    )
+    return out

@@ -201,6 +201,7 @@ DRIVER_ORDER_TIER2: list[str] = [
     "dedup_keep_best",
     "mad_outlier_scores",
     "corpus_datasheet",
+    "user_churn_weekly",
     # drift-prone streaming/event-time equivalences
     "stream_session_equiv",
     "stream_sliding_equiv",
