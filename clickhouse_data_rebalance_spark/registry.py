@@ -67,23 +67,43 @@ DRIVER_ORDER: list[str] = [
     # window_analytic -> C16 analytic fns ride time_gap_fill_interpolate
     # + asof_join_tolerance (first/last ignorenulls fills) and C17
     # frames ride window_range_interval)
+    # (r7 rotation, per the "budget on newest surface" rule: eight
+    # round-6 operators enter — ann_ivf_topk_refined, ann_pq_topk,
+    # knn_join_ivf, decontaminate_minhash, shipping_priority_topk,
+    # quality_classifier_score, source_python_datasource,
+    # ch_dialect_limit_by — and eight 2+-green-round veterans leave for
+    # tier 2. Merge mapping (COVERAGE.md): ann_ivf_topk ->
+    # ann_ivf_topk_refined (same probe path over the refined index
+    # generation, identical oracle), cosine_topk_exact -> ann_pq_topk
+    # (its exact-cosine re-rank stage + the same broadcast crossJoin
+    # carries C9/C42-exact; identical oracle), dedup_minhash_lsh ->
+    # decontaminate_minhash (same banded-MinHash-LSH machinery, the
+    # cross-corpus form), dedup_exact_text -> dedup_incremental_batch
+    # (C40 exact dedup, driver-green r6), dedup_embedding_cosine_ivf ->
+    # knn_join_ivf (same IVF-cell-blocked pair machinery; threshold vs
+    # k-NN forms), text_quality -> quality_classifier_score (C46
+    # quality-scoring family), top_k -> shipping_priority_topk
+    # (TakeOrderedAndProject top-10 with a mixed-direction multi-key
+    # sort, C18/C19), filter_predicates -> shipping_priority_topk's
+    # scan-pushed filters + ch_dialect_limit_by's translated WHERE (C3))
     "rebalance_invariants",
     "rebalance_shard_stats",
     "source_schema_evolution",
     "rebalance_pipeline",
     "table_swap_lifecycle",
+    "source_python_datasource",
+    "ch_dialect_limit_by",
     # LLM data-pipeline operators
-    "dedup_exact_text",
     "dedup_incremental_batch",
-    "dedup_minhash_lsh",
-    "dedup_embedding_cosine_ivf",
+    "decontaminate_minhash",
     "simhash_signatures",
-    "cosine_topk_exact",
-    "ann_ivf_topk",
+    "ann_ivf_topk_refined",
+    "ann_pq_topk",
+    "knn_join_ivf",
     "ivf_kmeans_cells",
     "cosine_pairs_ivf",
     "tf_idf",
-    "text_quality",
+    "quality_classifier_score",
     "multimodal_roundtrip",
     # structured streaming + event-time windows (r6 second swap, VERDICT
     # r5 #8: the stream trio that silently broke in r1/r3 and has never
@@ -106,7 +126,6 @@ DRIVER_ORDER: list[str] = [
     "grouped_map_udaf",
     # relational core
     "projection_expr",
-    "filter_predicates",
     "sample_fraction",
     # joins
     "join_right_outer",
@@ -123,8 +142,9 @@ DRIVER_ORDER: list[str] = [
     # windows / sort / top-k / event-time
     "window_range_interval",
     "time_gap_fill_interpolate",
-    "top_k",
     "top_k_per_group",
+    # composed multi-join analytics (TPC-H-shaped, new r6 surface)
+    "shipping_priority_topk",
     # set ops + subqueries
     "union_all_shards",
     "except_all_rows",
@@ -141,14 +161,9 @@ DRIVER_ORDER: list[str] = [
 # rounds, then the round-2 flagship operators, then the long tail of
 # per-function suite variants.
 DRIVER_ORDER_TIER2: list[str] = [
-    # next in line for driver rows: round-6's new surface (the stream
-    # trio moved INTO the cover in the r6 second swap)
-    "ann_ivf_topk_refined",
-    "ann_pq_topk",
-    "knn_join_ivf",
-    "decontaminate_minhash",
+    # next in line for driver rows: remaining round-6 surface (eight
+    # r6 names moved INTO the cover in the r7 rotation)
     "bucketed_join_noshuffle",
-    "quality_classifier_score",
     "media_resize",
     "media_frame_sample",
     "topk_state_merge",
@@ -156,13 +171,11 @@ DRIVER_ORDER_TIER2: list[str] = [
     "window_funnel_levels",
     "embedding_pq",
     "ch_dialect_weekday",
-    "ch_dialect_limit_by",
     "exponential_moving_avg",
     "interval_length_sum",
     "sequence_count_pattern",
     "bitmap_state_merge",
     # TPC-H-shaped multi-join suite (new r6 surface)
-    "shipping_priority_topk",
     "local_supplier_volume",
     "returned_item_report",
     "large_volume_customers",
@@ -179,7 +192,6 @@ DRIVER_ORDER_TIER2: list[str] = [
     "stream_stream_left_join",
     "stream_session_timeout_state",
     "line_dedup_ratio",
-    "source_python_datasource",
     "stream_python_datasource",
     "sink_python_datasource",
     "forecast_revenue_change",
@@ -207,6 +219,16 @@ DRIVER_ORDER_TIER2: list[str] = [
     "stream_sliding_equiv",
     "stream_static_enrich",
     "stream_ema_state",
+    # rotated out of the 50-row cover in r7 (2+ green driver rounds each;
+    # merge mapping in the DRIVER_ORDER comment + COVERAGE.md)
+    "dedup_exact_text",
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine_ivf",
+    "cosine_topk_exact",
+    "ann_ivf_topk",
+    "text_quality",
+    "filter_predicates",
+    "top_k",
     # rotated out of the 50-row cover in r6 (2+ green driver rounds each)
     "collect_agg",
     "window_ranking",
