@@ -637,18 +637,19 @@ _KNN_ORACLE = f"""
 """
 
 
-@query("knn_join", _KNN_ORACLE)
-def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch k-NN join: every vector's top-3 neighbors (the all-rows
-    counterpart of single-query top-k — what a train-time 'nearest
-    examples per document' pass needs). Blocking key = label, so the
+@query("knn_join_label", _KNN_ORACLE)
+def knn_join_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch k-NN join blocked by a KNOWN label column — the fixture
+    demo of the pattern (every vector's top-3 neighbors; the all-rows
+    counterpart of single-query top-k). Blocking key = label, so the
     pairwise cosine join stays equi-partitioned per group and the
     rank window re-shuffles only (vec_id, nn_id, sim) triples.
 
-    Scale: at corpus size the same plan runs with IVF cells or LSH
-    buckets as the blocking key (multi-probe for recall); pair count is
-    sum of squared bucket sizes, bounded by the bucket-size cap used in
-    the LSH dedup path — never global all-pairs."""
+    RENAMED from `knn_join` (VERDICT r6 #4): a label block goes
+    quadratic the moment one label dominates, so the unqualified name
+    now dispatches to the IVF-cell path — the form that survives
+    100 TB. Use this variant only when a trusted low-cardinality
+    blocking column already exists."""
     from pyspark.sql import Window as W
 
     e = table(spark, sf_dir, "embeddings")
@@ -753,6 +754,15 @@ def knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .orderBy("vec_id", "rnk")
     )
+
+
+@query("knn_join", _knn_ivf_oracle())
+def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The default k-NN join = the IVF-cell-blocked scale path
+    (VERDICT r6 #4: the unqualified name must be the plan that survives
+    100 TB, mirroring how dedup leads with `_ivf`). `knn_join_label`
+    keeps the label-blocked fixture demo registered."""
+    return knn_join_ivf(spark, sf_dir)
 
 
 _PAIRS_IVF_ORACLE = (

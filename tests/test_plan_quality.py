@@ -66,6 +66,7 @@ def test_no_cartesian_in_scale_paths(spark):
         "cosine_pairs_threshold",
         "tf_idf",
         "knn_join",
+        "knn_join_label",
         "dedup_embedding_cosine",
         "sequence_match_funnel3",
         "upsert_latest_wins",
@@ -428,6 +429,13 @@ def _assert_cell_blocked_index_scan(plan: str) -> None:
 
 def test_knn_join_ivf_cell_blocked(spark):
     _assert_cell_blocked_index_scan(plan_of(spark, "knn_join_ivf"))
+
+
+def test_knn_join_default_is_cell_blocked(spark):
+    """The unqualified `knn_join` must compile to the IVF-cell-blocked
+    plan (VERDICT r6 #4): a user reaching for the default name gets the
+    scale path, not the label-blocked fixture demo."""
+    _assert_cell_blocked_index_scan(plan_of(spark, "knn_join"))
 
 
 def test_cosine_pairs_ivf_cell_blocked(spark):
