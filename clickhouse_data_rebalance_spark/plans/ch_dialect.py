@@ -95,10 +95,15 @@ _REFUSALS: list[tuple[re.Pattern[str], str]] = [
     # multi-array ARRAY JOIN zips arrays positionally — that is
     # arrays_zip + one explode, not two LATERAL VIEWs (which would
     # cross-product); refuse rather than mis-shape
+    # (the second operand is anchored to start right after the first
+    # alias — `AS <alias> ,` — so a translatable single-array
+    # `ARRAY JOIN xs AS x` followed by unrelated comma text is no
+    # longer conservatively refused)
     (
         re.compile(
             r"\bARRAY\s+JOIN\s+(?:'[^']*'|[^'(),]|\([^()]*\))+"
-            r",\s*(?:'[^']*'|[^'(),]|\([^()]*\))+\s+AS\s+",
+            r"\s+AS\s+[A-Za-z_]\w*"
+            r"\s*,\s*(?:'[^']*'|[^'(),]|\([^()]*\))+\s+AS\s+[A-Za-z_]\w*",
             re.I,
         ),
         "multi-array ARRAY JOIN zips positionally — use arrays_zip + explode (see multi_array_zip_flatten)",
@@ -236,7 +241,17 @@ _REWRITES: list[tuple[re.Pattern[str], str]] = [
     # GLOBAL JOIN/IN ships the right side to every shard — exactly what
     # Spark's planner decides itself (broadcast by stats/AQE); the
     # keyword is distribution advice with no Spark spelling, so strip it
-    (re.compile(r"\bGLOBAL\s+(?=(ANY|ALL|LEFT|RIGHT|INNER|FULL|CROSS|JOIN|IN\b))", re.I), ""),
+    # (NOT/SEMI/ANTI cover `GLOBAL NOT IN` and CH's semi/anti joins —
+    # without NOT in the lookahead the leftover GLOBAL reached Spark as
+    # an opaque parse error; a residual \bGLOBAL\b refusal backstops any
+    # spelling this alternation still misses)
+    (
+        re.compile(
+            r"\bGLOBAL\s+(?=(ANY|ALL|LEFT|RIGHT|INNER|FULL|CROSS|JOIN|NOT|SEMI|ANTI|IN\b))",
+            re.I,
+        ),
+        "",
+    ),
     # ARRAY JOIN as a CLAUSE (ClickHouse's signature flatten): the
     # expression form `FROM t ARRAY JOIN <expr> AS x` becomes a lateral
     # explode; LEFT ARRAY JOIN keeps empty-array rows via explode_outer
@@ -352,6 +367,14 @@ def translate(ch_sql: str) -> str:
         # condition-less join, never the flatten the user wrote
         raise UnsupportedClickHouseSQL(
             "ARRAY JOIN without an AS alias — write `ARRAY JOIN expr AS x`"
+        )
+    if re.search(r"\bGLOBAL\b", out, re.I):
+        # a GLOBAL spelling survived the strip lookahead; Spark has no
+        # GLOBAL keyword, so passing it through yields an opaque parse
+        # error instead of this pointered refusal
+        raise UnsupportedClickHouseSQL(
+            "GLOBAL in an unrecognized position — Spark's planner owns "
+            "distribution (broadcast by stats/AQE); drop the keyword"
         )
     residual = _RESIDUALS.search(out)
     if residual:

@@ -326,6 +326,55 @@ def test_ch_dialect_refuses_untranslatable():
             translate(sql)
 
 
+def test_ch_dialect_global_strip_and_residual_refusal():
+    """GLOBAL is ClickHouse distribution advice with no Spark spelling:
+    every join/IN position (including NOT IN — ADVICE r6) strips
+    cleanly; any spelling the lookahead misses refuses with a pointer
+    instead of reaching Spark as an opaque parse error."""
+    import pytest as _pytest
+
+    from clickhouse_data_rebalance_spark.plans.ch_dialect import (
+        UnsupportedClickHouseSQL,
+        translate,
+    )
+
+    assert translate("SELECT x FROM t WHERE x GLOBAL NOT IN (SELECT y FROM u)") == (
+        "SELECT x FROM t WHERE x NOT IN (SELECT y FROM u)"
+    )
+    assert translate("SELECT x FROM t GLOBAL LEFT JOIN u ON t.k = u.k") == (
+        "SELECT x FROM t LEFT JOIN u ON t.k = u.k"
+    )
+    assert translate("SELECT x FROM t WHERE x GLOBAL IN (SELECT y FROM u)") == (
+        "SELECT x FROM t WHERE x IN (SELECT y FROM u)"
+    )
+    with _pytest.raises(UnsupportedClickHouseSQL, match="GLOBAL"):
+        translate("SELECT x FROM t GLOBAL something_else")
+
+
+def test_ch_dialect_array_join_refusal_is_anchored():
+    """The multi-array ARRAY JOIN refusal must fire only on a genuine
+    second `<expr> AS <alias>` operand — a single-array ARRAY JOIN
+    followed by unrelated comma text is translatable and must translate
+    (ADVICE r6: the old pattern matched any later comma + ' AS ')."""
+    import pytest as _pytest
+
+    from clickhouse_data_rebalance_spark.plans.ch_dialect import (
+        UnsupportedClickHouseSQL,
+        translate,
+    )
+
+    # true multi-array form: refuse (positional zip has no 2-LATERAL-VIEW
+    # equivalent)
+    with _pytest.raises(UnsupportedClickHouseSQL, match="arrays_zip"):
+        translate("SELECT x, y FROM t ARRAY JOIN xs AS x, ys AS y")
+    # single-array followed by a comma + AS later in the statement:
+    # translate, don't refuse
+    out = translate(
+        "SELECT x, substr(s, 1, 2) AS pre FROM t ARRAY JOIN xs AS x WHERE s > ''"
+    )
+    assert "LATERAL VIEW explode(xs) AS x" in out
+
+
 def test_ch_dialect_with_totals_rewrite():
     from clickhouse_data_rebalance_spark.plans.ch_dialect import translate
 
@@ -718,6 +767,48 @@ def test_ivf_params_scale_rule():
             assert 1 <= p <= k
 
 
+@given(
+    n=st.integers(min_value=10**3, max_value=10**9),
+    iso=st.booleans(),
+)
+@settings(max_examples=200, deadline=None)
+def test_ivf_params_geometry_bounds(n, iso):
+    """VERDICT r6 #8: sweep the rule itself (1e3→1e9), not just the
+    fixture point. Invariants: (a) the expected per-cell population
+    N/K stays within 2x of sqrt(N) wherever the sqrt rule is
+    unclamped — the balance the FAISS guideline exists for; (b) the
+    probed scan fraction probes/K is bounded: exactly 1/2 for the
+    isotropic worst case (recall floor), and within (0, 1/8] for
+    clustered corpora (cheap probes) while never dropping below 4
+    cells (the recall floor for multi-probe); (c) geometry is
+    deterministic and power-of-two so partition layouts are stable."""
+    from clickhouse_data_rebalance_spark.operators.llm_similarity import (
+        IVF_CLUSTERS,
+        ivf_params_for,
+    )
+    import math
+
+    k, p = ivf_params_for(n, isotropic=iso)
+    # determinism + power-of-two snap + clamps
+    assert ivf_params_for(n, isotropic=iso) == (k, p)
+    assert k & (k - 1) == 0
+    assert IVF_CLUSTERS <= k <= 2**18
+    assert 1 <= p <= k
+    # (a) per-cell population tracks sqrt(N) within the snap factor
+    # (power-of-two rounding is at most sqrt(2) off; assert 2x) when
+    # neither clamp is active
+    if IVF_CLUSTERS < k < 2**18:
+        assert n / k <= 2 * math.sqrt(n), (n, k)
+        assert n / k >= math.sqrt(n) / 2, (n, k)
+    # (b) scan fraction
+    if iso:
+        assert p == k // 2
+    else:
+        assert p == max(4, k // 16)
+        assert p / k <= 1 / 8  # k >= 32 given the IVF_CLUSTERS floor
+        assert p >= 4
+
+
 def test_ivfpq_shortlist_covers_exact_topk(spark):
     """ann_pq_topk's oracle equivalence rests on the ADC shortlist
     covering the true top-10 — pin it at both driver fixture scales,
@@ -1052,18 +1143,23 @@ def test_identifier_clause_rejects_hostile_names(spark, sf_dir):
     failure mode the reference's f-string splicing cannot have (it would
     execute it)."""
     import pytest as _pytest
-    from pyspark.errors import AnalysisException
+    from pyspark.errors import AnalysisException, ParseException
     from clickhouse_data_rebalance_spark.tables import table
 
     table(spark, sf_dir, "orders")
-    with _pytest.raises((AnalysisException, Exception)) as ei:
+    # only the two binding-layer error types count (ADVICE r6: a bare
+    # Exception catch would let an unrelated failure — e.g. table
+    # resolution — pass as proof of injection-safe binding), and the
+    # error class must be the identifier/parse rejection itself
+    with _pytest.raises((AnalysisException, ParseException)) as ei:
         spark.sql(
             "SELECT COUNT(*) FROM IDENTIFIER(:tbl)",
             args={"tbl": "orders WHERE 1=1; DROP TABLE orders"},
         ).collect()
-    assert "INVALID_IDENTIFIER" in str(ei.value) or "PARSE" in str(
-        ei.value
-    ).upper() or "not found" in str(ei.value)
+    err_class = ei.value.getCondition() or ""
+    assert err_class in ("PARSE_SYNTAX_ERROR", "INVALID_IDENTIFIER"), (
+        f"expected identifier rejection, got {err_class}: {ei.value}"
+    )
 
 
 def test_python_datasource_out_of_domain_day(spark):
