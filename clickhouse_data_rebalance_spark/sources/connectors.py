@@ -297,9 +297,12 @@ def sink_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("o_totalprice").cast("decimal(30,4)")).alias("total_price"),
     )
     dst = tempfile.mkdtemp(prefix="cdr_observed_sink_")
-    observed.write.mode("overwrite").parquet(dst)
-    m = obs.get
-    shutil.rmtree(dst, ignore_errors=True)
+    try:
+        observed.write.mode("overwrite").parquet(dst)
+        m = obs.get
+    finally:
+        # try/finally (ADVICE r6): a failed write must not leak the dir
+        shutil.rmtree(dst, ignore_errors=True)
     return spark.createDataFrame(
         [
             (

@@ -247,28 +247,34 @@ def _drain_stream_to_memory(spark: SparkSession, name: str, n_rows: int):
     reader (measured), so a finite drain uses a processingTime trigger
     and polls the sink count — harness plumbing; a production stream
     just keeps running."""
-    import tempfile
     import time as _time
 
-    df = spark.readStream.format("synthetic_events_stream").load()
-    ckpt = tempfile.mkdtemp(prefix="cdr_ckpt_pystream_")
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ckpt)
-        .trigger(processingTime="0 seconds")
-        .start()
-    )
-    deadline = _time.time() + 120
-    while _time.time() < deadline:
-        if spark.table(name).count() >= n_rows:
-            break
-        _time.sleep(0.2)
-    q.stop()
-    q.awaitTermination(30)
-    import shutil as _shutil
+    from ..streaming.stream_ops import _ckpt_dir
 
-    _shutil.rmtree(ckpt, ignore_errors=True)
+    df = spark.readStream.format("synthetic_events_stream").load()
+    # _ckpt_dir (not a raw mkdtemp): PID-tagged, atexit-backstopped, and
+    # reaped across dead processes — an exception or the 120 s deadline
+    # mid-drain no longer leaks the dir (ADVICE r6)
+    ckpt = _ckpt_dir("cdr_ckpt_pystream_")
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            if spark.table(name).count() >= n_rows:
+                break
+            _time.sleep(0.2)
+        q.stop()
+        q.awaitTermination(30)
+    finally:
+        import shutil as _shutil
+
+        _shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
 
 
