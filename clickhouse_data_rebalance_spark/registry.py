@@ -211,6 +211,7 @@ DRIVER_ORDER_TIER2: list[str] = [
     "multi_array_zip_flatten",
     "length_bucket_packing",
     "dedup_keep_best",
+    "corpus_pipeline_e2e_keep_longest",
     "mad_outlier_scores",
     "corpus_datasheet",
     "user_churn_weekly",
@@ -249,6 +250,7 @@ DRIVER_ORDER_TIER2: list[str] = [
     "dedup_embedding_cosine",
     "dedup_clusters_cc",
     "knn_join",
+    "knn_join_label",
     "pack_token_shards",
     "mixture_sample",
     "sample_k_per_group",
