@@ -74,6 +74,9 @@ EXTENDED = [
     "local_supplier_volume",
     "large_volume_customers",
     "global_shuffle_shards",
+    # round 7: snowflake ratio query + SemDeDup-style curation
+    "national_market_share",
+    "dedup_semantic_prune",
 ]
 
 HEADLINE = CORE + EXTENDED

@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..registry import query
 from ..tables import table
-from ._util import dec_sum, sql_dec_sum
+from ._util import dec_avg, dec_sum, sql_dec_sum
 
 _REVENUE = "l_extendedprice * (1 - l_discount)"
 
@@ -471,5 +471,374 @@ def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("potential_revenue"),
             F.count(F.lit(1)).cast("bigint").alias("n_lineitems"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q7 analog: volume shipping — bilateral trade between two nations, by the
+# supplier-side and customer-side nation and ship year
+# --------------------------------------------------------------------------
+
+_VOLUME_SHIPPING_SQL = f"""
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+       {sql_dec_sum(_REVENUE, 6)} AS revenue
+FROM supplier s
+JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+    OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18'))
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+@query("volume_shipping_nations", _VOLUME_SHIPPING_SQL)
+def volume_shipping_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral-trade revenue between a nation pair by
+    ship year — the double-dimension-join query (nation joins BOTH fact
+    sides).
+
+    Scale posture: `nation` is 25 rows at any SF — both copies are
+    explicit broadcasts, so the disjunctive nation-pair predicate
+    evaluates right after each broadcast join with zero shuffle added;
+    the ship-date range is pushed to the lineitem scan; the only
+    shuffles are the SF-growing equi-joins (lineitem-orders,
+    orders-customer) and one small grouped exchange."""
+    s = table(spark, sf_dir, "supplier")
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_18") & (F.col("cust_nation") == "NATION_19")
+    ) | (
+        (F.col("supp_nation") == "NATION_19") & (F.col("cust_nation") == "NATION_18")
+    )
+    return (
+        s.join(l, s.s_suppkey == l.l_suppkey)
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(dec_sum(_revenue_col(), 6).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q8 analog: national market share — one nation's share of a region's
+# revenue in one part-type market, by order year
+# --------------------------------------------------------------------------
+
+_MARKET_SHARE_SQL = f"""
+SELECT o_year,
+       ({sql_dec_sum("CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END", 6)}
+        / {sql_dec_sum("volume", 6)}) AS mkt_share
+FROM (
+  SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume,
+         ns.n_name AS supp_nation
+  FROM part p
+  JOIN lineitem l ON p.p_partkey = l.l_partkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+  JOIN region r ON nc.n_regionkey = r.r_regionkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+  WHERE r.r_name = 'EUROPE'
+    AND p.p_type = 'PROMO'
+    AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o.o_orderdate < TIMESTAMP '1998-01-01'
+) t
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+@query("national_market_share", _MARKET_SHARE_SQL)
+def national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: a 7-join snowflake with a conditional-over-total
+    ratio aggregate (one nation's share of a region+part-type market by
+    year).
+
+    Scale posture: `nation` (twice) and `region` are constant-25/5-row
+    broadcasts; `part` is filtered on p_type BEFORE its join (pushed to
+    the scan) which prunes the lineitem join ~6x; the numerator rides
+    the same aggregate as the denominator (one grouped exchange, no
+    second pass). Both sums are exact-decimal so the share divides two
+    engine-identical doubles."""
+    p = table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = table(spark, sf_dir, "customer")
+    nc = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_regionkey").alias("nc_region")
+    )
+    ns = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    s = table(spark, sf_dir, "supplier")
+    volume = _revenue_col()
+    base = (
+        p.join(l, p.p_partkey == l.l_partkey)
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
+        .join(F.broadcast(r), F.col("nc_region") == F.col("r_regionkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            volume.alias("volume"),
+            "supp_nation",
+        )
+    )
+    national = F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        base.groupBy("o_year")
+        .agg(
+            (dec_sum(national, 6) / dec_sum(F.col("volume"), 6)).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q13 analog: customer order-count distribution — outer join + two-level agg
+# --------------------------------------------------------------------------
+
+_ORDER_DISTRIBUTION_SQL = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c
+  LEFT OUTER JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+) t
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@query("customer_order_distribution", _ORDER_DISTRIBUTION_SQL)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join with an ON-clause filter (the
+    filter must NOT eliminate order-less customers — the classic outer
+    join semantics trap) feeding a two-level aggregation (orders per
+    customer, then customers per order-count).
+
+    Scale posture: the priority filter sits in the join condition so it
+    prunes the orders side pre-join while preserving the outer rows;
+    level-1 aggregates on the join key (reuses the join partitioning —
+    no extra exchange under AQE); level-2 exchanges only |distinct
+    counts| rows."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+# --------------------------------------------------------------------------
+# Q15 analog: top supplier — quarterly revenue view + global-max scalar
+# subquery + join back
+# --------------------------------------------------------------------------
+
+_TOP_SUPPLIER_SQL = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         {sql_dec_sum(_REVENUE, 6)} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s
+JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s.s_suppkey
+"""
+
+
+@query("top_supplier_revenue", _TOP_SUPPLIER_SQL)
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: a derived revenue view consumed twice — once for
+    the global MAX (scalar subquery) and once joined back to pick the
+    winning supplier(s), ties included (which LIMIT 1 would drop).
+
+    Scale posture: the view is one filtered scan + grouped exchange on
+    l_suppkey; the MAX is a one-row broadcast back onto the view (no
+    second scan of lineitem — the view is cached by reuse in the same
+    plan via Spark's subquery reuse, and |suppliers| rows flow onward)."""
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dec_sum(_revenue_col(), 6).alias("total_revenue")
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("m"))
+    s = table(spark, sf_dir, "supplier")
+    return (
+        s.join(revenue, s.s_suppkey == revenue.supplier_no)
+        .join(
+            F.broadcast(max_rev), F.col("total_revenue") == F.col("m")
+        )
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q17 analog: small-quantity-order revenue — correlated per-part average
+# --------------------------------------------------------------------------
+
+_SMALL_QTY_SQL = """
+SELECT CAST(COALESCE(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(30,6))) AS DOUBLE)
+            / 7.0, 0.0) AS DOUBLE) AS avg_yearly,
+       CAST(COUNT(*) AS BIGINT) AS n_small_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN (
+  SELECT l_partkey, 0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+                           / COUNT(*)) AS qty_threshold
+  FROM lineitem GROUP BY l_partkey
+) t ON t.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#12'
+  AND l.l_quantity < t.qty_threshold
+"""
+
+
+@query("small_qty_order_revenue", _SMALL_QTY_SQL)
+def small_qty_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: lines whose quantity undercuts 20% of their
+    part's average quantity — the correlated-aggregate-as-join pattern
+    (the per-part average is computed once as a grouped view and joined
+    back, not re-evaluated per row).
+
+    Scale posture: the threshold view aggregates lineitem by l_partkey
+    (one grouped exchange, map-side combined); the brand filter prunes
+    `part` at its scan and the join to the small filtered part side cuts
+    the fact rows before the threshold comparison. The final aggregate
+    is a single row. The per-part average uses the exact-decimal sum so
+    the threshold double is engine-identical."""
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#12")
+    thresh = l.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (0.2 * dec_avg(F.col("l_quantity"), 6)).alias("qty_threshold")
+    )
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(thresh, F.col("l_partkey") == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            F.coalesce(
+                F.sum(F.col("l_extendedprice").cast("decimal(30,6)")).cast("double")
+                / F.lit(7.0),
+                F.lit(0.0),
+            )
+            .cast("double")
+            .alias("avg_yearly"),
+            F.count(F.lit(1)).cast("bigint").alias("n_small_lines"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q19 analog: discounted revenue — three disjunctive brand/size/quantity
+# predicate groups over one part-lineitem join
+# --------------------------------------------------------------------------
+
+_DISJUNCTIVE_REVENUE_SQL = f"""
+SELECT {sql_dec_sum(_REVENUE, 6)} AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#21' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#15' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+
+@query("disjunctive_predicate_revenue", _DISJUNCTIVE_REVENUE_SQL)
+def disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs spanning BOTH join sides — the
+    predicate the optimizer must decompose to push anything at all.
+
+    Scale posture: Catalyst extracts the common single-side residues
+    (brand IN (...), size/quantity range hulls) and pushes them to the
+    part and lineitem scans while the full cross-side disjunction
+    evaluates post-join; the part side shrinks to three brands before
+    joining. One join, one one-row aggregate — no other exchange."""
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#21")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#15")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            dec_sum(_revenue_col(), 6).alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
         )
     )

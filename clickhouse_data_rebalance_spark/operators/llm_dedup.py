@@ -1022,3 +1022,123 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+# SemDeDup-style semantic pruning (Abbas et al. 2023, arXiv:2303.09540):
+# within each IVF cell, members of a near-duplicate pair (cosine >= tau)
+# are pruned by PROTOTYPICALITY — the member closer to the cell centroid
+# dies, the farther (more informative) one survives. This inverts the
+# min-id keeper of `dedup_embedding_cosine_ivf`: the id rule keeps an
+# arbitrary representative; SemDeDup keeps the outlier, which the paper
+# measured as the better training-data curation rule.
+_SEMDEDUP_ORACLE = """
+    WITH seeds AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS sv
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {k})
+    ),
+    assign AS (
+      SELECT e.vec_id, e.embedding,
+             (SELECT s.cell FROM seeds s
+              ORDER BY list_cosine_similarity(
+                         list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                         s.sv) DESC, s.cell
+              LIMIT 1) AS cell
+      FROM embeddings e
+    ),
+    scored AS (
+      SELECT a.vec_id, a.cell, a.embedding,
+             list_cosine_similarity(
+               list_transform(a.embedding, x -> CAST(x AS DOUBLE)), s.sv)
+               AS centroid_sim
+      FROM assign a JOIN seeds s ON s.cell = a.cell
+    ),
+    dropped AS (
+      SELECT DISTINCT CASE
+               WHEN a.centroid_sim > b.centroid_sim
+                 OR (a.centroid_sim = b.centroid_sim AND a.vec_id > b.vec_id)
+               THEN a.vec_id ELSE b.vec_id END AS vec_id
+      FROM scored a JOIN scored b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(
+              list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+              list_transform(b.embedding, x -> CAST(x AS DOUBLE))) >= 0.3
+    )
+    SELECT s.vec_id, s.cell,
+           ROUND(s.centroid_sim, 9) AS centroid_sim
+    FROM scored s
+    WHERE s.vec_id NOT IN (SELECT vec_id FROM dropped)
+    ORDER BY s.vec_id
+"""
+
+
+def _semdedup_oracle() -> str:
+    from .llm_similarity import IVF_CLUSTERS
+
+    return _SEMDEDUP_ORACLE.replace("{k}", str(IVF_CLUSTERS))
+
+
+@query("dedup_semantic_prune", _semdedup_oracle())
+def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the persisted IVF index: within each cell, for
+    every near-duplicate pair (cosine >= 0.3) the member MORE similar to
+    the cell centroid is pruned (tie-break: larger vec_id dies) — keep
+    the informative outlier, drop the prototypical duplicate
+    (arXiv:2303.09540's curation rule; `dedup_embedding_cosine_ivf`
+    keeps min-id instead).
+
+    Scale posture: identical to the other cell-blocked ops — the
+    pairwise join is equi-partitioned on the persisted `cell` partition
+    directory; centroid similarity adds one broadcast join against the
+    K-row seed set; pair count is bounded by sum of squared cell sizes
+    (cluster-count knob). No corpus-scale all-pairs anywhere."""
+    from pyspark.sql import Window as W
+
+    from ..functions.vectors import cosine
+    from .llm_similarity import IVF_CLUSTERS, _ivf_index_for
+
+    e = table(spark, sf_dir, "embeddings")
+    seeds = (
+        e.orderBy("vec_id")
+        .limit(IVF_CLUSTERS)
+        .select(
+            (F.row_number().over(W.orderBy("vec_id")) - 1).alias("s_cell"),
+            F.col("embedding").alias("sv"),
+        )
+    )
+    idx = spark.read.parquet(_ivf_index_for(spark, sf_dir))
+    scored = (
+        idx.select("vec_id", F.col("cell").cast("int").alias("cell"), "embedding")
+        .join(F.broadcast(seeds), F.col("cell") == F.col("s_cell"))
+        .select(
+            "vec_id",
+            "cell",
+            "embedding",
+            cosine(F.col("embedding"), F.col("sv")).alias("centroid_sim"),
+        )
+    )
+    a = scored.alias("a")
+    b = scored.alias("b")
+    loser = F.when(
+        (F.col("a.centroid_sim") > F.col("b.centroid_sim"))
+        | (
+            (F.col("a.centroid_sim") == F.col("b.centroid_sim"))
+            & (F.col("a.vec_id") > F.col("b.vec_id"))
+        ),
+        F.col("a.vec_id"),
+    ).otherwise(F.col("b.vec_id"))
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cosine(F.col("a.embedding"), F.col("b.embedding")) >= 0.3)
+        .select(loser.alias("vec_id"))
+        .distinct()
+    )
+    return (
+        scored.join(dropped, "vec_id", "left_anti")
+        .select("vec_id", "cell", F.round("centroid_sim", 9).alias("centroid_sim"))
+        .orderBy("vec_id")
+    )

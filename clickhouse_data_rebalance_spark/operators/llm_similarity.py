@@ -1161,3 +1161,70 @@ def ann_pq_topk(
         .orderBy(F.col("sim").desc(), F.col("vec_id"))
         .limit(TOP_K)
     )
+
+
+# Diversity-stratified sampling: a training-data subset that covers the
+# embedding space evenly — m deterministic-pseudorandom picks per IVF
+# cell instead of a global uniform draw (which over-samples dense
+# regions). The per-cell rank key is md5(vec_id), so the sample is
+# reproducible across runs/engines with no RNG state.
+_DIVERSITY_SAMPLE_ORACLE = """
+    WITH seeds AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS sv
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {k})
+    ),
+    assign AS (
+      SELECT e.vec_id, e.label,
+             (SELECT s.cell FROM seeds s
+              ORDER BY list_cosine_similarity(
+                         list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                         s.sv) DESC, s.cell
+              LIMIT 1) AS cell
+      FROM embeddings e
+    )
+    SELECT vec_id, label, cell, CAST(rnk AS INT) AS rnk
+    FROM (
+      SELECT vec_id, label, cell,
+             ROW_NUMBER() OVER (PARTITION BY cell
+                                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+               AS rnk
+      FROM assign
+    ) t
+    WHERE rnk <= 5
+    ORDER BY cell, rnk
+"""
+
+
+def _diversity_sample_oracle() -> str:
+    return _DIVERSITY_SAMPLE_ORACLE.replace("{k}", str(IVF_CLUSTERS))
+
+
+@query("diversity_sample_cells", _diversity_sample_oracle())
+def diversity_sample_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware corpus sampling: m=5 deterministic picks per IVF
+    cell (rank key = md5 of the id — engine-reproducible pseudorandom),
+    so the sample spans the embedding space instead of mirroring its
+    density. The cells ARE the diversity strata; a global uniform draw
+    would spend most of its budget inside the densest clusters.
+
+    Scale posture: reads only (vec_id, label, cell) of the persisted
+    cell-partitioned index (embedding column pruned at the scan); the
+    window partitions by the key the layout already materializes, so
+    the only movement is the per-cell rank; m and the cell count are
+    the coverage/budget knobs."""
+    from pyspark.sql import Window as W
+
+    idx = spark.read.parquet(_ivf_index_for(spark, sf_dir))
+    lab = table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    w = W.partitionBy("cell").orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
+    return (
+        idx.select("vec_id", F.col("cell").cast("int").alias("cell"))
+        .join(lab, "vec_id")
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 5)
+        .select("vec_id", "label", "cell", "rnk")
+        .orderBy("cell", "rnk")
+    )

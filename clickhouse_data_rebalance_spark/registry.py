@@ -175,13 +175,22 @@ DRIVER_ORDER_TIER2: list[str] = [
     "interval_length_sum",
     "sequence_count_pattern",
     "bitmap_state_merge",
-    # TPC-H-shaped multi-join suite (new r6 surface)
+    # TPC-H-shaped multi-join suite (r6 surface + r7 completions:
+    # Q7/Q8/Q13/Q15/Q17/Q19 analogs — every TPC-H shape expressible
+    # over the fixture's tables; Q2/Q9/Q11/Q16/Q20 need partsupp and
+    # Q12/Q21 need shipmode/commitdate columns the fixture lacks)
     "local_supplier_volume",
     "returned_item_report",
     "large_volume_customers",
     "promo_revenue_ratio",
     "idle_customer_balances",
     "late_shipment_priority",
+    "volume_shipping_nations",
+    "national_market_share",
+    "customer_order_distribution",
+    "top_supplier_revenue",
+    "small_qty_order_revenue",
+    "disjunctive_predicate_revenue",
     # sketch-state family completions (new r6 surface)
     "quantile_state_merge",
     "theta_set_ops",
@@ -212,6 +221,8 @@ DRIVER_ORDER_TIER2: list[str] = [
     "length_bucket_packing",
     "dedup_keep_best",
     "corpus_pipeline_e2e_keep_longest",
+    "dedup_semantic_prune",
+    "diversity_sample_cells",
     "mad_outlier_scores",
     "corpus_datasheet",
     "user_churn_weekly",

@@ -128,6 +128,35 @@ def test_flagship_scan_prunes_columns(spark):
     assert "l_orderkey" not in read and "l_partkey" not in read
 
 
+def test_tpch_completions_plan_shape(spark):
+    """r7 TPC-H completions: the snowflake (Q8) must broadcast its
+    constant-size dims and never go cartesian; the disjunctive query
+    (Q19) must still push a decomposed single-side predicate into the
+    part scan; the outer-join distribution (Q13) must keep the outer
+    side (no inner-join degeneration from the ON-clause filter)."""
+    p8 = plan_of(spark, "national_market_share")
+    assert "CartesianProduct" not in p8
+    assert "BroadcastHashJoin" in p8
+    p19 = plan_of(spark, "disjunctive_predicate_revenue")
+    assert "CartesianProduct" not in p19
+    # Catalyst extracts the single-side residue of the OR-of-ANDs (a
+    # per-brand Or chain) and pushes it into the part scan's
+    # PushedFilters — the whole point of the Q19 shape
+    pushed = [
+        ln for ln in p19.splitlines() if "PushedFilters" in ln and "p_brand" in ln
+    ]
+    assert pushed, "no p_brand predicate pushed to the part scan"
+    assert any("Or(" in ln for ln in pushed)
+    p13 = plan_of(spark, "customer_order_distribution")
+    assert "LeftOuter" in p13
+    for name in (
+        "volume_shipping_nations",
+        "top_supplier_revenue",
+        "small_qty_order_revenue",
+    ):
+        assert "CartesianProduct" not in plan_of(spark, name), name
+
+
 def test_aqe_splits_skewed_join(spark):
     """AQE must split a pathologically skewed join partition at runtime —
     the mechanism the engine relies on for hot keys at 100 TB (thresholds
@@ -440,6 +469,22 @@ def test_knn_join_default_is_cell_blocked(spark):
 
 def test_cosine_pairs_ivf_cell_blocked(spark):
     _assert_cell_blocked_index_scan(plan_of(spark, "cosine_pairs_ivf"))
+
+
+def test_semantic_prune_cell_blocked(spark):
+    _assert_cell_blocked_index_scan(plan_of(spark, "dedup_semantic_prune"))
+
+
+def test_diversity_sample_prunes_embedding_column(spark):
+    """diversity_sample_cells must NOT read the embedding column from
+    the index — the sample rank needs only (vec_id, cell), and at 100 TB
+    the embedding column is ~99% of the bytes."""
+    plan = plan_of(spark, "diversity_sample_cells")
+    for chunk in plan.split("Scan parquet")[1:]:
+        if "ivf_index" not in chunk.split("ReadSchema:")[0]:
+            continue
+        read = chunk.split("ReadSchema:")[1].split("\n")[0]
+        assert "embedding" not in read, read
 
 
 def test_ann_refined_probe_prunes_cells(spark):
