@@ -1634,3 +1634,69 @@ def user_churn_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("week")
     )
     return out
+
+
+# OHLC time bars (the ClickHouse/time-series classic: candlestick
+# downsampling). Open/close need an ORDER the aggregate can see: Spark's
+# min_by/max_by accept a STRUCT ordering key, so the whole bar is ONE
+# aggregate pass ordered by (ts, event_id); DuckDB's arg_min/arg_max do
+# not take composite keys, so the oracle states the same semantics as a
+# two-level aggregate (collapse same-ts ties by event_id, then pick bar
+# endpoints by ts).
+@query(
+    "ohlc_bars",
+    f"""
+    WITH per_ts AS (
+      SELECT event_type, date_trunc('hour', ts) AS bar_hour, ts,
+             arg_min(value, event_id) AS open_rep,
+             arg_max(value, event_id) AS close_rep,
+             MIN(value) AS lo, MAX(value) AS hi,
+             COUNT(*) AS n, {sql_dec_sum('value')} AS vol
+      FROM events
+      GROUP BY event_type, bar_hour, ts)
+    SELECT event_type, bar_hour,
+           arg_min(open_rep, ts) AS open,
+           MAX(hi) AS high,
+           MIN(lo) AS low,
+           arg_max(close_rep, ts) AS close,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           {sql_dec_sum('vol')} AS volume
+    FROM per_ts
+    GROUP BY event_type, bar_hour
+    ORDER BY event_type, bar_hour
+    """,
+)
+def ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC candlestick bars per event type: open/close = value
+    of the first/last event in the bar ordered by (ts, event_id),
+    high/low = extremes, plus event count and decimal-exact volume.
+
+    Scale posture: ONE grouped exchange on (event_type, bar_hour) — the
+    struct-ordered min_by/max_by carry a single (value, (ts, event_id))
+    pair per group through the map-side partials, never a sorted
+    buffer, so the pass is a plain partial-aggregable hash aggregate.
+    (A two-level rollup — the oracle's spelling — would cost a second
+    exchange: hash partitioning on (type, hour, ts) does NOT satisfy a
+    (type, hour) requirement, unlike range partitioning prefixes.)
+    Bars scale with calendar time x types, not event volume."""
+    e = table(spark, sf_dir, "events")
+    order_key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        e.select(
+            "event_type",
+            F.date_trunc("hour", "ts").alias("bar_hour"),
+            "ts",
+            "event_id",
+            "value",
+        )
+        .groupBy("event_type", "bar_hour")
+        .agg(
+            F.min_by("value", order_key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", order_key).alias("close"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            dec_sum("value").alias("volume"),
+        )
+        .orderBy("event_type", "bar_hour")
+    )

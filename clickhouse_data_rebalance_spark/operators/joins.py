@@ -498,3 +498,105 @@ def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "asof_join_nearest",
+    """
+    SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
+           n.ts AS click_ts, n.value AS click_value,
+           CASE WHEN n.ts IS NULL THEN NULL
+                WHEN n.ts <= p.ts THEN 'back' ELSE 'fwd' END AS side
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN LATERAL (
+      SELECT c.ts, c.value
+      FROM (SELECT user_id, ts, arg_max(value, event_id) AS value
+            FROM events WHERE event_type = 'click'
+            GROUP BY user_id, ts) c
+      WHERE c.user_id = p.user_id
+      ORDER BY abs(epoch(c.ts) - epoch(p.ts)), c.ts
+      LIMIT 1) n ON TRUE
+    ORDER BY p.event_id
+    """,
+)
+def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor as-of join (pandas merge_asof
+    ``direction='nearest'``): each purchase matched to the click closest
+    in time in EITHER direction, ties going to the earlier click. The
+    oracle states the semantics independently as a DuckDB lateral
+    min-by-|distance| probe over all of the user's clicks.
+
+    Composition: the same single-shuffle union as `asof_join`, with TWO
+    window fills over the one (user_id, ts, is_p) sort — last-ignorenulls
+    looking back, first-ignorenulls looking forward — then a row-local
+    pick of the nearer side. An equal-ts click sorts before the purchase
+    (is_p ascending), so it is captured by the backward fill at distance
+    zero, which also makes the back-side tie-preference the earlier-click
+    rule the oracle states. Same-ts clicks collapse via
+    arg_max(value, event_id) first, as in the whole asof family.
+
+    Scale posture: ONE exchange on user_id shared by the collapse, both
+    window fills, and the pick (all partition by the same key); no
+    range-join candidate blowup, no second shuffle — `.explain` shows a
+    single Exchange feeding two Window operators back-to-back."""
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(None).cast("timestamp").alias("c_ts"),
+        F.lit(None).cast("double").alias("c_val"),
+        F.lit(1).alias("is_p"),
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("value"))
+        .select(
+            "user_id",
+            "ts",
+            F.lit(None).cast("long").alias("event_id"),
+            F.col("ts").alias("c_ts"),
+            F.col("value").alias("c_val"),
+            F.lit(0).alias("is_p"),
+        )
+    )
+    base = W.partitionBy("user_id").orderBy("ts", "is_p")
+    w_back = base.rowsBetween(W.unboundedPreceding, W.currentRow)
+    w_fwd = base.rowsBetween(W.currentRow, W.unboundedFollowing)
+    # timestamp subtraction yields a day-time INTERVAL, which is totally
+    # ordered — distances compare exactly with no epoch-double cast
+    # (TIMESTAMP_NTZ refuses numeric casts outright)
+    d_back = F.col("ts") - F.col("back_ts")
+    d_fwd = F.col("fwd_ts") - F.col("ts")
+    pick_back = F.col("fwd_ts").isNull() | (
+        F.col("back_ts").isNotNull() & (d_back <= d_fwd)
+    )
+    filled = (
+        p.unionByName(c)
+        .withColumn("back_ts", F.last("c_ts", ignorenulls=True).over(w_back))
+        .withColumn("back_val", F.last("c_val", ignorenulls=True).over(w_back))
+        .withColumn("fwd_ts", F.first("c_ts", ignorenulls=True).over(w_fwd))
+        .withColumn("fwd_val", F.first("c_val", ignorenulls=True).over(w_fwd))
+    )
+    return (
+        filled.filter(F.col("is_p") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.when(pick_back, F.col("back_ts"))
+            .otherwise(F.col("fwd_ts"))
+            .alias("click_ts"),
+            F.when(pick_back, F.col("back_val"))
+            .otherwise(F.col("fwd_val"))
+            .alias("click_value"),
+            F.when(F.col("back_ts").isNull() & F.col("fwd_ts").isNull(), F.lit(None))
+            .when(pick_back, F.lit("back"))
+            .otherwise(F.lit("fwd"))
+            .alias("side"),
+        )
+        .orderBy("event_id")
+    )

@@ -1142,3 +1142,107 @@ def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "cell", F.round("centroid_sim", 9).alias("centroid_sim"))
         .orderBy("vec_id")
     )
+
+
+# Exact repeated-substring detection (the bounded-window form of Lee et
+# al. 2022, "Deduplicating Training Data Makes Language Models Better",
+# arXiv:2107.06499): the paper's suffix-array pass finds substrings
+# duplicated across the corpus; the distributable equivalent is a
+# sliding W-token window — every duplicated substring of >= W tokens
+# contains a duplicated W-window, so W-window matches are exactly the
+# detector for >=W-token repeats (with W-granular boundaries).
+_REPEAT_W = 8
+
+_REPEATED_SUBSTRING_ORACLE = r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+      FROM documents),
+    spans AS (
+      SELECT doc_id, md5(array_to_string(list_slice(tk, i, i + 7), ' ')) AS h
+      FROM toks, unnest(range(1, len(tk) - 6)) AS u(i)
+      WHERE len(tk) >= 8),
+    dup AS (
+      SELECT h FROM spans GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1),
+    per_doc AS (
+      SELECT s.doc_id,
+             COUNT(*) AS n_spans,
+             COUNT(dup.h) AS n_dup_spans
+      FROM spans s LEFT JOIN dup ON s.h = dup.h
+      GROUP BY s.doc_id)
+    SELECT d.doc_id,
+           COALESCE(p.n_spans, 0) AS n_spans,
+           COALESCE(p.n_dup_spans, 0) AS n_dup_spans,
+           ROUND(CAST(p.n_dup_spans AS DOUBLE) / p.n_spans, 9) AS dup_ratio
+    FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+    ORDER BY d.doc_id
+"""
+
+
+@query("dedup_repeated_substring", _REPEATED_SUBSTRING_ORACLE)
+def dedup_repeated_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-substring profile: every 8-token sliding
+    window is hashed; a window is a repeat if its text occurs in at
+    least one OTHER document. Per document: span count, repeated-span
+    count (by position, so intra-doc re-occurrences of a shared span
+    all count), and the repeat-coverage ratio — the score corpus
+    curation thresholds on before clipping or dropping boilerplate.
+
+    All span machinery is JVM-side (split / transform / slice /
+    array_join / md5 — no Python in the hot path); window generation is
+    a per-row transform over `sequence`, guarded to docs with >= 8
+    tokens so `sequence` never sees a negative length.
+
+    Scale posture: the span table is ~W x token-count rows but only two
+    narrow columns (16-byte hash, doc_id), and both the dup-set
+    aggregate and the count-back join shuffle on the SAME span-hash
+    key, with map-side partial aggregation on each. At 100 TB the hash
+    would be xxhash64 (8-byte, no hex string) — md5 here because the
+    oracle must compute bit-identical hashes in DuckDB; the W-window
+    trade (vs the paper's suffix array) is what makes the pass
+    embarrassingly parallel."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("tk")
+    )
+    w = _REPEAT_W
+    spans = (
+        toks.filter(F.size("tk") >= w)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("tk") - (w - 1)),
+                    lambda i: F.md5(F.array_join(F.slice("tk", i, w), " ")),
+                )
+            ).alias("h"),
+        )
+    )
+    dup = (
+        spans.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("h", F.lit(1).alias("is_dup"))
+    )
+    per_doc = (
+        spans.join(dup, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.count("is_dup").alias("n_dup_spans"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_spans"), F.lit(0)).cast("bigint").alias("n_spans"),
+            F.coalesce(F.col("n_dup_spans"), F.lit(0))
+            .cast("bigint")
+            .alias("n_dup_spans"),
+            F.round(
+                F.col("n_dup_spans").cast("double") / F.col("n_spans"), 9
+            ).alias("dup_ratio"),
+        )
+        .orderBy("doc_id")
+    )

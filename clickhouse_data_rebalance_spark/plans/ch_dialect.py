@@ -20,6 +20,11 @@ sumIf/avgIf/...     agg(x) FILTER (WHERE c)
 uniq                approx_count_distinct
 uniqExact           COUNT(DISTINCT x)
 any/anyLast         any_value
+argMax/argMin       max_by / min_by (same tie nondeterminism)
+groupArray          collect_list (both unordered in distributed runs)
+groupUniqArray      collect_set
+multiIf(c,v,...,e)  CASE WHEN c THEN v ... ELSE e END (balanced-paren
+                    arg split; even arity refuses — CH requires else)
 arrayJoin           explode
 notEmpty/empty      length(x) > 0 / length(x) = 0
 modulo              mod
@@ -42,7 +47,10 @@ ROW_NUMBER window in the flat single-SELECT shape (see
 `_rewrite_limit_by`). Constructs with no one-line Spark equivalent raise
 :class:`UnsupportedClickHouseSQL` with a pointer to the native operator
 in this package (nested `LIMIT n BY` -> top_k_per_group, `WITH FILL` ->
-time_gap_fill, `SAMPLE` -> sample_fraction, `multiIf` -> CASE WHEN).
+time_gap_fill — CH fills non-sort columns with TYPE DEFAULTS the SQL
+text does not carry, so a textual translation would silently NULL them —
+`SAMPLE` -> sample_fraction, `quantile*` -> approx_quantiles /
+median_exact, `topK` -> heavy_hitters).
 
 The single-argument rewrites use non-nested argument matching; deeply
 nested calls inside a rewritten function should be pre-flattened (the
@@ -70,7 +78,19 @@ class UnsupportedClickHouseSQL(ValueError):
 _REFUSALS: list[tuple[re.Pattern[str], str]] = [
     (re.compile(r"\bWITH\s+FILL\b", re.I), "use time_gap_fill"),
     (re.compile(r"\bSAMPLE\s+[\d.]", re.I), "use sample_fraction (C33)"),
-    (re.compile(r"\bmultiIf\s*\(", re.I), "rewrite as CASE WHEN"),
+    # the parametric quantile family: quantile(p)(x) is an approximate
+    # reservoir sketch and quantileExact(p)(x) is nearest-rank — neither
+    # matches Spark percentile()'s interpolation, so a textual map would
+    # silently change the numbers; point at the native operators instead
+    (
+        re.compile(r"\bquantiles?(Exact|TDigest|Deterministic|Timing)?\s*\(", re.I),
+        "use approx_quantiles (percentile_approx) / median_exact / "
+        "quantile_state_merge",
+    ),
+    (
+        re.compile(r"\btopK(Weighted)?\s*\(", re.I),
+        "use heavy_hitters / heavy_hitters_weighted / top_k_per_group",
+    ),
     (re.compile(r"\bON\s+CLUSTER\b", re.I), "cluster DDL is Spark-global (A4)"),
     # FROM t FINAL forces ReplacingMergeTree collapse at read time; the
     # correct translation needs the table's ORDER BY key and version
@@ -220,6 +240,16 @@ _REWRITES: list[tuple[re.Pattern[str], str]] = [
     (re.compile(rf"\buniqExact\s*\(\s*{_ARG}\s*\)", re.I), r"COUNT(DISTINCT \1)"),
     (re.compile(r"\buniq(Combined|HLL12)?\s*\(", re.I), "approx_count_distinct("),
     (re.compile(r"\bany(Last)?\s*\(", re.I), "any_value("),
+    # argMax/argMin: identical (value, ordering) argument order in both
+    # dialects, and identical tie semantics (an arbitrary row among the
+    # ties) — a name-only rewrite, safe at any nesting depth
+    (re.compile(r"\bargMax\s*\(", re.I), "max_by("),
+    (re.compile(r"\bargMin\s*\(", re.I), "min_by("),
+    # groupArray/groupUniqArray: collect_list/collect_set. Both engines
+    # leave element order partition-dependent — deterministic queries
+    # should wrap in arraySort, exactly as they must in ClickHouse
+    (re.compile(r"\bgroupUniqArray\s*\(", re.I), "collect_set("),
+    (re.compile(r"\bgroupArray\s*\(", re.I), "collect_list("),
     # ---- misc scalar ----
     (
         re.compile(rf"\bintDiv\s*\(\s*{_ARG}\s*,\s*{_ARG}\s*\)", re.I),
@@ -311,6 +341,84 @@ _LIMIT_BY = re.compile(
 )
 
 
+def _split_top_level_args(s: str) -> list[str]:
+    """Split an argument list on commas at paren depth 0, treating
+    single-quoted literals as opaque. Returns the raw (unstripped)
+    pieces; raises on unbalanced parens / unterminated quotes."""
+    args: list[str] = []
+    depth = 0
+    buf: list[str] = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == "'":
+            j = s.find("'", i + 1)
+            if j < 0:
+                raise UnsupportedClickHouseSQL("unterminated string literal")
+            buf.append(s[i : j + 1])
+            i = j + 1
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth < 0:
+                raise UnsupportedClickHouseSQL("unbalanced parentheses")
+        if c == "," and depth == 0:
+            args.append("".join(buf))
+            buf = []
+        else:
+            buf.append(c)
+        i += 1
+    if depth != 0:
+        raise UnsupportedClickHouseSQL("unbalanced parentheses")
+    args.append("".join(buf))
+    return args
+
+
+_MULTIIF_HEAD = re.compile(r"\bmultiIf\s*\(", re.I)
+
+
+def _rewrite_multiif(sql: str) -> str:
+    """Rewrite every `multiIf(c1, v1, c2, v2, ..., else)` to
+    `CASE WHEN c1 THEN v1 ... ELSE else END` with a balanced-paren scan
+    (arbitrary nesting — innermost occurrences rewritten first). CH
+    requires the trailing else, so an even argument count refuses."""
+    for _ in range(32):
+        matches = list(_MULTIIF_HEAD.finditer(sql))
+        if not matches:
+            return sql
+        m = matches[-1]  # last occurrence = never contains another
+        start = m.end()  # just past the '('
+        depth, i = 1, start
+        while i < len(sql) and depth:
+            c = sql[i]
+            if c == "'":
+                j = sql.find("'", i + 1)
+                if j < 0:
+                    raise UnsupportedClickHouseSQL("unterminated string literal")
+                i = j
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            i += 1
+        if depth:
+            raise UnsupportedClickHouseSQL("unbalanced multiIf parentheses")
+        args = [a.strip() for a in _split_top_level_args(sql[start : i - 1])]
+        if len(args) < 3 or len(args) % 2 == 0:
+            raise UnsupportedClickHouseSQL(
+                "multiIf needs an odd argument count >= 3 "
+                "(cond, val, ..., else) — ClickHouse requires the else arm"
+            )
+        arms = "".join(
+            f" WHEN {args[k]} THEN {args[k + 1]}" for k in range(0, len(args) - 1, 2)
+        )
+        case = f"(CASE{arms} ELSE {args[-1]} END)"
+        sql = sql[: m.start()] + case + sql[i:]
+    raise UnsupportedClickHouseSQL("multiIf nesting too deep (>32)")
+
+
 def _rewrite_limit_by(sql: str) -> str:
     """Rewrite `... ORDER BY o LIMIT n BY c1, c2 [LIMIT m]` to a
     ROW_NUMBER window over the materialized inner select — the standard
@@ -354,6 +462,7 @@ def translate(ch_sql: str) -> str:
                 f"{pat.pattern!r} has no textual Spark equivalent — {hint}"
             )
     out = _rewrite_limit_by(ch_sql)
+    out = _rewrite_multiif(out)
     for pat, repl in _REWRITES:
         out = pat.sub(repl, out)
     if re.search(r"\bWITH\s+TOTALS\b", out, re.I):
@@ -768,3 +877,53 @@ def ch_ddl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.sql(translate_ddl(_CH_DDL))
     spark.sql(translate(_CH_INSERT))
     return spark.sql(translate(_CH_READBACK))
+
+
+# a third verbatim-query shape exercising the round-7 rewrites:
+# multiIf (balanced CASE translation, incl. one nested call), argMax /
+# argMin (unique ordering key so the pick is deterministic on both
+# engines), arraySort(groupUniqArray(...)) for an order-free array
+_CH_ARGMAX_QUERY = """
+    SELECT multiIf(o_totalprice > 250000, 'big',
+                   o_totalprice > 100000, multiIf(o_orderkey % 2 = 0, 'mid-even', 'mid-odd'),
+                   'small') AS bucket,
+           argMax(o_custkey, o_orderkey) AS last_cust,
+           argMin(o_custkey, o_orderkey) AS first_cust,
+           arraySort(groupUniqArray(o_orderstatus)) AS statuses,
+           toUInt32(count()) AS n_rows
+    FROM orders
+    PREWHERE o_orderkey % 7 = 0
+    GROUP BY bucket
+    ORDER BY bucket
+"""
+
+_CH_ARGMAX_ORACLE = """
+    SELECT CASE WHEN o_totalprice > 250000 THEN 'big'
+                WHEN o_totalprice > 100000 THEN
+                  CASE WHEN o_orderkey % 2 = 0 THEN 'mid-even' ELSE 'mid-odd' END
+                ELSE 'small' END AS bucket,
+           arg_max(o_custkey, o_orderkey) AS last_cust,
+           arg_min(o_custkey, o_orderkey) AS first_cust,
+           list_sort(list_distinct(list(o_orderstatus))) AS statuses,
+           COUNT(*) AS n_rows
+    FROM orders
+    WHERE o_orderkey % 7 = 0
+    GROUP BY bucket
+    ORDER BY bucket
+"""
+
+
+@query("ch_dialect_argmax", _CH_ARGMAX_ORACLE)
+def ch_dialect_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dialect shim end-to-end over the round-7 rewrites: a ClickHouse
+    profile using multiIf (including a NESTED multiIf — the
+    balanced-paren CASE translation), argMax/argMin over the unique
+    order key (deterministic pick on both engines), and
+    arraySort(groupUniqArray(...)) so the collected array is
+    order-free; oracled against DuckDB's native CASE / arg_max /
+    list_distinct spellings.
+
+    Scale: translated output is ordinary Spark SQL — one grouped
+    exchange; max_by/min_by are single-pass partial-aggregable, and the
+    PREWHERE modulo lands in the scan as a pushed filter."""
+    return ch_sql(spark, sf_dir, _CH_ARGMAX_QUERY)

@@ -211,6 +211,7 @@ DRIVER_ORDER_TIER2: list[str] = [
     "statestore_introspection",
     "sink_observed_metrics",
     "ch_dialect_array_join",
+    "ch_dialect_argmax",
     "timezone_funcs",
     "group_by_all",
     "identifier_parameterized",
@@ -223,6 +224,9 @@ DRIVER_ORDER_TIER2: list[str] = [
     "corpus_pipeline_e2e_keep_longest",
     "dedup_semantic_prune",
     "diversity_sample_cells",
+    "dedup_repeated_substring",
+    "ohlc_bars",
+    "asof_join_nearest",
     "mad_outlier_scores",
     "corpus_datasheet",
     "user_churn_weekly",

@@ -700,3 +700,37 @@ def test_mutation_rewrites_only_affected_partitions(spark):
         assert snapshot(p) == before[p], f"untouched partition {p} rewritten"
     assert snapshot("O") != before_o, "mutated partition should be rewritten"
     shutil.rmtree(path, ignore_errors=True)
+
+
+def test_asof_nearest_single_user_exchange(spark):
+    """The nearest-direction asof join reuses ONE user_id hash exchange
+    for the click collapse, both window fills, and the pick — a second
+    hash exchange would mean the union/window composition re-shuffled."""
+    plan = plan_of(spark, "asof_join_nearest")
+    n_hash = plan.lower().count("hashpartitioning(user_id")
+    assert n_hash <= 2, f"expected collapse+union exchanges only, saw {n_hash}"
+    assert "cartesianproduct" not in plan.lower()
+    assert plan.lower().count("window") >= 2  # back fill + forward fill
+
+
+def test_ohlc_single_pass_aggregate(spark):
+    """OHLC bars: the struct-ordered min_by/max_by make the whole bar
+    ONE hash aggregate — exactly one (event_type, bar_hour) exchange
+    with map-side partials; a second hash exchange would mean the
+    two-level oracle spelling leaked into the Spark plan."""
+    plan = plan_of(spark, "ohlc_bars")
+    low = plan.lower()
+    n_hash = low.count("hashpartitioning(event_type")
+    assert n_hash == 1, f"expected 1 agg exchange, saw {n_hash}"
+    assert "partial" in low
+
+
+def test_repeated_substring_spans_stay_jvm_side(spark):
+    """The span generator (split/transform/slice/md5) must compile to
+    JVM expressions — no BatchEvalPython / ArrowEvalPython in the plan —
+    and both span-hash aggregates must show map-side partials."""
+    plan = plan_of(spark, "dedup_repeated_substring")
+    low = plan.lower()
+    assert "pythonudf" not in low and "batchevalpython" not in low
+    assert "arrowevalpython" not in low
+    assert "partial" in low

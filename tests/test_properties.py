@@ -307,8 +307,16 @@ def test_ch_dialect_refuses_untranslatable():
 
     for sql in [
         "SELECT x FROM t LIMIT 3 BY g",
-        "SELECT multiIf(a, 1, 2) FROM t",
+        # even arity: CH requires the else arm — refuse, never guess
+        # (the 3-arg odd form multiIf(c, v, else) now TRANSLATES — see
+        # test_ch_dialect_multiif_and_argmax_rewrites)
+        "SELECT multiIf(a, 1) FROM t",
         "SELECT x FROM t SAMPLE 0.1",
+        # parametric quantile family and topK: approximate/nearest-rank
+        # semantics with no faithful textual map — pointered refusals
+        "SELECT quantile(0.5)(x) FROM t",
+        "SELECT quantileExact(0.9)(x) FROM t",
+        "SELECT topK(5)(x) FROM t",
         # nested beyond one paren level inside a rewritten call must
         # raise (residual check), never silently mistranslate
         "SELECT sumIf(coalesce(a, nullif(b, 0)), c > least(d, e(f))) FROM t",
@@ -324,6 +332,35 @@ def test_ch_dialect_refuses_untranslatable():
     ]:
         with _pytest.raises(UnsupportedClickHouseSQL):
             translate(sql)
+
+
+def test_ch_dialect_multiif_and_argmax_rewrites():
+    """Round-7 rewrites: multiIf translates to CASE WHEN via the
+    balanced-paren scan (nested calls, string literals with commas and
+    parens stay opaque), argMax/argMin/groupArray/groupUniqArray are
+    name-only maps safe at any nesting depth."""
+    from clickhouse_data_rebalance_spark.plans.ch_dialect import translate
+
+    assert translate("SELECT multiIf(a, 1, 2) FROM t") == (
+        "SELECT (CASE WHEN a THEN 1 ELSE 2 END) FROM t"
+    )
+    out = translate(
+        "SELECT multiIf(a > 1, 'x,(', b > 2, multiIf(c = f(1, 2), 'y', 'z'), 'w') AS t"
+        " FROM orders"
+    )
+    assert out == (
+        "SELECT (CASE WHEN a > 1 THEN 'x,(' WHEN b > 2 THEN "
+        "(CASE WHEN c = f(1, 2) THEN 'y' ELSE 'z' END) ELSE 'w' END) AS t"
+        " FROM orders"
+    )
+    out = translate(
+        "SELECT argMax(u, length(k)) AS a, argMin(u, k) AS b,"
+        " arraySort(groupUniqArray(s)) AS c, groupArray(v) AS d FROM t"
+    )
+    assert "max_by(u, length(k)) AS a" in out
+    assert "min_by(u, k) AS b" in out
+    assert "array_sort(collect_set(s)) AS c" in out
+    assert "collect_list(v) AS d" in out
 
 
 def test_ch_dialect_global_strip_and_residual_refusal():
