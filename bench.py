@@ -77,6 +77,8 @@ EXTENDED = [
     # round 7: snowflake ratio query + SemDeDup-style curation
     "national_market_share",
     "dedup_semantic_prune",
+    "dedup_repeated_substring",
+    "lm_perplexity_score",
 ]
 
 HEADLINE = CORE + EXTENDED

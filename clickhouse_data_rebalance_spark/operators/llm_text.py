@@ -844,3 +844,74 @@ def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang_entropy",
         "n_exact_dups",
     )
+
+
+# Unigram language-model scoring — the corpus-statistical quality signal
+# (CCNet, arXiv:1911.00359, scores documents with a KenLM n-gram model;
+# the distributable from-scratch proxy is the corpus's own unigram LM):
+# pass 1 derives p(w) = c(w)/N over the whole corpus, pass 2 scores each
+# document by its average negative log-probability. High avg-NLL = text
+# unlike the corpus (gibberish, rare-token soup); low = boilerplate.
+_LM_PERPLEXITY_ORACLE = r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+      FROM documents),
+    freq AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY w),
+    tot AS (SELECT COUNT(*) AS n FROM toks)
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           ROUND(SUM(-ln(CAST(f.c AS DOUBLE) / tot.n)) / COUNT(*), 9)
+             AS avg_nll
+    FROM toks t JOIN freq f USING (w) CROSS JOIN tot
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+"""
+
+
+@query("lm_perplexity_score", _LM_PERPLEXITY_ORACLE)
+def lm_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM document scoring: two passes over the corpus — (1)
+    the corpus unigram distribution p(w) = c(w)/N, (2) each document's
+    average negative log-probability under it (the perplexity exponent;
+    exp() is monotone so thresholding avg-NLL ≡ thresholding
+    perplexity, and skipping it keeps one libm call out of the compare).
+    No smoothing needed: every scored token is in the vocabulary by
+    construction (the model IS the corpus).
+
+    Scale posture: the frequency table is vocabulary-sized (zipfian —
+    grows ~log-like in corpus size), so pass 2 BROADCASTS it onto the
+    exploded token stream; explode is row-local, so a document's tokens
+    stay in one partition and the per-doc aggregate collapses map-side —
+    the only full shuffle is pass 1's vocabulary aggregate of narrow
+    (word) rows, and the final exchange moves ~|docs| partial rows. The
+    corpus total N rides a broadcast 1-row cross join. If the
+    vocabulary outgrows broadcast (100-TB web text with unbounded junk
+    tokens), drop the hint and the same plan degrades to a shuffle
+    join; the aggregate structure is unchanged. ROUND(,9) absorbs the
+    sum-order double noise of the ln() accumulation."""
+    d = table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("w")
+    )
+    freq = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    # N as a row-local sum of per-document token counts — summing freq.c
+    # would recompute the whole vocabulary aggregate (second w-shuffle)
+    # just to produce one number
+    total = d.agg(
+        F.sum(F.size(tokens(F.lower(F.col("text")))))
+        .cast("double")
+        .alias("n_total")
+    )
+    scored = words.join(F.broadcast(freq), "w").crossJoin(F.broadcast(total))
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum(-F.log(F.col("c").cast("double") / F.col("n_total")))
+                / F.count(F.lit(1)),
+                9,
+            ).alias("avg_nll"),
+        )
+        .orderBy("doc_id")
+    )

@@ -225,6 +225,7 @@ DRIVER_ORDER_TIER2: list[str] = [
     "dedup_semantic_prune",
     "diversity_sample_cells",
     "dedup_repeated_substring",
+    "lm_perplexity_score",
     "ohlc_bars",
     "asof_join_nearest",
     "mad_outlier_scores",

@@ -734,3 +734,17 @@ def test_repeated_substring_spans_stay_jvm_side(spark):
     assert "pythonudf" not in low and "batchevalpython" not in low
     assert "arrowevalpython" not in low
     assert "partial" in low
+
+
+def test_lm_perplexity_broadcasts_vocabulary(spark):
+    """Pass 2 of the unigram-LM scorer must broadcast the
+    vocabulary-sized frequency table onto the exploded token stream
+    (zipfian vocab ≪ corpus), with exactly one w-keyed hash exchange
+    (pass 1's vocabulary aggregate — N is a row-local sum, not a second
+    vocab aggregate) and no Python in the plan."""
+    plan = plan_of(spark, "lm_perplexity_score")
+    low = plan.lower()
+    assert "broadcasthashjoin" in low
+    n_w = low.count("hashpartitioning(w#")
+    assert n_w == 1, f"expected 1 vocab exchange, saw {n_w}"
+    assert "batchevalpython" not in low and "arrowevalpython" not in low
