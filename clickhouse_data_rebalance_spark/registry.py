@@ -234,6 +234,7 @@ DRIVER_ORDER_TIER2: list[str] = [
     # drift-prone streaming/event-time equivalences
     "stream_session_equiv",
     "stream_sliding_equiv",
+    "stream_ohlc_equiv",
     "stream_static_enrich",
     "stream_ema_state",
     # rotated out of the 50-row cover in r7 (2+ green driver rounds each;

@@ -162,6 +162,20 @@ def delta_source(spark: SparkSession, path: str) -> DataFrame:
         ) from exc
 
 
+def avro_source(spark: SparkSession, path: str) -> DataFrame:
+    """Avro connector — spark-avro is an EXTERNAL module since Spark 2.4
+    (not bundled in the pip pyspark distribution, and no jar download is
+    possible in this container)."""
+    try:
+        return spark.read.format("avro").load(path)
+    except Exception as exc:  # pragma: no cover - env-dependent
+        raise NotImplementedError(
+            "spark-avro module not on the classpath; add "
+            "org.apache.spark:spark-avro_2.13:<spark-version> to "
+            "spark.jars.packages and retry"
+        ) from exc
+
+
 def write_bucketed(
     df: DataFrame, table_name: str, n_buckets: int, keys: list[str], path: str
 ) -> None:

@@ -924,3 +924,66 @@ def statestore_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "stream_ohlc_equiv",
+    f"""
+    WITH per_ts AS (
+      SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS win_start, ts,
+             arg_min(value, event_id) AS open_rep,
+             arg_max(value, event_id) AS close_rep,
+             MIN(value) AS lo, MAX(value) AS hi,
+             COUNT(*) AS n, {sql_dec_sum('value')} AS vol
+      FROM events
+      GROUP BY 1, 2, 3)
+    SELECT event_type, win_start,
+           arg_min(open_rep, ts) AS open,
+           MAX(hi) AS high,
+           MIN(lo) AS low,
+           arg_max(close_rep, ts) AS close,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           {sql_dec_sum('vol')} AS volume
+    FROM per_ts
+    GROUP BY event_type, win_start
+    ORDER BY event_type, win_start
+    """,
+)
+def stream_ohlc_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch `ohlc_bars` operator as a real stream: hourly
+    candlesticks maintained by a streaming aggregate, complete-mode
+    memory sink, equal to the batch oracle. The struct-ordered
+    min_by/max_by are declarative aggregates, so Structured Streaming
+    maintains open/close incrementally in the state store — each bar's
+    state is ONE (value, (ts, event_id)) pair per endpoint, updated per
+    micro-batch, never a buffered window of events.
+
+    Scale posture: state size = live bars x event types (calendar-
+    bounded, not volume-bounded); in production the tumbling window
+    plus a watermark ages bars out of state as event time passes them
+    (see stream_watermark_counts for the emission contract)."""
+    table(spark, sf_dir, "events")  # ensures session confs + package shipping
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    agg = (
+        events_stream(spark, sf_dir)
+        .groupBy("event_type", F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            dec_sum("value").alias("volume"),
+        )
+    )
+    out = run_to_memory(agg, "stream_ohlc_out", "complete")
+    return out.select(
+        "event_type",
+        _ntz("w.start", "win_start"),
+        "open",
+        "high",
+        "low",
+        "close",
+        "n_events",
+        "volume",
+    ).orderBy("event_type", "win_start")

@@ -1273,3 +1273,59 @@ def test_ch_dialect_join_modifiers():
     ]:
         with _pytest.raises(UnsupportedClickHouseSQL):
             translate(bad)
+
+
+# ---- multiIf translation semantics fuzz -----------------------------------
+# random nested multiIf trees over integer literals and comparisons; the
+# translated CASE WHEN must evaluate (in DuckDB) to the value a direct
+# Python interpretation of ClickHouse multiIf semantics produces
+_MI_LEAF = st.integers(min_value=-99, max_value=99)
+
+
+def _mi_tree(depth: int):
+    if depth == 0:
+        return _MI_LEAF
+    child = st.deferred(lambda: _mi_tree(depth - 1))
+    node = st.tuples(
+        st.lists(
+            st.tuples(st.integers(-5, 5), st.integers(-5, 5), child),
+            min_size=1,
+            max_size=3,
+        ),
+        child,
+    )
+    return st.one_of(_MI_LEAF, node)
+
+
+def _mi_render(t) -> str:
+    if isinstance(t, int):
+        return str(t)
+    arms, els = t
+    parts = []
+    for a, b, v in arms:
+        parts.append(f"{a} > {b}")
+        parts.append(_mi_render(v))
+    parts.append(_mi_render(els))
+    return f"multiIf({', '.join(parts)})"
+
+
+def _mi_eval(t) -> int:
+    if isinstance(t, int):
+        return t
+    arms, els = t
+    for a, b, v in arms:
+        if a > b:
+            return _mi_eval(v)
+    return _mi_eval(els)
+
+
+@settings(**_SETTINGS)
+@given(_mi_tree(3))
+def test_ch_dialect_multiif_semantics_fuzz(tree):
+    import duckdb
+
+    from clickhouse_data_rebalance_spark.plans.ch_dialect import translate
+
+    sql = translate(f"SELECT {_mi_render(tree)} AS v")
+    got = duckdb.sql(sql).fetchone()[0]
+    assert got == _mi_eval(tree), f"{_mi_render(tree)} -> {sql}"
