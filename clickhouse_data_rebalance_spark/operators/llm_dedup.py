@@ -842,18 +842,26 @@ def dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     and this oracle — is identical.
 
     Oracle: exact transitive closure via a DuckDB recursive CTE."""
-    from ..functions.vectors import cosine
+    from ..functions.vectors import dot, norm
 
-    e = table(spark, sf_dir, "embeddings")
+    e = table(spark, sf_dir, "embeddings").withColumn(
+        "nrm", norm(F.col("embedding"))
+    )
     a = e.repartition(shuffle_partitions(spark), "vec_id").alias("a")
     b = e.alias("b")
+    # row-carried norms: bit-identical to cosine(), computed once per
+    # row instead of once per pair (see cosine_pairs_threshold)
+    pair_cos = F.try_divide(
+        dot(F.col("a.embedding"), F.col("b.embedding")),
+        F.col("a.nrm") * F.col("b.nrm"),
+    )
     edges = (
         a.join(
             b,
             (F.col("a.label") == F.col("b.label"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .filter(cosine(F.col("a.embedding"), F.col("b.embedding")) >= 0.3)
+        .filter(pair_cos >= 0.3)
         .select(F.col("a.vec_id").alias("u"), F.col("b.vec_id").alias("v"))
     )
     nodes = e.select(F.col("vec_id").alias("node"))
@@ -1091,10 +1099,14 @@ def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairwise join is equi-partitioned on the persisted `cell` partition
     directory; centroid similarity adds one broadcast join against the
     K-row seed set; pair count is bounded by sum of squared cell sizes
-    (cluster-count knob). No corpus-scale all-pairs anywhere."""
+    (cluster-count knob). No corpus-scale all-pairs anywhere. Each row
+    carries its precomputed norm into the pair join so the per-pair
+    cosine is dot/(nrm_a*nrm_b) — recomputing both norms inside every
+    pair would redo each vector's norm ~|cell| times (measured 4x on
+    this op before the factoring)."""
     from pyspark.sql import Window as W
 
-    from ..functions.vectors import cosine
+    from ..functions.vectors import cosine, dot, norm
     from .llm_similarity import IVF_CLUSTERS, _ivf_index_for
 
     e = table(spark, sf_dir, "embeddings")
@@ -1114,11 +1126,16 @@ def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "cell",
             "embedding",
+            norm(F.col("embedding")).alias("nrm"),
             cosine(F.col("embedding"), F.col("sv")).alias("centroid_sim"),
         )
     )
     a = scored.alias("a")
     b = scored.alias("b")
+    pair_cos = F.try_divide(
+        dot(F.col("a.embedding"), F.col("b.embedding")),
+        F.col("a.nrm") * F.col("b.nrm"),
+    )
     loser = F.when(
         (F.col("a.centroid_sim") > F.col("b.centroid_sim"))
         | (
@@ -1133,7 +1150,7 @@ def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.cell") == F.col("b.cell"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .filter(cosine(F.col("a.embedding"), F.col("b.embedding")) >= 0.3)
+        .filter(pair_cos >= 0.3)
         .select(loser.alias("vec_id"))
         .distinct()
     )

@@ -76,11 +76,21 @@ _PAIR_SIM_ORACLE = """
 @query("cosine_pairs_threshold", _PAIR_SIM_ORACLE)
 def cosine_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C43: similarity join (same-label pairs with cosine ≥ 0.8). The
-    label equi-key keeps the join shuffle-partitioned, not cross."""
-    e = table(spark, sf_dir, "embeddings")
+    label equi-key keeps the join shuffle-partitioned, not cross.
+
+    Each side carries its precomputed norm into the join so the pair
+    cosine is dot/(nrm_a*nrm_b) — bit-identical to cosine() (same two
+    norm values, same multiply) but each vector's norm is computed once
+    per ROW instead of once per PAIR (~|block| times more)."""
+    e = table(spark, sf_dir, "embeddings").withColumn(
+        "nrm", norm(F.col("embedding"))
+    )
     a = e.alias("a")
     b = e.alias("b")
-    sim = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    sim = F.try_divide(
+        dot(F.col("a.embedding"), F.col("b.embedding")),
+        F.col("a.nrm") * F.col("b.nrm"),
+    )
     return (
         a.join(
             b,
@@ -659,8 +669,9 @@ def knn_join_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explicit session-derived count (not a local[32] constant, and not
     # a bare repartition(col), which AQE re-coalesces to ~1 partition
     # on a small-bytes probe side — measured 4x) keeps the spread.
-    a = e.repartition(shuffle_partitions(spark), "vec_id").alias("a")
-    b = e.alias("b")
+    en = e.withColumn("nrm", norm(F.col("embedding")))
+    a = en.repartition(shuffle_partitions(spark), "vec_id").alias("a")
+    b = en.alias("b")
     pairs = (
         a.join(
             b,
@@ -670,7 +681,12 @@ def knn_join_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("vec_id"),
             F.col("b.vec_id").alias("nn_id"),
-            cosine(F.col("a.embedding"), F.col("b.embedding")).alias("sim"),
+            # row-carried norms: dot/(nrm_a*nrm_b) is bit-identical to
+            # cosine() but norms compute once per row, not per pair
+            F.try_divide(
+                dot(F.col("a.embedding"), F.col("b.embedding")),
+                F.col("a.nrm") * F.col("b.nrm"),
+            ).alias("sim"),
         )
     )
     w = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("nn_id"))
@@ -736,7 +752,12 @@ def knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     idx = spark.read.parquet(_ivf_index_for(spark, sf_dir))
-    ev = idx.select("vec_id", F.col("cell").cast("int").alias("cell"), "embedding")
+    ev = idx.select(
+        "vec_id",
+        F.col("cell").cast("int").alias("cell"),
+        "embedding",
+        norm(F.col("embedding")).alias("nrm"),
+    )
     a = ev.alias("a")
     b = ev.alias("b")
     pairs = a.join(
@@ -746,7 +767,11 @@ def knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("a.vec_id").alias("vec_id"),
         F.col("b.vec_id").alias("nn_id"),
-        cosine(F.col("a.embedding"), F.col("b.embedding")).alias("sim"),
+        # row-carried norms (see cosine_pairs_threshold)
+        F.try_divide(
+            dot(F.col("a.embedding"), F.col("b.embedding")),
+            F.col("a.nrm") * F.col("b.nrm"),
+        ).alias("sim"),
     )
     w = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("nn_id"))
     return (
@@ -796,10 +821,19 @@ def cosine_pairs_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (top-10 cosine ≈ 0.28–0.37) so the result exercises real matches
     rather than an empty set."""
     idx = spark.read.parquet(_ivf_index_for(spark, sf_dir))
-    ev = idx.select("vec_id", F.col("cell").cast("int").alias("cell"), "embedding")
+    ev = idx.select(
+        "vec_id",
+        F.col("cell").cast("int").alias("cell"),
+        "embedding",
+        norm(F.col("embedding")).alias("nrm"),
+    )
     a = ev.alias("a")
     b = ev.alias("b")
-    sim = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    # row-carried norms (see cosine_pairs_threshold)
+    sim = F.try_divide(
+        dot(F.col("a.embedding"), F.col("b.embedding")),
+        F.col("a.nrm") * F.col("b.nrm"),
+    )
     return (
         a.join(
             b,
