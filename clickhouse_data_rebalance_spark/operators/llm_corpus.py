@@ -653,3 +653,168 @@ def line_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         ratio.alias("dup_ratio"),
         (ratio <= 0.5).alias("keep"),
     ).orderBy("doc_id")
+
+
+# The steady-state ADMISSION job: a new batch of documents is screened
+# against the existing corpus and admitted or rejected with an auditable
+# per-document reason — the incremental complement of
+# corpus_pipeline_e2e's one-time backfill. The batch models a day's
+# crawl: fresh documents (doc_id % 10 = 7, as in dedup_incremental_batch)
+# PLUS re-fetches of existing pages (corpus docs re-keyed at +100000,
+# text unchanged) PLUS spam (corpus docs re-keyed at +200000, text
+# replaced by their own first five tokens repeated 10x) — the fixture
+# has no natural exact twins or repetitive docs, and an admission screen
+# whose reject arms never fire would be vacuously green. Stage order
+# (first failure wins): intra-doc repetition gate, exact duplicate of a
+# corpus doc (normalized fingerprint), shared 8-token span with a
+# corpus doc (the bounded-window near-dup/containment screen of
+# dedup_repeated_substring).
+_INGEST_ORACLE = r"""
+    WITH raw AS (
+      SELECT doc_id, lang, text, doc_id % 10 = 7 AS is_batch
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, lang, text, TRUE
+      FROM documents WHERE doc_id % 50 = 1
+      UNION ALL
+      SELECT doc_id + 200000, lang,
+             trim(repeat(array_to_string(
+               list_slice(string_split_regex(trim(lower(text)), '\s+'), 1, 5),
+               ' ') || ' ', 10)),
+             TRUE
+      FROM documents WHERE doc_id % 50 = 11),
+    toks AS (
+      SELECT doc_id, lang, text,
+             string_split_regex(trim(lower(text)), '\s+') AS tk, is_batch
+      FROM raw),
+    rep AS (
+      SELECT doc_id,
+             CASE WHEN len(tk) < 5 THEN CAST(0.0 AS DOUBLE)
+                  ELSE 1.0 - CAST(len(list_distinct(list_transform(
+                         range(1, len(tk) - 3),
+                         i -> array_to_string(tk[i:i+4], ' ')))) AS DOUBLE)
+                       / (len(tk) - 4) END AS dup5
+      FROM toks),
+    fps AS (SELECT doc_id, is_batch, md5(lower(trim(text))) AS fp FROM toks),
+    corpus_fp AS (SELECT DISTINCT fp FROM fps WHERE NOT is_batch),
+    spans AS (
+      SELECT doc_id, is_batch,
+             md5(array_to_string(list_slice(tk, i, i + 7), ' ')) AS h
+      FROM toks, unnest(range(1, len(tk) - 6)) AS u(i)
+      WHERE len(tk) >= 8),
+    corpus_sp AS (SELECT DISTINCT h FROM spans WHERE NOT is_batch),
+    span_hit AS (
+      SELECT DISTINCT s.doc_id
+      FROM spans s JOIN corpus_sp c ON s.h = c.h
+      WHERE s.is_batch)
+    SELECT t.doc_id, t.lang,
+           CASE WHEN r.dup5 > 0.2 THEN 'repetition'
+                WHEN cf.fp IS NOT NULL THEN 'exact_dup'
+                WHEN sh.doc_id IS NOT NULL THEN 'near_dup'
+                ELSE 'accepted' END AS verdict
+    FROM toks t
+    JOIN rep r ON r.doc_id = t.doc_id
+    JOIN fps f ON f.doc_id = t.doc_id
+    LEFT JOIN corpus_fp cf ON cf.fp = f.fp
+    LEFT JOIN span_hit sh ON sh.doc_id = t.doc_id
+    WHERE t.is_batch
+    ORDER BY t.doc_id
+"""
+
+
+@query("corpus_ingest_incremental", _INGEST_ORACLE)
+def corpus_ingest_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus admission: each new-batch document gets an
+    auditable verdict — 'repetition' (intra-doc duplicate-5-gram
+    fraction > 0.2, the Gopher gate), 'exact_dup' (normalized
+    fingerprint already in the corpus), 'near_dup' (shares an exact
+    8-token span with a corpus document), or 'accepted'. First failing
+    stage wins, so rejection reasons are stable as stages are re-run.
+    The batch derives re-fetch and spam rows from the fixture (see the
+    module comment) so every reject arm demonstrably fires.
+
+    Scale posture — the daily-job shape, not the backfill:
+    - the repetition gate is row-local (batch rows only);
+    - the exact screen LEFT-SEMI-probes the corpus fingerprint set on
+      the fingerprint hash — in production that set is a persisted,
+      bucketed index maintained by yesterday's run, so the probe is a
+      bucket-pruned join of |batch| rows, never a corpus scan;
+    - the span screen shuffles only (hash, doc_id) pairs on the span
+      hash, and only the BATCH side explodes fresh spans; the corpus
+      span set is likewise maintainable incrementally (append-only —
+      yesterday's accepted docs' spans union in).
+    All three stages are expression-only (split/slice/md5) — no Python
+    in the row path."""
+    d = table(spark, sf_dir, "documents")
+    tk_of = tokens(F.lower(F.col("text")))
+    refetch = d.filter(F.col("doc_id") % 50 == 1).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "lang", "text"
+    )
+    spam_text = F.trim(
+        F.repeat(
+            F.concat(F.array_join(F.slice(tk_of, 1, 5), " "), F.lit(" ")), 10
+        )
+    )
+    spam = d.filter(F.col("doc_id") % 50 == 11).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "lang", spam_text.alias("text")
+    )
+    raw = (
+        d.select("doc_id", "lang", "text", (F.col("doc_id") % 10 == 7).alias("is_batch"))
+        .unionByName(refetch.withColumn("is_batch", F.lit(True)))
+        .unionByName(spam.withColumn("is_batch", F.lit(True)))
+    )
+    base = raw.select("doc_id", "lang", "text", tk_of.alias("tk"), "is_batch")
+
+    n = F.size("tk")
+    grams5 = F.transform(
+        F.sequence(F.lit(1), n - 4),
+        lambda i: F.array_join(F.slice("tk", i, 5), " "),
+    )
+    dup5 = F.when(n < 5, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(grams5)).cast("double") / (n - 4)
+    )
+    fp = F.md5(F.lower(F.trim(F.col("text"))))
+
+    batch = base.filter("is_batch").select(
+        "doc_id", "lang", "tk", dup5.alias("dup5"), fp.alias("fp")
+    )
+    corpus = base.filter(~F.col("is_batch"))
+    corpus_fp = corpus.select(fp.alias("fp")).distinct()
+
+    span_of = lambda side: side.filter(F.size("tk") >= 8).select(  # noqa: E731
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tk") - 7),
+                lambda i: F.md5(F.array_join(F.slice("tk", i, 8), " ")),
+            )
+        ).alias("h"),
+    )
+    corpus_sp = span_of(corpus.select("doc_id", "tk")).select("h").distinct()
+    span_hit = (
+        span_of(batch.select("doc_id", "tk"))
+        .join(corpus_sp, "h", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("has_span", F.lit(1))
+    )
+
+    exact_hit = (
+        batch.join(corpus_fp, "fp", "left_semi")
+        .select("doc_id")
+        .withColumn("has_fp", F.lit(1))
+    )
+    return (
+        batch.join(exact_hit, "doc_id", "left")
+        .join(span_hit, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.when(F.col("dup5") > 0.2, F.lit("repetition"))
+            .when(F.col("has_fp").isNotNull(), F.lit("exact_dup"))
+            .when(F.col("has_span").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("accepted"))
+            .alias("verdict"),
+        )
+        .orderBy("doc_id")
+    )

@@ -915,3 +915,66 @@ def lm_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# Weighted sampling without replacement (Efraimidis & Spirakis 2006,
+# "Weighted random sampling with a reservoir"): each item draws
+# u ~ U(0,1) and the top-m by u^(1/w) are EXACTLY a weight-proportional
+# without-replacement sample. Ranking by ln(u)/w is the monotone
+# equivalent. u derives from md5(doc_id) (first 12 hex chars -> 48-bit
+# integer, exact in a double), so the "random" draw is bit-identical
+# across engines and reruns — the same fixed-randomness trick as
+# sample_k_per_group, upgraded from uniform to weighted.
+_WEIGHTED_ES_ORACLE = """
+    SELECT source, doc_id, n_chars,
+           ROUND(es_key, 9) AS es_key, CAST(rnk AS INT) AS rnk
+    FROM (
+      SELECT source, doc_id, n_chars,
+             ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+                      AS BIGINT) + 0.5) / 281474976710656.0) / n_chars AS es_key,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY ln((CAST(concat('0x',
+                                  substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+                                  AS BIGINT) + 0.5) / 281474976710656.0)
+                                  / n_chars DESC, doc_id) AS rnk
+      FROM documents) t
+    WHERE rnk <= 20
+    ORDER BY source, rnk
+"""
+
+
+@query("weighted_sample_es", _WEIGHTED_ES_ORACLE)
+def weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted without-replacement sampling per source stratum: 20
+    documents per source, drawn with probability proportional to
+    n_chars (stand-in for a quality/importance weight), via the
+    Efraimidis-Spirakis exponential-key rank — the distributed-friendly
+    form of weighted reservoir sampling (no reservoir state, no
+    sequential pass: the key is row-local, the selection is a rank
+    window).
+
+    Scale posture: one window exchange on the stratum key; everything
+    else is row-local arithmetic over a 48-bit md5 draw (exact in a
+    double, bit-identical in both engines). Changing m or the weight
+    column changes no plan shape. A fully-global weighted sample is the
+    same query with one stratum — or two-level: ES top-m per partition,
+    then ES over the m x partitions candidates (the key is
+    associative-max, so the two-level result equals the global one)."""
+    d = table(spark, sf_dir, "documents")
+    v = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10)
+    u = (v.cast("bigint").cast("double") + 0.5) / float(1 << 48)
+    key = F.log(u) / F.col("n_chars")
+    w = Window.partitionBy("source").orderBy(F.col("es_key").desc(), "doc_id")
+    return (
+        d.select("source", "doc_id", "n_chars", key.alias("es_key"))
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 20)
+        .select(
+            "source",
+            "doc_id",
+            "n_chars",
+            F.round("es_key", 9).alias("es_key"),
+            "rnk",
+        )
+        .orderBy("source", "rnk")
+    )

@@ -222,6 +222,7 @@ DRIVER_ORDER_TIER2: list[str] = [
     "length_bucket_packing",
     "dedup_keep_best",
     "corpus_pipeline_e2e_keep_longest",
+    "corpus_ingest_incremental",
     "dedup_semantic_prune",
     "diversity_sample_cells",
     "dedup_repeated_substring",
@@ -271,6 +272,7 @@ DRIVER_ORDER_TIER2: list[str] = [
     "pack_token_shards",
     "mixture_sample",
     "sample_k_per_group",
+    "weighted_sample_es",
     "agg_state_merge",
     "upsert_latest_wins",
     "sequence_match_funnel3",
