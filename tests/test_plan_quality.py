@@ -748,3 +748,14 @@ def test_lm_perplexity_broadcasts_vocabulary(spark):
     n_w = low.count("hashpartitioning(w#")
     assert n_w == 1, f"expected 1 vocab exchange, saw {n_w}"
     assert "batchevalpython" not in low and "arrowevalpython" not in low
+
+
+def test_ingest_incremental_probes_are_semi_joins(spark):
+    """The admission screens must compile to LeftSemi probes of the
+    corpus fingerprint/span sets (never inner joins that would duplicate
+    batch rows per match), with no Python in the plan."""
+    plan = plan_of(spark, "corpus_ingest_incremental")
+    low = plan.lower()
+    assert low.count("leftsemi") >= 2, "expected fp + span semi probes"
+    assert "batchevalpython" not in low and "arrowevalpython" not in low
+    assert "cartesianproduct" not in low
