@@ -1262,3 +1262,88 @@ def diversity_sample_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "label", "cell", "rnk")
         .orderBy("cell", "rnk")
     )
+
+
+# Matryoshka-truncation retrieval (Kusupati et al., arXiv:2205.13147):
+# MRL-trained embeddings keep most of their retrieval quality when
+# truncated to a PREFIX of dimensions — the production trade is scan
+# bytes vs recall. This op runs the same exact top-k twice (full 64-dim
+# and first-16-dim truncated, both cosine — truncation changes norms,
+# so cosine renormalizes implicitly) and reports the truncated ranking
+# WITH a membership flag against the full-dimension top-k: the per-rank
+# audit a user reads before flipping retrieval to truncated vectors.
+MATRYOSHKA_DIMS = 16
+
+_MATRYOSHKA_ORACLE = f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+    full_k AS (
+      SELECT e.vec_id FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> {QUERY_VEC_ID}
+      ORDER BY list_cosine_similarity(
+                 list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                 list_transform(q.qv, x -> CAST(x AS DOUBLE))) DESC, e.vec_id
+      LIMIT {TOP_K}),
+    trunc_k AS (
+      SELECT e.vec_id, e.label,
+             list_cosine_similarity(
+               list_transform(e.embedding[1:{MATRYOSHKA_DIMS}], x -> CAST(x AS DOUBLE)),
+               list_transform(q.qv[1:{MATRYOSHKA_DIMS}], x -> CAST(x AS DOUBLE)))
+               AS sim_trunc
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> {QUERY_VEC_ID}
+      ORDER BY sim_trunc DESC, e.vec_id
+      LIMIT {TOP_K})
+    SELECT t.vec_id, t.label, ROUND(t.sim_trunc, 9) AS sim_trunc,
+           f.vec_id IS NOT NULL AS in_full_topk
+    FROM trunc_k t LEFT JOIN full_k f ON t.vec_id = f.vec_id
+    ORDER BY t.sim_trunc DESC, t.vec_id
+"""
+
+
+@query("matryoshka_topk_recall", _MATRYOSHKA_ORACLE)
+def matryoshka_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated-embedding retrieval audit: exact top-{TOP_K} by cosine
+    over the first {MATRYOSHKA_DIMS} of 64 dimensions, each hit flagged
+    by whether the full-dimension top-{TOP_K} also contains it (the
+    recall a Matryoshka truncation would ship with). Summing the flag
+    gives recall@k; the per-row form keeps the audit inspectable.
+
+    Scale posture: both rankings are the broadcast-1-row-query-vector
+    scan (TakeOrderedAndProject, no global sort); the truncated pass
+    reads the SAME column but touches only a prefix slice per row — on
+    a columnar store with multi-column chunked vectors (or a separate
+    materialized prefix column, the production layout) that is a 4x
+    byte reduction; the full-k side joins back as a {TOP_K}-row
+    broadcast."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qv")
+    )
+    cands = e.filter(F.col("vec_id") != QUERY_VEC_ID).crossJoin(F.broadcast(q))
+    full_k = (
+        cands.select(
+            "vec_id", cosine(F.col("embedding"), F.col("qv")).alias("sim")
+        )
+        .orderBy(F.col("sim").desc(), F.col("vec_id"))
+        .limit(TOP_K)
+        .select("vec_id", F.lit(True).alias("in_full_topk"))
+    )
+    trunc = F.slice(F.col("embedding"), 1, MATRYOSHKA_DIMS)
+    trunc_q = F.slice(F.col("qv"), 1, MATRYOSHKA_DIMS)
+    trunc_k = (
+        cands.select(
+            "vec_id", "label", cosine(trunc, trunc_q).alias("sim_trunc")
+        )
+        .orderBy(F.col("sim_trunc").desc(), F.col("vec_id"))
+        .limit(TOP_K)
+    )
+    return (
+        trunc_k.join(F.broadcast(full_k), "vec_id", "left")
+        .select(
+            "vec_id",
+            "label",
+            F.round("sim_trunc", 9).alias("sim_trunc"),
+            F.coalesce(F.col("in_full_topk"), F.lit(False)).alias("in_full_topk"),
+        )
+        .orderBy(F.col("sim_trunc").desc(), "vec_id")
+    )

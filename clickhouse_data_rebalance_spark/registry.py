@@ -244,6 +244,7 @@ DRIVER_ORDER_TIER2: list[str] = [
     "dedup_minhash_lsh",
     "dedup_embedding_cosine_ivf",
     "cosine_topk_exact",
+    "matryoshka_topk_recall",
     "ann_ivf_topk",
     "text_quality",
     "filter_predicates",

@@ -1329,3 +1329,50 @@ def test_ch_dialect_multiif_semantics_fuzz(tree):
     sql = translate(f"SELECT {_mi_render(tree)} AS v")
     got = duckdb.sql(sql).fetchone()[0]
     assert got == _mi_eval(tree), f"{_mi_render(tree)} -> {sql}"
+
+
+def test_asof_nearest_edge_semantics(spark, tmp_path_factory):
+    """Crafted edge cases the fixture never produces: a purchaser with
+    NO clicks (NULL match), an exact distance tie (earlier click wins),
+    a same-ts click (distance zero, side='back'), and a strictly nearer
+    forward click. The operator runs on a synthetic events table laid
+    out like the fixture (other tables symlinked from sf0.001)."""
+    import os
+
+    from tests.conftest import SF_SMALL
+
+    base = tmp_path_factory.mktemp("asof_edge")
+    for name in os.listdir(SF_SMALL):
+        if name != "events.parquet":
+            os.symlink(os.path.join(SF_SMALL, name), base / name)
+    rows = [
+        # user 1: clicks at 09:50 and 10:05; purchase 10:00 -> fwd (5 < 10)
+        (1, "2024-01-01 09:50:00", 1, "click", 1.0, "{}"),
+        (2, "2024-01-01 10:05:00", 1, "click", 2.0, "{}"),
+        (3, "2024-01-01 10:00:00", 1, "purchase", 9.0, "{}"),
+        # user 2: clicks at 09:55 and 10:05; purchase 10:00 -> tie -> back
+        (4, "2024-01-01 09:55:00", 2, "click", 3.0, "{}"),
+        (5, "2024-01-01 10:05:00", 2, "click", 4.0, "{}"),
+        (6, "2024-01-01 10:00:00", 2, "purchase", 9.0, "{}"),
+        # user 3: purchase, no clicks -> NULL match
+        (7, "2024-01-01 10:00:00", 3, "purchase", 9.0, "{}"),
+        # user 4: click at the same ts -> distance 0, side='back'
+        (8, "2024-01-01 10:00:00", 4, "click", 5.0, "{}"),
+        (9, "2024-01-01 10:00:00", 4, "purchase", 9.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id LONG, ts STRING, user_id LONG, event_type STRING, "
+        "value DOUBLE, props STRING"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.coalesce(1).write.mode("overwrite").parquet(str(base / "events.parquet"))
+
+    from clickhouse_data_rebalance_spark.operators.joins import asof_join_nearest
+
+    out = {
+        r["event_id"]: (r["click_value"], r["side"])
+        for r in asof_join_nearest(spark, str(base)).collect()
+    }
+    assert out[3] == (2.0, "fwd")  # nearer forward click
+    assert out[6] == (3.0, "back")  # exact tie -> earlier (backward) click
+    assert out[7] == (None, None)  # no clicks at all
+    assert out[9] == (5.0, "back")  # same-ts click, distance zero
