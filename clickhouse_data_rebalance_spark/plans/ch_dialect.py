@@ -82,8 +82,10 @@ _REFUSALS: list[tuple[re.Pattern[str], str]] = [
     # reservoir sketch and quantileExact(p)(x) is nearest-rank — neither
     # matches Spark percentile()'s interpolation, so a textual map would
     # silently change the numbers; point at the native operators instead
+    # (\w* catches the whole combinator zoo — Weighted/BFloat16/Low/
+    # High/... — not just the four suffixes originally listed)
     (
-        re.compile(r"\bquantiles?(Exact|TDigest|Deterministic|Timing)?\s*\(", re.I),
+        re.compile(r"\bquantiles?\w*\s*\(", re.I),
         "use approx_quantiles (percentile_approx) / median_exact / "
         "quantile_state_merge",
     ),
@@ -114,16 +116,18 @@ _REFUSALS: list[tuple[re.Pattern[str], str]] = [
     ),
     # multi-array ARRAY JOIN zips arrays positionally — that is
     # arrays_zip + one explode, not two LATERAL VIEWs (which would
-    # cross-product); refuse rather than mis-shape
-    # (the second operand is anchored to start right after the first
-    # alias — `AS <alias> ,` — so a translatable single-array
-    # `ARRAY JOIN xs AS x` followed by unrelated comma text is no
-    # longer conservatively refused)
+    # cross-product); refuse rather than mis-shape. In ClickHouse's
+    # grammar the FROM comma-join list comes BEFORE the ARRAY JOIN
+    # clause, so a comma immediately after the first operand's alias can
+    # only introduce a SECOND ARRAY JOIN operand (aliased or not) —
+    # anchoring on `AS <alias> ,` alone refuses both forms without the
+    # r6 false positive (unrelated ` AS ` later in the statement), and
+    # without mistranslating the unaliased-second-operand form into a
+    # dangling comma join
     (
         re.compile(
             r"\bARRAY\s+JOIN\s+(?:'[^']*'|[^'(),]|\([^()]*\))+"
-            r"\s+AS\s+[A-Za-z_]\w*"
-            r"\s*,\s*(?:'[^']*'|[^'(),]|\([^()]*\))+\s+AS\s+[A-Za-z_]\w*",
+            r"\s+AS\s+[A-Za-z_]\w*\s*,",
             re.I,
         ),
         "multi-array ARRAY JOIN zips positionally — use arrays_zip + explode (see multi_array_zip_flatten)",
@@ -342,9 +346,11 @@ _LIMIT_BY = re.compile(
 
 
 def _split_top_level_args(s: str) -> list[str]:
-    """Split an argument list on commas at paren depth 0, treating
-    single-quoted literals as opaque. Returns the raw (unstripped)
-    pieces; raises on unbalanced parens / unterminated quotes."""
+    """Split an argument list on commas at bracket depth 0 — parens AND
+    square brackets (ClickHouse array literals like [1,2,3] carry
+    top-level-looking commas) — treating single-quoted literals as
+    opaque. Returns the raw (unstripped) pieces; raises on unbalanced
+    brackets / unterminated quotes."""
     args: list[str] = []
     depth = 0
     buf: list[str] = []
@@ -358,12 +364,12 @@ def _split_top_level_args(s: str) -> list[str]:
             buf.append(s[i : j + 1])
             i = j + 1
             continue
-        if c == "(":
+        if c in "([":
             depth += 1
-        elif c == ")":
+        elif c in ")]":
             depth -= 1
             if depth < 0:
-                raise UnsupportedClickHouseSQL("unbalanced parentheses")
+                raise UnsupportedClickHouseSQL("unbalanced brackets")
         if c == "," and depth == 0:
             args.append("".join(buf))
             buf = []
@@ -371,7 +377,7 @@ def _split_top_level_args(s: str) -> list[str]:
             buf.append(c)
         i += 1
     if depth != 0:
-        raise UnsupportedClickHouseSQL("unbalanced parentheses")
+        raise UnsupportedClickHouseSQL("unbalanced brackets")
     args.append("".join(buf))
     return args
 
@@ -383,8 +389,11 @@ def _rewrite_multiif(sql: str) -> str:
     """Rewrite every `multiIf(c1, v1, c2, v2, ..., else)` to
     `CASE WHEN c1 THEN v1 ... ELSE else END` with a balanced-paren scan
     (arbitrary nesting — innermost occurrences rewritten first). CH
-    requires the trailing else, so an even argument count refuses."""
-    for _ in range(32):
+    requires the trailing else, so an even argument count refuses.
+    Each pass removes exactly one occurrence, so the loop is bounded by
+    the occurrence count — no arbitrary nesting-depth cap (a wide
+    machine-generated SELECT with 50 sibling multiIfs is legal)."""
+    while True:
         matches = list(_MULTIIF_HEAD.finditer(sql))
         if not matches:
             return sql
@@ -416,7 +425,6 @@ def _rewrite_multiif(sql: str) -> str:
         )
         case = f"(CASE{arms} ELSE {args[-1]} END)"
         sql = sql[: m.start()] + case + sql[i:]
-    raise UnsupportedClickHouseSQL("multiIf nesting too deep (>32)")
 
 
 def _rewrite_limit_by(sql: str) -> str:
@@ -449,6 +457,17 @@ def _rewrite_limit_by(sql: str) -> str:
     )
 
 
+_LITERAL = re.compile(r"'[^']*'")
+
+
+def _mask_literals(sql: str) -> str:
+    """Blank out single-quoted string CONTENTS (quotes kept, length
+    preserved) so refusal/residual keyword checks never fire on data —
+    `WHERE note = 'GLOBAL SALES'` is translatable SQL, not a surviving
+    GLOBAL modifier."""
+    return _LITERAL.sub(lambda m: "'" + " " * (len(m.group(0)) - 2) + "'", sql)
+
+
 def translate(ch_sql: str) -> str:
     """Translate a ClickHouse-dialect SQL string to Spark SQL.
 
@@ -456,8 +475,9 @@ def translate(ch_sql: str) -> str:
     textual equivalent (pointing at the native operator) and for
     rewrites defeated by nested arguments — never silently mistranslates.
     """
+    masked_in = _mask_literals(ch_sql)
     for pat, hint in _REFUSALS:
-        if pat.search(ch_sql):
+        if pat.search(masked_in):
             raise UnsupportedClickHouseSQL(
                 f"{pat.pattern!r} has no textual Spark equivalent — {hint}"
             )
@@ -465,19 +485,20 @@ def translate(ch_sql: str) -> str:
     out = _rewrite_multiif(out)
     for pat, repl in _REWRITES:
         out = pat.sub(repl, out)
-    if re.search(r"\bWITH\s+TOTALS\b", out, re.I):
+    masked = _mask_literals(out)
+    if re.search(r"\bWITH\s+TOTALS\b", masked, re.I):
         raise UnsupportedClickHouseSQL(
             "WITH TOTALS over a non-bare-column GROUP BY — rewrite the "
             "group keys as select-list aliases or use grouping_sets (C13)"
         )
-    if re.search(r"\bARRAY\s+JOIN\b", out, re.I):
+    if re.search(r"\bARRAY\s+JOIN\b", masked, re.I):
         # an alias-less ARRAY JOIN survived the rewrite; passing it
         # through would parse as `t AS ARRAY JOIN <relation>` — a silent
         # condition-less join, never the flatten the user wrote
         raise UnsupportedClickHouseSQL(
             "ARRAY JOIN without an AS alias — write `ARRAY JOIN expr AS x`"
         )
-    if re.search(r"\bGLOBAL\b", out, re.I):
+    if re.search(r"\bGLOBAL\b", masked, re.I):
         # a GLOBAL spelling survived the strip lookahead; Spark has no
         # GLOBAL keyword, so passing it through yields an opaque parse
         # error instead of this pointered refusal
@@ -485,7 +506,7 @@ def translate(ch_sql: str) -> str:
             "GLOBAL in an unrecognized position — Spark's planner owns "
             "distribution (broadcast by stats/AQE); drop the keyword"
         )
-    residual = _RESIDUALS.search(out)
+    residual = _RESIDUALS.search(masked)
     if residual:
         raise UnsupportedClickHouseSQL(
             f"could not rewrite {residual.group(0)!r} (nested arguments?) — "
@@ -712,6 +733,13 @@ _DDL_REFUSALS: list[tuple[re.Pattern[str], str]] = [
         "use streaming/stream_ops.stream_mv_maintain (B5)",
     ),
     (re.compile(r"\bTTL\b", re.I), "use ttl_expiry (table-TTL analog)"),
+    # SAMPLE BY declares a sampling key baked into the MergeTree sort
+    # key; Spark tables have no equivalent — sample at query time
+    (
+        re.compile(r"\bSAMPLE\s+BY\b", re.I),
+        "no Spark table-level sampling key; use sample_fraction (C33) "
+        "at query time",
+    ),
     (
         re.compile(r"\bPARTITION\s+BY\s+\w+\s*\(", re.I),
         "expression partitioning: derive the column first "

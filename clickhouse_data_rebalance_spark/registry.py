@@ -244,6 +244,8 @@ DRIVER_ORDER_TIER2: list[str] = [
     "dedup_minhash_lsh",
     "dedup_embedding_cosine_ivf",
     "cosine_topk_exact",
+    # new r7 surface (never in the cover — listed here next to its
+    # exact-topk sibling, NOT a rotated-out veteran)
     "matryoshka_topk_recall",
     "ann_ivf_topk",
     "text_quality",

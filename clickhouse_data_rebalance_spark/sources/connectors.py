@@ -165,15 +165,20 @@ def delta_source(spark: SparkSession, path: str) -> DataFrame:
 def avro_source(spark: SparkSession, path: str) -> DataFrame:
     """Avro connector — spark-avro is an EXTERNAL module since Spark 2.4
     (not bundled in the pip pyspark distribution, and no jar download is
-    possible in this container)."""
+    possible in this container). Only the missing-data-source failure is
+    converted to the pointered refusal; any other error (bad path,
+    corrupt file) propagates unwrapped so it is not misdiagnosed as a
+    classpath problem."""
     try:
         return spark.read.format("avro").load(path)
-    except Exception as exc:  # pragma: no cover - env-dependent
-        raise NotImplementedError(
-            "spark-avro module not on the classpath; add "
-            "org.apache.spark:spark-avro_2.13:<spark-version> to "
-            "spark.jars.packages and retry"
-        ) from exc
+    except Exception as exc:
+        if "Failed to find data source" in str(exc):
+            raise NotImplementedError(
+                "spark-avro module not on the classpath; add "
+                "org.apache.spark:spark-avro_2.13:<spark-version> to "
+                "spark.jars.packages and retry"
+            ) from exc
+        raise
 
 
 def write_bucketed(

@@ -256,6 +256,7 @@ def _drain_stream_to_memory(spark: SparkSession, name: str, n_rows: int):
     # reaped across dead processes — an exception or the 120 s deadline
     # mid-drain no longer leaks the dir (ADVICE r6)
     ckpt = _ckpt_dir("cdr_ckpt_pystream_")
+    q = None
     try:
         q = (
             df.writeStream.format("memory")
@@ -269,11 +270,18 @@ def _drain_stream_to_memory(spark: SparkSession, name: str, n_rows: int):
             if spark.table(name).count() >= n_rows:
                 break
             _time.sleep(0.2)
-        q.stop()
-        q.awaitTermination(30)
     finally:
+        # stop BEFORE removing the checkpoint: an exception mid-poll
+        # would otherwise leave the stream micro-batching against a
+        # deleted checkpointLocation for the rest of the session
         import shutil as _shutil
 
+        if q is not None:
+            try:
+                q.stop()
+                q.awaitTermination(30)
+            except Exception:  # noqa: BLE001 - best-effort teardown
+                pass
         _shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
 

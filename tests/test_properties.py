@@ -581,6 +581,10 @@ def test_ch_ddl_refusals():
         "CREATE TABLE t (k UInt64) ENGINE = MergeTree() ORDER BY k TTL d + INTERVAL 1 DAY",
         "CREATE TABLE t (ts DateTime) ENGINE = MergeTree() PARTITION BY toYYYYMM(ts) ORDER BY ts",
         "CREATE TABLE t (k UInt64) ENGINE = Distributed(c, db, t_local, rand())",
+        # SAMPLE BY bakes a sampling key into the MergeTree sort key;
+        # Spark tables have no equivalent — refuse, pointing at
+        # query-time sample_fraction
+        "CREATE TABLE t (k UInt64) ENGINE = MergeTree() ORDER BY k SAMPLE BY k",
     ]:
         with _pytest.raises(UnsupportedClickHouseSQL):
             translate_ddl(ddl)
@@ -1376,3 +1380,90 @@ def test_asof_nearest_edge_semantics(spark, tmp_path_factory):
     assert out[6] == (3.0, "back")  # exact tie -> earlier (backward) click
     assert out[7] == (None, None)  # no clicks at all
     assert out[9] == (5.0, "back")  # same-ts click, distance zero
+
+
+def test_weighted_sample_es_matches_python_model(spark, sf_dir):
+    """The ES selection must equal a direct Python evaluation of the
+    same exponential key over the same md5 draws — the engine query is
+    a rank window, the model is a per-stratum sort; agreement pins both
+    the key arithmetic and the tie handling."""
+    import hashlib
+    import math
+
+    import duckdb
+
+    from clickhouse_data_rebalance_spark import registry
+
+    registry.load_all()
+    got = [
+        (r["source"], r["doc_id"], r["rnk"])
+        for r in registry.QUERIES["weighted_sample_es"](spark, sf_dir).collect()
+    ]
+
+    docs = duckdb.sql(
+        f"SELECT source, doc_id, n_chars FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    by_source: dict[str, list] = {}
+    for source, doc_id, n_chars in docs:
+        v = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:12], 16)
+        u = (v + 0.5) / float(1 << 48)
+        by_source.setdefault(source, []).append(
+            (math.log(u) / n_chars, doc_id)
+        )
+    want = []
+    for source in sorted(by_source):
+        ranked = sorted(by_source[source], key=lambda t: (-t[0], t[1]))[:20]
+        want.extend(
+            (source, doc_id, rnk + 1) for rnk, (_, doc_id) in enumerate(ranked)
+        )
+    assert got == want
+
+
+def test_ch_dialect_review_fix_regressions():
+    """Round-7 self-review fixes: array-literal commas stay whole in
+    multiIf; GLOBAL/WITH FILL inside string literals never trigger
+    refusals; an unaliased second ARRAY JOIN operand refuses (it would
+    otherwise mistranslate into a dangling comma join); the quantile
+    combinator zoo (Weighted/BFloat16/...) gets the pointered refusal;
+    a wide SELECT of sibling multiIfs has no depth cap."""
+    import pytest as _pytest
+
+    from clickhouse_data_rebalance_spark.plans.ch_dialect import (
+        UnsupportedClickHouseSQL,
+        translate,
+    )
+
+    assert translate("SELECT multiIf(a > 1, [1,2,3], e) FROM t") == (
+        "SELECT (CASE WHEN a > 1 THEN [1,2,3] ELSE e END) FROM t"
+    )
+    assert translate("SELECT x FROM t WHERE note = 'GLOBAL SALES'") == (
+        "SELECT x FROM t WHERE note = 'GLOBAL SALES'"
+    )
+    assert translate("SELECT 'WITH FILL' AS s FROM t") == (
+        "SELECT 'WITH FILL' AS s FROM t"
+    )
+    for bad in [
+        "SELECT x FROM t ARRAY JOIN xs AS x, ys",
+        "SELECT quantileExactWeighted(0.9)(x, w) FROM t",
+        "SELECT quantileBFloat16(0.5)(x) FROM t",
+    ]:
+        with _pytest.raises(UnsupportedClickHouseSQL):
+            translate(bad)
+    wide = (
+        "SELECT "
+        + ", ".join(f"multiIf(a > {i}, 1, 2) AS c{i}" for i in range(40))
+        + " FROM t"
+    )
+    assert translate(wide).count("CASE") == 40
+
+
+def test_avro_source_refusal_is_classpath_specific(spark):
+    """In this container spark-avro is absent: avro_source must raise
+    the pointered NotImplementedError (not an opaque AnalysisException),
+    and only for the missing-data-source failure."""
+    import pytest as _pytest
+
+    from clickhouse_data_rebalance_spark.sources.connectors import avro_source
+
+    with _pytest.raises(NotImplementedError, match="spark-avro"):
+        avro_source(spark, "/tmp/nonexistent.avro")
