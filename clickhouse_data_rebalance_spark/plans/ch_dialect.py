@@ -25,6 +25,10 @@ groupArray          collect_list (both unordered in distributed runs)
 groupUniqArray      collect_set
 multiIf(c,v,...,e)  CASE WHEN c THEN v ... ELSE e END (balanced-paren
                     arg split; even arity refuses — CH requires else)
+arr[i]              element_at(arr, i) — CH indexing is 1-BASED and
+                    Spark's bracket is 0-based, the silent-off-by-one
+                    trap; identifier bases only (computed bases refuse)
+[a, b, c]           array(a, b, c)
 arrayJoin           explode
 notEmpty/empty      length(x) > 0 / length(x) = 0
 modulo              mod
@@ -427,6 +431,60 @@ def _rewrite_multiif(sql: str) -> str:
         sql = sql[: m.start()] + case + sql[i:]
 
 
+_IDX_BASE = re.compile(r"([A-Za-z_][\w]*(?:\.[A-Za-z_][\w]*)*)\s*$")
+
+# a bracket after one of these words starts an array LITERAL, not an
+# index into an identifier named "select"/"then"/...
+_NOT_INDEX_BASES = frozenset(
+    """select from where and or not then else when case end by on as in
+    is like between join union all distinct having limit offset order
+    group array return returns values set with""".split()
+)
+
+
+def _rewrite_brackets(sql: str) -> str:
+    """ClickHouse bracket syntax — the silent-off-by-one trap:
+
+    - ``arr[1]`` (indexing) is 1-BASED in ClickHouse but Spark's
+      ``arr[1]`` parses and is 0-BASED — passing it through would
+      silently shift every element access by one. Rewritten to
+      ``element_at(arr, 1)``, which is 1-based (and negative-from-end)
+      in Spark exactly like ClickHouse, for identifier(.field) bases;
+      a bracket following ``)`` or ``]`` (e.g. ``f(x)[1]``) has no
+      textually bindable base and REFUSES with the element_at pointer.
+    - ``[a, b, c]`` (array literal) does not parse in Spark at all —
+      rewritten to ``array(a, b, c)``.
+
+    Innermost-first loop (the LAST ``[`` never contains another), with
+    quoted strings masked for position finding so data like
+    ``'a[1]'`` is untouched."""
+    while True:
+        masked = _mask_literals(sql)
+        pos = masked.rfind("[")
+        if pos < 0:
+            return sql
+        end = masked.find("]", pos + 1)
+        if end < 0:
+            raise UnsupportedClickHouseSQL("unbalanced '[' in expression")
+        inner = sql[pos + 1 : end]
+        before = sql[:pos].rstrip()
+        if before.endswith((")", "]")):
+            raise UnsupportedClickHouseSQL(
+                "bracket indexing on a computed base — rewrite as "
+                "element_at(expr, i) (1-based, as in ClickHouse)"
+            )
+        m = _IDX_BASE.search(before)
+        if m and m.group(1).lower() not in _NOT_INDEX_BASES:
+            base = m.group(1)
+            sql = (
+                sql[: len(before) - len(base)]
+                + f"element_at({base}, {inner})"
+                + sql[end + 1 :]
+            )
+        else:
+            sql = sql[:pos] + f"array({inner})" + sql[end + 1 :]
+
+
 def _rewrite_limit_by(sql: str) -> str:
     """Rewrite `... ORDER BY o LIMIT n BY c1, c2 [LIMIT m]` to a
     ROW_NUMBER window over the materialized inner select — the standard
@@ -481,8 +539,17 @@ def translate(ch_sql: str) -> str:
             raise UnsupportedClickHouseSQL(
                 f"{pat.pattern!r} has no textual Spark equivalent — {hint}"
             )
+    # tuple element access t.1 has no Spark spelling (structs are
+    # accessed by field name) — refuse before it reaches the parser as
+    # an opaque error. [A-Za-z_]\w* base so decimals (1.5) never match.
+    if re.search(r"\b[A-Za-z_]\w*\.\d", _mask_literals(ch_sql)):
+        raise UnsupportedClickHouseSQL(
+            "tuple element access (t.1) — use named struct fields "
+            "(named_struct / col.field)"
+        )
     out = _rewrite_limit_by(ch_sql)
     out = _rewrite_multiif(out)
+    out = _rewrite_brackets(out)
     for pat, repl in _REWRITES:
         out = pat.sub(repl, out)
     masked = _mask_literals(out)
@@ -955,3 +1022,42 @@ def ch_dialect_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange; max_by/min_by are single-pass partial-aggregable, and the
     PREWHERE modulo lands in the scan as a pushed filter."""
     return ch_sql(spark, sf_dir, _CH_ARGMAX_QUERY)
+
+
+# a fourth verbatim-query shape exercising the bracket rewrites: CH
+# 1-based indexing on an identifier base (-> element_at) and an array
+# literal probed with has(). DuckDB's list indexing is ALSO 1-based, so
+# the oracle states the same element independently of the Spark-side
+# element_at translation.
+_CH_BRACKETS_QUERY = """
+    SELECT tk[1] AS first_tok,
+           has(['en', 'de'], lang) AS is_euro_lang,
+           toUInt32(count()) AS n
+    FROM (SELECT lang, splitByChar(' ', lower(text)) AS tk FROM documents)
+    GROUP BY first_tok, is_euro_lang
+    ORDER BY n DESC, first_tok, is_euro_lang
+    LIMIT 10
+"""
+
+_CH_BRACKETS_ORACLE = """
+    SELECT tk[1] AS first_tok,
+           list_contains(['en', 'de'], lang) AS is_euro_lang,
+           COUNT(*) AS n
+    FROM (SELECT lang, string_split(lower(text), ' ') AS tk FROM documents)
+    GROUP BY first_tok, is_euro_lang
+    ORDER BY n DESC, first_tok, is_euro_lang
+    LIMIT 10
+"""
+
+
+@query("ch_dialect_brackets", _CH_BRACKETS_ORACLE)
+def ch_dialect_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dialect shim end-to-end over the bracket rewrites: ClickHouse
+    1-based indexing (``tk[1]`` — the silent-off-by-one trap if passed
+    through to Spark's 0-based bracket) and an array literal under
+    ``has()``, translated and executed as Spark SQL; oracled against
+    DuckDB's native (also 1-based) list syntax.
+
+    Scale: one grouped exchange; the first-token projection is
+    row-local split work at scan speed."""
+    return ch_sql(spark, sf_dir, _CH_BRACKETS_QUERY)

@@ -212,6 +212,7 @@ DRIVER_ORDER_TIER2: list[str] = [
     "sink_observed_metrics",
     "ch_dialect_array_join",
     "ch_dialect_argmax",
+    "ch_dialect_brackets",
     "timezone_funcs",
     "group_by_all",
     "identifier_parameterized",

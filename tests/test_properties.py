@@ -1434,7 +1434,7 @@ def test_ch_dialect_review_fix_regressions():
     )
 
     assert translate("SELECT multiIf(a > 1, [1,2,3], e) FROM t") == (
-        "SELECT (CASE WHEN a > 1 THEN [1,2,3] ELSE e END) FROM t"
+        "SELECT (CASE WHEN a > 1 THEN array(1,2,3) ELSE e END) FROM t"
     )
     assert translate("SELECT x FROM t WHERE note = 'GLOBAL SALES'") == (
         "SELECT x FROM t WHERE note = 'GLOBAL SALES'"
@@ -1467,3 +1467,42 @@ def test_avro_source_refusal_is_classpath_specific(spark):
 
     with _pytest.raises(NotImplementedError, match="spark-avro"):
         avro_source(spark, "/tmp/nonexistent.avro")
+
+
+def test_ch_dialect_bracket_rewrites():
+    """ClickHouse bracket syntax: arr[1] is 1-BASED (Spark's bracket is
+    0-based — a silent off-by-one if passed through) so identifier-based
+    indexing becomes element_at (1-based, negative-from-end, like CH);
+    [a,b,c] literals become array(a,b,c); computed-base indexing and
+    tuple access refuse with pointers; quoted data stays untouched."""
+    import pytest as _pytest
+
+    from clickhouse_data_rebalance_spark.plans.ch_dialect import (
+        UnsupportedClickHouseSQL,
+        translate,
+    )
+
+    assert translate("SELECT arr[1] FROM t") == (
+        "SELECT element_at(arr, 1) FROM t"
+    )
+    assert translate("SELECT arr[-1] FROM t") == (
+        "SELECT element_at(arr, -1) FROM t"
+    )
+    assert translate("SELECT a.b[i+1] FROM t") == (
+        "SELECT element_at(a.b, i+1) FROM t"
+    )
+    assert translate("SELECT m[a[1]] FROM t") == (
+        "SELECT element_at(m, element_at(a, 1)) FROM t"
+    )
+    assert translate("SELECT [1,2,3] AS xs FROM t") == (
+        "SELECT array(1,2,3) AS xs FROM t"
+    )
+    assert translate("SELECT has([1,2], x) FROM t") == (
+        "SELECT array_contains(array(1,2), x) FROM t"
+    )
+    assert translate("SELECT 'a[1]' AS s FROM t") == (
+        "SELECT 'a[1]' AS s FROM t"
+    )
+    for bad in ["SELECT f(x)[1] FROM t", "SELECT t.1 FROM t"]:
+        with _pytest.raises(UnsupportedClickHouseSQL):
+            translate(bad)
