@@ -79,6 +79,9 @@ EXTENDED = [
     "dedup_semantic_prune",
     "dedup_repeated_substring",
     "lm_perplexity_score",
+    "ohlc_bars",
+    "asof_join_nearest",
+    "corpus_ingest_incremental",
 ]
 
 HEADLINE = CORE + EXTENDED
