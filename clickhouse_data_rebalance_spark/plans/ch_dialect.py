@@ -32,6 +32,14 @@ arr[i]              element_at(arr, i) — CH indexing is 1-BASED and
 arrayJoin           explode
 notEmpty/empty      length(x) > 0 / length(x) = 0
 modulo              mod
+toYear/Quarter/...  year / quarter / month / weekofyear (toISOWeek)
+now()               current_timestamp()
+match(h, p)         (h RLIKE p)
+position(h, n)      locate(n, h) — argument order swaps, both 1-based
+replaceAll          replace; replaceRegexpAll -> regexp_replace
+formatDateTime      date_format with %-tokens mapped to Java pattern
+                    letters (literal runs quoted); %M REFUSES — minute
+                    in older CH, month name in newer
 GLOBAL JOIN/IN      modifier stripped (planner owns distribution)
 ARRAY JOIN e AS x   LATERAL VIEW explode(e) AS x  (LEFT -> OUTER;
                     multi-array zip form refuses: arrays_zip+explode)
@@ -181,6 +189,11 @@ _REWRITES: list[tuple[re.Pattern[str], str]] = [
         r"CAST(date_format(\1, 'yyyyMM') AS BIGINT)",
     ),
     # ---- date part extraction ----
+    (re.compile(rf"\btoYear\s*\(\s*{_ARG}\s*\)", re.I), r"year(\1)"),
+    (re.compile(rf"\btoQuarter\s*\(\s*{_ARG}\s*\)", re.I), r"quarter(\1)"),
+    (re.compile(rf"\btoMonth\s*\(\s*{_ARG}\s*\)", re.I), r"month(\1)"),
+    # CH toISOWeek and Spark weekofyear are both ISO-8601 week numbers
+    (re.compile(rf"\btoISOWeek\s*\(\s*{_ARG}\s*\)", re.I), r"weekofyear(\1)"),
     (re.compile(rf"\btoHour\s*\(\s*{_ARG}\s*\)", re.I), r"hour(\1)"),
     (re.compile(rf"\btoMinute\s*\(\s*{_ARG}\s*\)", re.I), r"minute(\1)"),
     (re.compile(rf"\btoSecond\s*\(\s*{_ARG}\s*\)", re.I), r"second(\1)"),
@@ -202,6 +215,21 @@ _REWRITES: list[tuple[re.Pattern[str], str]] = [
     ),
     (re.compile(r"\btoday\s*\(\s*\)", re.I), "current_date()"),
     (re.compile(r"\byesterday\s*\(\s*\)", re.I), "date_sub(current_date(), 1)"),
+    (re.compile(r"\bnow\s*\(\s*\)", re.I), "current_timestamp()"),
+    # ---- string matching / replacement ----
+    # CH match(haystack, pattern) is a boolean regex test = RLIKE
+    (
+        re.compile(rf"\bmatch\s*\(\s*{_ARG}\s*,\s*{_ARG}\s*\)", re.I),
+        r"(\1 RLIKE \2)",
+    ),
+    # CH position(haystack, needle) is 1-based; Spark locate takes the
+    # arguments SWAPPED (locate(substr, str)) and is also 1-based
+    (
+        re.compile(rf"\bposition\s*\(\s*{_ARG}\s*,\s*{_ARG}\s*\)", re.I),
+        r"locate(\2, \1)",
+    ),
+    (re.compile(r"\breplaceAll\s*\(", re.I), "replace("),
+    (re.compile(r"\breplaceRegexpAll\s*\(", re.I), "regexp_replace("),
     # ---- higher-order array functions ----
     # ClickHouse takes (lambda, arr); Spark takes (arr, lambda). The
     # lambda arrow syntax `x -> expr` is identical in both dialects, so
@@ -329,6 +357,8 @@ _RESIDUALS = re.compile(
     r"|arrayStringConcat|lengthUTF8|toHour|toMinute|toSecond|toDayOf\w+"
     r"|toMonday|toUnixTimestamp|arrayMap|arrayFilter|arrayExists|arrayAll"
     r"|arrayDistinct|arraySort|arrayReverse|arrayFlatten|arraySlice"
+    r"|toYear|toQuarter|toMonth|toISOWeek|replaceAll|replaceRegexpAll"
+    r"|formatDateTime"
     r"|JSONExtract\w+)\s*\(",
     re.I,
 )
@@ -485,6 +515,81 @@ def _rewrite_brackets(sql: str) -> str:
             sql = sql[:pos] + f"array({inner})" + sql[end + 1 :]
 
 
+# formatDateTime: ClickHouse %-tokens -> Spark (Java DateTimeFormatter)
+# pattern letters. Only LITERAL format strings translate (the token map
+# needs the text); %M refuses outright — it means minute in older
+# ClickHouse and full month name in newer, so any translation silently
+# changes meaning for half the users.
+_FDT = re.compile(rf"\bformatDateTime\s*\(\s*{_ARG}\s*,\s*'([^']*)'\s*\)", re.I)
+_FDT_MAP = {
+    "Y": "yyyy",
+    "y": "yy",
+    "m": "MM",
+    "d": "dd",
+    "H": "HH",
+    "h": "hh",
+    "i": "mm",
+    "S": "ss",
+    "p": "a",
+    "j": "DDD",
+    "F": "yyyy-MM-dd",
+    "T": "HH:mm:ss",
+}
+
+
+def _fdt_pattern(fmt: str) -> str:
+    """CH % format -> Java pattern; literal runs containing letters are
+    single-quoted (Java treats bare letters as pattern tokens)."""
+    out: list[str] = []
+    lit: list[str] = []
+
+    def flush() -> None:
+        if lit:
+            s = "".join(lit)
+            if any(c.isalpha() for c in s) or "'" in s:
+                out.append("'" + s.replace("'", "''") + "'")
+            else:
+                out.append(s)
+            lit.clear()
+
+    i = 0
+    while i < len(fmt):
+        c = fmt[i]
+        if c == "%":
+            if i + 1 >= len(fmt):
+                raise UnsupportedClickHouseSQL("dangling % in formatDateTime")
+            t = fmt[i + 1]
+            if t == "%":
+                lit.append("%")
+                i += 2
+                continue
+            if t == "M":
+                raise UnsupportedClickHouseSQL(
+                    "formatDateTime %M is minute in older ClickHouse and "
+                    "month NAME in newer — write %i (minute) or %m (month)"
+                )
+            if t not in _FDT_MAP:
+                raise UnsupportedClickHouseSQL(
+                    f"formatDateTime token %{t} has no mapped Spark pattern"
+                )
+            flush()
+            out.append(_FDT_MAP[t])
+            i += 2
+        else:
+            lit.append(c)
+            i += 1
+    flush()
+    return "".join(out)
+
+
+def _rewrite_format_datetime(sql: str) -> str:
+    def repl(m: "re.Match[str]") -> str:
+        pattern = _fdt_pattern(m.group(2))
+        return f"date_format({m.group(1)}, '{pattern.replace(chr(39), chr(39) * 2)}')"
+
+    return _FDT.sub(repl, sql)
+
+
 def _rewrite_limit_by(sql: str) -> str:
     """Rewrite `... ORDER BY o LIMIT n BY c1, c2 [LIMIT m]` to a
     ROW_NUMBER window over the materialized inner select — the standard
@@ -550,6 +655,7 @@ def translate(ch_sql: str) -> str:
     out = _rewrite_limit_by(ch_sql)
     out = _rewrite_multiif(out)
     out = _rewrite_brackets(out)
+    out = _rewrite_format_datetime(out)
     for pat, repl in _REWRITES:
         out = pat.sub(repl, out)
     masked = _mask_literals(out)
@@ -1061,3 +1167,43 @@ def ch_dialect_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one grouped exchange; the first-token projection is
     row-local split work at scan speed."""
     return ch_sql(spark, sf_dir, _CH_BRACKETS_QUERY)
+
+
+# a fifth verbatim-query shape exercising the round-7 scalar rewrites:
+# formatDateTime %-token mapping, match -> RLIKE, position -> locate
+# (argument swap), toYear. The oracle uses DuckDB's independent native
+# spellings (strftime / regexp_matches / strpos).
+_CH_DATETIME_QUERY = """
+    SELECT formatDateTime(ts, '%Y-%m') AS ym,
+           toYear(ts) AS yr,
+           countIf(match(props, '"k"')) AS n_with_k,
+           countIf(position(event_type, 'c') = 1) AS n_c_first,
+           toUInt32(count()) AS n
+    FROM events
+    GROUP BY ym, yr
+    ORDER BY ym
+"""
+
+_CH_DATETIME_ORACLE = """
+    SELECT strftime(ts, '%Y-%m') AS ym,
+           CAST(year(ts) AS INT) AS yr,
+           COUNT(*) FILTER (WHERE regexp_matches(props, '"k"')) AS n_with_k,
+           COUNT(*) FILTER (WHERE strpos(event_type, 'c') = 1) AS n_c_first,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY ym, yr
+    ORDER BY ym
+"""
+
+
+@query("ch_dialect_datetime", _CH_DATETIME_ORACLE)
+def ch_dialect_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dialect shim end-to-end over the round-7 scalar rewrites:
+    formatDateTime (CH %-tokens -> Java pattern letters, literal runs
+    quoted), match -> RLIKE, position -> locate with the argument swap,
+    toYear — oracled against DuckDB's independent strftime /
+    regexp_matches / strpos spellings.
+
+    Scale: one grouped exchange; every rewritten function is row-local
+    JVM expression work."""
+    return ch_sql(spark, sf_dir, _CH_DATETIME_QUERY)

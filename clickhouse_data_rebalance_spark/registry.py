@@ -213,6 +213,7 @@ DRIVER_ORDER_TIER2: list[str] = [
     "ch_dialect_array_join",
     "ch_dialect_argmax",
     "ch_dialect_brackets",
+    "ch_dialect_datetime",
     "timezone_funcs",
     "group_by_all",
     "identifier_parameterized",

@@ -1506,3 +1506,50 @@ def test_ch_dialect_bracket_rewrites():
     for bad in ["SELECT f(x)[1] FROM t", "SELECT t.1 FROM t"]:
         with _pytest.raises(UnsupportedClickHouseSQL):
             translate(bad)
+
+
+def test_ch_dialect_datetime_and_string_rewrites():
+    """Round-7 scalar additions: date-part extraction, now(), match ->
+    RLIKE, position -> locate (swapped args), replace family, and the
+    formatDateTime %-token mapping with literal-run quoting; %M and
+    unknown tokens refuse."""
+    import pytest as _pytest
+
+    from clickhouse_data_rebalance_spark.plans.ch_dialect import (
+        UnsupportedClickHouseSQL,
+        translate,
+    )
+
+    assert translate("SELECT toYear(d), toQuarter(d), toMonth(d), toISOWeek(d) FROM t") == (
+        "SELECT year(d), quarter(d), month(d), weekofyear(d) FROM t"
+    )
+    assert translate("SELECT now() AS ts FROM t") == (
+        "SELECT current_timestamp() AS ts FROM t"
+    )
+    assert translate("SELECT match(s, '^ab.*') AS m FROM t") == (
+        "SELECT (s RLIKE '^ab.*') AS m FROM t"
+    )
+    assert translate("SELECT position(s, 'x') AS p FROM t") == (
+        "SELECT locate('x', s) AS p FROM t"
+    )
+    assert translate("SELECT replaceAll(s, 'a', 'b') FROM t") == (
+        "SELECT replace(s, 'a', 'b') FROM t"
+    )
+    assert translate("SELECT replaceRegexpAll(s, '[0-9]+', '#') FROM t") == (
+        "SELECT regexp_replace(s, '[0-9]+', '#') FROM t"
+    )
+    assert translate("SELECT formatDateTime(ts, '%Y-%m-%d %H:%i:%S') FROM t") == (
+        "SELECT date_format(ts, 'yyyy-MM-dd HH:mm:ss') FROM t"
+    )
+    # literal letters in the format must be quoted for the Java pattern
+    # (doubled quotes inside the SQL string literal)
+    assert translate("SELECT formatDateTime(ts, '%Fat %T') FROM t") == (
+        "SELECT date_format(ts, 'yyyy-MM-dd''at ''HH:mm:ss') FROM t"
+    )
+    for bad in [
+        "SELECT formatDateTime(ts, '%M') FROM t",
+        "SELECT formatDateTime(ts, '%Q') FROM t",
+        "SELECT formatDateTime(ts, fmt_col) FROM t",
+    ]:
+        with _pytest.raises(UnsupportedClickHouseSQL):
+            translate(bad)
