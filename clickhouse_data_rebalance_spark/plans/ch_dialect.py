@@ -25,10 +25,14 @@ groupArray          collect_list (both unordered in distributed runs)
 groupUniqArray      collect_set
 multiIf(c,v,...,e)  CASE WHEN c THEN v ... ELSE e END (balanced-paren
                     arg split; even arity refuses — CH requires else)
-arr[i]              element_at(arr, i) — CH indexing is 1-BASED and
+arr[i]              try_element_at(arr, i) — CH indexing is 1-BASED and
                     Spark's bracket is 0-based, the silent-off-by-one
-                    trap; identifier bases only (computed bases refuse)
-[a, b, c]           array(a, b, c)
+                    trap; try_ so out-of-range yields NULL (DuckDB's
+                    list semantics) instead of an ANSI crash (CH's
+                    type default is unknowable textually); identifier
+                    bases only (computed bases refuse)
+[a, b, c]           array(a, b, c); after IN -> the (a, b, c) list
+                    Spark's IN grammar requires
 arrayJoin           explode
 notEmpty/empty      length(x) > 0 / length(x) = 0
 modulo              mod
@@ -36,7 +40,9 @@ toYear/Quarter/...  year / quarter / month / weekofyear (toISOWeek)
 now()               current_timestamp()
 match(h, p)         (h RLIKE p)
 position(h, n)      locate(n, h) — argument order swaps, both 1-based
-replaceAll          replace; replaceRegexpAll -> regexp_replace
+replaceAll          replace; replaceRegexpAll -> regexp_replace for
+                    LITERAL replacements without \ or $ (backreference
+                    dialects differ: CH \1 vs Java $1 — those refuse)
 formatDateTime      date_format with %-tokens mapped to Java pattern
                     letters (literal runs quoted); %M REFUSES — minute
                     in older CH, month name in newer
@@ -223,13 +229,18 @@ _REWRITES: list[tuple[re.Pattern[str], str]] = [
         r"(\1 RLIKE \2)",
     ),
     # CH position(haystack, needle) is 1-based; Spark locate takes the
-    # arguments SWAPPED (locate(substr, str)) and is also 1-based
+    # arguments SWAPPED (locate(substr, str)) and is also 1-based.
+    # Spark ALSO has a position(substr, str[, pos]) builtin with the
+    # REVERSE argument order of ClickHouse's, so an unrewritten call
+    # would run and silently return wrong numbers — `position` is in
+    # _RESIDUALS so the 3-arg and nested forms REFUSE instead.
     (
         re.compile(rf"\bposition\s*\(\s*{_ARG}\s*,\s*{_ARG}\s*\)", re.I),
         r"locate(\2, \1)",
     ),
     (re.compile(r"\breplaceAll\s*\(", re.I), "replace("),
-    (re.compile(r"\breplaceRegexpAll\s*\(", re.I), "regexp_replace("),
+    # replaceRegexpAll is handled by _rewrite_replace_regexp (the
+    # replacement-string dialect differs: CH \1 backrefs vs Java $1)
     # ---- higher-order array functions ----
     # ClickHouse takes (lambda, arr); Spark takes (arr, lambda). The
     # lambda arrow syntax `x -> expr` is identical in both dialects, so
@@ -358,7 +369,7 @@ _RESIDUALS = re.compile(
     r"|toMonday|toUnixTimestamp|arrayMap|arrayFilter|arrayExists|arrayAll"
     r"|arrayDistinct|arraySort|arrayReverse|arrayFlatten|arraySlice"
     r"|toYear|toQuarter|toMonth|toISOWeek|replaceAll|replaceRegexpAll"
-    r"|formatDateTime"
+    r"|formatDateTime|match|position"
     r"|JSONExtract\w+)\s*\(",
     re.I,
 )
@@ -478,12 +489,16 @@ def _rewrite_brackets(sql: str) -> str:
     - ``arr[1]`` (indexing) is 1-BASED in ClickHouse but Spark's
       ``arr[1]`` parses and is 0-BASED — passing it through would
       silently shift every element access by one. Rewritten to
-      ``element_at(arr, 1)``, which is 1-based (and negative-from-end)
-      in Spark exactly like ClickHouse, for identifier(.field) bases;
-      a bracket following ``)`` or ``]`` (e.g. ``f(x)[1]``) has no
-      textually bindable base and REFUSES with the element_at pointer.
+      ``try_element_at(arr, 1)`` — 1-based and negative-from-end like
+      ClickHouse, NULL (not an ANSI crash, not CH's unknowable type
+      default) for out-of-range or zero indices; this matches DuckDB's
+      list OOB semantics, which is what the oracles state. Identifier
+      (.field) bases only; a bracket following ``)``/``]`` (e.g.
+      ``f(x)[1]``) or ``END`` has no textually bindable base and
+      REFUSES with the element_at pointer.
     - ``[a, b, c]`` (array literal) does not parse in Spark at all —
-      rewritten to ``array(a, b, c)``.
+      rewritten to ``array(a, b, c)``; after ``IN`` it becomes the
+      parenthesized list Spark's IN grammar requires.
 
     Innermost-first loop (the LAST ``[`` never contains another), with
     quoted strings masked for position finding so data like
@@ -504,13 +519,28 @@ def _rewrite_brackets(sql: str) -> str:
                 "element_at(expr, i) (1-based, as in ClickHouse)"
             )
         m = _IDX_BASE.search(before)
-        if m and m.group(1).lower() not in _NOT_INDEX_BASES:
+        word = m.group(1).lower() if m else ""
+        if m and word not in _NOT_INDEX_BASES:
             base = m.group(1)
+            # nullif(..., 0): try_element_at covers out-of-range but
+            # still throws INVALID_INDEX_OF_ZERO on index 0 — CH
+            # returns the type default there, DuckDB NULL; NULL it is
             sql = (
                 sql[: len(before) - len(base)]
-                + f"element_at({base}, {inner})"
+                + f"try_element_at({base}, nullif({inner}, 0))"
                 + sql[end + 1 :]
             )
+        elif word == "end":
+            # CASE ... END[1]: indexing a computed CASE result — no
+            # textually bindable base, same refusal as f(x)[1]
+            raise UnsupportedClickHouseSQL(
+                "bracket indexing on a CASE result — rewrite as "
+                "element_at(CASE ... END, i)"
+            )
+        elif word == "in":
+            # x IN [1,2]: Spark's IN grammar needs a parenthesized
+            # list, not an array expression
+            sql = sql[:pos] + f"({inner})" + sql[end + 1 :]
         else:
             sql = sql[:pos] + f"array({inner})" + sql[end + 1 :]
 
@@ -545,11 +575,12 @@ def _fdt_pattern(fmt: str) -> str:
 
     def flush() -> None:
         if lit:
+            # quote EVERY literal run: letters are pattern tokens in
+            # Java, and [ ] # { } are reserved (optional-section /
+            # future-use) — [ ] would be silently DROPPED from output;
+            # quoting safe chars too is always legal
             s = "".join(lit)
-            if any(c.isalpha() for c in s) or "'" in s:
-                out.append("'" + s.replace("'", "''") + "'")
-            else:
-                out.append(s)
+            out.append("'" + s.replace("'", "''") + "'")
             lit.clear()
 
     i = 0
@@ -588,6 +619,32 @@ def _rewrite_format_datetime(sql: str) -> str:
         return f"date_format({m.group(1)}, '{pattern.replace(chr(39), chr(39) * 2)}')"
 
     return _FDT.sub(repl, sql)
+
+
+# replaceRegexpAll: the PATTERN dialects are close (RE2 vs Java), but
+# the REPLACEMENT dialects are not — ClickHouse backreferences are \1
+# while Java/Spark uses $1, treats \1 as a literal digit, and treats a
+# bare $ as a group reference. A literal replacement (no \ or $)
+# translates exactly; anything else refuses rather than silently
+# rewriting the wrong occurrences.
+_REPL_REGEXP = re.compile(
+    rf"\breplaceRegexpAll\s*\(\s*{_ARG}\s*,\s*{_ARG}\s*,\s*'([^']*)'\s*\)", re.I
+)
+
+
+def _rewrite_replace_regexp(sql: str) -> str:
+    def repl(m: "re.Match[str]") -> str:
+        replacement = m.group(3)
+        if "\\" in replacement or "$" in replacement:
+            raise UnsupportedClickHouseSQL(
+                "replaceRegexpAll replacement contains \\ or $ — CH "
+                "backreferences are \\1 but Spark's are $1 (and a bare $ "
+                "is a group reference); rewrite the replacement in "
+                "Spark's regexp_replace dialect"
+            )
+        return f"regexp_replace({m.group(1)}, {m.group(2)}, '{replacement}')"
+
+    return _REPL_REGEXP.sub(repl, sql)
 
 
 def _rewrite_limit_by(sql: str) -> str:
@@ -647,7 +704,7 @@ def translate(ch_sql: str) -> str:
     # tuple element access t.1 has no Spark spelling (structs are
     # accessed by field name) — refuse before it reaches the parser as
     # an opaque error. [A-Za-z_]\w* base so decimals (1.5) never match.
-    if re.search(r"\b[A-Za-z_]\w*\.\d", _mask_literals(ch_sql)):
+    if re.search(r"\b[A-Za-z_]\w*\.\d", masked_in):
         raise UnsupportedClickHouseSQL(
             "tuple element access (t.1) — use named struct fields "
             "(named_struct / col.field)"
@@ -656,6 +713,7 @@ def translate(ch_sql: str) -> str:
     out = _rewrite_multiif(out)
     out = _rewrite_brackets(out)
     out = _rewrite_format_datetime(out)
+    out = _rewrite_replace_regexp(out)
     for pat, repl in _REWRITES:
         out = pat.sub(repl, out)
     masked = _mask_literals(out)

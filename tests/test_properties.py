@@ -1483,16 +1483,20 @@ def test_ch_dialect_bracket_rewrites():
     )
 
     assert translate("SELECT arr[1] FROM t") == (
-        "SELECT element_at(arr, 1) FROM t"
+        "SELECT try_element_at(arr, nullif(1, 0)) FROM t"
     )
     assert translate("SELECT arr[-1] FROM t") == (
-        "SELECT element_at(arr, -1) FROM t"
+        "SELECT try_element_at(arr, nullif(-1, 0)) FROM t"
     )
     assert translate("SELECT a.b[i+1] FROM t") == (
-        "SELECT element_at(a.b, i+1) FROM t"
+        "SELECT try_element_at(a.b, nullif(i+1, 0)) FROM t"
     )
     assert translate("SELECT m[a[1]] FROM t") == (
-        "SELECT element_at(m, element_at(a, 1)) FROM t"
+        "SELECT try_element_at(m, nullif(try_element_at(a, nullif(1, 0)), 0)) FROM t"
+    )
+    # IN takes the parenthesized-list translation, not array()
+    assert translate("SELECT x FROM t WHERE a IN [1,2]") == (
+        "SELECT x FROM t WHERE a IN (1,2)"
     )
     assert translate("SELECT [1,2,3] AS xs FROM t") == (
         "SELECT array(1,2,3) AS xs FROM t"
@@ -1538,11 +1542,12 @@ def test_ch_dialect_datetime_and_string_rewrites():
     assert translate("SELECT replaceRegexpAll(s, '[0-9]+', '#') FROM t") == (
         "SELECT regexp_replace(s, '[0-9]+', '#') FROM t"
     )
+    # EVERY literal run is quoted for the Java pattern (letters are
+    # tokens; [ ] are reserved optional-section markers that would be
+    # silently dropped), with quotes doubled through the SQL literal
     assert translate("SELECT formatDateTime(ts, '%Y-%m-%d %H:%i:%S') FROM t") == (
-        "SELECT date_format(ts, 'yyyy-MM-dd HH:mm:ss') FROM t"
+        "SELECT date_format(ts, 'yyyy''-''MM''-''dd'' ''HH'':''mm'':''ss') FROM t"
     )
-    # literal letters in the format must be quoted for the Java pattern
-    # (doubled quotes inside the SQL string literal)
     assert translate("SELECT formatDateTime(ts, '%Fat %T') FROM t") == (
         "SELECT date_format(ts, 'yyyy-MM-dd''at ''HH:mm:ss') FROM t"
     )
@@ -1553,3 +1558,45 @@ def test_ch_dialect_datetime_and_string_rewrites():
     ]:
         with _pytest.raises(UnsupportedClickHouseSQL):
             translate(bad)
+
+
+def test_ch_dialect_second_review_regressions(spark):
+    """Second self-review pass: forms that previously passed through to
+    Spark builtins with REVERSED argument order (position) or divergent
+    replacement dialects (replaceRegexpAll backrefs) now refuse; OOB
+    indexing returns NULL (try_element_at) instead of an ANSI crash."""
+    import pytest as _pytest
+
+    from clickhouse_data_rebalance_spark.plans.ch_dialect import (
+        UnsupportedClickHouseSQL,
+        translate,
+    )
+
+    for bad in [
+        # Spark HAS position(substr, str[, pos]) — reverse of CH's
+        # argument order — so pass-through would be silently wrong
+        "SELECT position(event_type, 'c', 2) FROM events",
+        "SELECT position(lower(trim(s)), 'x') FROM t",
+        "SELECT match(lower(trim(s)), 'p') FROM t",
+        # CH backreference \1 is a literal digit in Java; bare $ is a
+        # Java group reference
+        "SELECT replaceRegexpAll(s, '(\\d)', '\\1x') FROM t",
+        "SELECT replaceRegexpAll(s, 'p', 'costs $1') FROM t",
+        "SELECT CASE WHEN a THEN b ELSE c END[1] FROM t",
+    ]:
+        with _pytest.raises(UnsupportedClickHouseSQL):
+            translate(bad)
+    # out-of-range / zero index: NULL (DuckDB list semantics), never an
+    # ANSI crash, and in-range stays 1-based
+    row = spark.sql(
+        translate(
+            "SELECT tk[1] AS a, tk[5] AS b, tk[0] AS c "
+            "FROM (SELECT [10,20] AS tk)"
+        )
+    ).collect()[0]
+    assert (row["a"], row["b"], row["c"]) == (10, None, None)
+    # formatDateTime reserved chars: [ ] must survive as literals
+    out = spark.sql(
+        translate("SELECT formatDateTime(to_date('2024-05-03'), '%Y[%m]') AS s")
+    ).collect()[0]["s"]
+    assert out == "2024[05]"
