@@ -1600,3 +1600,52 @@ def test_ch_dialect_second_review_regressions(spark):
         translate("SELECT formatDateTime(to_date('2024-05-03'), '%Y[%m]') AS s")
     ).collect()[0]["s"]
     assert out == "2024[05]"
+
+
+def test_ch_dialect_translations_all_parse_in_spark(spark, sf_dir):
+    """Safety net across the whole rewrite table: for one representative
+    query per supported construct, translate() must produce SQL that
+    Spark actually PARSES AND ANALYZES against the fixture views —
+    catching any rewrite that emits well-intentioned garbage. (Refusals
+    are covered by the per-construct tests; this is the accept path.)"""
+    from clickhouse_data_rebalance_spark.plans.ch_dialect import translate
+    from clickhouse_data_rebalance_spark.tables import load_tables
+
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
+    queries = [
+        "SELECT toUInt32(count()) FROM orders",
+        "SELECT toFloat64(o_totalprice), toString(o_orderkey) FROM orders",
+        "SELECT toDate(ts), toDateTime('2024-01-01 00:00:00') FROM events",
+        "SELECT toStartOfHour(ts), toStartOfDay(ts), toStartOfMonth(ts), toStartOfYear(ts) FROM events",
+        "SELECT toYYYYMMDD(ts), toYYYYMM(ts) FROM events",
+        "SELECT toYear(ts), toQuarter(ts), toMonth(ts), toISOWeek(ts), toHour(ts), toMinute(ts), toSecond(ts) FROM events",
+        "SELECT toDayOfMonth(ts), toDayOfYear(ts), toDayOfWeek(ts), toMonday(ts), toUnixTimestamp(ts) FROM events",
+        "SELECT today(), yesterday(), now()",
+        "SELECT countIf(value > 1), sumIf(value, value > 1), avgIf(value, value > 0), minIf(value, value > 0), maxIf(value, value > 0) FROM events",
+        "SELECT uniqExact(user_id), uniq(user_id), any(event_type), anyLast(event_type) FROM events",
+        "SELECT argMax(user_id, event_id), argMin(user_id, event_id) FROM events",
+        "SELECT arraySort(groupUniqArray(event_type)), groupArray(event_id) FROM events",
+        "SELECT multiIf(value > 10, 'hi', value > 1, 'mid', 'lo') FROM events",
+        "SELECT arrayMap(x -> x * 2, [1, 2, 3]), arrayFilter(x -> x > 1, [1, 2, 3])",
+        "SELECT arrayExists(x -> x > 2, [1, 2]), arrayAll(x -> x > 0, [1, 2])",
+        "SELECT arrayDistinct([1, 1, 2]), arraySort([3, 1]), arrayReverse([1, 2]), arraySlice([1, 2, 3], 1, 2)",
+        "SELECT JSONExtractString(props, 'k'), JSONExtractInt(props, 'n') FROM events",
+        "SELECT intDiv(event_id, 7), modulo(event_id, 7) FROM events",
+        "SELECT splitByChar(' ', text), lengthUTF8(text), notEmpty(text), empty(text) FROM documents",
+        "SELECT has([1, 2], 1), indexOf([1, 2], 2), arrayStringConcat(['a', 'b'], '-')",
+        "SELECT match(event_type, '^cl'), position(event_type, 'c') FROM events",
+        "SELECT replaceAll(event_type, 'c', 'k'), replaceRegexpAll(event_type, '[aeiou]', '_') FROM events",
+        "SELECT formatDateTime(ts, '%Y-%m-%d %H:%i:%S') FROM events",
+        "SELECT tk[1] FROM (SELECT splitByChar(' ', text) AS tk FROM documents)",
+        "SELECT event_id FROM events WHERE event_id IN [1, 2, 3]",
+        "SELECT x FROM (SELECT arrayJoin([1, 2]) AS x)",
+        "SELECT e.event_id FROM events e GLOBAL JOIN events f ON e.event_id = f.event_id",
+        "SELECT event_type, count() FROM events GROUP BY event_type WITH TOTALS",
+        "SELECT event_type FROM events PREWHERE value > 1 FORMAT TabSeparated",
+        "SELECT event_type, value FROM events ORDER BY value LIMIT 2 BY event_type",
+    ]
+    for q in queries:
+        out = translate(q)
+        # schema access forces full parse + analysis, no execution
+        spark.sql(out).schema
