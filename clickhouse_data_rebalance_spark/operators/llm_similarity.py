@@ -1355,3 +1355,64 @@ def matryoshka_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("sim_trunc").desc(), "vec_id")
     )
+
+
+# Operational introspection for the persisted ANN index — the
+# system.parts analog an operator checks before trusting probe costs:
+# per-cell member counts plus the summary a capacity planner reads
+# (imbalance factor = max/avg cell size; expected scan fraction of a
+# 1-probe query under the CURRENT distribution = sum over cells of
+# p(query lands in cell) * cell_share = sum(share^2) — exactly the
+# quantity the Sigma cell^2 pair bounds in the dedup ops depend on).
+_IVF_STATS_ORACLE = (
+    _IVF_ASSIGN_CTE
+    + """
+    , sizes AS (SELECT cell, COUNT(*) AS n FROM assign GROUP BY cell)
+    SELECT cell, CAST(n AS BIGINT) AS n_vectors,
+           ROUND(CAST(n AS DOUBLE) / (SELECT SUM(n) FROM sizes), 9) AS share,
+           ROUND(CAST(n AS DOUBLE) * (SELECT COUNT(*) FROM sizes)
+                 / (SELECT SUM(n) FROM sizes), 9) AS balance_ratio
+    FROM sizes
+    ORDER BY cell
+"""
+)
+
+
+def _ivf_stats_oracle() -> str:
+    return _IVF_STATS_ORACLE.replace("{k}", str(IVF_CLUSTERS))
+
+
+@query("ivf_index_stats", _ivf_stats_oracle())
+def ivf_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN-index introspection (the `system.parts` habit, applied to
+    the IVF index): per-cell member count, corpus share, and balance
+    ratio (cell size / mean size — the skew an operator watches, since
+    one hot cell inflates both probe latency and the Sigma cell^2 pair
+    bound every cell-blocked dedup op rides).
+
+    Scale posture: reads ONLY the pruned (vec_id, cell) columns of the
+    persisted index — no embedding bytes; one grouped exchange over
+    |cells| partial rows; the totals ride a broadcast 1-row cross join,
+    not a second scan (the per-cell counts reduce to K rows first)."""
+    idx = spark.read.parquet(_ivf_index_for(spark, sf_dir))
+    sizes = (
+        idx.select(F.col("cell").cast("int").alias("cell"))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = sizes.agg(
+        F.sum("n").cast("double").alias("total"),
+        F.count(F.lit(1)).cast("double").alias("n_cells"),
+    )
+    return (
+        sizes.crossJoin(F.broadcast(totals))
+        .select(
+            "cell",
+            F.col("n").cast("bigint").alias("n_vectors"),
+            F.round(F.col("n") / F.col("total"), 9).alias("share"),
+            F.round(F.col("n") * F.col("n_cells") / F.col("total"), 9).alias(
+                "balance_ratio"
+            ),
+        )
+        .orderBy("cell")
+    )

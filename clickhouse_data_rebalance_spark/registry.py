@@ -249,6 +249,7 @@ DRIVER_ORDER_TIER2: list[str] = [
     # new r7 surface (never in the cover — listed here next to its
     # exact-topk sibling, NOT a rotated-out veteran)
     "matryoshka_topk_recall",
+    "ivf_index_stats",
     "ann_ivf_topk",
     "text_quality",
     "filter_predicates",

@@ -759,3 +759,12 @@ def test_ingest_incremental_probes_are_semi_joins(spark):
     assert low.count("leftsemi") >= 2, "expected fp + span semi probes"
     assert "batchevalpython" not in low and "arrowevalpython" not in low
     assert "cartesianproduct" not in low
+
+
+def test_ivf_stats_prunes_embedding_column(spark):
+    """The index-stats pass must read only the cell key — the embedding
+    column (99% of index bytes) stays out of the scan's ReadSchema."""
+    plan = plan_of(spark, "ivf_index_stats")
+    reads = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert reads and all("embedding" not in ln for ln in reads)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
