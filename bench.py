@@ -11,6 +11,7 @@ to the first query.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import sys
@@ -82,6 +83,9 @@ EXTENDED = [
     "ohlc_bars",
     "asof_join_nearest",
     "corpus_ingest_incremental",
+    # round 8: retrieval pair (Okapi BM25 + RRF hybrid fusion)
+    "bm25_topk",
+    "hybrid_rrf_topk",
 ]
 
 HEADLINE = CORE + EXTENDED
@@ -148,6 +152,11 @@ def main() -> None:
         # (VERDICT r6 #5); extended_total covers post-r5 additions
         "core_total": round(sum(timings[n] for n in CORE), 3),
         "extended_total": round(sum(timings[n] for n in EXTENDED), 3),
+        # fingerprint of the pinned core LIST (names, in order): any
+        # silent edit to the frozen set changes this hash, so a perf
+        # "improvement" from dropping a slow query can't masquerade as
+        # progress (VERDICT r7 #8)
+        "core_hash": hashlib.md5("|".join(CORE).encode()).hexdigest()[:12],
         # calibration sampled BEFORE and AFTER the queries, published as
         # the mean: a single pre-run sample once diverged ~45% from the
         # box state the queries actually ran under (uniform ~1.6x
@@ -191,21 +200,38 @@ def _vs_prev(timings: dict, total: float, cal: float) -> dict:
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
+    # newest round first; per round try the driver artifact, then the
+    # committed local record (tools/bench_local_r{n}.json) — so one
+    # unparseable driver artifact (r6) no longer skips a whole round
+    # back (VERDICT r7 #2: r7 compared to r5 because BENCH_r06 was
+    # truncated while bench_local_r06.json held the full data)
+    # only rounds with a DRIVER artifact qualify (a committed local
+    # record for the in-flight round must not become the comparison
+    # target — same code, ratio ~1.0, no cross-round signal)
+    rounds: set[int] = set()
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m:
+            rounds.add(int(m.group(1)))
     prev = None
-    for p in sorted(glob.glob(os.path.join(here, "BENCH_r*.json")), reverse=True):
-        if not re.search(r"BENCH_r\d+\.json$", p):
-            continue
-        try:
-            with open(p) as f:
-                cand = json.load(f)
-        except (OSError, json.JSONDecodeError):
-            continue
-        # the driver records bench output wrapped as {"rc", "tail",
-        # "parsed": {...}}; accept both that and bench.py's own line
-        if isinstance(cand.get("parsed"), dict):
-            cand = cand["parsed"]
-        if cand.get("cal_spin_sec") and cand.get("queries"):
-            prev = (os.path.basename(p), cand)
+    for n in sorted(rounds, reverse=True):
+        for p in (
+            os.path.join(here, f"BENCH_r{n:02d}.json"),
+            os.path.join(here, "tools", f"bench_local_r{n:02d}.json"),
+        ):
+            try:
+                with open(p) as f:
+                    cand = json.load(f)
+            except (OSError, json.JSONDecodeError):
+                continue
+            # the driver records bench output wrapped as {"rc", "tail",
+            # "parsed": {...}}; accept both that and bench.py's own line
+            if isinstance(cand.get("parsed"), dict):
+                cand = cand["parsed"]
+            if cand.get("cal_spin_sec") and cand.get("queries"):
+                prev = (os.path.basename(p), cand)
+                break
+        if prev:
             break
     if prev is None:
         return {}

@@ -984,3 +984,201 @@ def weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Okapi BM25 retrieval (the tf_idf twin production corpus search runs):
+# standard parameters k1=1.2, b=0.75, Lucene's +1 idf smoothing. The
+# query is a fixed term set (one rare + two common terms so idf spread
+# is exercised); scoring follows the repo's float conventions — exact
+# integer tf/df/dl on both engines, ROUND(,9) absorbing libm-ulp and
+# sum-order noise.
+BM25_K1, BM25_B = 1.2, 0.75
+BM25_TERMS = ("dup", "merge", "scan")
+
+_BM25_TERM_SQL = (
+    "ROUND(ln((n - df_{t} + 0.5) / (df_{t} + 0.5) + 1.0) * tf_{t} * 2.2"
+    " / (tf_{t} + 1.2 * (0.25 + 0.75 * dl / avgdl)), 9)"
+)
+
+_BM25_ORACLE = f"""
+    WITH per AS (
+      SELECT doc_id,
+             len(string_split(trim(text), ' ')) AS dl,
+             {", ".join(
+                 "len(list_filter(string_split(lower(trim(text)), ' '), "
+                 f"x -> x = '{t}')) AS tf_{t}" for t in BM25_TERMS)}
+      FROM documents
+    ), stats AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+             {", ".join(
+                 f"COUNT(*) FILTER (WHERE tf_{t} > 0) AS df_{t}"
+                 for t in BM25_TERMS)}
+      FROM per
+    )
+    SELECT doc_id, dl,
+           ROUND({" + ".join(_BM25_TERM_SQL.format(t=t) for t in BM25_TERMS)},
+                 9) AS bm25
+    FROM per CROSS JOIN stats
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 10
+"""
+
+
+@query("bm25_topk", _BM25_ORACLE)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-k retrieval (VERDICT r7 #5), single-scan design:
+
+    - per-doc term frequencies via a rowwise higher-order ``filter``
+      over the token array — NO explode, NO shuffle for tf (tf_idf's
+      explode+groupBy pays a corpus-wide exchange; a fixed query term
+      set doesn't need one);
+    - corpus stats (N, Σdl, per-term df) in ONE metadata-sized global
+      aggregate, collected as scalars (same contract as tf_idf's
+      ``d.count()``);
+    - final score is a rowwise expression over the persisted slim
+      (doc_id, dl, tf…) frame + TakeOrderedAndProject top-10.
+    At 100 TB: one corpus scan for the slim projection, one tiny
+    all-reduce, one TakeOrdered — zero grouped exchanges.
+    """
+    import math
+
+    d = table(spark, sf_dir, "documents")
+    toks = tokens(F.lower(F.col("text")))
+
+    # closure factory, NOT a default-arg lambda: F.filter inspects the
+    # lambda's arity, and a `lambda x, t=t:` registers as the 2-arg
+    # (element, index) form — the index then silently replaces the term
+    def term_count(t: str):
+        return (
+            F.size(F.filter(toks, lambda x: x == F.lit(t)))
+            .cast("bigint")
+            .alias(f"tf_{t}")
+        )
+
+    per = d.select(
+        "doc_id",
+        F.size(tokens("text")).cast("bigint").alias("dl"),
+        *[term_count(t) for t in BM25_TERMS],
+    ).persist()
+    stats = per.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dl").alias("sdl"),
+        *[F.count_if(F.col(f"tf_{t}") > 0).alias(f"df_{t}") for t in BM25_TERMS],
+    ).collect()[0]
+    n = stats["n"]
+    avgdl = stats["sdl"] / n
+    parts = []
+    for t in BM25_TERMS:
+        # idf in Python libm == DuckDB's ln (same box); ROUND(,9)
+        # absorbs any last-ulp skew vs the oracle
+        idf = math.log((n - stats[f"df_{t}"] + 0.5) / (stats[f"df_{t}"] + 0.5) + 1.0)
+        tf = F.col(f"tf_{t}")
+        parts.append(
+            F.round(
+                F.lit(idf) * tf * F.lit(2.2)
+                / (
+                    tf
+                    + F.lit(1.2)
+                    * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.lit(avgdl))
+                ),
+                9,
+            )
+        )
+    score = F.round(parts[0] + parts[1] + parts[2], 9)
+    return (
+        per.select("doc_id", "dl", score.alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval fusion (VERDICT r7 #7): reciprocal-rank fusion of the
+# lexical (BM25) and semantic (ANN cosine) top-k lists — the standard
+# two-tower corpus-search composition. RRF(d) = Σ 1/(K + rank_d) over
+# the lists containing d, K=60 (Cormack et al.'s constant).
+RRF_K = 60
+
+
+def _rrf_ann_oracle() -> str:
+    from .llm_similarity import _COSINE_TOPK_ORACLE
+
+    return _COSINE_TOPK_ORACLE
+
+
+def _rrf_oracle() -> str:
+    return f"""
+    WITH bm AS (
+      SELECT doc_id, bm25,
+             ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS bm_rank
+      FROM ({_BM25_ORACLE})
+    ), ann AS (
+      SELECT vec_id, sim,
+             ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS ann_rank
+      FROM ({_rrf_ann_oracle()})
+    )
+    SELECT CAST(COALESCE(b.doc_id, a.vec_id) AS BIGINT) AS doc_id,
+           b.bm_rank, a.ann_rank,
+           ROUND(COALESCE(1.0 / ({RRF_K} + b.bm_rank), 0)
+               + COALESCE(1.0 / ({RRF_K} + a.ann_rank), 0), 9) AS rrf
+    FROM bm b FULL OUTER JOIN ann a ON b.doc_id = a.vec_id
+    ORDER BY rrf DESC, doc_id
+    LIMIT 10
+"""
+
+
+def _ranked(df: DataFrame, score_col: str, id_col: str, rank_name: str) -> DataFrame:
+    """Rank a ≤K-row result frame by (score DESC, id ASC) WITHOUT an
+    unpartitioned window (repo plan-hygiene rule — see
+    pack_token_shards): rank = 1 + |rows strictly better|, via a
+    broadcast triangular self-join over the K-row frame."""
+    a = df.select(F.col(id_col).alias("_id"), F.col(score_col).alias("_s"))
+    b = a.select(F.col("_id").alias("_id2"), F.col("_s").alias("_s2"))
+    better = (F.col("_s2") > F.col("_s")) | (
+        (F.col("_s2") == F.col("_s")) & (F.col("_id2") < F.col("_id"))
+    )
+    return (
+        a.join(F.broadcast(b), better, "left")
+        .groupBy("_id")
+        .agg((F.count("_id2") + 1).cast("bigint").alias(rank_name))
+    )
+
+
+@query("hybrid_rrf_topk", _rrf_oracle())
+def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RRF fusion of `bm25_topk` (lexical) and `ann_ivf_topk_refined`
+    (semantic, probing the persisted refined IVF index — its provable
+    top-k coverage is why the exact-cosine oracle is the twin). Both
+    inputs are K-row lists, so everything here is broadcast-sized: two
+    triangular rank joins + one full-outer fuse — no corpus access at
+    all beyond what the two retrievers already did. At 100 TB the
+    fusion cost stays O(K²) regardless of corpus size."""
+    from .llm_similarity import ann_ivf_topk_refined
+
+    bm = _ranked(bm25_topk(spark, sf_dir), "bm25", "doc_id", "bm_rank")
+    ann = _ranked(ann_ivf_topk_refined(spark, sf_dir), "sim", "vec_id", "ann_rank")
+    # no broadcast hint: Spark can't broadcast a FULL OUTER side (the
+    # hint logs an unsupported warning and falls back); both inputs are
+    # K-row frames so the shuffled join is K-sized anyway
+    fused = bm.withColumnRenamed("_id", "doc_id").join(
+        ann.withColumnRenamed("_id", "vec_id"),
+        F.col("doc_id") == F.col("vec_id"),
+        "full_outer",
+    )
+    rrf = F.round(
+        F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("bm_rank")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("ann_rank")), F.lit(0.0)),
+        9,
+    )
+    return (
+        fused.select(
+            F.coalesce("doc_id", "vec_id").cast("bigint").alias("doc_id"),
+            "bm_rank",
+            "ann_rank",
+            rrf.alias("rrf"),
+        )
+        .orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(10)
+    )

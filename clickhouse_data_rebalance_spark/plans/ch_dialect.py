@@ -1,4 +1,4 @@
-"""ClickHouse-SQL dialect shim: translate the common ClickHouse SQL
+r"""ClickHouse-SQL dialect shim: translate the common ClickHouse SQL
 surface to Spark SQL so existing queries (the kind users of the
 reference tool run against their cluster, e.g.
 `sharding_recreation.py:145-161`'s INSERT-SELECT shape) execute
@@ -437,9 +437,11 @@ def _rewrite_multiif(sql: str) -> str:
     requires the trailing else, so an even argument count refuses.
     Each pass removes exactly one occurrence, so the loop is bounded by
     the occurrence count — no arbitrary nesting-depth cap (a wide
-    machine-generated SELECT with 50 sibling multiIfs is legal)."""
+    machine-generated SELECT with 50 sibling multiIfs is legal).
+    Occurrences are located on the literal-masked copy so a string like
+    'has multiIf(x, 1, 2) inside' is data, never rewritten."""
     while True:
-        matches = list(_MULTIIF_HEAD.finditer(sql))
+        matches = list(_MULTIIF_HEAD.finditer(_mask_literals(sql)))
         if not matches:
             return sql
         m = matches[-1]  # last occurrence = never contains another
@@ -513,10 +515,14 @@ def _rewrite_brackets(sql: str) -> str:
             raise UnsupportedClickHouseSQL("unbalanced '[' in expression")
         inner = sql[pos + 1 : end]
         before = sql[:pos].rstrip()
-        if before.endswith((")", "]")):
+        if before.endswith((")", "]", "'")):
+            # ')'/']': computed base (f(x)[1], a[1][2]); "'": a string
+            # literal base ('abc'[1]) — neither has a textually bindable
+            # identifier, and falling through would emit the garbage
+            # `'abc'array(1)`; refuse with the element_at pointer
             raise UnsupportedClickHouseSQL(
-                "bracket indexing on a computed base — rewrite as "
-                "element_at(expr, i) (1-based, as in ClickHouse)"
+                "bracket indexing on a computed or literal base — rewrite "
+                "as element_at(expr, i) (1-based, as in ClickHouse)"
             )
         m = _IDX_BASE.search(before)
         word = m.group(1).lower() if m else ""
@@ -614,11 +620,14 @@ def _fdt_pattern(fmt: str) -> str:
 
 
 def _rewrite_format_datetime(sql: str) -> str:
-    def repl(m: "re.Match[str]") -> str:
-        pattern = _fdt_pattern(m.group(2))
-        return f"date_format({m.group(1)}, '{pattern.replace(chr(39), chr(39) * 2)}')"
+    # positions from the masked copy, group CONTENT from the raw string
+    # (group 2 IS a literal — masked it would be all blanks)
+    def repl(m: "re.Match[str]", raw: str) -> str:
+        expr = raw[slice(*m.span(1))]
+        pattern = _fdt_pattern(raw[slice(*m.span(2))])
+        return f"date_format({expr}, '{pattern.replace(chr(39), chr(39) * 2)}')"
 
-    return _FDT.sub(repl, sql)
+    return _sub_outside_literals(_FDT, repl, sql)
 
 
 # replaceRegexpAll: the PATTERN dialects are close (RE2 vs Java), but
@@ -633,8 +642,11 @@ _REPL_REGEXP = re.compile(
 
 
 def _rewrite_replace_regexp(sql: str) -> str:
-    def repl(m: "re.Match[str]") -> str:
-        replacement = m.group(3)
+    # positions from the masked copy, group content from the raw string
+    # (the replacement group IS a literal — masking would both blank it
+    # and hide the \/$ dialect trap this function exists to refuse)
+    def repl(m: "re.Match[str]", raw: str) -> str:
+        replacement = raw[slice(*m.span(3))]
         if "\\" in replacement or "$" in replacement:
             raise UnsupportedClickHouseSQL(
                 "replaceRegexpAll replacement contains \\ or $ — CH "
@@ -642,9 +654,10 @@ def _rewrite_replace_regexp(sql: str) -> str:
                 "is a group reference); rewrite the replacement in "
                 "Spark's regexp_replace dialect"
             )
-        return f"regexp_replace({m.group(1)}, {m.group(2)}, '{replacement}')"
+        hay, pat_ = raw[slice(*m.span(1))], raw[slice(*m.span(2))]
+        return f"regexp_replace({hay}, {pat_}, '{replacement}')"
 
-    return _REPL_REGEXP.sub(repl, sql)
+    return _sub_outside_literals(_REPL_REGEXP, repl, sql)
 
 
 def _rewrite_limit_by(sql: str) -> str:
@@ -655,16 +668,22 @@ def _rewrite_limit_by(sql: str) -> str:
     names ClickHouse binds). Refuses LIMIT BY without an ORDER BY
     (nondeterministic row choice) and nested shapes the flat pattern
     can't bind."""
-    if not re.search(r"\bLIMIT\s+\d+\s+BY\b", sql, re.I):
+    # detect and bind on the literal-masked copy ('top LIMIT 3 BY x' in
+    # a string is data); masking preserves length, so group spans index
+    # straight into the raw (stripped) text
+    stripped = sql.strip()
+    masked = _mask_literals(stripped)
+    if not re.search(r"\bLIMIT\s+\d+\s+BY\b", masked, re.I):
         return sql
-    m = _LIMIT_BY.match(sql.strip())
+    m = _LIMIT_BY.match(masked)
     if not m:
         raise UnsupportedClickHouseSQL(
             "LIMIT n BY needs the flat `SELECT ... ORDER BY ... LIMIT n BY "
             "cols [LIMIT m]` shape with a paren-free ORDER BY (the row-choice "
             "order); nested forms: use top_k_per_group (C20)"
         )
-    body, ordc, n, cols = m["body"].strip(), m["ord"].strip(), m["n"], m["cols"]
+    raw_g = lambda name: stripped[slice(*m.span(name))]
+    body, ordc, n, cols = raw_g("body").strip(), raw_g("ord").strip(), m["n"], m["cols"]
     tail = f"\nLIMIT {m['m']}" if m["m"] else ""
     return (
         f"WITH _cdr_limit_by AS ({body})\n"
@@ -686,6 +705,41 @@ def _mask_literals(sql: str) -> str:
     `WHERE note = 'GLOBAL SALES'` is translatable SQL, not a surviving
     GLOBAL modifier."""
     return _LITERAL.sub(lambda m: "'" + " " * (len(m.group(0)) - 2) + "'", sql)
+
+
+_TMPL_REF = re.compile(r"\\(\d)")
+
+
+def _sub_outside_literals(pat, repl, sql: str) -> str:
+    """`pat.sub(repl, sql)` that can never fire INSIDE a single-quoted
+    string literal: matches are found on the literal-masked copy (so
+    `WHERE note = 'use argMax(a, b)'` is data, not a call to rewrite),
+    and because masking preserves length, every match/group span is
+    valid in the raw string — replacements are spliced into RAW text, so
+    group captures keep their real literal contents (a masked group
+    would blank e.g. formatDateTime's format string).
+
+    `repl` is either a template string with `\\N` group references
+    (expanded against RAW group text) or a callable receiving
+    ``(match, raw_sql)`` where the match object indexes into the masked
+    copy — read group content as ``raw_sql[m.start(i):m.end(i)]``.
+    Matches the single-pass, no-rescan semantics of ``re.sub``."""
+    masked = _mask_literals(sql)
+    out: list[str] = []
+    last = 0
+    for m in pat.finditer(masked):
+        out.append(sql[last : m.start()])
+        if callable(repl):
+            out.append(repl(m, sql))
+        else:
+            out.append(
+                _TMPL_REF.sub(
+                    lambda g: sql[slice(*m.span(int(g.group(1))))], repl
+                )
+            )
+        last = m.end()
+    out.append(sql[last:])
+    return "".join(out)
 
 
 def translate(ch_sql: str) -> str:
@@ -715,7 +769,7 @@ def translate(ch_sql: str) -> str:
     out = _rewrite_format_datetime(out)
     out = _rewrite_replace_regexp(out)
     for pat, repl in _REWRITES:
-        out = pat.sub(repl, out)
+        out = _sub_outside_literals(pat, repl, out)
     masked = _mask_literals(out)
     if re.search(r"\bWITH\s+TOTALS\b", masked, re.I):
         raise UnsupportedClickHouseSQL(

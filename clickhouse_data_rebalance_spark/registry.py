@@ -86,6 +86,26 @@ DRIVER_ORDER: list[str] = [
     # (TakeOrderedAndProject top-10 with a mixed-direction multi-key
     # sort, C18/C19), filter_predicates -> shipping_priority_topk's
     # scan-pushed filters + ch_dialect_limit_by's translated WHERE (C3))
+    # (r8 rotation, per the same rule: nine enter — the eight VERDICT r7
+    # #1 promotions (dedup_repeated_substring, corpus_ingest_incremental,
+    # dedup_semantic_prune, asof_join_nearest, national_market_share,
+    # ch_dialect_brackets, matryoshka_topk_recall,
+    # corpus_pipeline_e2e_keep_longest) plus bm25_topk (VERDICT r7 #5,
+    # new this round — rides tf_idf's 3-round-green token/df machinery).
+    # Nine 2+-green veterans leave for tier 2. Merge mapping
+    # (COVERAGE.md): simhash_signatures -> decontaminate_minhash keeps
+    # the C41 banded-LSH row (+ dedup_repeated_substring widens C41),
+    # ivf_kmeans_cells -> ann_ivf_topk_refined (probes the index REBUILT
+    # from those k-means centroids), cosine_pairs_ivf -> knn_join_ivf +
+    # dedup_semantic_prune (same IVF-cell-blocked pair machinery, C43),
+    # tf_idf -> bm25_topk (same tokenize/tf/df stats, retrieval form,
+    # C44/C45), union_all_shards -> rebalance_pipeline's shard fan-in
+    # union (C21), top_k_per_group -> ch_dialect_limit_by (same
+    # ROW_NUMBER-per-key plan, C20), join_theta_range -> join_null_safe
+    # keeps the C8 row (+ asof_join_tolerance's range predicate),
+    # join_semi -> corpus_ingest_incremental's plan-asserted LeftSemi
+    # screens (C7), join_broadcast_dims -> national_market_share's
+    # plan-asserted broadcast snowflake dims (C4/C6))
     "rebalance_invariants",
     "rebalance_shard_stats",
     "source_schema_evolution",
@@ -93,16 +113,19 @@ DRIVER_ORDER: list[str] = [
     "table_swap_lifecycle",
     "source_python_datasource",
     "ch_dialect_limit_by",
+    "ch_dialect_brackets",
     # LLM data-pipeline operators
     "dedup_incremental_batch",
+    "dedup_repeated_substring",
+    "corpus_ingest_incremental",
+    "dedup_semantic_prune",
+    "corpus_pipeline_e2e_keep_longest",
     "decontaminate_minhash",
-    "simhash_signatures",
     "ann_ivf_topk_refined",
     "ann_pq_topk",
+    "matryoshka_topk_recall",
     "knn_join_ivf",
-    "ivf_kmeans_cells",
-    "cosine_pairs_ivf",
-    "tf_idf",
+    "bm25_topk",
     "quality_classifier_score",
     "multimodal_roundtrip",
     # structured streaming + event-time windows (r6 second swap, VERDICT
@@ -129,11 +152,9 @@ DRIVER_ORDER: list[str] = [
     "sample_fraction",
     # joins
     "join_right_outer",
-    "join_broadcast_dims",
-    "join_semi",
-    "join_theta_range",
     "join_null_safe",
     "asof_join_tolerance",
+    "asof_join_nearest",
     # aggregation
     "agg_multikey",
     "approx_count_distinct",
@@ -142,11 +163,10 @@ DRIVER_ORDER: list[str] = [
     # windows / sort / top-k / event-time
     "window_range_interval",
     "time_gap_fill_interpolate",
-    "top_k_per_group",
     # composed multi-join analytics (TPC-H-shaped, new r6 surface)
     "shipping_priority_topk",
+    "national_market_share",
     # set ops + subqueries
-    "union_all_shards",
     "except_all_rows",
     "correlated_scalar_subquery",
     "cte_query",
@@ -163,6 +183,8 @@ DRIVER_ORDER: list[str] = [
 DRIVER_ORDER_TIER2: list[str] = [
     # next in line for driver rows: remaining round-6 surface (eight
     # r6 names moved INTO the cover in the r7 rotation)
+    # new r8 surface, next in line for driver rows
+    "hybrid_rrf_topk",
     "bucketed_join_noshuffle",
     "media_resize",
     "media_frame_sample",
@@ -186,7 +208,6 @@ DRIVER_ORDER_TIER2: list[str] = [
     "idle_customer_balances",
     "late_shipment_priority",
     "volume_shipping_nations",
-    "national_market_share",
     "customer_order_distribution",
     "top_supplier_revenue",
     "small_qty_order_revenue",
@@ -212,7 +233,6 @@ DRIVER_ORDER_TIER2: list[str] = [
     "sink_observed_metrics",
     "ch_dialect_array_join",
     "ch_dialect_argmax",
-    "ch_dialect_brackets",
     "ch_dialect_datetime",
     "timezone_funcs",
     "group_by_all",
@@ -223,14 +243,9 @@ DRIVER_ORDER_TIER2: list[str] = [
     "multi_array_zip_flatten",
     "length_bucket_packing",
     "dedup_keep_best",
-    "corpus_pipeline_e2e_keep_longest",
-    "corpus_ingest_incremental",
-    "dedup_semantic_prune",
     "diversity_sample_cells",
-    "dedup_repeated_substring",
     "lm_perplexity_score",
     "ohlc_bars",
-    "asof_join_nearest",
     "mad_outlier_scores",
     "corpus_datasheet",
     "user_churn_weekly",
@@ -248,12 +263,22 @@ DRIVER_ORDER_TIER2: list[str] = [
     "cosine_topk_exact",
     # new r7 surface (never in the cover — listed here next to its
     # exact-topk sibling, NOT a rotated-out veteran)
-    "matryoshka_topk_recall",
     "ivf_index_stats",
     "ann_ivf_topk",
     "text_quality",
     "filter_predicates",
     "top_k",
+    # rotated out of the 50-row cover in r8 (2+ green driver rounds each;
+    # merge mapping in the DRIVER_ORDER comment + COVERAGE.md)
+    "simhash_signatures",
+    "ivf_kmeans_cells",
+    "cosine_pairs_ivf",
+    "tf_idf",
+    "union_all_shards",
+    "top_k_per_group",
+    "join_theta_range",
+    "join_semi",
+    "join_broadcast_dims",
     # rotated out of the 50-row cover in r6 (2+ green driver rounds each)
     "collect_agg",
     "window_ranking",

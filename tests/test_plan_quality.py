@@ -768,3 +768,30 @@ def test_ivf_stats_prunes_embedding_column(spark):
     reads = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert reads and all("embedding" not in ln for ln in reads)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_bm25_zero_grouped_exchanges(spark):
+    """BM25's scoring pass must be a rowwise projection over the slim
+    persisted frame + TakeOrderedAndProject: no explode, no grouped
+    exchange, no Python — the whole point vs tf_idf's two corpus-wide
+    aggregation shuffles (SCALE.md row)."""
+    plan = plan_of(spark, "bm25_topk")
+    low = plan.lower()
+    assert "takeorderedandproject" in low
+    assert "generate" not in low, "tf must not explode the token stream"
+    # the final stage reads the cached slim frame; no hash-partitioned
+    # exchange may appear (the one global stats agg ran in the builder,
+    # driver-side, before this plan)
+    assert "exchange hashpartitioning" not in low
+    assert "batchevalpython" not in low and "arrowevalpython" not in low
+
+
+def test_hybrid_rrf_is_k_row_only(spark):
+    """RRF fusion must never rescan a corpus table: past the two
+    retrievers (whose sub-plans legitimately scan), the fusion layer is
+    K-row joins only — rank via broadcast nested-loop count-of-better,
+    never an unpartitioned window (single-task pattern)."""
+    plan = plan_of(spark, "hybrid_rrf_topk")
+    low = plan.lower()
+    assert "window" not in low, "rank must not use a window"
+    assert "broadcastnestedloopjoin" in low

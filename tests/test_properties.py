@@ -1602,6 +1602,61 @@ def test_ch_dialect_second_review_regressions(spark):
     assert out == "2024[05]"
 
 
+def test_ch_dialect_rewrites_never_fire_inside_literals():
+    """r7-judge medium finding: every rewrite stage (multiIf, the
+    _REWRITES table, formatDateTime, replaceRegexpAll, LIMIT BY,
+    brackets) must locate matches on the literal-masked copy — CH
+    function names INSIDE a single-quoted string are data, and
+    rewriting them is silent data corruption."""
+    import pytest as _pytest
+
+    from clickhouse_data_rebalance_spark.plans.ch_dialect import (
+        UnsupportedClickHouseSQL,
+        translate,
+    )
+
+    # the judge's exact repros
+    assert translate(
+        "SELECT multiIf(a, 'has multiIf(x, 1, 2) inside', 0) FROM t"
+    ) == "SELECT (CASE WHEN a THEN 'has multiIf(x, 1, 2) inside' ELSE 0 END) FROM t"
+    assert (
+        translate("SELECT x FROM t WHERE note = 'use argMax(a, b)'")
+        == "SELECT x FROM t WHERE note = 'use argMax(a, b)'"
+    )
+    # one literal per rewrite family: name-only, _ARG-template, clause
+    for sql in [
+        "SELECT x FROM t WHERE s = 'toUInt32(x) and sumIf(a, b)'",
+        "SELECT x FROM t WHERE s = 'formatDateTime(ts, c)'",
+        "SELECT x FROM t WHERE s = 'replaceRegexpAll(s, p, r)'",
+        "SELECT x FROM t WHERE s = 'GROUP BY k WITH TOTALS'",
+        "SELECT x, 'no LIMIT 3 BY here' AS lbl FROM t",
+        "SELECT x FROM t WHERE s = 'position(h, n) arrayJoin(a)'",
+    ]:
+        assert translate(sql) == sql, sql
+    # group captures that CONTAIN literals splice raw content, and
+    # literal-only groups (format string, JSON key) keep real text
+    assert translate("SELECT sumIf(a, b = 'x, (y)') FROM t") == (
+        "SELECT sum(a) FILTER (WHERE b = 'x, (y)') FROM t"
+    )
+    assert translate("SELECT formatDateTime(ts, '%Y%m') FROM t") == (
+        "SELECT date_format(ts, 'yyyyMM') FROM t"
+    )
+    assert translate("SELECT JSONExtractString(j, 'name') FROM t") == (
+        "SELECT get_json_object(j, '$.name') FROM t"
+    )
+    # string-literal bracket base: refusal (was 'abc'array(1) garbage)
+    with _pytest.raises(UnsupportedClickHouseSQL, match="literal base"):
+        translate("SELECT 'abc'[1] FROM t")
+    # and the module imports without DeprecationWarning (raw docstring)
+    import warnings
+
+    import clickhouse_data_rebalance_spark.plans.ch_dialect as _m
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        compile(open(_m.__file__).read(), _m.__file__, "exec")
+
+
 def test_ch_dialect_translations_all_parse_in_spark(spark, sf_dir):
     """Safety net across the whole rewrite table: for one representative
     query per supported construct, translate() must produce SQL that
