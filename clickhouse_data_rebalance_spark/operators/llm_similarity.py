@@ -1416,3 +1416,130 @@ def ivf_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental IVF index maintenance (VERDICT r7 #6): the production
+# daily job — admit an arriving batch INTO the persisted index without
+# a rebuild. The quantizer is FROZEN (same seed matrix that built the
+# index: reassigning the corpus is exactly the full rebuild this op
+# exists to avoid); the batch's rows append into their assigned cell
+# partitions only, and the generation marker bumps so probes can pin a
+# layout. The admitted batch models re-arrivals: every base vector with
+# vec_id % 100 == 3 returns under a new id (+ADMIT_ID_OFFSET).
+ADMIT_ID_OFFSET = 1_000_000
+ADMIT_MOD, ADMIT_REM = 100, 3
+
+
+def admit_batch_into_index(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """Append the arriving batch into the cell layout at ``path``.
+
+    Spark's ``mode("append").partitionBy("cell")`` writes files ONLY
+    under the cell directories present in the batch — untouched cell
+    partitions are not opened, not rewritten, not even listed (the
+    file-level invariant test_ivf_admit_touches_only_batch_cells pins).
+    At 100 TB a 0.1%-of-corpus batch touching 1/10th of the cells costs
+    one batch-sized write, not an index rewrite."""
+    e = table(spark, sf_dir, "embeddings")
+    cell_of = _make_cell_udf(_ivf_seed_matrix(e))
+    batch = (
+        e.filter(F.col("vec_id") % ADMIT_MOD == ADMIT_REM)
+        .select(
+            (F.col("vec_id") + ADMIT_ID_OFFSET).alias("vec_id"),
+            "embedding",
+            "label",
+        )
+        .withColumn("cell", cell_of("embedding"))
+    )
+    batch.write.mode("append").partitionBy("cell").parquet(path)
+
+
+def _admitted_index_for(spark: SparkSession, sf_dir: str) -> str:
+    """One-time: clone the seed-generation index at file level (test
+    isolation — production appends in place; the clone keeps the shared
+    seed index pristine for the other registered probes), admit the
+    batch, bump the generation marker. Idempotent per (corpus
+    fingerprint, k) exactly like `_ivf_index_for`."""
+    import hashlib
+    import os
+    import shutil
+
+    seed_path = _ivf_index_for(spark, sf_dir)
+    src_fp = _ivf_src_fp(sf_dir)
+    key = f"{sf_dir}|{src_fp}|k={IVF_CLUSTERS}|gen=admitted"
+    path = os.path.join(_IVF_ROOT, hashlib.md5(key.encode()).hexdigest()[:16])
+    if not os.path.exists(os.path.join(path, "_ADMITTED")):
+        shutil.rmtree(path, ignore_errors=True)
+        shutil.copytree(seed_path, path)
+        admit_batch_into_index(spark, sf_dir, path)
+        with open(os.path.join(path, "_KEY"), "w") as f:
+            f.write(key)
+        with open(os.path.join(path, "_ADMITTED"), "w") as f:
+            f.write("generation=admitted")  # the bump, post-append
+    return path
+
+
+_IVF_ADMIT_ORACLE = (
+    _IVF_ASSIGN_CTE
+    + f"""
+    , base AS (SELECT cell, COUNT(*) AS base_n FROM assign GROUP BY cell)
+    , batch AS (SELECT cell, COUNT(*) AS batch_n FROM assign
+                WHERE vec_id % {ADMIT_MOD} = {ADMIT_REM} GROUP BY cell)
+    , tot AS (SELECT (SELECT SUM(base_n) FROM base)
+                   + (SELECT SUM(batch_n) FROM batch) AS total)
+    SELECT b.cell, CAST(b.base_n AS BIGINT) AS base_n,
+           CAST(COALESCE(t.batch_n, 0) AS BIGINT) AS batch_n,
+           CAST(b.base_n + COALESCE(t.batch_n, 0) AS BIGINT) AS after_n,
+           ROUND(CAST(b.base_n + COALESCE(t.batch_n, 0) AS DOUBLE)
+                 / (SELECT total FROM tot), 9) AS share_after
+    FROM base b LEFT JOIN batch t ON b.cell = t.cell
+    ORDER BY b.cell
+"""
+)
+# LEFT join is complete here: batch vectors are re-arrivals of base
+# vectors under the frozen quantizer, so every batch cell has base
+# members by construction.
+
+
+def _ivf_admit_oracle() -> str:
+    return _IVF_ADMIT_ORACLE.replace("{k}", str(IVF_CLUSTERS))
+
+
+@query("ivf_index_admit", _ivf_admit_oracle())
+def ivf_index_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-admission index accounting, derived from the PHYSICAL
+    admitted layout alone: one pruned (vec_id, cell) scan, with
+    base/batch split by the id offset. The DuckDB twin re-derives all
+    three counts from the raw embeddings through the quantizer CTE — a
+    hash match therefore proves the admitted files hold exactly
+    base + batch per cell (the VERDICT r7 #6 invariant), not merely
+    that two aggregations agree.
+
+    Scale posture mirrors `ivf_index_stats`: no embedding bytes read,
+    one grouped exchange over |cells| rows, totals on a broadcast
+    1-row frame."""
+    idx = spark.read.parquet(_admitted_index_for(spark, sf_dir))
+    sizes = (
+        idx.select(
+            F.col("cell").cast("int").alias("cell"),
+            (F.col("vec_id") >= ADMIT_ID_OFFSET).alias("is_batch"),
+        )
+        .groupBy("cell")
+        .agg(
+            F.count_if(~F.col("is_batch")).alias("base_n"),
+            F.count_if(F.col("is_batch")).alias("batch_n"),
+            F.count(F.lit(1)).alias("after_n"),
+        )
+    )
+    totals = sizes.agg(F.sum("after_n").cast("double").alias("total"))
+    return (
+        sizes.crossJoin(F.broadcast(totals))
+        .select(
+            "cell",
+            F.col("base_n").cast("bigint").alias("base_n"),
+            F.col("batch_n").cast("bigint").alias("batch_n"),
+            F.col("after_n").cast("bigint").alias("after_n"),
+            F.round(F.col("after_n") / F.col("total"), 9).alias("share_after"),
+        )
+        .orderBy("cell")
+    )

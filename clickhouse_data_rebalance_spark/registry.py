@@ -185,6 +185,7 @@ DRIVER_ORDER_TIER2: list[str] = [
     # r6 names moved INTO the cover in the r7 rotation)
     # new r8 surface, next in line for driver rows
     "hybrid_rrf_topk",
+    "ivf_index_admit",
     "bucketed_join_noshuffle",
     "media_resize",
     "media_frame_sample",

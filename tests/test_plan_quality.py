@@ -795,3 +795,77 @@ def test_hybrid_rrf_is_k_row_only(spark):
     low = plan.lower()
     assert "window" not in low, "rank must not use a window"
     assert "broadcastnestedloopjoin" in low
+
+
+def test_ivf_admit_touches_only_batch_cells(spark, tmp_path):
+    """The admission write must be physically incremental: appending
+    the batch may create files ONLY under its assigned cell partitions —
+    every untouched cell directory keeps byte-identical file listings
+    (VERDICT r7 #6 'only touched cell partitions are written')."""
+    import os
+    import shutil
+
+    from clickhouse_data_rebalance_spark.operators.llm_similarity import (
+        ADMIT_ID_OFFSET,
+        _ivf_index_for,
+        admit_batch_into_index,
+    )
+
+    sf = SF_SMALL
+    seed = _ivf_index_for(spark, sf)
+    work = str(tmp_path / "admit_idx")
+    shutil.copytree(seed, work)
+
+    def listing(root):
+        out = {}
+        for d in os.listdir(root):
+            if d.startswith("cell="):
+                out[d] = sorted(os.listdir(os.path.join(root, d)))
+        return out
+
+    before = listing(work)
+    admit_batch_into_index(spark, sf, work)
+    after = listing(work)
+
+    adm = spark.read.parquet(work)
+    touched = {
+        f"cell={r['cell']}"
+        for r in adm.filter(F.col("vec_id") >= ADMIT_ID_OFFSET)
+        .select("cell")
+        .distinct()
+        .collect()
+    }
+    assert touched, "fixture batch must touch at least one cell"
+    assert set(before) <= set(after), "a cell directory disappeared"
+    for cell, files in before.items():
+        if cell in touched:
+            assert set(files) < set(after[cell]), f"{cell}: no new file"
+        else:
+            assert files == after[cell], f"untouched {cell} was rewritten"
+
+
+def test_ivf_admit_preserves_untouched_cell_contents(spark):
+    """Probe-identity invariant: rows of the admitted index restricted
+    to cells the batch did NOT touch are exactly the seed index's rows
+    there — so any probe whose cell set avoids the batch returns
+    byte-identical results against either generation."""
+    from clickhouse_data_rebalance_spark.operators.llm_similarity import (
+        ADMIT_ID_OFFSET,
+        _admitted_index_for,
+        _ivf_index_for,
+    )
+
+    sf = SF_SMALL
+    seed = spark.read.parquet(_ivf_index_for(spark, sf))
+    adm = spark.read.parquet(_admitted_index_for(spark, sf))
+    touched = [
+        r["cell"]
+        for r in adm.filter(F.col("vec_id") >= ADMIT_ID_OFFSET)
+        .select("cell")
+        .distinct()
+        .collect()
+    ]
+    cols = ["vec_id", "cell", "label"]
+    a = {tuple(r) for r in adm.filter(~F.col("cell").isin(touched)).select(*cols).collect()}
+    s = {tuple(r) for r in seed.filter(~F.col("cell").isin(touched)).select(*cols).collect()}
+    assert a == s and len(a) > 0
