@@ -1543,3 +1543,99 @@ def ivf_index_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+def compact_ivf_cells(spark: SparkSession, path: str, cells: list[int]) -> None:
+    """Compact the named cell partitions to one file each — the
+    maintenance twin of `admit_batch_into_index` (appends fragment the
+    touched cells; periodic compaction restores one-file-per-cell read
+    cost). Spark-native mechanism: DYNAMIC partition overwrite — the
+    write rewrites ONLY the partitions present in its data, so
+    untouched cell directories keep byte-identical file listings (same
+    physical invariant as admission, pinned in
+    test_ivf_compact_touches_only_fragmented_cells).
+
+    `repartition("cell")` routes each cell's rows to one task, so each
+    rewritten cell lands as exactly one file; the rewrite cost is
+    |touched cells| of data, never the index."""
+    df = spark.read.parquet(path).filter(F.col("cell").isin(cells))
+    (
+        df.repartition(max(len(cells), 1), "cell")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+
+
+def _compacted_index_for(spark: SparkSession, sf_dir: str) -> str:
+    """One-time: clone the ADMITTED generation, compact its fragmented
+    (batch-touched) cells, bump the generation marker."""
+    import hashlib
+    import os
+    import shutil
+
+    admitted = _admitted_index_for(spark, sf_dir)
+    src_fp = _ivf_src_fp(sf_dir)
+    key = f"{sf_dir}|{src_fp}|k={IVF_CLUSTERS}|gen=compacted"
+    path = os.path.join(_IVF_ROOT, hashlib.md5(key.encode()).hexdigest()[:16])
+    if not os.path.exists(os.path.join(path, "_COMPACTED")):
+        shutil.rmtree(path, ignore_errors=True)
+        shutil.copytree(admitted, path)
+        os.remove(os.path.join(path, "_ADMITTED"))
+        touched = [
+            int(r["cell"])
+            for r in spark.read.parquet(path)
+            .filter(F.col("vec_id") >= ADMIT_ID_OFFSET)
+            .select("cell")
+            .distinct()
+            .collect()
+        ]
+        compact_ivf_cells(spark, path, touched)
+        with open(os.path.join(path, "_KEY"), "w") as f:
+            f.write(key)
+        with open(os.path.join(path, "_COMPACTED"), "w") as f:
+            f.write("generation=compacted")
+    return path
+
+
+_IVF_COMPACT_ORACLE = (
+    _IVF_ASSIGN_CTE
+    + f"""
+    , base AS (SELECT cell, COUNT(*) AS base_n FROM assign GROUP BY cell)
+    , batch AS (SELECT cell, COUNT(*) AS batch_n FROM assign
+                WHERE vec_id % {ADMIT_MOD} = {ADMIT_REM} GROUP BY cell)
+    SELECT b.cell,
+           CAST(b.base_n + COALESCE(t.batch_n, 0) AS BIGINT) AS n_rows,
+           COALESCE(t.batch_n, 0) > 0 AS compacted
+    FROM base b LEFT JOIN batch t ON b.cell = t.cell
+    ORDER BY b.cell
+"""
+)
+
+
+def _ivf_compact_oracle() -> str:
+    return _IVF_COMPACT_ORACLE.replace("{k}", str(IVF_CLUSTERS))
+
+
+@query("ivf_index_compact", _ivf_compact_oracle())
+def ivf_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-compaction accounting over the PHYSICAL compacted layout:
+    row counts per cell must still equal base + batch (compaction moves
+    bytes, never rows), with `compacted` marking the cells the cycle
+    rewrote. The DuckDB twin re-derives everything from raw embeddings
+    through the quantizer CTE — a hash match proves the admit→compact
+    cycle is lossless end-to-end."""
+    idx = spark.read.parquet(_compacted_index_for(spark, sf_dir))
+    return (
+        idx.select(
+            F.col("cell").cast("int").alias("cell"),
+            (F.col("vec_id") >= ADMIT_ID_OFFSET).alias("is_batch"),
+        )
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            (F.count_if(F.col("is_batch")) > 0).alias("compacted"),
+        )
+        .orderBy("cell")
+    )

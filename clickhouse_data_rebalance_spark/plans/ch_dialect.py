@@ -36,6 +36,11 @@ arr[i]              try_element_at(arr, i) — CH indexing is 1-BASED and
 arrayJoin           explode
 notEmpty/empty      length(x) > 0 / length(x) = 0
 modulo              mod
+plus/minus/...      (a + b) / (a - b) / (a * b) / (a / b)
+assumeNotNull       (x)  (type-level assertion; value unchanged)
+arrayEnumerate      sequence(1, size(arr))
+leftPad/rightPad    lpad / rpad
+numbers(n)          (SELECT id AS number FROM range(n))
 toYear/Quarter/...  year / quarter / month / weekofyear (toISOWeek)
 now()               current_timestamp()
 match(h, p)         (h RLIKE p)
@@ -131,6 +136,41 @@ _REFUSALS: list[tuple[re.Pattern[str], str]] = [
     (
         re.compile(r"\bASOF\s+(LEFT\s+)?JOIN\b", re.I),
         "use asof_join / asof_join_tolerance / asof_join_forward",
+    ),
+    # the rest of the parametric-aggregate zoo: each points at the
+    # native operator that computes the same thing deterministically
+    (
+        re.compile(r"\b(sum|min|max)Map\s*\(", re.I),
+        "use map_funcs / explode + groupBy (C30) — Spark aggregates maps "
+        "via entries, not a Map-combinator",
+    ),
+    (
+        re.compile(r"\bhistogram\s*\(", re.I),
+        "use histogram_agg (CH's adaptive-bin sketch has no Spark twin)",
+    ),
+    (re.compile(r"\bwindowFunnel\s*\(", re.I), "use window_funnel_levels"),
+    (
+        re.compile(r"\bsequence(Match|Count)\s*\(", re.I),
+        "use sequence_count_pattern / sequence_match_funnel3",
+    ),
+    (re.compile(r"\bretention\s*\(", re.I), "use retention_conditions"),
+    (
+        re.compile(r"\b(runningAccumulate|runningDifference|neighbor)\s*\(", re.I),
+        "use window functions (lag / lead / running sums, C15-C17) — "
+        "block-local semantics don't survive distribution anyway",
+    ),
+    (
+        re.compile(r"\b((city|sip|farm)Hash64|halfMD5)\s*\(", re.I),
+        "hash FAMILIES differ between engines (values would silently "
+        "disagree) — recompute both sides with xxhash64 / md5 / sha2",
+    ),
+    (
+        re.compile(r"\bformatReadable\w+\s*\(", re.I),
+        "presentation-layer formatting — format client-side",
+    ),
+    (
+        re.compile(r"\buniqTheta\s*\(", re.I),
+        "use theta_set_ops / approx_count_distinct",
     ),
     # multi-array ARRAY JOIN zips arrays positionally — that is
     # arrays_zip + one explode, not two LATERAL VIEWs (which would
@@ -314,6 +354,33 @@ _REWRITES: list[tuple[re.Pattern[str], str]] = [
     (re.compile(rf"\bnotEmpty\s*\(\s*{_ARG}\s*\)", re.I), r"(length(\1) > 0)"),
     (re.compile(rf"\bempty\s*\(\s*{_ARG}\s*\)", re.I), r"(length(\1) = 0)"),
     (re.compile(r"\bmodulo\s*\(", re.I), "mod("),
+    # arithmetic function spellings: CH exposes operators as functions
+    (re.compile(rf"\bplus\s*\(\s*{_ARG}\s*,\s*{_ARG}\s*\)", re.I), r"(\1 + \2)"),
+    (re.compile(rf"\bminus\s*\(\s*{_ARG}\s*,\s*{_ARG}\s*\)", re.I), r"(\1 - \2)"),
+    (
+        re.compile(rf"\bmultiply\s*\(\s*{_ARG}\s*,\s*{_ARG}\s*\)", re.I),
+        r"(\1 * \2)",
+    ),
+    # CH divide() is always float division — Spark's `/` likewise
+    # promotes integer operands to double, so the operator is exact
+    (re.compile(rf"\bdivide\s*\(\s*{_ARG}\s*,\s*{_ARG}\s*\)", re.I), r"(\1 / \2)"),
+    # assumeNotNull is a type-level assertion; the VALUE is unchanged
+    (re.compile(rf"\bassumeNotNull\s*\(\s*{_ARG}\s*\)", re.I), r"(\1)"),
+    # arrayEnumerate(arr) = [1..len(arr)] — 1-based in both engines
+    (
+        re.compile(rf"\barrayEnumerate\s*\(\s*{_ARG}\s*\)", re.I),
+        r"sequence(1, size(\1))",
+    ),
+    (re.compile(r"\bleftPad\s*\(", re.I), "lpad("),
+    (re.compile(r"\brightPad\s*\(", re.I), "rpad("),
+    # numbers(n) table function -> range(n), keeping CH's column NAME
+    # (`number`; Spark's range emits `id`, so a bare swap would break
+    # every downstream reference). The 2-arg offset form falls to the
+    # residual refusal rather than a silent mis-bind.
+    (
+        re.compile(rf"\bnumbers\s*\(\s*{_ARG}\s*\)", re.I),
+        r"(SELECT id AS number FROM range(\1))",
+    ),
     # ---- clauses ----
     # GLOBAL JOIN/IN ships the right side to every shard — exactly what
     # Spark's planner decides itself (broadcast by stats/AQE); the
@@ -370,6 +437,8 @@ _RESIDUALS = re.compile(
     r"|arrayDistinct|arraySort|arrayReverse|arrayFlatten|arraySlice"
     r"|toYear|toQuarter|toMonth|toISOWeek|replaceAll|replaceRegexpAll"
     r"|formatDateTime|match|position"
+    r"|plus|minus|multiply|divide|assumeNotNull|arrayEnumerate"
+    r"|leftPad|rightPad|numbers"
     r"|JSONExtract\w+)\s*\(",
     re.I,
 )

@@ -186,6 +186,8 @@ DRIVER_ORDER_TIER2: list[str] = [
     # new r8 surface, next in line for driver rows
     "hybrid_rrf_topk",
     "ivf_index_admit",
+    "ivf_index_compact",
+    "bm25_batch_topk",
     "bucketed_join_noshuffle",
     "media_resize",
     "media_frame_sample",

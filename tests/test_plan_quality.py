@@ -869,3 +869,72 @@ def test_ivf_admit_preserves_untouched_cell_contents(spark):
     a = {tuple(r) for r in adm.filter(~F.col("cell").isin(touched)).select(*cols).collect()}
     s = {tuple(r) for r in seed.filter(~F.col("cell").isin(touched)).select(*cols).collect()}
     assert a == s and len(a) > 0
+
+
+def test_ivf_compact_touches_only_fragmented_cells(spark, tmp_path):
+    """Dynamic-partition-overwrite compaction must rewrite ONLY the
+    fragmented (batch-touched) cells — one file each afterwards, with
+    row contents identical — while every untouched cell directory keeps
+    a byte-identical file listing."""
+    import os
+    import shutil
+
+    from clickhouse_data_rebalance_spark.operators.llm_similarity import (
+        ADMIT_ID_OFFSET,
+        _admitted_index_for,
+        compact_ivf_cells,
+    )
+
+    sf = SF_SMALL
+    work = str(tmp_path / "compact_idx")
+    shutil.copytree(_admitted_index_for(spark, sf), work)
+
+    def listing(root):
+        return {
+            d: sorted(os.listdir(os.path.join(root, d)))
+            for d in os.listdir(root)
+            if d.startswith("cell=")
+        }
+
+    touched = [
+        int(r["cell"])
+        for r in spark.read.parquet(work)
+        .filter(F.col("vec_id") >= ADMIT_ID_OFFSET)
+        .select("cell")
+        .distinct()
+        .collect()
+    ]
+    rows_before = {
+        tuple(r)
+        for r in spark.read.parquet(work).select("vec_id", "cell", "label").collect()
+    }
+    before = listing(work)
+    compact_ivf_cells(spark, work, touched)
+    after = listing(work)
+
+    for cell, files in before.items():
+        cid = int(cell.split("=")[1])
+        if cid in touched:
+            data = [f for f in after[cell] if f.endswith(".parquet")]
+            assert len(data) == 1, f"{cell}: {len(data)} files after compact"
+        else:
+            assert files == after[cell], f"untouched {cell} was rewritten"
+    rows_after = {
+        tuple(r)
+        for r in spark.read.parquet(work).select("vec_id", "cell", "label").collect()
+    }
+    assert rows_before == rows_after
+
+
+def test_bm25_batch_uses_takeordered_not_window(spark):
+    """Batch BM25's per-query top-k must compile to TakeOrderedAndProject
+    trees over the shared persisted frame — a window partitioned by
+    query_id would serialize the scored corpus through |batch| tasks."""
+    import re
+
+    plan = plan_of(spark, "bm25_batch_topk")
+    low = plan.lower()
+    assert low.count("takeorderedandproject") >= 3
+    # operator match, not substring — 'window' is also a QUERY TERM here
+    assert not re.search(r"\(\d+\) Window", plan)
+    assert "generate" not in low and "batchevalpython" not in low

@@ -1657,6 +1657,46 @@ def test_ch_dialect_rewrites_never_fire_inside_literals():
         compile(open(_m.__file__).read(), _m.__file__, "exec")
 
 
+def test_ch_dialect_parametric_agg_zoo_refuses_with_pointers():
+    """r8 wave: the parametric-aggregate zoo (Map combinators, funnels,
+    sequences, retention, block-local running fns, engine-specific hash
+    families, presentation formatters, theta sketches) must refuse with
+    a pointer at the native operator — and the 2-arg numbers() offset
+    form plus too-deep arithmetic nesting must hit the residual refusal
+    instead of reaching Spark as opaque parse errors."""
+    import pytest as _pytest
+
+    from clickhouse_data_rebalance_spark.plans.ch_dialect import (
+        UnsupportedClickHouseSQL,
+        translate,
+    )
+
+    for bad, pointer in [
+        ("SELECT sumMap(k, v) FROM t", "map_funcs"),
+        ("SELECT maxMap(k, v) FROM t", "map_funcs"),
+        ("SELECT histogram(5)(x) FROM t", "histogram_agg"),
+        ("SELECT windowFunnel(3600)(ts, a, b) FROM t", "window_funnel_levels"),
+        ("SELECT sequenceCount('(?1)(?2)')(ts, a, b) FROM t", "sequence_count_pattern"),
+        ("SELECT retention(a, b) FROM t", "retention_conditions"),
+        ("SELECT runningDifference(x) FROM t", "window functions"),
+        ("SELECT neighbor(x, 1) FROM t", "window functions"),
+        ("SELECT cityHash64(x) FROM t", "xxhash64"),
+        ("SELECT sipHash64(x) FROM t", "xxhash64"),
+        ("SELECT halfMD5(x) FROM t", "xxhash64"),
+        ("SELECT formatReadableSize(x) FROM t", "client-side"),
+        ("SELECT uniqTheta(x) FROM t", "theta_set_ops"),
+        ("SELECT number FROM numbers(5, 10)", "residual"),
+        ("SELECT plus(a, plus(b, plus(c, d))) FROM t", "residual"),
+    ]:
+        with _pytest.raises(UnsupportedClickHouseSQL) as ei:
+            translate(bad)
+        if pointer != "residual":
+            assert pointer in str(ei.value), (bad, str(ei.value))
+    # literal safety holds for the new names too
+    sql = "SELECT x FROM t WHERE s = 'sumMap(k, v) and plus(a, b)'"
+    assert translate(sql) == sql
+
+
 def test_ch_dialect_translations_all_parse_in_spark(spark, sf_dir):
     """Safety net across the whole rewrite table: for one representative
     query per supported construct, translate() must produce SQL that
@@ -1699,6 +1739,12 @@ def test_ch_dialect_translations_all_parse_in_spark(spark, sf_dir):
         "SELECT event_type, count() FROM events GROUP BY event_type WITH TOTALS",
         "SELECT event_type FROM events PREWHERE value > 1 FORMAT TabSeparated",
         "SELECT event_type, value FROM events ORDER BY value LIMIT 2 BY event_type",
+        # r8 wave: arithmetic spellings, type assertion, enumerate, pads,
+        # numbers() table function (column name preserved)
+        "SELECT plus(value, 1), minus(value, 2), multiply(value, 2), divide(value, 2) FROM events",
+        "SELECT assumeNotNull(value), arrayEnumerate([10, 20, 30]) FROM events",
+        "SELECT leftPad(event_type, 8, '0'), rightPad(event_type, 8, ' ') FROM events",
+        "SELECT number FROM numbers(10)",
     ]
     for q in queries:
         out = translate(q)
