@@ -818,3 +818,117 @@ def corpus_ingest_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Domain-mixture resampling (the DoReMi/pile-construction shape): given
+# per-source target weights and a token/doc budget, take exactly
+# min(available, floor(weight * budget)) docs per source, selected by a
+# fixed md5 permutation — deterministic across engines, runs, and
+# partitionings. Weights here derive from the source index
+# (w_raw = 20 - idx, normalized), and the 0.8 budget makes the
+# availability cap BIND for heavy sources while light sources stay
+# weight-limited — both branches of the min() exercised at every SF.
+MIX_BUDGET_FRAC = 0.8
+MIX_WSUM = 210  # sum of (20 - idx) for idx 0..19
+
+
+_MIXTURE_ORACLE = f"""
+    WITH counts AS (
+      SELECT source, CAST(substr(source, 4) AS INT) AS idx, COUNT(*) AS n_docs
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT CAST(FLOOR({MIX_BUDGET_FRAC} * SUM(n_docs)) AS BIGINT) AS budget
+      FROM counts
+    ), plan AS (
+      SELECT source, n_docs,
+             (20.0 - idx) / {MIX_WSUM} AS target_share,
+             LEAST(n_docs, CAST(FLOOR((20.0 - idx) / {MIX_WSUM}
+                                      * (SELECT budget FROM tot)) AS BIGINT))
+               AS n_take
+      FROM counts
+    ), ranked AS (
+      SELECT d.source, d.doc_id,
+             ROW_NUMBER() OVER (PARTITION BY d.source
+                                ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id)
+               AS rn
+      FROM documents d
+    ), sel AS (
+      SELECT r.source, COUNT(*) AS sel_n, SUM(r.doc_id) AS sel_sum
+      FROM ranked r JOIN plan p ON r.source = p.source
+      WHERE r.rn <= p.n_take
+      GROUP BY r.source
+    )
+    SELECT p.source, p.n_docs, ROUND(p.target_share, 9) AS target_share,
+           p.n_take,
+           CAST(COALESCE(s.sel_n, 0) AS BIGINT) AS sel_n,
+           CAST(COALESCE(s.sel_sum, 0) AS BIGINT) AS sel_sum,
+           ROUND(CAST(COALESCE(s.sel_n, 0) AS DOUBLE)
+                 / (SELECT SUM(sel_n) FROM sel), 9) AS achieved_share
+    FROM plan p LEFT JOIN sel s ON p.source = s.source
+    ORDER BY p.source
+"""
+
+
+@query("mixture_sample_weights", _MIXTURE_ORACLE)
+def mixture_sample_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budgeted domain-mixture resampling with exact per-source takes
+    (not Bernoulli — a training mixture wants the EXACT doc counts the
+    weights imply, reproducibly). `sel_sum` (sum of selected doc ids)
+    makes the oracle pin the selected SET, not just its size.
+
+    Scale: the plan (counts -> weights -> takes) is a |sources|-row
+    broadcast frame; the corpus pays one hash exchange for the
+    per-source md5-rank window, the same single shuffle any per-group
+    sample needs (C20/C33 machinery); the rank predicate truncates each
+    partition to its take before the final K-row aggregate."""
+    d = table(spark, sf_dir, "documents")
+    counts = (
+        d.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn("idx", F.substring("source", 4, 10).cast("int"))
+    )
+    budget = counts.agg(
+        F.floor(F.lit(MIX_BUDGET_FRAC) * F.sum("n_docs")).cast("bigint").alias("b")
+    )
+    plan = (
+        counts.crossJoin(F.broadcast(budget))
+        .select(
+            "source",
+            "n_docs",
+            ((F.lit(20.0) - F.col("idx")) / F.lit(MIX_WSUM)).alias("target_share"),
+            F.least(
+                F.col("n_docs"),
+                F.floor(
+                    (F.lit(20.0) - F.col("idx")) / F.lit(MIX_WSUM) * F.col("b")
+                ).cast("bigint"),
+            ).alias("n_take"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = d.select("source", "doc_id", F.row_number().over(w).alias("rn"))
+    sel = (
+        ranked.join(F.broadcast(plan.select("source", "n_take")), "source")
+        .filter(F.col("rn") <= F.col("n_take"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("sel_n"), F.sum("doc_id").alias("sel_sum"))
+    )
+    total_sel = sel.agg(F.sum("sel_n").cast("double").alias("t"))
+    return (
+        plan.join(sel, "source", "left")
+        .crossJoin(F.broadcast(total_sel))
+        .select(
+            "source",
+            "n_docs",
+            F.round("target_share", 9).alias("target_share"),
+            "n_take",
+            F.coalesce("sel_n", F.lit(0)).cast("bigint").alias("sel_n"),
+            F.coalesce("sel_sum", F.lit(0)).cast("bigint").alias("sel_sum"),
+            F.round(F.coalesce("sel_n", F.lit(0)) / F.col("t"), 9).alias(
+                "achieved_share"
+            ),
+        )
+        .orderBy("source")
+    )

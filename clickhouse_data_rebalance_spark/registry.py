@@ -188,6 +188,8 @@ DRIVER_ORDER_TIER2: list[str] = [
     "ivf_index_admit",
     "ivf_index_compact",
     "bm25_batch_topk",
+    "mixture_sample_weights",
+    "stream_index_admit",
     "bucketed_join_noshuffle",
     "media_resize",
     "media_frame_sample",

@@ -987,3 +987,106 @@ def stream_ohlc_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "volume",
     ).orderBy("event_type", "win_start")
+
+
+def _ivf_admit_stream_oracle() -> str:
+    from ..operators.llm_similarity import _ivf_admit_oracle
+
+    return _ivf_admit_oracle()
+
+
+@query("stream_index_admit", _ivf_admit_stream_oracle())
+def stream_index_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming IVF index admission: the arriving embedding stream's
+    admit subset (vec_id % ADMIT_MOD == ADMIT_REM, re-keyed) is appended
+    into a cell-partitioned index clone per MICRO-BATCH via foreachBatch
+    — the always-on form of the `ivf_index_admit` daily job. The
+    quantizer stays frozen (broadcast seed matrix closed over by the
+    batch function); each micro-batch write touches only its own cells.
+
+    Must hash-match `ivf_index_admit`'s ORACLE verbatim: a stream≡batch
+    equivalence on a stateful INDEX sink — final physical layout counts
+    equal the batch-derived base+batch arithmetic no matter how the
+    stream was micro-batched.
+
+    Scale: per-batch cost is batch-sized (assign matmul + append);
+    index size never enters. Checkpointing makes replays idempotent-ish
+    at the accounting level only if batches are exactly-once — a
+    production sink would stage per-batch files and commit via manifest
+    (same discipline as stream_upsert_sink's version flip)."""
+    import uuid
+
+    from ..operators.llm_similarity import (
+        ADMIT_ID_OFFSET,
+        ADMIT_MOD,
+        ADMIT_REM,
+        _ivf_index_for,
+        _ivf_seed_matrix,
+        _make_cell_udf,
+    )
+
+    seed = _ivf_index_for(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix=f"cdr_stream_admit_{uuid.uuid4().hex[:8]}_")
+    idx = os.path.join(root, "idx")
+    shutil.copytree(seed, idx)
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+
+    e = table(spark, sf_dir, "embeddings")
+    cell_of = _make_cell_udf(_ivf_seed_matrix(e))
+
+    def admit(batch: DataFrame, batch_id: int) -> None:
+        (
+            batch.filter(F.col("vec_id") % ADMIT_MOD == ADMIT_REM)
+            .select(
+                (F.col("vec_id") + ADMIT_ID_OFFSET).alias("vec_id"),
+                "embedding",
+                "label",
+            )
+            .withColumn("cell", cell_of("embedding"))
+            .write.mode("append")
+            .partitionBy("cell")
+            .parquet(idx)
+        )
+
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+    )
+    ckpt = _ckpt_dir(f"cdr_ckpt_admit_{uuid.uuid4().hex[:8]}_")
+    with _stream_state_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(admit)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    out = spark.read.parquet(idx)
+    sizes = (
+        out.select(
+            F.col("cell").cast("int").alias("cell"),
+            (F.col("vec_id") >= ADMIT_ID_OFFSET).alias("is_batch"),
+        )
+        .groupBy("cell")
+        .agg(
+            F.count_if(~F.col("is_batch")).alias("base_n"),
+            F.count_if(F.col("is_batch")).alias("batch_n"),
+            F.count(F.lit(1)).alias("after_n"),
+        )
+    )
+    totals = sizes.agg(F.sum("after_n").cast("double").alias("total"))
+    return (
+        sizes.crossJoin(F.broadcast(totals))
+        .select(
+            "cell",
+            F.col("base_n").cast("bigint").alias("base_n"),
+            F.col("batch_n").cast("bigint").alias("batch_n"),
+            F.col("after_n").cast("bigint").alias("after_n"),
+            F.round(F.col("after_n") / F.col("total"), 9).alias("share_after"),
+        )
+        .orderBy("cell")
+    )
