@@ -1426,9 +1426,18 @@ def ivf_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exists to avoid); the batch's rows append into their assigned cell
 # partitions only, and the generation marker bumps so probes can pin a
 # layout. The admitted batch models re-arrivals: every base vector with
-# vec_id % 100 == 3 returns under a new id (+ADMIT_ID_OFFSET).
-ADMIT_ID_OFFSET = 1_000_000
+# vec_id % 100 == 3 returns under a new id (+ the data-derived offset).
 ADMIT_MOD, ADMIT_REM = 100, 3
+
+
+def admit_id_offset(spark: SparkSession, sf_dir: str) -> int:
+    """Re-arrival id offset = 1 + max corpus vec_id — DATA-derived, so
+    base/batch discrimination can never misclassify or collide at any
+    corpus size (a fixed constant breaks the moment real ids reach it;
+    the repo's own 1M-vector scale test sits exactly at the old
+    1_000_000 boundary). One MAX aggregate, metadata-sized collect."""
+    e = table(spark, sf_dir, "embeddings")
+    return int(e.agg(F.max("vec_id")).collect()[0][0]) + 1
 
 
 def admit_batch_into_index(spark: SparkSession, sf_dir: str, path: str) -> None:
@@ -1441,17 +1450,51 @@ def admit_batch_into_index(spark: SparkSession, sf_dir: str, path: str) -> None:
     At 100 TB a 0.1%-of-corpus batch touching 1/10th of the cells costs
     one batch-sized write, not an index rewrite."""
     e = table(spark, sf_dir, "embeddings")
+    offset = admit_id_offset(spark, sf_dir)
     cell_of = _make_cell_udf(_ivf_seed_matrix(e))
     batch = (
         e.filter(F.col("vec_id") % ADMIT_MOD == ADMIT_REM)
         .select(
-            (F.col("vec_id") + ADMIT_ID_OFFSET).alias("vec_id"),
+            (F.col("vec_id") + offset).alias("vec_id"),
             "embedding",
             "label",
         )
         .withColumn("cell", cell_of("embedding"))
     )
     batch.write.mode("append").partitionBy("cell").parquet(path)
+
+
+def _admit_cell_accounting(idx: DataFrame, offset: int) -> DataFrame:
+    """Per-cell (base_n, batch_n, after_n, share_after) derived from a
+    physical admitted layout: ONE pruned (vec_id, cell) scan, base vs
+    batch split by the re-arrival id offset, totals on a broadcast
+    1-row frame. Shared by the batch (`ivf_index_admit`) and streaming
+    (`stream_index_admit`) admission paths so their common oracle can
+    never drift against two copies of the arithmetic."""
+    sizes = (
+        idx.select(
+            F.col("cell").cast("int").alias("cell"),
+            (F.col("vec_id") >= offset).alias("is_batch"),
+        )
+        .groupBy("cell")
+        .agg(
+            F.count_if(~F.col("is_batch")).alias("base_n"),
+            F.count_if(F.col("is_batch")).alias("batch_n"),
+            F.count(F.lit(1)).alias("after_n"),
+        )
+    )
+    totals = sizes.agg(F.sum("after_n").cast("double").alias("total"))
+    return (
+        sizes.crossJoin(F.broadcast(totals))
+        .select(
+            "cell",
+            F.col("base_n").cast("bigint").alias("base_n"),
+            F.col("batch_n").cast("bigint").alias("batch_n"),
+            F.col("after_n").cast("bigint").alias("after_n"),
+            F.round(F.col("after_n") / F.col("total"), 9).alias("share_after"),
+        )
+        .orderBy("cell")
+    )
 
 
 def _admitted_index_for(spark: SparkSession, sf_dir: str) -> str:
@@ -1519,30 +1562,7 @@ def ivf_index_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
     one grouped exchange over |cells| rows, totals on a broadcast
     1-row frame."""
     idx = spark.read.parquet(_admitted_index_for(spark, sf_dir))
-    sizes = (
-        idx.select(
-            F.col("cell").cast("int").alias("cell"),
-            (F.col("vec_id") >= ADMIT_ID_OFFSET).alias("is_batch"),
-        )
-        .groupBy("cell")
-        .agg(
-            F.count_if(~F.col("is_batch")).alias("base_n"),
-            F.count_if(F.col("is_batch")).alias("batch_n"),
-            F.count(F.lit(1)).alias("after_n"),
-        )
-    )
-    totals = sizes.agg(F.sum("after_n").cast("double").alias("total"))
-    return (
-        sizes.crossJoin(F.broadcast(totals))
-        .select(
-            "cell",
-            F.col("base_n").cast("bigint").alias("base_n"),
-            F.col("batch_n").cast("bigint").alias("batch_n"),
-            F.col("after_n").cast("bigint").alias("after_n"),
-            F.round(F.col("after_n") / F.col("total"), 9).alias("share_after"),
-        )
-        .orderBy("cell")
-    )
+    return _admit_cell_accounting(idx, admit_id_offset(spark, sf_dir))
 
 
 def compact_ivf_cells(spark: SparkSession, path: str, cells: list[int]) -> None:
@@ -1583,10 +1603,11 @@ def _compacted_index_for(spark: SparkSession, sf_dir: str) -> str:
         shutil.rmtree(path, ignore_errors=True)
         shutil.copytree(admitted, path)
         os.remove(os.path.join(path, "_ADMITTED"))
+        offset = admit_id_offset(spark, sf_dir)
         touched = [
             int(r["cell"])
             for r in spark.read.parquet(path)
-            .filter(F.col("vec_id") >= ADMIT_ID_OFFSET)
+            .filter(F.col("vec_id") >= offset)
             .select("cell")
             .distinct()
             .collect()
@@ -1627,10 +1648,11 @@ def ivf_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     through the quantizer CTE — a hash match proves the admit→compact
     cycle is lossless end-to-end."""
     idx = spark.read.parquet(_compacted_index_for(spark, sf_dir))
+    offset = admit_id_offset(spark, sf_dir)
     return (
         idx.select(
             F.col("cell").cast("int").alias("cell"),
-            (F.col("vec_id") >= ADMIT_ID_OFFSET).alias("is_batch"),
+            (F.col("vec_id") >= offset).alias("is_batch"),
         )
         .groupBy("cell")
         .agg(

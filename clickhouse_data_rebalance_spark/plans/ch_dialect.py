@@ -36,9 +36,14 @@ arr[i]              try_element_at(arr, i) — CH indexing is 1-BASED and
 arrayJoin           explode
 notEmpty/empty      length(x) > 0 / length(x) = 0
 modulo              mod
-plus/minus/...      (a + b) / (a - b) / (a * b) / (a / b)
+plus/minus/multiply (a + b) / (a - b) / (a * b)
+divide              double division with CH's IEEE zero-divisor
+                    semantics (inf/nan via a CASE; Spark's bare `/`
+                    raises under ANSI)
 assumeNotNull       (x)  (type-level assertion; value unchanged)
-arrayEnumerate      sequence(1, size(arr))
+arrayEnumerate      slice(sequence(1, greatest(size(a),1)), 1, size(a))
+                    (bare sequence(1, size(a)) steps DOWN to [1,0] for
+                    empty arrays — the silent trap)
 leftPad/rightPad    lpad / rpad
 numbers(n)          (SELECT id AS number FROM range(n))
 toYear/Quarter/...  year / quarter / month / weekofyear (toISOWeek)
@@ -361,15 +366,28 @@ _REWRITES: list[tuple[re.Pattern[str], str]] = [
         re.compile(rf"\bmultiply\s*\(\s*{_ARG}\s*,\s*{_ARG}\s*\)", re.I),
         r"(\1 * \2)",
     ),
-    # CH divide() is always float division — Spark's `/` likewise
-    # promotes integer operands to double, so the operator is exact
-    (re.compile(rf"\bdivide\s*\(\s*{_ARG}\s*,\s*{_ARG}\s*\)", re.I), r"(\1 / \2)"),
+    # CH divide() is ALWAYS Float64 division with IEEE zero-divisor
+    # semantics (1/0 = inf, 0/0 = nan) — Spark's `/` raises
+    # DIVIDE_BY_ZERO under ANSI (the session default) and NULLs
+    # otherwise, so a bare operator swap changes zero-divisor behavior.
+    # The CASE reproduces CH exactly: a * inf gives ±inf by a's sign and
+    # nan for a = 0. (Known edge: a negative-zero DIVISOR loses its
+    # sign — CH 1/-0.0 = -inf, here +inf.)
+    (
+        re.compile(rf"\bdivide\s*\(\s*{_ARG}\s*,\s*{_ARG}\s*\)", re.I),
+        r"(CASE WHEN CAST(\2 AS DOUBLE) = 0.0D"
+        r" THEN CAST(\1 AS DOUBLE) * CAST('Infinity' AS DOUBLE)"
+        r" ELSE CAST(\1 AS DOUBLE) / CAST(\2 AS DOUBLE) END)",
+    ),
     # assumeNotNull is a type-level assertion; the VALUE is unchanged
     (re.compile(rf"\bassumeNotNull\s*\(\s*{_ARG}\s*\)", re.I), r"(\1)"),
-    # arrayEnumerate(arr) = [1..len(arr)] — 1-based in both engines
+    # arrayEnumerate(arr) = [1..len(arr)], [] for an empty array. A bare
+    # sequence(1, size(arr)) is the silent trap: Spark's sequence STEPS
+    # DOWNWARD when start > stop, so size 0 would yield [1, 0] — the
+    # slice truncates to the real length (slice(_, 1, 0) = [])
     (
         re.compile(rf"\barrayEnumerate\s*\(\s*{_ARG}\s*\)", re.I),
-        r"sequence(1, size(\1))",
+        r"slice(sequence(1, greatest(size(\1), 1)), 1, size(\1))",
     ),
     (re.compile(r"\bleftPad\s*\(", re.I), "lpad("),
     (re.compile(r"\brightPad\s*\(", re.I), "rpad("),

@@ -1017,12 +1017,13 @@ def stream_index_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
     from ..operators.llm_similarity import (
-        ADMIT_ID_OFFSET,
         ADMIT_MOD,
         ADMIT_REM,
+        _admit_cell_accounting,
         _ivf_index_for,
         _ivf_seed_matrix,
         _make_cell_udf,
+        admit_id_offset,
     )
 
     seed = _ivf_index_for(spark, sf_dir)
@@ -1032,13 +1033,14 @@ def stream_index_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
     atexit.register(shutil.rmtree, root, ignore_errors=True)
 
     e = table(spark, sf_dir, "embeddings")
+    offset = admit_id_offset(spark, sf_dir)
     cell_of = _make_cell_udf(_ivf_seed_matrix(e))
 
     def admit(batch: DataFrame, batch_id: int) -> None:
         (
             batch.filter(F.col("vec_id") % ADMIT_MOD == ADMIT_REM)
             .select(
-                (F.col("vec_id") + ADMIT_ID_OFFSET).alias("vec_id"),
+                (F.col("vec_id") + offset).alias("vec_id"),
                 "embedding",
                 "label",
             )
@@ -1065,28 +1067,7 @@ def stream_index_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
 
-    out = spark.read.parquet(idx)
-    sizes = (
-        out.select(
-            F.col("cell").cast("int").alias("cell"),
-            (F.col("vec_id") >= ADMIT_ID_OFFSET).alias("is_batch"),
-        )
-        .groupBy("cell")
-        .agg(
-            F.count_if(~F.col("is_batch")).alias("base_n"),
-            F.count_if(F.col("is_batch")).alias("batch_n"),
-            F.count(F.lit(1)).alias("after_n"),
-        )
-    )
-    totals = sizes.agg(F.sum("after_n").cast("double").alias("total"))
-    return (
-        sizes.crossJoin(F.broadcast(totals))
-        .select(
-            "cell",
-            F.col("base_n").cast("bigint").alias("base_n"),
-            F.col("batch_n").cast("bigint").alias("batch_n"),
-            F.col("after_n").cast("bigint").alias("after_n"),
-            F.round(F.col("after_n") / F.col("total"), 9).alias("share_after"),
-        )
-        .orderBy("cell")
-    )
+    # shared accounting (llm_similarity._admit_cell_accounting): the
+    # stream and batch paths report through ONE copy of the arithmetic,
+    # so the common oracle can never drift against a silent fork
+    return _admit_cell_accounting(spark.read.parquet(idx), offset)

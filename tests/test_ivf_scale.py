@@ -117,6 +117,8 @@ def test_ivf_scale_rule_recall_and_scan_fraction(spark, tmp_path):
             # read the embedding column for this id-only projection
             plan = probe.select("vec_id")._jdf.queryExecution().executedPlan().toString()
             assert "PartitionFilters" in plan
+            reads = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+            assert reads and all("embedding" not in ln for ln in reads)
         probed_ids = np.array(
             [r["vec_id"] for r in probe.select("vec_id").collect()], dtype=np.int64
         )

@@ -806,9 +806,9 @@ def test_ivf_admit_touches_only_batch_cells(spark, tmp_path):
     import shutil
 
     from clickhouse_data_rebalance_spark.operators.llm_similarity import (
-        ADMIT_ID_OFFSET,
         _ivf_index_for,
         admit_batch_into_index,
+        admit_id_offset,
     )
 
     sf = SF_SMALL
@@ -830,7 +830,7 @@ def test_ivf_admit_touches_only_batch_cells(spark, tmp_path):
     adm = spark.read.parquet(work)
     touched = {
         f"cell={r['cell']}"
-        for r in adm.filter(F.col("vec_id") >= ADMIT_ID_OFFSET)
+        for r in adm.filter(F.col("vec_id") >= admit_id_offset(spark, sf))
         .select("cell")
         .distinct()
         .collect()
@@ -850,9 +850,9 @@ def test_ivf_admit_preserves_untouched_cell_contents(spark):
     there — so any probe whose cell set avoids the batch returns
     byte-identical results against either generation."""
     from clickhouse_data_rebalance_spark.operators.llm_similarity import (
-        ADMIT_ID_OFFSET,
         _admitted_index_for,
         _ivf_index_for,
+        admit_id_offset,
     )
 
     sf = SF_SMALL
@@ -860,7 +860,7 @@ def test_ivf_admit_preserves_untouched_cell_contents(spark):
     adm = spark.read.parquet(_admitted_index_for(spark, sf))
     touched = [
         r["cell"]
-        for r in adm.filter(F.col("vec_id") >= ADMIT_ID_OFFSET)
+        for r in adm.filter(F.col("vec_id") >= admit_id_offset(spark, sf))
         .select("cell")
         .distinct()
         .collect()
@@ -880,8 +880,8 @@ def test_ivf_compact_touches_only_fragmented_cells(spark, tmp_path):
     import shutil
 
     from clickhouse_data_rebalance_spark.operators.llm_similarity import (
-        ADMIT_ID_OFFSET,
         _admitted_index_for,
+        admit_id_offset,
         compact_ivf_cells,
     )
 
@@ -899,7 +899,7 @@ def test_ivf_compact_touches_only_fragmented_cells(spark, tmp_path):
     touched = [
         int(r["cell"])
         for r in spark.read.parquet(work)
-        .filter(F.col("vec_id") >= ADMIT_ID_OFFSET)
+        .filter(F.col("vec_id") >= admit_id_offset(spark, sf))
         .select("cell")
         .distinct()
         .collect()
