@@ -295,12 +295,14 @@ def build_ivf_index(
     )
 
 
-def _ivf_src_fp(sf_dir: str) -> str:
+def _ivf_src_fp(sf_dir: str, filename: str = "embeddings.parquet") -> str:
+    """Source fingerprint (mtime_ns:size) of a fixture table file — the
+    staleness key every on-disk/in-process cache in this module (and
+    llm_text's BM25 frame cache) derives from."""
     import os
 
-    emb_path = os.path.join(sf_dir, "embeddings.parquet")
     try:
-        st = os.stat(emb_path)
+        st = os.stat(os.path.join(sf_dir, filename))
         return f"{st.st_mtime_ns}:{st.st_size}"
     except OSError:
         return "missing"
@@ -1430,14 +1432,26 @@ def ivf_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 ADMIT_MOD, ADMIT_REM = 100, 3
 
 
+_ADMIT_OFFSET_CACHE: dict = {}
+
+
 def admit_id_offset(spark: SparkSession, sf_dir: str) -> int:
     """Re-arrival id offset = 1 + max corpus vec_id — DATA-derived, so
     base/batch discrimination can never misclassify or collide at any
     corpus size (a fixed constant breaks the moment real ids reach it;
     the repo's own 1M-vector scale test sits exactly at the old
-    1_000_000 boundary). One MAX aggregate, metadata-sized collect."""
+    1_000_000 boundary). One MAX aggregate, memoized per corpus
+    fingerprint (a plain int — session-independent, safe to cache) so
+    the admit/compact/accounting call sites don't each pay a scan."""
+    key = (sf_dir, _ivf_src_fp(sf_dir))
+    hit = _ADMIT_OFFSET_CACHE.get(key)
+    if hit is not None:
+        return hit
     e = table(spark, sf_dir, "embeddings")
-    return int(e.agg(F.max("vec_id")).collect()[0][0]) + 1
+    mx = e.agg(F.max("vec_id")).collect()[0][0]
+    off = int(mx) + 1 if mx is not None else 1  # empty corpus: offset 1
+    _ADMIT_OFFSET_CACHE[key] = off
+    return off
 
 
 def admit_batch_into_index(spark: SparkSession, sf_dir: str, path: str) -> None:

@@ -1006,21 +1006,16 @@ _BM25_TERM_SQL = (
 )
 
 
-# memoized slim frame per (corpus path, fingerprint, terms): repeated
-# invocations — bench best-of-N, hybrid fusion, the driver suite —
-# reuse ONE persisted projection instead of leaking a fresh cached copy
-# per call (same staleness discipline as llm_similarity._CENTROID_CACHE)
+# memoized slim frame per (SESSION, corpus path, fingerprint, terms):
+# repeated invocations — bench best-of-N, hybrid fusion, the driver
+# suite — reuse ONE persisted projection instead of leaking a fresh
+# cached copy per call. Unlike _CENTROID_CACHE (session-independent
+# numpy), these entries hold DataFrames, which die with their
+# SparkSession — the session id in the key prevents a stopped-context
+# hit (same reason tables.load_tables keys by _session_id). Stale
+# entries for the same (session, sf_dir, terms) are unpersisted and
+# evicted on miss, so a regenerated fixture can't pin dead storage.
 _BM25_FRAME_CACHE: dict = {}
-
-
-def _bm25_src_fp(sf_dir: str) -> str:
-    import os
-
-    try:
-        st = os.stat(os.path.join(sf_dir, "documents.parquet"))
-        return f"{st.st_mtime_ns}:{st.st_size}"
-    except OSError:
-        return "missing"
 
 
 def _bm25_per_frame(spark: SparkSession, sf_dir: str, terms: tuple):
@@ -1028,10 +1023,22 @@ def _bm25_per_frame(spark: SparkSession, sf_dir: str, terms: tuple):
     per-doc dl + tf per term via rowwise higher-order ``filter`` (no
     explode, no shuffle), stats (N, Σdl, per-term df) as ONE
     metadata-sized global aggregate."""
-    key = (sf_dir, _bm25_src_fp(sf_dir), terms)
+    from ..tables import _session_id
+    from .llm_similarity import _ivf_src_fp
+
+    sid = _session_id(spark)
+    fp = _ivf_src_fp(sf_dir, "documents.parquet")
+    key = (sid, sf_dir, fp, terms)
     hit = _BM25_FRAME_CACHE.get(key)
     if hit is not None:
         return hit
+    for stale in [
+        k for k in _BM25_FRAME_CACHE if (k[0], k[1], k[3]) == (sid, sf_dir, terms)
+    ]:
+        try:
+            _BM25_FRAME_CACHE.pop(stale)[0].unpersist()
+        except Exception:
+            pass  # a dead context can't unpersist; dropping the ref is enough
     d = table(spark, sf_dir, "documents")
     toks = tokens(F.lower(F.col("text")))
 

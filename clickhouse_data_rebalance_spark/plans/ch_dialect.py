@@ -41,9 +41,9 @@ divide              double division with CH's IEEE zero-divisor
                     semantics (inf/nan via a CASE; Spark's bare `/`
                     raises under ANSI)
 assumeNotNull       (x)  (type-level assertion; value unchanged)
-arrayEnumerate      slice(sequence(1, greatest(size(a),1)), 1, size(a))
-                    (bare sequence(1, size(a)) steps DOWN to [1,0] for
-                    empty arrays — the silent trap)
+arrayEnumerate      transform(a, (x, i) -> i + 1)  (single-eval; bare
+                    sequence(1, size(a)) steps DOWN to [1,0] for empty
+                    arrays — the silent trap)
 leftPad/rightPad    lpad / rpad
 numbers(n)          (SELECT id AS number FROM range(n))
 toYear/Quarter/...  year / quarter / month / weekofyear (toISOWeek)
@@ -370,24 +370,33 @@ _REWRITES: list[tuple[re.Pattern[str], str]] = [
     # semantics (1/0 = inf, 0/0 = nan) — Spark's `/` raises
     # DIVIDE_BY_ZERO under ANSI (the session default) and NULLs
     # otherwise, so a bare operator swap changes zero-divisor behavior.
-    # The CASE reproduces CH exactly: a * inf gives ±inf by a's sign and
-    # nan for a = 0. (Known edge: a negative-zero DIVISOR loses its
-    # sign — CH 1/-0.0 = -inf, here +inf.)
+    # The CASE reproduces CH: a * inf gives ±inf by a's sign and nan
+    # for a = 0. The divisor appears twice (textual rewrites can't bind
+    # a variable — cost note: an expensive divisor computes twice), but
+    # the ELSE guards its own draw with nullif, so even a
+    # NONdeterministic divisor whose draws disagree with the WHEN can
+    # never raise — worst case a draw-dependent value, exactly what CH
+    # itself gives for a nondeterministic divisor. (Known edge: a
+    # negative-zero DIVISOR loses its sign — CH 1/-0.0 = -inf, here
+    # +inf.)
     (
         re.compile(rf"\bdivide\s*\(\s*{_ARG}\s*,\s*{_ARG}\s*\)", re.I),
         r"(CASE WHEN CAST(\2 AS DOUBLE) = 0.0D"
         r" THEN CAST(\1 AS DOUBLE) * CAST('Infinity' AS DOUBLE)"
-        r" ELSE CAST(\1 AS DOUBLE) / CAST(\2 AS DOUBLE) END)",
+        r" ELSE CAST(\1 AS DOUBLE) / nullif(CAST(\2 AS DOUBLE), 0.0D) END)",
     ),
     # assumeNotNull is a type-level assertion; the VALUE is unchanged
     (re.compile(rf"\bassumeNotNull\s*\(\s*{_ARG}\s*\)", re.I), r"(\1)"),
-    # arrayEnumerate(arr) = [1..len(arr)], [] for an empty array. A bare
-    # sequence(1, size(arr)) is the silent trap: Spark's sequence STEPS
-    # DOWNWARD when start > stop, so size 0 would yield [1, 0] — the
-    # slice truncates to the real length (slice(_, 1, 0) = [])
+    # arrayEnumerate(arr) = [1..len(arr)], [] for empty, NULL for NULL —
+    # transform's index lambda gives all three with ONE evaluation of
+    # the argument (a sequence/slice spelling evaluated it twice, which
+    # diverges for nondeterministic args; and bare sequence(1, size(a))
+    # steps DOWNWARD to [1, 0] for empty arrays). The lambda variables
+    # are namespaced so an outer column named x/i can never be shadowed
+    # into the body (which references only the index variable).
     (
         re.compile(rf"\barrayEnumerate\s*\(\s*{_ARG}\s*\)", re.I),
-        r"slice(sequence(1, greatest(size(\1), 1)), 1, size(\1))",
+        r"transform(\1, (cdr_x_, cdr_i_) -> cdr_i_ + 1)",
     ),
     (re.compile(r"\bleftPad\s*\(", re.I), "lpad("),
     (re.compile(r"\brightPad\s*\(", re.I), "rpad("),
