@@ -1307,3 +1307,142 @@ def bm25_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         tops = t if tops is None else tops.unionAll(t)
     return tops.orderBy("query_id", F.col("bm25").desc(), "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Inverted-index BM25 (the at-scale retrieval layout the one-pass
+# queries' docstrings point at): a persisted build/probe split like the
+# IVF family. Postings are partitioned by a term-hash BUCKET and
+# DENORMALIZED with the doc length (the Lucene-norms trick: no
+# corpus-sized docstats join at probe time); corpus stats live in a
+# 1-row meta file; term df in a bucket-partitioned termstats table.
+# A probe touches only its query terms' bucket partitions — cost scales
+# with matching postings, never the corpus.
+BM25_BUCKETS = 16
+_BM25_IDX_ROOT = "/tmp/cdr_spark/bm25_index"
+
+
+def _bm25_term_bucket(term: str) -> int:
+    """Python twin of the Spark-side bucket expression — md5-derived so
+    both sides compute it without a JVM round-trip."""
+    import hashlib
+
+    return int(hashlib.md5(term.encode()).hexdigest()[:8], 16) % BM25_BUCKETS
+
+
+def _bm25_bucket_col(word) -> "F.Column":
+    return F.pmod(
+        F.conv(F.substring(F.md5(word), 1, 8), 16, 10).cast("bigint"),
+        F.lit(BM25_BUCKETS),
+    ).cast("int")
+
+
+def _bm25_index_for(spark: SparkSession, sf_dir: str) -> str:
+    """Build the inverted index once per corpus fingerprint: postings
+    (bucket, word, doc_id, tf, dl), termstats (bucket, word, df), meta
+    (n, sdl). One explode + one grouped exchange at build time — the
+    cost the probe path never pays again."""
+    import hashlib
+    import os
+
+    from .llm_similarity import _ivf_src_fp
+
+    fp = _ivf_src_fp(sf_dir, "documents.parquet")
+    key = f"{sf_dir}|{fp}|bm25|b={BM25_BUCKETS}"
+    path = os.path.join(_BM25_IDX_ROOT, hashlib.md5(key.encode()).hexdigest()[:16])
+    if os.path.exists(os.path.join(path, "_BUILT")):
+        return path
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.size(tokens("text")).cast("bigint").alias("dl"),
+        F.explode(tokens(F.lower(F.col("text")))).alias("word"),
+    )
+    postings = (
+        toks.groupBy("word", "doc_id", "dl")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .withColumn("bucket", _bm25_bucket_col(F.col("word")))
+    )
+    (
+        postings.repartition(BM25_BUCKETS, "bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(os.path.join(path, "postings"))
+    )
+    termstats = (
+        spark.read.parquet(os.path.join(path, "postings"))
+        .groupBy("bucket", "word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    )
+    (
+        termstats.repartition(BM25_BUCKETS, "bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(os.path.join(path, "termstats"))
+    )
+    d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.size(tokens("text")).cast("bigint")).alias("sdl"),
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "meta"))
+    with open(os.path.join(path, "_BUILT"), "w") as f:
+        f.write(key)
+    return path
+
+
+@query("bm25_inverted_topk", _BM25_ORACLE)
+def bm25_inverted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k through the persisted inverted index — the SAME
+    oracle as `bm25_topk` (identical scores, identical ranking), a
+    different physical path: the probe reads ONLY the query terms'
+    bucket partitions of postings/termstats (plan-asserted
+    PartitionFilters + pushed word filter) plus the 1-row meta; the
+    corpus text is never touched. Score = per-posting term score (the
+    shared k1/b formula; an absent term contributes 0, exactly its
+    value in the full formula) summed per doc, ROUND(,9) absorbing the
+    sum order, then TakeOrderedAndProject.
+
+    Retrieval contract: only docs containing >= 1 query term can
+    appear — identical to the full ranking whenever >= k docs match
+    (true for every fixture SF; production retrieval wants exactly
+    this)."""
+    import math
+    import os
+
+    idx = _bm25_index_for(spark, sf_dir)
+    terms = list(BM25_TERMS)
+    buckets = sorted({_bm25_term_bucket(t) for t in terms})
+
+    meta = spark.read.parquet(os.path.join(idx, "meta")).collect()[0]
+    n, avgdl = meta["n"], meta["sdl"] / meta["n"]
+    df_rows = (
+        spark.read.parquet(os.path.join(idx, "termstats"))
+        .filter(F.col("bucket").isin(buckets) & F.col("word").isin(terms))
+        .collect()
+    )
+    dfs = {r["word"]: r["df"] for r in df_rows}
+
+    idf = F.lit(None).cast("double")
+    for t in terms:
+        if t in dfs:
+            v = math.log((n - dfs[t] + 0.5) / (dfs[t] + 0.5) + 1.0)
+            idf = F.when(F.col("word") == t, F.lit(v)).otherwise(idf)
+    tf = F.col("tf")
+    term_score = F.round(
+        idf * tf * F.lit(BM25_K1 + 1)
+        / (
+            tf
+            + F.lit(BM25_K1)
+            * (F.lit(1 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.lit(avgdl))
+        ),
+        9,
+    )
+    postings = spark.read.parquet(os.path.join(idx, "postings")).filter(
+        F.col("bucket").isin(buckets) & F.col("word").isin(terms)
+    )
+    return (
+        postings.select("doc_id", "dl", term_score.alias("s"))
+        .groupBy("doc_id", "dl")
+        .agg(F.round(F.sum("s"), 9).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(10)
+    )

@@ -190,6 +190,7 @@ DRIVER_ORDER_TIER2: list[str] = [
     "bm25_batch_topk",
     "mixture_sample_weights",
     "stream_index_admit",
+    "bm25_inverted_topk",
     "bucketed_join_noshuffle",
     "media_resize",
     "media_frame_sample",

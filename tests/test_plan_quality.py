@@ -938,3 +938,16 @@ def test_bm25_batch_uses_takeordered_not_window(spark):
     # operator match, not substring — 'window' is also a QUERY TERM here
     assert not re.search(r"\(\d+\) Window", plan)
     assert "generate" not in low and "batchevalpython" not in low
+
+
+def test_bm25_inverted_probe_prunes_buckets(spark):
+    """The inverted-index probe must be partition-pruned to the query
+    terms' buckets with the word predicate pushed to the postings scan —
+    and must never touch the documents table (the whole point of the
+    build/probe split)."""
+    plan = plan_of(spark, "bm25_inverted_topk")
+    assert "PartitionFilters" in plan and "bucket" in plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln and "word" in ln]
+    assert pushed, "word predicate not pushed into the postings scan"
+    assert "documents.parquet" not in plan
+    assert "TakeOrderedAndProject" in plan
