@@ -83,9 +83,15 @@ EXTENDED = [
     "ohlc_bars",
     "asof_join_nearest",
     "corpus_ingest_incremental",
-    # round 8: retrieval pair (Okapi BM25 + RRF hybrid fusion)
+    # round 8: retrieval family (Okapi BM25 one-pass / batch / inverted
+    # index + RRF hybrid fusion), index maintenance, mixture resampling
     "bm25_topk",
     "hybrid_rrf_topk",
+    "bm25_batch_topk",
+    "bm25_inverted_topk",
+    "ivf_index_admit",
+    "ivf_index_compact",
+    "mixture_sample_weights",
 ]
 
 HEADLINE = CORE + EXTENDED
