@@ -1446,3 +1446,74 @@ def bm25_inverted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(10)
     )
+
+
+SNIPPET_RADIUS = 5  # tokens of context on each side of the hit
+
+
+def _snippets_oracle() -> str:
+    # priority = BM25_TERMS order (rarest first): first term present wins
+    pos_cases = " ".join(
+        f"WHEN list_position(toks, '{t}') > 0 THEN '{t}'" for t in BM25_TERMS
+    )
+    return f"""
+    WITH topk AS ({_BM25_ORACLE}),
+    tokd AS (
+      SELECT t.doc_id, t.bm25,
+             string_split(lower(trim(d.text)), ' ') AS toks
+      FROM topk t JOIN documents d ON t.doc_id = d.doc_id
+    ),
+    hit AS (
+      SELECT doc_id, bm25, toks,
+             CASE {pos_cases} ELSE NULL END AS term_hit
+      FROM tokd
+    )
+    SELECT doc_id, bm25, term_hit,
+           CASE WHEN term_hit IS NULL THEN NULL
+                ELSE array_to_string(
+                  toks[GREATEST(list_position(toks, term_hit)
+                                - {SNIPPET_RADIUS}, 1)
+                       : list_position(toks, term_hit) + {SNIPPET_RADIUS}],
+                  ' ')
+           END AS snippet
+    FROM hit
+    ORDER BY bm25 DESC, doc_id
+"""
+
+
+@query("retrieval_snippets", _snippets_oracle())
+def retrieval_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-result snippet extraction for the BM25 top-k: a
+    ±SNIPPET_RADIUS-token window around the first occurrence of the
+    highest-priority (rarest) matching query term — the display stage
+    every retrieval product runs after ranking.
+
+    Scale: the K-row top-k broadcasts into the documents join (only K
+    texts are ever re-read), and the window math is rowwise
+    array_position/slice — codegen, no Python, no extra shuffle."""
+    top = bm25_topk(spark, sf_dir).select("doc_id", "bm25")
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tokens(F.lower(F.col("text")))
+    j = d.join(F.broadcast(top), "doc_id").select("doc_id", "bm25", toks.alias("toks"))
+
+    term_hit = F.lit(None).cast("string")
+    for t in reversed(BM25_TERMS):  # build CASE so FIRST term wins
+        term_hit = F.when(
+            F.array_position("toks", F.lit(t)) > 0, F.lit(t)
+        ).otherwise(term_hit)
+    pos = F.array_position("toks", F.col("term_hit"))
+    start = F.greatest(pos - SNIPPET_RADIUS, F.lit(1))
+    # DuckDB's toks[s:e] is 1-based INCLUSIVE; Spark's slice takes
+    # (start, LENGTH) — length = e - s + 1
+    snip = F.when(
+        F.col("term_hit").isNull(), F.lit(None).cast("string")
+    ).otherwise(
+        F.array_join(
+            F.slice("toks", start, (pos + SNIPPET_RADIUS) - start + 1), " "
+        )
+    )
+    return (
+        j.withColumn("term_hit", term_hit)
+        .select("doc_id", "bm25", "term_hit", snip.alias("snippet"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+    )

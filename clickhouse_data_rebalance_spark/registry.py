@@ -191,6 +191,7 @@ DRIVER_ORDER_TIER2: list[str] = [
     "mixture_sample_weights",
     "stream_index_admit",
     "bm25_inverted_topk",
+    "retrieval_snippets",
     "bucketed_join_noshuffle",
     "media_resize",
     "media_frame_sample",
