@@ -1350,6 +1350,22 @@ def _bm25_index_for(spark: SparkSession, sf_dir: str) -> str:
     fp = _ivf_src_fp(sf_dir, "documents.parquet")
     key = f"{sf_dir}|{fp}|bm25|b={BM25_BUCKETS}"
     path = os.path.join(_BM25_IDX_ROOT, hashlib.md5(key.encode()).hexdigest()[:16])
+    # GC dead generations for this corpus (same discipline as the IVF
+    # root's _gc_stale_indexes): a regenerated fixture must not strand
+    # unreachable index dirs forever
+    if os.path.isdir(_BM25_IDX_ROOT):
+        import shutil
+
+        for name in os.listdir(_BM25_IDX_ROOT):
+            d = os.path.join(_BM25_IDX_ROOT, name)
+            try:
+                recorded = open(os.path.join(d, "_BUILT")).read()
+            except OSError:
+                shutil.rmtree(d, ignore_errors=True)
+                continue
+            parts = recorded.split("|")
+            if len(parts) >= 2 and parts[0] == sf_dir and parts[1] != fp:
+                shutil.rmtree(d, ignore_errors=True)
     if os.path.exists(os.path.join(path, "_BUILT")):
         return path
     d = table(spark, sf_dir, "documents")
