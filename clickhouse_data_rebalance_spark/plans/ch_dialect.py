@@ -61,6 +61,8 @@ ARRAY JOIN e AS x   LATERAL VIEW explode(e) AS x  (LEFT -> OUTER;
                     multi-array zip form refuses: arrays_zip+explode)
 PREWHERE            WHERE (Spark pushes predicates anyway)
 GROUP BY c WITH TOTALS   GROUP BY GROUPING SETS ((c), ())
+LIMIT o, n          LIMIT n OFFSET o (MySQL-style offset form)
+SETTINGS tail       stripped (session confs own execution advice)
 FORMAT <fmt> tail   stripped (sinks are explicit in Spark)
 ==================  =========================================
 
@@ -176,6 +178,41 @@ _REFUSALS: list[tuple[re.Pattern[str], str]] = [
     (
         re.compile(r"\buniqTheta\s*\(", re.I),
         "use theta_set_ops / approx_count_distinct",
+    ),
+    # client-side file sink clause — Spark sinks are explicit
+    (
+        re.compile(r"\bINTO\s+OUTFILE\b", re.I),
+        "sinks are explicit — df.write / sink_partitioned_parquet (C1)",
+    ),
+    # external dictionaries are broadcast dimension joins in this engine
+    (
+        re.compile(r"\bdictGet\w*\s*\(", re.I),
+        "dictionaries = broadcast dimension joins here — join the dim "
+        "table (C6 join_broadcast_dims)",
+    ),
+    # recursive CTEs have no Spark SQL spelling (iterative DataFrame op)
+    (
+        re.compile(r"\bWITH\s+RECURSIVE\b", re.I),
+        "use recursive_cte_chain (iterative DataFrame closure)",
+    ),
+    # CH's scalar WITH (`WITH 5 AS c SELECT c`) — Spark's WITH binds
+    # only subqueries; the lookaheads admit the CTE form `WITH x AS (`
+    # and the clause keywords TOTALS/FILL/RECURSIVE, which have their
+    # own (earlier) rules
+    (
+        re.compile(
+            r"\bWITH\s+(?!\w+\s+AS\s*\()(?!TOTALS\b)(?!FILL\b)(?!RECURSIVE\b)",
+            re.I,
+        ),
+        "scalar WITH has no Spark spelling — inline the constant or "
+        "use a CTE subquery (WITH c AS (SELECT 5 AS v))",
+    ),
+    # `LIMIT offset, n BY cols` — the offset-per-group form the flat
+    # LIMIT BY rewrite can't bind
+    (
+        re.compile(r"\bLIMIT\s+\d+\s*,\s*\d+\s+BY\b", re.I),
+        "offset LIMIT BY per group — use top_k_per_group (C20) with a "
+        "rank range predicate",
     ),
     # multi-array ARRAY JOIN zips arrays positionally — that is
     # arrays_zip + one explode, not two LATERAL VIEWs (which would
@@ -451,6 +488,18 @@ _REWRITES: list[tuple[re.Pattern[str], str]] = [
         r"GROUP BY GROUPING SETS ((\1), ())",
     ),
     (re.compile(r"\bPREWHERE\b", re.I), "WHERE"),
+    # CH's MySQL-style `LIMIT offset, count` — Spark wants the SQL
+    # standard spelling (OFFSET clause); Spark rejects the comma form at
+    # parse, so this turns an opaque error into the right query. (The
+    # `LIMIT o, n BY` variant refuses above before reaching here.)
+    (
+        re.compile(r"\bLIMIT\s+(\d+)\s*,\s*(\d+)", re.I),
+        r"LIMIT \2 OFFSET \1",
+    ),
+    # query-level SETTINGS tail: execution advice with no Spark
+    # spelling (session confs own it); FORMAT may follow and is
+    # swallowed too — the sink is explicit either way
+    (re.compile(r"\bSETTINGS\s+\w+\s*=.*$", re.I | re.S), ""),
     (re.compile(r"\bFORMAT\s+\w+\s*;?\s*$", re.I), ""),
 ]
 

@@ -1697,6 +1697,53 @@ def test_ch_dialect_parametric_agg_zoo_refuses_with_pointers():
     assert translate(sql) == sql
 
 
+def test_ch_dialect_wave5_query_tails():
+    """r8 wave 5: SETTINGS tails strip, MySQL-style LIMIT offset,count
+    rewrites to OFFSET, and INTO OUTFILE / dictGet / scalar WITH /
+    WITH RECURSIVE / offset-LIMIT-BY refuse with operator pointers —
+    while WITH TOTALS (translatable) and CTE WITH stay untouched."""
+    import pytest as _pytest
+
+    from clickhouse_data_rebalance_spark.plans.ch_dialect import (
+        UnsupportedClickHouseSQL,
+        translate,
+    )
+
+    assert translate("SELECT x FROM t SETTINGS max_threads = 4").rstrip() == (
+        "SELECT x FROM t"
+    )
+    assert translate("SELECT x FROM t SETTINGS a = 1 FORMAT JSON").rstrip() == (
+        "SELECT x FROM t"
+    )
+    assert translate("SELECT x FROM t LIMIT 5, 10") == (
+        "SELECT x FROM t LIMIT 10 OFFSET 5"
+    )
+    # CTE + WITH TOTALS still pass; scalar/recursive WITH refuse
+    assert translate("WITH top AS (SELECT x FROM t) SELECT * FROM top") == (
+        "WITH top AS (SELECT x FROM t) SELECT * FROM top"
+    )
+    assert "GROUPING SETS" in translate(
+        "SELECT event_type, count() FROM events GROUP BY event_type WITH TOTALS"
+    )
+    for bad, ptr in [
+        ("SELECT x FROM t INTO OUTFILE 'o.csv'", "sinks are explicit"),
+        ("SELECT dictGet('d', 'a', k) FROM t", "broadcast dimension"),
+        ("WITH 5 AS c SELECT c FROM t", "scalar WITH"),
+        ("WITH RECURSIVE r AS (SELECT 1) SELECT * FROM r", "recursive_cte_chain"),
+        ("SELECT x, y FROM t ORDER BY y LIMIT 2, 3 BY x", "top_k_per_group"),
+    ]:
+        with _pytest.raises(UnsupportedClickHouseSQL) as ei:
+            translate(bad)
+        assert ptr in str(ei.value), (bad, str(ei.value))
+    # literal safety for the tail clauses
+    for sql in [
+        "SELECT x FROM t WHERE s = 'SETTINGS a = 1'",
+        "SELECT x FROM t WHERE s = 'LIMIT 5, 10'",
+        "SELECT x FROM t WHERE s = 'INTO OUTFILE here'",
+    ]:
+        assert translate(sql) == sql, sql
+
+
 def test_ch_dialect_translations_all_parse_in_spark(spark, sf_dir):
     """Safety net across the whole rewrite table: for one representative
     query per supported construct, translate() must produce SQL that
