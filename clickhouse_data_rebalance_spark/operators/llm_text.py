@@ -1533,3 +1533,95 @@ def retrieval_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "bm25", "term_hit", snip.alias("snippet"))
         .orderBy(F.col("bm25").desc(), "doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality rules (Rae et al. 2021, the published heuristic
+# gate most pretraining pipelines start from), evaluated per rule so the
+# report is auditable: word-count window, mean-word-length window,
+# alphabetic-word fraction, and minimum distinct-stopword hits. All
+# arithmetic is exact-integer-derived (counts and length sums), so the
+# rule booleans are bit-identical across engines; the reported mean
+# word length carries the ROUND(,9) convention.
+GOPHER_WC_MIN, GOPHER_WC_MAX = 50, 100_000
+GOPHER_MWL_MIN, GOPHER_MWL_MAX = 3.0, 10.0
+GOPHER_ALPHA_MIN = 0.8
+# Gopher's list plus "a" (the fixture vocabulary carries only
+# "the"/"a" of the canonical set — without a second present stopword
+# the rule is a constant and `keep` loses all test power)
+GOPHER_STOPWORDS = ("the", "a", "and", "of", "to", "be", "that", "with")
+GOPHER_STOP_MIN = 2
+
+_GOPHER_ORACLE = f"""
+    WITH w AS (
+      SELECT doc_id,
+             string_split(trim(text), ' ') AS words,
+             string_split(lower(trim(text)), ' ') AS lwords
+      FROM documents
+    ), feat AS (
+      SELECT doc_id,
+             len(words) AS n_words,
+             CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE)
+               / len(words) AS mwl,
+             CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+                  AS DOUBLE) / len(words) AS alpha_frac,
+             len(list_filter({list(GOPHER_STOPWORDS)},
+                             s -> list_contains(lwords, s))) AS stop_hits
+      FROM w
+    )
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, ROUND(mwl, 9) AS mwl,
+           n_words >= {GOPHER_WC_MIN} AND n_words <= {GOPHER_WC_MAX} AS wc_ok,
+           mwl >= {GOPHER_MWL_MIN} AND mwl <= {GOPHER_MWL_MAX} AS mwl_ok,
+           alpha_frac >= {GOPHER_ALPHA_MIN} AS alpha_ok,
+           stop_hits >= {GOPHER_STOP_MIN} AS stop_ok,
+           (n_words >= {GOPHER_WC_MIN} AND n_words <= {GOPHER_WC_MAX})
+             AND (mwl >= {GOPHER_MWL_MIN} AND mwl <= {GOPHER_MWL_MAX})
+             AND alpha_frac >= {GOPHER_ALPHA_MIN}
+             AND stop_hits >= {GOPHER_STOP_MIN} AS keep
+    FROM feat ORDER BY doc_id
+"""
+
+
+@query("gopher_rules_filter", _GOPHER_ORACLE)
+def gopher_rules_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rule Gopher quality gate over the corpus — the auditable form
+    (a pipeline wants to know WHICH rule fired, not just keep/drop).
+
+    Scale: pure rowwise split/transform/aggregate expressions in
+    whole-stage codegen — zero shuffle, the gate runs at scan speed
+    ahead of any dedup exchange (same posture as
+    quality_classifier_score)."""
+    d = table(spark, sf_dir, "documents")
+    words = tokens(F.col("text"))
+    lwords = tokens(F.lower(F.col("text")))
+    n_words = F.size(words).cast("bigint")
+    wlen_sum = F.aggregate(
+        F.transform(words, lambda x: F.length(x).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    mwl = wlen_sum.cast("double") / n_words
+    alpha_frac = (
+        F.size(F.filter(words, lambda x: x.rlike("[A-Za-z]"))).cast("double")
+        / n_words
+    )
+    stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+            lambda s: F.array_contains(lwords, s),
+        )
+    )
+    wc_ok = (n_words >= GOPHER_WC_MIN) & (n_words <= GOPHER_WC_MAX)
+    mwl_ok = (mwl >= GOPHER_MWL_MIN) & (mwl <= GOPHER_MWL_MAX)
+    alpha_ok = alpha_frac >= GOPHER_ALPHA_MIN
+    stop_ok = stop_hits >= GOPHER_STOP_MIN
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(mwl, 9).alias("mwl"),
+        wc_ok.alias("wc_ok"),
+        mwl_ok.alias("mwl_ok"),
+        alpha_ok.alias("alpha_ok"),
+        stop_ok.alias("stop_ok"),
+        (wc_ok & mwl_ok & alpha_ok & stop_ok).alias("keep"),
+    ).orderBy("doc_id")

@@ -192,6 +192,7 @@ DRIVER_ORDER_TIER2: list[str] = [
     "stream_index_admit",
     "bm25_inverted_topk",
     "retrieval_snippets",
+    "gopher_rules_filter",
     "bucketed_join_noshuffle",
     "media_resize",
     "media_frame_sample",

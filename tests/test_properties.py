@@ -1797,3 +1797,54 @@ def test_ch_dialect_translations_all_parse_in_spark(spark, sf_dir):
         out = translate(q)
         # schema access forces full parse + analysis, no execution
         spark.sql(out).schema
+
+
+# hostile literal contents: every rewrite family's trigger text, clause
+# keywords, brackets, refusal triggers — none may be altered when they
+# appear INSIDE a single-quoted string
+_TRAP_LITERALS = st.sampled_from(
+    [
+        "multiIf(x, 1, 2) here",
+        "use argMax(a, b)",
+        "toUInt32(x) and sumIf(a, b)",
+        "formatDateTime(ts, c)",
+        "replaceRegexpAll(s, p, r)",
+        "GROUP BY k WITH TOTALS",
+        "LIMIT 3 BY c",
+        "LIMIT 5, 10",
+        "SETTINGS a = 1",
+        "INTO OUTFILE x",
+        "GLOBAL JOIN",
+        "ARRAY JOIN e AS x",
+        "arr[1] and [1,2,3]",
+        "PREWHERE v FORMAT JSON",
+        "quantile(0.5)(x) topK(3)(y)",
+        "WITH 5 AS c",
+        "dictGet(d, a, k)",
+        "plus(a, b) divide(c, d)",
+        "position(h, n) arrayJoin(a)",
+    ]
+)
+
+
+@settings(**_SETTINGS)
+@given(
+    lits=st.lists(_TRAP_LITERALS, min_size=1, max_size=3),
+    col=st.sampled_from(["x", "event_type", "note"]),
+)
+def test_ch_dialect_literal_preservation_property(lits, col):
+    """PROPERTY (r7-judge medium finding, generalized): for ANY
+    combination of rewrite-trigger texts embedded as string literals,
+    translate() must return every literal byte-for-byte — rewrites,
+    refusals, and clause strips all operate on the literal-masked copy,
+    so data can never be mistaken for SQL."""
+    from clickhouse_data_rebalance_spark.plans.ch_dialect import translate
+
+    preds = " AND ".join(f"{col} <> '{t}'" for t in lits)
+    sql = f"SELECT {col} FROM t WHERE {preds}"
+    out = translate(sql)
+    assert out == sql  # nothing outside literals to rewrite, either
+    # and when real rewrites DO fire outside, literals still survive
+    sql2 = f"SELECT toUInt32(n), {col} FROM t WHERE {preds}"
+    out2 = translate(sql2)
+    assert out2 == f"SELECT CAST(n AS BIGINT), {col} FROM t WHERE {preds}"
