@@ -62,6 +62,11 @@ ARRAY JOIN e AS x   LATERAL VIEW explode(e) AS x  (LEFT -> OUTER;
 PREWHERE            WHERE (Spark pushes predicates anyway)
 GROUP BY c WITH TOTALS   GROUP BY GROUPING SETS ((c), ())
 LIMIT o, n          LIMIT n OFFSET o (MySQL-style offset form)
+groupBit*/stddev*.. bit_and/bit_or/bit_xor, stddev_pop/... snake_case
+trimLeft/Right/Both ltrim / rtrim / trim
+toDecimalN(x, S)    CAST(x AS DECIMAL(9|18|38, S))
+arrayConcat/Min/Max concat / array_min / array_max
+arrayUniq           size(array_distinct(x))
 SETTINGS tail       stripped (session confs own execution advice)
 FORMAT <fmt> tail   stripped (sinks are explicit in Spark)
 ==================  =========================================
@@ -178,6 +183,19 @@ _REFUSALS: list[tuple[re.Pattern[str], str]] = [
     (
         re.compile(r"\buniqTheta\s*\(", re.I),
         "use theta_set_ops / approx_count_distinct",
+    ),
+    # median* is the quantile family under another name (approx sketch /
+    # nearest-rank — Spark percentile interpolates)
+    (
+        re.compile(r"\bmedian\w*\s*\(", re.I),
+        "use approx_quantiles (percentile_approx) / median_exact",
+    ),
+    # arrayReduce's agg name is a runtime string; arraySum/Avg preserve
+    # CH integer-sum typing a lambda rewrite would silently widen;
+    # arrayCompact (consecutive dedup) has no Spark builtin
+    (
+        re.compile(r"\b(arrayReduce|arraySum|arrayAvg|arrayCumSum|arrayCompact)\s*\(", re.I),
+        "use an aggregate()/filter() lambda (C29 array_lambda_funcs)",
     ),
     # client-side file sink clause — Spark sinks are explicit
     (
@@ -351,6 +369,14 @@ _REWRITES: list[tuple[re.Pattern[str], str]] = [
     (re.compile(r"\barrayReverse\s*\(", re.I), "reverse("),
     (re.compile(r"\barrayFlatten\s*\(", re.I), "flatten("),
     (re.compile(r"\barraySlice\s*\(", re.I), "slice("),
+    (re.compile(r"\barrayConcat\s*\(", re.I), "concat("),
+    (re.compile(r"\barrayMin\s*\(", re.I), "array_min("),
+    (re.compile(r"\barrayMax\s*\(", re.I), "array_max("),
+    # arrayUniq = count of DISTINCT elements (a scalar, not the list)
+    (
+        re.compile(rf"\barrayUniq\s*\(\s*{_ARG}\s*\)", re.I),
+        r"size(array_distinct(\1))",
+    ),
     # ---- JSON extraction (literal key -> JSONPath) ----
     (
         re.compile(rf"\bJSONExtractString\s*\(\s*{_ARG}\s*,\s*'([^']*)'\s*\)", re.I),
@@ -379,6 +405,19 @@ _REWRITES: list[tuple[re.Pattern[str], str]] = [
     # should wrap in arraySort, exactly as they must in ClickHouse
     (re.compile(r"\bgroupUniqArray\s*\(", re.I), "collect_set("),
     (re.compile(r"\bgroupArray\s*\(", re.I), "collect_list("),
+    # bitwise aggregates: identical semantics, snake_case names
+    (re.compile(r"\bgroupBitAnd\s*\(", re.I), "bit_and("),
+    (re.compile(r"\bgroupBitOr\s*\(", re.I), "bit_or("),
+    (re.compile(r"\bgroupBitXor\s*\(", re.I), "bit_xor("),
+    # moment statistics: same estimators (pop/samp split matches), the
+    # names just go snake_case; corrMatrix/covarMatrix etc. fall to the
+    # residual refusal
+    (re.compile(r"\bstddevPop\s*\(", re.I), "stddev_pop("),
+    (re.compile(r"\bstddevSamp\s*\(", re.I), "stddev_samp("),
+    (re.compile(r"\bvarPop\s*\(", re.I), "var_pop("),
+    (re.compile(r"\bvarSamp\s*\(", re.I), "var_samp("),
+    (re.compile(r"\bcovarPop\s*\(", re.I), "covar_pop("),
+    (re.compile(r"\bcovarSamp\s*\(", re.I), "covar_samp("),
     # ---- misc scalar ----
     (
         re.compile(rf"\bintDiv\s*\(\s*{_ARG}\s*,\s*{_ARG}\s*\)", re.I),
@@ -437,6 +476,23 @@ _REWRITES: list[tuple[re.Pattern[str], str]] = [
     ),
     (re.compile(r"\bleftPad\s*\(", re.I), "lpad("),
     (re.compile(r"\brightPad\s*\(", re.I), "rpad("),
+    (re.compile(r"\btrimLeft\s*\(", re.I), "ltrim("),
+    (re.compile(r"\btrimRight\s*\(", re.I), "rtrim("),
+    (re.compile(r"\btrimBoth\s*\(", re.I), "trim("),
+    # fixed-precision casts: toDecimal{32,64,128}(x, S) carries the CH
+    # type's full precision (9/18/38 digits) at the written scale
+    (
+        re.compile(rf"\btoDecimal32\s*\(\s*{_ARG}\s*,\s*(\d+)\s*\)", re.I),
+        r"CAST(\1 AS DECIMAL(9, \2))",
+    ),
+    (
+        re.compile(rf"\btoDecimal64\s*\(\s*{_ARG}\s*,\s*(\d+)\s*\)", re.I),
+        r"CAST(\1 AS DECIMAL(18, \2))",
+    ),
+    (
+        re.compile(rf"\btoDecimal128\s*\(\s*{_ARG}\s*,\s*(\d+)\s*\)", re.I),
+        r"CAST(\1 AS DECIMAL(38, \2))",
+    ),
     # numbers(n) table function -> range(n), keeping CH's column NAME
     # (`number`; Spark's range emits `id`, so a bare swap would break
     # every downstream reference). The 2-arg offset form falls to the
@@ -514,7 +570,9 @@ _RESIDUALS = re.compile(
     r"|toYear|toQuarter|toMonth|toISOWeek|replaceAll|replaceRegexpAll"
     r"|formatDateTime|match|position"
     r"|plus|minus|multiply|divide|assumeNotNull|arrayEnumerate"
-    r"|leftPad|rightPad|numbers"
+    r"|leftPad|rightPad|numbers|trimLeft|trimRight|trimBoth"
+    r"|toDecimal\d+|arrayConcat|arrayMin|arrayMax|arrayUniq"
+    r"|groupBit(And|Or|Xor)|stddev(Pop|Samp)|var(Pop|Samp)|covar(Pop|Samp)"
     r"|JSONExtract\w+)\s*\(",
     re.I,
 )

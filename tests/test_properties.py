@@ -1744,6 +1744,45 @@ def test_ch_dialect_wave5_query_tails():
         assert translate(sql) == sql, sql
 
 
+def test_ch_dialect_wave6_stats_and_arrays():
+    """r8 wave 6: camelCase moment/bit aggregates, trims, fixed-
+    precision decimal casts, and array name-rewrites translate; the
+    type-preserving/runtime-name array reducers and the median family
+    refuse with pointers."""
+    import pytest as _pytest
+
+    from clickhouse_data_rebalance_spark.plans.ch_dialect import (
+        UnsupportedClickHouseSQL,
+        translate,
+    )
+
+    assert translate("SELECT groupBitAnd(f), stddevPop(v), covarSamp(a, b) FROM t") == (
+        "SELECT bit_and(f), stddev_pop(v), covar_samp(a, b) FROM t"
+    )
+    assert translate("SELECT toDecimal64(price, 4) FROM t") == (
+        "SELECT CAST(price AS DECIMAL(18, 4)) FROM t"
+    )
+    assert translate("SELECT arrayUniq(a), arrayMin(a), arrayConcat(a, b) FROM t") == (
+        "SELECT size(array_distinct(a)), array_min(a), concat(a, b) FROM t"
+    )
+    assert translate("SELECT trimLeft(s), trimBoth(s) FROM t") == (
+        "SELECT ltrim(s), trim(s) FROM t"
+    )
+    for bad, ptr in [
+        ("SELECT median(v) FROM t", "median_exact"),
+        ("SELECT medianTDigest(v) FROM t", "median_exact"),
+        ("SELECT arrayReduce('sum', a) FROM t", "lambda"),
+        ("SELECT arraySum(a) FROM t", "lambda"),
+        ("SELECT arrayCumSum(a) FROM t", "lambda"),
+        ("SELECT toDecimal32(x, y) FROM t", "could not rewrite"),  # runtime scale
+    ]:
+        with _pytest.raises(UnsupportedClickHouseSQL) as ei:
+            translate(bad)
+        assert ptr in str(ei.value), (bad, str(ei.value))
+    s = "SELECT x FROM t WHERE n = 'stddevPop(v) arraySum(a) median(x)'"
+    assert translate(s) == s
+
+
 def test_ch_dialect_translations_all_parse_in_spark(spark, sf_dir):
     """Safety net across the whole rewrite table: for one representative
     query per supported construct, translate() must produce SQL that
@@ -1792,6 +1831,14 @@ def test_ch_dialect_translations_all_parse_in_spark(spark, sf_dir):
         "SELECT assumeNotNull(value), arrayEnumerate([10, 20, 30]) FROM events",
         "SELECT leftPad(event_type, 8, '0'), rightPad(event_type, 8, ' ') FROM events",
         "SELECT number FROM numbers(10)",
+        # r8 wave 6: bit/moment aggregates, trims, decimal casts, array
+        # name-rewrites — all must analyze against the fixture views
+        "SELECT groupBitAnd(event_id), groupBitOr(event_id), groupBitXor(event_id) FROM events",
+        "SELECT stddevPop(value), stddevSamp(value), varPop(value), varSamp(value) FROM events",
+        "SELECT covarPop(value, event_id), covarSamp(value, event_id) FROM events",
+        "SELECT trimLeft(event_type), trimRight(event_type), trimBoth(event_type) FROM events",
+        "SELECT toDecimal32(value, 2), toDecimal64(value, 4), toDecimal128(value, 6) FROM events",
+        "SELECT arrayConcat([1, 2], [3]), arrayMin([3, 1]), arrayMax([3, 1]), arrayUniq([1, 1, 2])",
     ]
     for q in queries:
         out = translate(q)
