@@ -92,6 +92,8 @@ EXTENDED = [
     "ivf_index_admit",
     "ivf_index_compact",
     "mixture_sample_weights",
+    "retrieval_snippets",
+    "gopher_rules_filter",
 ]
 
 HEADLINE = CORE + EXTENDED

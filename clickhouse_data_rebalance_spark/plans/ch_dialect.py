@@ -19,6 +19,7 @@ countIf             count_if (native)
 sumIf/avgIf/...     agg(x) FILTER (WHERE c)
 uniq                approx_count_distinct
 uniqExact           COUNT(DISTINCT x)
+uniqUpTo(N)(x)      LEAST(COUNT(DISTINCT x), N + 1)
 any/anyLast         any_value
 argMax/argMin       max_by / min_by (same tie nondeterminism)
 groupArray          collect_list (both unordered in distributed runs)
@@ -393,6 +394,12 @@ _REWRITES: list[tuple[re.Pattern[str], str]] = [
         r"\1(\2) FILTER (WHERE \3)",
     ),
     (re.compile(rf"\buniqExact\s*\(\s*{_ARG}\s*\)", re.I), r"COUNT(DISTINCT \1)"),
+    # uniqUpTo(N)(x): exact count-distinct saturating at N+1 — CH's
+    # documented contract, spelled exactly with LEAST
+    (
+        re.compile(rf"\buniqUpTo\s*\(\s*(\d+)\s*\)\s*\(\s*{_ARG}\s*\)", re.I),
+        r"LEAST(COUNT(DISTINCT \2), \1 + 1)",
+    ),
     (re.compile(r"\buniq(Combined|HLL12)?\s*\(", re.I), "approx_count_distinct("),
     (re.compile(r"\bany(Last)?\s*\(", re.I), "any_value("),
     # argMax/argMin: identical (value, ordering) argument order in both
@@ -568,7 +575,7 @@ _RESIDUALS = re.compile(
     r"|toMonday|toUnixTimestamp|arrayMap|arrayFilter|arrayExists|arrayAll"
     r"|arrayDistinct|arraySort|arrayReverse|arrayFlatten|arraySlice"
     r"|toYear|toQuarter|toMonth|toISOWeek|replaceAll|replaceRegexpAll"
-    r"|formatDateTime|match|position"
+    r"|formatDateTime|match|position|uniqUpTo"
     r"|plus|minus|multiply|divide|assumeNotNull|arrayEnumerate"
     r"|leftPad|rightPad|numbers|trimLeft|trimRight|trimBoth"
     r"|toDecimal\d+|arrayConcat|arrayMin|arrayMax|arrayUniq"

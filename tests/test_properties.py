@@ -1781,6 +1781,12 @@ def test_ch_dialect_wave6_stats_and_arrays():
         assert ptr in str(ei.value), (bad, str(ei.value))
     s = "SELECT x FROM t WHERE n = 'stddevPop(v) arraySum(a) median(x)'"
     assert translate(s) == s
+    # uniqUpTo: exact saturating count-distinct; runtime N -> residual
+    assert translate("SELECT uniqUpTo(5)(user_id) FROM t") == (
+        "SELECT LEAST(COUNT(DISTINCT user_id), 5 + 1) FROM t"
+    )
+    with _pytest.raises(UnsupportedClickHouseSQL):
+        translate("SELECT uniqUpTo(n)(user_id) FROM t")
 
 
 def test_ch_dialect_translations_all_parse_in_spark(spark, sf_dir):
