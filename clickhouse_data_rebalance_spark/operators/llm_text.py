@@ -1582,16 +1582,11 @@ _GOPHER_ORACLE = f"""
 """
 
 
-@query("gopher_rules_filter", _GOPHER_ORACLE)
-def gopher_rules_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-rule Gopher quality gate over the corpus — the auditable form
-    (a pipeline wants to know WHICH rule fired, not just keep/drop).
-
-    Scale: pure rowwise split/transform/aggregate expressions in
-    whole-stage codegen — zero shuffle, the gate runs at scan speed
-    ahead of any dedup exchange (same posture as
-    quality_classifier_score)."""
-    d = table(spark, sf_dir, "documents")
+def gopher_verdicts(d: DataFrame) -> DataFrame:
+    """Project a documents frame to its per-rule Gopher verdicts — ONE
+    copy of the expression tree, shared by the batch operator and the
+    streaming gate (so their common oracle can never drift against a
+    silent fork; same discipline as _admit_cell_accounting)."""
     words = tokens(F.col("text"))
     lwords = tokens(F.lower(F.col("text")))
     n_words = F.size(words).cast("bigint")
@@ -1624,4 +1619,16 @@ def gopher_rules_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         alpha_ok.alias("alpha_ok"),
         stop_ok.alias("stop_ok"),
         (wc_ok & mwl_ok & alpha_ok & stop_ok).alias("keep"),
-    ).orderBy("doc_id")
+    )
+
+
+@query("gopher_rules_filter", _GOPHER_ORACLE)
+def gopher_rules_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rule Gopher quality gate over the corpus — the auditable form
+    (a pipeline wants to know WHICH rule fired, not just keep/drop).
+
+    Scale: pure rowwise split/transform/aggregate expressions in
+    whole-stage codegen — zero shuffle, the gate runs at scan speed
+    ahead of any dedup exchange (same posture as
+    quality_classifier_score)."""
+    return gopher_verdicts(table(spark, sf_dir, "documents")).orderBy("doc_id")

@@ -193,6 +193,7 @@ DRIVER_ORDER_TIER2: list[str] = [
     "bm25_inverted_topk",
     "retrieval_snippets",
     "gopher_rules_filter",
+    "stream_quality_gate",
     "bucketed_join_noshuffle",
     "media_resize",
     "media_frame_sample",

@@ -1071,3 +1071,56 @@ def stream_index_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stream and batch paths report through ONE copy of the arithmetic,
     # so the common oracle can never drift against a silent fork
     return _admit_cell_accounting(spark.read.parquet(idx), offset)
+
+
+def _gopher_stream_oracle() -> str:
+    from ..operators.llm_text import _GOPHER_ORACLE
+
+    return _GOPHER_ORACLE
+
+
+@query("stream_quality_gate", _gopher_stream_oracle())
+def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality gate as a STREAM: the documents file replays
+    through the file source and each micro-batch's per-rule verdicts
+    append to a result sink — the always-on admission screen in front
+    of a streaming ingest (the rowwise gate needs no state, watermark,
+    or shuffle, so it runs at stream map speed).
+
+    Must hash-match `gopher_rules_filter`'s batch oracle VERBATIM —
+    a third stream≡batch equivalence family (aggregations, index sink,
+    and now a pure row gate) over a third fixture table."""
+    import uuid
+
+    from ..operators.llm_text import gopher_rules_filter
+
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    out_dir = tempfile.mkdtemp(prefix=f"cdr_stream_gate_{uuid.uuid4().hex[:8]}_")
+    atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
+    sink = os.path.join(out_dir, "verdicts")
+
+    # reuse the BATCH operator's expression tree per micro-batch
+    # (llm_text.gopher_verdicts — ONE copy of the rules): the
+    # equivalence is then definitional for the projection, and the test
+    # is really about the stream plumbing (schema replay, sink append)
+    def gate(batch: DataFrame, batch_id: int) -> None:
+        from ..operators.llm_text import gopher_verdicts
+
+        gopher_verdicts(batch).write.mode("append").parquet(sink)
+
+    ckpt = _ckpt_dir(f"cdr_ckpt_gate_{uuid.uuid4().hex[:8]}_")
+    with _stream_state_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(gate)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(sink).orderBy("doc_id")
