@@ -1358,6 +1358,8 @@ def _bm25_index_for(spark: SparkSession, sf_dir: str) -> str:
 
         for name in os.listdir(_BM25_IDX_ROOT):
             d = os.path.join(_BM25_IDX_ROOT, name)
+            if not os.path.isdir(d):
+                continue  # stray file: not ours to delete (IVF GC rule)
             try:
                 recorded = open(os.path.join(d, "_BUILT")).read()
             except OSError:

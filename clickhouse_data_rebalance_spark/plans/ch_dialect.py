@@ -214,13 +214,20 @@ _REFUSALS: list[tuple[re.Pattern[str], str]] = [
         re.compile(r"\bWITH\s+RECURSIVE\b", re.I),
         "use recursive_cte_chain (iterative DataFrame closure)",
     ),
+    # LIMIT n WITH TIES: Spark has no WITH TIES — rank window instead
+    (
+        re.compile(r"\bWITH\s+TIES\b", re.I),
+        "use a rank() <= n window (C15 window_ranking) — Spark LIMIT "
+        "has no WITH TIES",
+    ),
     # CH's scalar WITH (`WITH 5 AS c SELECT c`) — Spark's WITH binds
     # only subqueries; the lookaheads admit the CTE form `WITH x AS (`
-    # and the clause keywords TOTALS/FILL/RECURSIVE, which have their
-    # own (earlier) rules
+    # and the clause keywords TOTALS/FILL/ROLLUP/CUBE/TIES/RECURSIVE,
+    # which are either translatable or have their own (earlier) rules
     (
         re.compile(
-            r"\bWITH\s+(?!\w+\s+AS\s*\()(?!TOTALS\b)(?!FILL\b)(?!RECURSIVE\b)",
+            r"\bWITH\s+(?!\w+\s+AS\s*\()(?!TOTALS\b)(?!FILL\b)"
+            r"(?!ROLLUP\b)(?!CUBE\b)(?!TIES\b)(?!RECURSIVE\b)",
             re.I,
         ),
         "scalar WITH has no Spark spelling — inline the constant or "
@@ -483,9 +490,13 @@ _REWRITES: list[tuple[re.Pattern[str], str]] = [
     ),
     (re.compile(r"\bleftPad\s*\(", re.I), "lpad("),
     (re.compile(r"\brightPad\s*\(", re.I), "rpad("),
-    (re.compile(r"\btrimLeft\s*\(", re.I), "ltrim("),
-    (re.compile(r"\btrimRight\s*\(", re.I), "rtrim("),
-    (re.compile(r"\btrimBoth\s*\(", re.I), "trim("),
+    # 1-ARG forms only: ClickHouse's 2-arg trims take (string, chars)
+    # while Spark's take (chars, string) — a name-only swap of the
+    # 2-arg form runs fine and returns wrong data (the classic silent
+    # trap); multi-arg calls fall to the residual refusal instead
+    (re.compile(rf"\btrimLeft\s*\(\s*{_ARG}\s*\)", re.I), r"ltrim(\1)"),
+    (re.compile(rf"\btrimRight\s*\(\s*{_ARG}\s*\)", re.I), r"rtrim(\1)"),
+    (re.compile(rf"\btrimBoth\s*\(\s*{_ARG}\s*\)", re.I), r"trim(\1)"),
     # fixed-precision casts: toDecimal{32,64,128}(x, S) carries the CH
     # type's full precision (9/18/38 digits) at the written scale
     (
@@ -560,9 +571,20 @@ _REWRITES: list[tuple[re.Pattern[str], str]] = [
         r"LIMIT \2 OFFSET \1",
     ),
     # query-level SETTINGS tail: execution advice with no Spark
-    # spelling (session confs own it); FORMAT may follow and is
-    # swallowed too — the sink is explicit either way
-    (re.compile(r"\bSETTINGS\s+\w+\s*=.*$", re.I | re.S), ""),
+    # spelling (session confs own it). STRICTLY a tail — a tight
+    # key=value[, ...] grammar anchored at end-of-statement (FORMAT may
+    # follow and is swallowed too), so a SETTINGS inside a subquery or
+    # before a UNION arm can never swallow the rest of the outer query;
+    # those forms survive and hit the pointered backstop in translate()
+    (
+        re.compile(
+            r"\bSETTINGS\s+\w+\s*=\s*(?:'[^']*'|[\w.]+)"
+            r"(?:\s*,\s*\w+\s*=\s*(?:'[^']*'|[\w.]+))*"
+            r"(?:\s+FORMAT\s+\w+)?\s*;?\s*$",
+            re.I,
+        ),
+        "",
+    ),
     (re.compile(r"\bFORMAT\s+\w+\s*;?\s*$", re.I), ""),
 ]
 
@@ -1000,6 +1022,14 @@ def translate(ch_sql: str) -> str:
         raise UnsupportedClickHouseSQL(
             "GLOBAL in an unrecognized position — Spark's planner owns "
             "distribution (broadcast by stats/AQE); drop the keyword"
+        )
+    if re.search(r"\bSETTINGS\b", masked, re.I):
+        # a SETTINGS survived the tail strip — i.e. it sits inside a
+        # subquery or before a UNION arm, where stripping-to-end would
+        # swallow real query text; refuse with the pointer instead
+        raise UnsupportedClickHouseSQL(
+            "SETTINGS in a non-tail position (subquery / before UNION) — "
+            "remove it; session confs own execution advice here"
         )
     residual = _RESIDUALS.search(masked)
     if residual:

@@ -1731,6 +1731,14 @@ def test_ch_dialect_wave5_query_tails():
         ("WITH 5 AS c SELECT c FROM t", "scalar WITH"),
         ("WITH RECURSIVE r AS (SELECT 1) SELECT * FROM r", "recursive_cte_chain"),
         ("SELECT x, y FROM t ORDER BY y LIMIT 2, 3 BY x", "top_k_per_group"),
+        # third-review regressions: non-tail SETTINGS must refuse (the
+        # unanchored strip swallowed the outer query), 2-arg trims must
+        # refuse (Spark's arg order is REVERSED — silent wrong data),
+        # WITH TIES points at a rank window
+        ("SELECT a FROM (SELECT a FROM t SETTINGS m = 1) s WHERE a > 0", "non-tail"),
+        ("SELECT a FROM t SETTINGS x = 1 UNION ALL SELECT b FROM u", "non-tail"),
+        ("SELECT trimLeft(s, 'xy') FROM t", "could not rewrite"),
+        ("SELECT x FROM t ORDER BY x LIMIT 5 WITH TIES", "rank()"),
     ]:
         with _pytest.raises(UnsupportedClickHouseSQL) as ei:
             translate(bad)
@@ -1845,6 +1853,14 @@ def test_ch_dialect_translations_all_parse_in_spark(spark, sf_dir):
         "SELECT trimLeft(event_type), trimRight(event_type), trimBoth(event_type) FROM events",
         "SELECT toDecimal32(value, 2), toDecimal64(value, 4), toDecimal128(value, 6) FROM events",
         "SELECT arrayConcat([1, 2], [3]), arrayMin([3, 1]), arrayMax([3, 1]), arrayUniq([1, 1, 2])",
+        # r8 wave 5 tails: offset-form LIMIT and stripped SETTINGS must
+        # yield SQL Spark actually parses (third-review finding: these
+        # were only string-asserted, never analyzed)
+        "SELECT event_id FROM events ORDER BY event_id LIMIT 5, 10",
+        "SELECT event_id FROM events SETTINGS max_threads = 4",
+        "SELECT uniqUpTo(3)(event_type) FROM events",
+        "SELECT event_type, count() FROM events GROUP BY event_type WITH ROLLUP",
+        "SELECT event_type, value, count() FROM events GROUP BY event_type, value WITH CUBE",
     ]
     for q in queries:
         out = translate(q)
