@@ -194,6 +194,7 @@ DRIVER_ORDER_TIER2: list[str] = [
     "retrieval_snippets",
     "gopher_rules_filter",
     "stream_quality_gate",
+    "bm25_index_admit",
     "bucketed_join_noshuffle",
     "media_resize",
     "media_frame_sample",

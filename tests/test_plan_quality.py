@@ -951,3 +951,65 @@ def test_bm25_inverted_probe_prunes_buckets(spark):
     assert pushed, "word predicate not pushed into the postings scan"
     assert "documents.parquet" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bm25_admit_touches_only_batch_buckets(spark, tmp_path):
+    """Inverted-index admission must be physically incremental on BOTH
+    tables: postings append only under the batch's term buckets,
+    termstats rewrites only those buckets (dynamic overwrite), and the
+    1-row meta rolls forward by exactly the batch's (N, Σdl) deltas."""
+    import os
+    import shutil
+
+    from clickhouse_data_rebalance_spark.operators.llm_text import (
+        BM25_ADMIT_MOD,
+        BM25_ADMIT_REM,
+        _bm25_doc_offset,
+        _bm25_index_for,
+        bm25_admit_batch,
+    )
+    from clickhouse_data_rebalance_spark.functions.text import tokens
+
+    sf = SF_SMALL
+    work = str(tmp_path / "bm25_admit")
+    shutil.copytree(_bm25_index_for(spark, sf), work)
+
+    def listing(sub):
+        root = os.path.join(work, sub)
+        return {
+            d: sorted(os.listdir(os.path.join(root, d)))
+            for d in os.listdir(root)
+            if d.startswith("bucket=")
+        }
+
+    before_p, before_t = listing("postings"), listing("termstats")
+    meta_before = spark.read.parquet(os.path.join(work, "meta")).collect()[0]
+    bm25_admit_batch(spark, sf, work)
+    after_p, after_t = listing("postings"), listing("termstats")
+
+    offset = _bm25_doc_offset(spark, sf)
+    touched = {
+        f"bucket={r['bucket']}"
+        for r in spark.read.parquet(os.path.join(work, "postings"))
+        .filter(F.col("doc_id") >= offset)
+        .select("bucket")
+        .distinct()
+        .collect()
+    }
+    assert touched
+    for b, files in before_p.items():
+        if b in touched:
+            assert set(files) < set(after_p[b]), f"postings {b}: no new file"
+        else:
+            assert files == after_p[b], f"untouched postings {b} rewritten"
+    for b, files in before_t.items():
+        if b not in touched:
+            assert files == after_t[b], f"untouched termstats {b} rewritten"
+
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    batch = d.filter(F.col("doc_id") % BM25_ADMIT_MOD == BM25_ADMIT_REM)
+    nb = batch.count()
+    sdlb = batch.select(F.sum(F.size(tokens("text")).cast("bigint")).alias("s")).collect()[0]["s"]
+    meta_after = spark.read.parquet(os.path.join(work, "meta")).collect()[0]
+    assert meta_after["n"] == meta_before["n"] + nb
+    assert meta_after["sdl"] == meta_before["sdl"] + sdlb
