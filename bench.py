@@ -94,6 +94,7 @@ EXTENDED = [
     "mixture_sample_weights",
     "retrieval_snippets",
     "gopher_rules_filter",
+    "bm25_index_admit",
 ]
 
 HEADLINE = CORE + EXTENDED
