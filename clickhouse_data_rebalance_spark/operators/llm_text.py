@@ -1786,3 +1786,100 @@ def bm25_index_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("word", "df_base", "df_batch", "df_after")
         .orderBy("word")
     )
+
+
+_CURRICULUM_ORACLE = f"""
+    WITH feats AS (
+      SELECT doc_id,
+             len(string_split(trim(text), ' ')) AS n_tok,
+             ROUND(-2.0 + 0.01 * CAST(len(string_split(trim(text), ' ')) AS DOUBLE)
+                   + 6.0 * (CAST(len(list_filter(string_split(lower(trim(text)), ' '),
+                              w -> w IN ('the', 'and', 'of', 'to', 'a'))) AS DOUBLE)
+                            / len(string_split(trim(text), ' ')))
+                   - 4.0 * (CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE)
+                            / length(text))
+                   - 0.2 * abs(CAST(length(text) AS DOUBLE)
+                               / len(string_split(trim(text), ' ')) - 5.0), 9)
+               AS logit
+      FROM documents
+    )
+    SELECT doc_id, logit, CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(FLOOR(COALESCE(SUM(n_tok) OVER (ORDER BY logit DESC, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                / {PACK_BUDGET}.0) AS BIGINT) AS shard
+    FROM feats
+    ORDER BY logit DESC, doc_id
+"""
+
+
+@query("pack_quality_curriculum", _CURRICULUM_ORACLE)
+def pack_quality_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum shard packing: documents ordered best-first by the
+    quality classifier's logit (ties by doc_id) and packed into
+    ~PACK_BUDGET-token training shards — so early shards hold the
+    highest-quality data, the curriculum shape quality-weighted
+    pretraining wants. The ordering key is the ROUND(,9) logit, which
+    both engines compute bit-identically, so the total order (and hence
+    every shard boundary) is deterministic.
+
+    Scale design is `pack_token_shards`' distributed prefix sum over a
+    DIFFERENT total order: repartitionByRange on (logit DESC, doc_id)
+    gives contiguous quality ranges in ascending partition ids,
+    per-partition windows run in parallel, and the |partitions|-row
+    offsets frame broadcasts back — no global single-task window."""
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    low_toks = tokens(F.lower(F.col("text")))
+    n_words = F.size(toks).cast("double")
+    cpw = F.length("text").cast("double") / F.size(toks)
+    stop_r = marker_count(low_toks, LANG_MARKERS["en"]).cast("double") / F.size(toks)
+    punct_r = (
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[^A-Za-z0-9 ]"), F.lit(0)))
+        .cast("double")
+        / F.length("text")
+    )
+    logit = F.round(
+        F.lit(-2.0)
+        + F.lit(0.01) * n_words
+        + F.lit(6.0) * stop_r
+        - F.lit(4.0) * punct_r
+        - F.lit(0.2) * F.abs(cpw - F.lit(5.0)),
+        9,
+    )
+    feats = d.select(
+        "doc_id",
+        logit.alias("logit"),
+        F.size(toks).cast("bigint").alias("n_tok"),
+    )
+    ranged = feats.repartitionByRange(
+        16, F.col("logit").desc(), F.col("doc_id")
+    ).withColumn("pid", F.spark_partition_id())
+    w_local = W.partitionBy("pid").orderBy(F.col("logit").desc(), "doc_id")
+    part_cum = ranged.withColumn("local_cum", F.sum("n_tok").over(w_local))
+    totals = part_cum.groupBy("pid").agg(F.max("local_cum").alias("ptotal"))
+    t = totals.alias("t")
+    u = totals.select(
+        F.col("pid").alias("u_pid"), F.col("ptotal").alias("u_total")
+    ).alias("u")
+    offsets = (
+        t.join(u, F.col("u_pid") < F.col("t.pid"), "left")
+        .groupBy("t.pid")
+        .agg(F.coalesce(F.sum("u_total"), F.lit(0)).alias("offset"))
+    )
+    return (
+        part_cum.join(F.broadcast(offsets), "pid")
+        .select(
+            "doc_id",
+            "logit",
+            "n_tok",
+            F.floor(
+                (F.col("local_cum") + F.col("offset") - F.col("n_tok"))
+                / float(PACK_BUDGET)
+            )
+            .cast("bigint")
+            .alias("shard"),
+        )
+        .orderBy(F.col("logit").desc(), "doc_id")
+    )

@@ -195,6 +195,7 @@ DRIVER_ORDER_TIER2: list[str] = [
     "gopher_rules_filter",
     "stream_quality_gate",
     "bm25_index_admit",
+    "pack_quality_curriculum",
     "bucketed_join_noshuffle",
     "media_resize",
     "media_frame_sample",
