@@ -15,6 +15,12 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from ..registry import query
 from ..tables import table
 from ..functions.text import tokens
+from ._util import sql_hex_bigint
+
+# Version-proof DuckDB twin of _md5_bucket's hex parse (VERDICT r8 #1:
+# the '0x'-literal CAST was the one construct in the round-8 driver's
+# hash-mismatch row that no driver-green oracle exercised).
+_SQL_DOC_BUCKET = sql_hex_bigint("md5(CAST(doc_id AS VARCHAR))", 8)
 
 # chunking geometry: 40-token windows advancing by 30 (10-token overlap)
 CHUNK_W, CHUNK_S = 40, 30
@@ -172,12 +178,11 @@ def _md5_bucket(c, n: int):
 
 @query(
     "train_val_test_split",
-    """
+    f"""
     WITH assigned AS (
       SELECT lang, n_chars,
              len(string_split(trim(text), ' ')) AS n_toks,
-             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
-               % 100 AS bucket
+             {_SQL_DOC_BUCKET} % 100 AS bucket
       FROM documents
     )
     SELECT lang,
@@ -233,9 +238,9 @@ _GRAM_K = 8  # contamination n-gram width
     ),
     g AS (
       SELECT doc_id,
-             CAST(('0x' || substr(md5(
-               array_to_string(toks[i : i + {_GRAM_K - 1}], ' ')), 1, 15))
-               AS BIGINT) AS gh
+             {sql_hex_bigint(
+                 "md5(array_to_string(list_slice(toks, i, i + "
+                 + str(_GRAM_K - 1) + "), ' '))", 15)} AS gh
       FROM (SELECT doc_id, toks,
                    unnest(generate_series(1, len(toks) - {_GRAM_K - 1})) AS i
             FROM t WHERE len(toks) >= {_GRAM_K})
@@ -352,7 +357,7 @@ def bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "corpus_pipeline_e2e",
-    """
+    f"""
     WITH w AS (
       SELECT doc_id, lang, text, string_split(text, ' ') AS toks
       FROM documents WHERE len(string_split(text, ' ')) >= 5
@@ -361,7 +366,8 @@ def bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, lang, text, toks FROM w
       WHERE (1.0 - CAST(len(list_distinct(list_transform(
                      range(1, len(toks) - 3),
-                     i -> array_to_string(toks[i:i+4], ' ')))) AS DOUBLE)
+                     i -> array_to_string(list_slice(toks, i, i + 4), ' '))))
+                   AS DOUBLE)
                  / (len(toks) - 4)) <= 0.2
     ),
     d AS (
@@ -371,15 +377,17 @@ def bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     a AS (
       SELECT lang, len(toks) AS n_toks,
-             CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-                            AS BIGINT) % 100 < 80 THEN 'train'
-                  WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-                            AS BIGINT) % 100 < 90 THEN 'val'
-                  ELSE 'test' END AS split
+             {_SQL_DOC_BUCKET} % 100 AS bucket
       FROM d WHERE rn = 1
+    ),
+    s AS (
+      SELECT lang, n_toks,
+             CASE WHEN bucket < 80 THEN 'train'
+                  WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+      FROM a
     )
     SELECT lang, split, COUNT(*) AS n_docs, SUM(n_toks) AS n_tokens
-    FROM a GROUP BY 1, 2 ORDER BY lang, split
+    FROM s GROUP BY 1, 2 ORDER BY lang, split
     """,
 )
 def corpus_pipeline_e2e(
@@ -454,7 +462,7 @@ def corpus_pipeline_e2e(
 
 @query(
     "corpus_pipeline_e2e_keep_longest",
-    """
+    f"""
     WITH w AS (
       SELECT doc_id, lang, text, string_split(text, ' ') AS toks
       FROM documents WHERE len(string_split(text, ' ')) >= 5
@@ -463,7 +471,8 @@ def corpus_pipeline_e2e(
       SELECT doc_id, lang, text, toks FROM w
       WHERE (1.0 - CAST(len(list_distinct(list_transform(
                      range(1, len(toks) - 3),
-                     i -> array_to_string(toks[i:i+4], ' ')))) AS DOUBLE)
+                     i -> array_to_string(list_slice(toks, i, i + 4), ' '))))
+                   AS DOUBLE)
                  / (len(toks) - 4)) <= 0.2
     ),
     d AS (
@@ -473,15 +482,17 @@ def corpus_pipeline_e2e(
     ),
     a AS (
       SELECT lang, len(toks) AS n_toks,
-             CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-                            AS BIGINT) % 100 < 80 THEN 'train'
-                  WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-                            AS BIGINT) % 100 < 90 THEN 'val'
-                  ELSE 'test' END AS split
+             {_SQL_DOC_BUCKET} % 100 AS bucket
       FROM d WHERE rn = 1
+    ),
+    s AS (
+      SELECT lang, n_toks,
+             CASE WHEN bucket < 80 THEN 'train'
+                  WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+      FROM a
     )
     SELECT lang, split, COUNT(*) AS n_docs, SUM(n_toks) AS n_tokens
-    FROM a GROUP BY 1, 2 ORDER BY lang, split
+    FROM s GROUP BY 1, 2 ORDER BY lang, split
     """,
 )
 def corpus_pipeline_e2e_keep_longest(
@@ -504,8 +515,8 @@ N_SHUFFLE_SHARDS = 16
     WITH keyed AS (
       SELECT doc_id,
              md5('shuf:' || CAST(doc_id AS VARCHAR)) AS k,
-             CAST(('0x' || substr(md5('shuf:' || CAST(doc_id AS VARCHAR)), 1, 8))
-                  AS BIGINT) % {N_SHUFFLE_SHARDS} AS shard
+             {sql_hex_bigint("md5('shuf:' || CAST(doc_id AS VARCHAR))", 8)}
+                  % {N_SHUFFLE_SHARDS} AS shard
       FROM documents
     )
     SELECT doc_id,

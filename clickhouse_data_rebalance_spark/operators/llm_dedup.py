@@ -19,6 +19,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import LongType
 
+from ._util import sql_hex_bigint
+
 
 # type object, not a DDL string: string parsing needs an active session,
 # and this module imports before any session exists
@@ -340,7 +342,7 @@ _SIMHASH_SIG_ORACLE = """
              unnest(list_distinct(string_split(lower(trim(text)), ' '))) AS w
       FROM documents
     ), th AS (
-      SELECT doc_id, CAST(concat('0x', substring(md5(w), 1, 15)) AS BIGINT) AS h
+      SELECT doc_id, (((((((((((((((CAST(0 AS BIGINT) * 16 + strpos('0123456789abcdef', substr(md5(w), 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(md5(w), 2, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(md5(w), 3, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(md5(w), 4, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(md5(w), 5, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(md5(w), 6, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(md5(w), 7, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(md5(w), 8, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(md5(w), 9, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(md5(w), 10, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(md5(w), 11, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(md5(w), 12, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(md5(w), 13, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(md5(w), 14, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(md5(w), 15, 1)) - 1) AS h
       FROM toks
     ), votes AS (
       SELECT doc_id, b.b AS bit,

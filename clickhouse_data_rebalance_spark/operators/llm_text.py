@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from ..registry import query
 from ..tables import table
 from ..functions.text import BPE_ISH_RE, LANG_MARKERS, fingerprint, marker_count, tokens
+from ._util import sql_hex_bigint
 
 
 @query(
@@ -242,12 +243,12 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "doc_fingerprint_rolling",
-    """
+    f"""
     SELECT doc_id,
            list_reduce(
              list_prepend(0, list_transform(
                string_split(lower(trim(text)), ' '),
-               t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT))),
+               t -> {sql_hex_bigint("md5(t)", 8)})),
              (acc, x) -> (acc * 31 + x) % 1000000007) AS rhash
     FROM documents ORDER BY doc_id
     """,
@@ -931,19 +932,18 @@ def lm_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # integer, exact in a double), so the "random" draw is bit-identical
 # across engines and reruns — the same fixed-randomness trick as
 # sample_k_per_group, upgraded from uniform to weighted.
-_WEIGHTED_ES_ORACLE = """
+_WEIGHTED_ES_ORACLE = f"""
     SELECT source, doc_id, n_chars,
            ROUND(es_key, 9) AS es_key, CAST(rnk AS INT) AS rnk
     FROM (
       SELECT source, doc_id, n_chars,
-             ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
-                      AS BIGINT) + 0.5) / 281474976710656.0) / n_chars AS es_key,
+             ln((u48 + 0.5) / 281474976710656.0) / n_chars AS es_key,
              ROW_NUMBER() OVER (PARTITION BY source
-                                ORDER BY ln((CAST(concat('0x',
-                                  substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
-                                  AS BIGINT) + 0.5) / 281474976710656.0)
+                                ORDER BY ln((u48 + 0.5) / 281474976710656.0)
                                   / n_chars DESC, doc_id) AS rnk
-      FROM documents) t
+      FROM (SELECT source, doc_id, n_chars,
+                   {sql_hex_bigint("md5(CAST(doc_id AS VARCHAR))", 12)} AS u48
+            FROM documents) raw) t
     WHERE rnk <= 20
     ORDER BY source, rnk
 """

@@ -106,27 +106,61 @@ DRIVER_ORDER: list[str] = [
     # join_semi -> corpus_ingest_incremental's plan-asserted LeftSemi
     # screens (C7), join_broadcast_dims -> national_market_share's
     # plan-asserted broadcast snowflake dims (C4/C6))
-    "rebalance_invariants",
+    # (r9 rotation, per the same rule: twelve enter — the eleven VERDICT
+    # r8 #2 promotions (hybrid_rrf_topk, bm25_inverted_topk,
+    # bm25_index_admit, bm25_batch_topk, retrieval_snippets,
+    # ivf_index_admit, ivf_index_compact, stream_index_admit,
+    # gopher_rules_filter, mixture_sample_weights,
+    # pack_quality_curriculum) plus corpus_pipeline_e2e (VERDICT r8 #1:
+    # the never-externally-checked min-id twin of the r8 red row joins
+    # its hardened sibling in the cover). Twelve 2+-green veterans leave
+    # for tier 2. Merge mapping (COVERAGE.md): rebalance_invariants ->
+    # rebalance_pipeline (same hash re-scatter + content-preserved
+    # verify, A13/B1/B2/C35/B6), source_schema_evolution ->
+    # source_python_datasource (C1), agg_multikey -> grouping_sets
+    # (C10 multi-key grouped agg) + approx_count_distinct (C11 exact
+    # count-distinct computed alongside the HLL bound),
+    # dedup_incremental_batch -> corpus_ingest_incremental (the
+    # exact-dup-vs-corpus arm, partition-pruned) + corpus_pipeline_e2e
+    # (the fingerprint dedup window) for C40, ann_pq_topk ->
+    # ann_ivf_topk_refined + matryoshka_topk_recall (C42; the PQ
+    # machinery stays registered as embedding_pq), knn_join_ivf ->
+    # dedup_semantic_prune (same IVF-cell-blocked pair join, C43),
+    # quality_classifier_score -> gopher_rules_filter (C46),
+    # stream_stream_join / stream_upsert_sink -> stream_mv_maintain
+    # (C53; the upsert sink IS the MV-maintain mechanism),
+    # asof_join_tolerance -> asof_join_nearest (same union+window-fill
+    # composition, both-direction fill + tie rule), sample_fraction ->
+    # mixture_sample_weights (C33 sampling family, same md5-derived
+    # fixed randomness), having_filter -> dedup_repeated_substring's
+    # post-aggregation duplicate-span filter + stream_watermark_counts's
+    # emitted-window HAVING (C14))
     "rebalance_shard_stats",
-    "source_schema_evolution",
     "rebalance_pipeline",
     "table_swap_lifecycle",
     "source_python_datasource",
     "ch_dialect_limit_by",
     "ch_dialect_brackets",
     # LLM data-pipeline operators
-    "dedup_incremental_batch",
     "dedup_repeated_substring",
     "corpus_ingest_incremental",
     "dedup_semantic_prune",
+    "corpus_pipeline_e2e",
     "corpus_pipeline_e2e_keep_longest",
     "decontaminate_minhash",
     "ann_ivf_topk_refined",
-    "ann_pq_topk",
     "matryoshka_topk_recall",
-    "knn_join_ivf",
     "bm25_topk",
-    "quality_classifier_score",
+    "bm25_batch_topk",
+    "bm25_inverted_topk",
+    "bm25_index_admit",
+    "retrieval_snippets",
+    "hybrid_rrf_topk",
+    "ivf_index_admit",
+    "ivf_index_compact",
+    "gopher_rules_filter",
+    "mixture_sample_weights",
+    "pack_quality_curriculum",
     "multimodal_roundtrip",
     # structured streaming + event-time windows (r6 second swap, VERDICT
     # r5 #8: the stream trio that silently broke in r1/r3 and has never
@@ -140,26 +174,21 @@ DRIVER_ORDER: list[str] = [
     "stream_watermark_counts",
     "stream_dedup_events",
     "stream_mv_maintain",
-    "stream_stream_join",
-    "stream_upsert_sink",
     "stream_custom_state",
+    "stream_index_admit",
     # scalar function families + UDF ladder
     "scalar_funcs_suite",
     "semi_structured_suite",
     "grouped_map_udaf",
     # relational core
     "projection_expr",
-    "sample_fraction",
     # joins
     "join_right_outer",
     "join_null_safe",
-    "asof_join_tolerance",
     "asof_join_nearest",
     # aggregation
-    "agg_multikey",
     "approx_count_distinct",
     "grouping_sets",
-    "having_filter",
     # windows / sort / top-k / event-time
     "window_range_interval",
     "time_gap_fill_interpolate",
@@ -181,21 +210,10 @@ DRIVER_ORDER: list[str] = [
 # rounds, then the round-2 flagship operators, then the long tail of
 # per-function suite variants.
 DRIVER_ORDER_TIER2: list[str] = [
-    # next in line for driver rows: remaining round-6 surface (eight
-    # r6 names moved INTO the cover in the r7 rotation)
-    # new r8 surface, next in line for driver rows
-    "hybrid_rrf_topk",
-    "ivf_index_admit",
-    "ivf_index_compact",
-    "bm25_batch_topk",
-    "mixture_sample_weights",
-    "stream_index_admit",
-    "bm25_inverted_topk",
-    "retrieval_snippets",
-    "gopher_rules_filter",
+    # next in line for driver rows: never-externally-verified members of
+    # the COVERAGE.md ledger (VERDICT r8 #5 — bias rotations toward
+    # queries with zero green driver rows across r1-r8)
     "stream_quality_gate",
-    "bm25_index_admit",
-    "pack_quality_curriculum",
     "bucketed_join_noshuffle",
     "media_resize",
     "media_frame_sample",
@@ -279,6 +297,20 @@ DRIVER_ORDER_TIER2: list[str] = [
     "text_quality",
     "filter_predicates",
     "top_k",
+    # rotated out of the 50-row cover in r9 (2+ green driver rounds each;
+    # merge mapping in the DRIVER_ORDER comment + COVERAGE.md)
+    "rebalance_invariants",
+    "source_schema_evolution",
+    "agg_multikey",
+    "dedup_incremental_batch",
+    "ann_pq_topk",
+    "knn_join_ivf",
+    "quality_classifier_score",
+    "stream_stream_join",
+    "stream_upsert_sink",
+    "asof_join_tolerance",
+    "sample_fraction",
+    "having_filter",
     # rotated out of the 50-row cover in r8 (2+ green driver rounds each;
     # merge mapping in the DRIVER_ORDER comment + COVERAGE.md)
     "simhash_signatures",
@@ -365,7 +397,6 @@ DRIVER_ORDER_TIER2: list[str] = [
     "ch_ddl_roundtrip",
     "uniq_state_merge",
     "array_running_funcs",
-    "corpus_pipeline_e2e",
 ]
 
 

@@ -11,12 +11,29 @@ for the few approximate ops.
 
 from __future__ import annotations
 
+import json
 import math
 import os
 from datetime import date, datetime
 from decimal import Decimal
 
 import duckdb
+
+# On any compare failure, dump the full per-row diff here so a mismatch
+# that reproduces only in the driver's environment is attributable after
+# the fact (VERDICT r8 #1: the r8 red row left nothing to diagnose from).
+_MISMATCH_DIR = os.path.join(os.path.dirname(__file__), "..", "tools")
+
+
+def _dump_mismatch(name: str | None, kind: str, payload: dict) -> None:
+    if not name:
+        return
+    try:
+        path = os.path.join(_MISMATCH_DIR, f"mismatch_{name}.json")
+        with open(path, "w") as f:
+            json.dump({"query": name, "kind": kind, **payload}, f, default=str, indent=1)
+    except OSError:
+        pass  # diagnostics must never turn a compare failure into an IO failure
 
 TABLE_NAMES = [
     "region",
@@ -68,17 +85,34 @@ def _sort_key(row):
     return tuple(_key_one(x) for x in row)
 
 
-def compare(spark_df, con, sql: str, float_tol: float = 0.0) -> None:
-    """Assert spark_df ≡ duckdb(sql): count, column names, sorted values."""
+def compare(
+    spark_df, con, sql: str, float_tol: float = 0.0, name: str | None = None
+) -> None:
+    """Assert spark_df ≡ duckdb(sql): count, column names, sorted values.
+
+    When ``name`` is given, any failure also writes the full diff to
+    ``tools/mismatch_<name>.json`` (rows as sorted-column tuples, plus
+    Python type names — enough to attribute an engine/version drift).
+    """
     duck = con.execute(sql)
     duck_cols = [d[0] for d in duck.description]
     duck_rows = duck.fetchall()
     spark_cols = spark_df.columns
     spark_rows = [tuple(r) for r in spark_df.collect()]
 
+    if sorted(spark_cols) != sorted(duck_cols):
+        _dump_mismatch(
+            name, "schema", {"spark_cols": spark_cols, "duck_cols": duck_cols}
+        )
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"column mismatch: spark={spark_cols} duck={duck_cols}"
     )
+    if len(spark_rows) != len(duck_rows):
+        _dump_mismatch(
+            name,
+            "rowcount",
+            {"spark_rows": len(spark_rows), "duck_rows": len(duck_rows)},
+        )
     assert len(spark_rows) == len(duck_rows), (
         f"row-count mismatch: spark={len(spark_rows)} duck={len(duck_rows)}"
     )
@@ -106,8 +140,22 @@ def compare(spark_df, con, sql: str, float_tol: float = 0.0) -> None:
             ):
                 continue
             mismatches.append((rn, sorted(spark_cols)[cn], sv, dv))
-            if len(mismatches) >= 5:
-                break
-        if len(mismatches) >= 5:
-            break
-    assert not mismatches, f"value mismatches (row, col, spark, duck): {mismatches}"
+    if mismatches:
+        _dump_mismatch(
+            name,
+            "values",
+            {
+                "cols_sorted": sorted(spark_cols),
+                "n_cell_mismatches": len(mismatches),
+                "first_mismatches": [
+                    {"row": rn, "col": c, "spark": sv, "duck": dv,
+                     "spark_type": type(sv).__name__, "duck_type": type(dv).__name__}
+                    for rn, c, sv, dv in mismatches[:25]
+                ],
+                "spark_only_rows": [r for r in s_sorted if r not in d_sorted][:25],
+                "duck_only_rows": [r for r in d_sorted if r not in s_sorted][:25],
+            },
+        )
+    assert not mismatches, (
+        f"value mismatches (row, col, spark, duck): {mismatches[:5]}"
+    )

@@ -31,7 +31,10 @@ def duck():
 def test_query_vs_oracle(name, spark, duck):
     df = registry.QUERIES[name](spark, SF_SMALL)
     if name in registry.ORACLES:
-        compare(df, duck, registry.ORACLES[name], float_tol=FLOAT_TOL.get(name, 0.0))
+        compare(
+            df, duck, registry.ORACLES[name],
+            float_tol=FLOAT_TOL.get(name, 0.0), name=name,
+        )
     else:
         assert df.count() >= 0  # rows-only: runs and yields a stable schema
         assert len(df.columns) > 0
@@ -79,7 +82,10 @@ def test_driver_cover_at_sf01(spark):
     ]
     try:
         for name in names:
-            compare(registry.QUERIES[name](spark, sf), con, registry.ORACLES[name])
+            compare(
+                registry.QUERIES[name](spark, sf), con,
+                registry.ORACLES[name], name=name,
+            )
     finally:
         con.close()
 
@@ -108,6 +114,7 @@ def test_full_registry_at_sf01(spark):
                         con,
                         registry.ORACLES[name],
                         float_tol=FLOAT_TOL.get(name, 0.0),
+                        name=name,
                     )
                 else:
                     assert registry.QUERIES[name](spark, sf).count() >= 0
