@@ -98,7 +98,8 @@ from __future__ import annotations
 import os
 import re
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import types as T
 
 from ..registry import query
 from ..tables import load_tables
@@ -112,22 +113,45 @@ class UnsupportedClickHouseSQL(ValueError):
 # constructs we refuse (instead of silently mistranslating), with the
 # package-native replacement the error message points at
 _REFUSALS: list[tuple[re.Pattern[str], str]] = [
-    (re.compile(r"\bWITH\s+FILL\b", re.I), "use time_gap_fill"),
-    (re.compile(r"\bSAMPLE\s+[\d.]", re.I), "use sample_fraction (C33)"),
-    # the parametric quantile family: quantile(p)(x) is an approximate
-    # reservoir sketch and quantileExact(p)(x) is nearest-rank — neither
-    # matches Spark percentile()'s interpolation, so a textual map would
-    # silently change the numbers; point at the native operators instead
-    # (\w* catches the whole combinator zoo — Weighted/BFloat16/Low/
-    # High/... — not just the four suffixes originally listed)
+    # bare translate() is pure-textual and cannot know the non-sort
+    # columns' types (CH fills them with TYPE DEFAULTS); ch_sql() DOES
+    # translate the simple ascending single-key form schema-aware — see
+    # _apply_with_fill, which strips the clause before reaching here
     (
-        re.compile(r"\bquantiles?\w*\s*\(", re.I),
-        "use approx_quantiles (percentile_approx) / median_exact / "
-        "quantile_state_merge",
+        re.compile(r"\bWITH\s+FILL\b", re.I),
+        "run via ch_sql (schema-aware simple-form fill) or time_gap_fill",
+    ),
+    (re.compile(r"\bSAMPLE\s+[\d.]", re.I), "use sample_fraction (C33)"),
+    # the quantile COMBINATOR zoo (Weighted/BFloat16/TDigest/Timing/
+    # Deterministic/ExactLow/ExactHigh/ExactInclusive/...): each suffix
+    # changes the rank rule or sketch, so a textual map would silently
+    # change the numbers. Plain quantile(s)/quantile(s)Exact and
+    # median/medianExact ARE translated (see _rewrite_quantile_family):
+    # quantile -> percentile (CH's reservoir is EXACT-interpolating for
+    # groups <= 8192 and nondeterministic above — the deterministic
+    # exact value is the faithful refinement), quantileExact -> CH's own
+    # nearest-rank formula (floor(p*n), 0-based, clamped) spelled over
+    # array_sort(collect_list)
+    # the lookahead admits exactly quantile/quantiles/quantileExact/
+    # quantilesExact followed by `(` — any other completion refuses.
+    # (no alternation BEFORE the lookahead: `quantiles?` would backtrack
+    # s-less on quantilesExact and false-positive the refusal)
+    (
+        re.compile(r"\bquantile(?!(?:s|Exact|sExact)?\s*\()\w*\s*\(", re.I),
+        "quantile combinators change the rank rule — use "
+        "quantile/quantileExact (translated) or approx_quantiles / "
+        "median_exact / quantile_state_merge",
     ),
     (
-        re.compile(r"\btopK(Weighted)?\s*\(", re.I),
-        "use heavy_hitters / heavy_hitters_weighted / top_k_per_group",
+        re.compile(r"\bmedian(?!(?:Exact)?\s*\()\w*\s*\(", re.I),
+        "median combinators change the rank rule — use median/"
+        "medianExact (translated) or approx_quantiles / median_exact",
+    ),
+    # weighted top-K needs the weight column's aggregation semantics;
+    # plain topK(N)(x) IS translated (see _rewrite_topk)
+    (
+        re.compile(r"\btopKWeighted\s*\(", re.I),
+        "use heavy_hitters_weighted / top_k_per_group",
     ),
     (re.compile(r"\bON\s+CLUSTER\b", re.I), "cluster DDL is Spark-global (A4)"),
     # FROM t FINAL forces ReplacingMergeTree collapse at read time; the
@@ -184,12 +208,6 @@ _REFUSALS: list[tuple[re.Pattern[str], str]] = [
     (
         re.compile(r"\buniqTheta\s*\(", re.I),
         "use theta_set_ops / approx_count_distinct",
-    ),
-    # median* is the quantile family under another name (approx sketch /
-    # nearest-rank — Spark percentile interpolates)
-    (
-        re.compile(r"\bmedian\w*\s*\(", re.I),
-        "use approx_quantiles (percentile_approx) / median_exact",
     ),
     # arrayReduce's agg name is a runtime string; arraySum/Avg preserve
     # CH integer-sum typing a lambda rewrite would silently widen;
@@ -602,7 +620,7 @@ _RESIDUALS = re.compile(
     r"|leftPad|rightPad|numbers|trimLeft|trimRight|trimBoth"
     r"|toDecimal\d+|arrayConcat|arrayMin|arrayMax|arrayUniq"
     r"|groupBit(And|Or|Xor)|stddev(Pop|Samp)|var(Pop|Samp)|covar(Pop|Samp)"
-    r"|JSONExtract\w+)\s*\(",
+    r"|JSONExtract\w+|quantiles?\w*|median\w*|topK\w*)\s*\(",
     re.I,
 )
 
@@ -892,6 +910,97 @@ def _rewrite_replace_regexp(sql: str) -> str:
     return _sub_outside_literals(_REPL_REGEXP, repl, sql)
 
 
+# ---- quantile / median / topK family (parametric aggregates) ----
+# Accepted forms and their Spark spellings (every other member of the
+# family refuses via _REFUSALS, and any surviving spelling via
+# _RESIDUALS):
+#
+#   quantile(p)(x), quantile(x), median(x)   -> percentile(x, p)  [p=0.5]
+#   quantiles(p1, ..., pk)(x)                -> percentile(x, array(p...))
+#   quantileExact(p)(x), medianExact(x)      -> CH's exact nearest-rank
+#   quantilesExact(p1, ..., pk)(x)           -> array(<exact per level>)
+#   topK(N)(x)                               -> exact frequency top-N
+#
+# Semantics (checked against ClickHouse's own definitions):
+#  * CH quantile() is an 8192-element reservoir sketch: for groups that
+#    fit the reservoir it linear-interpolates with the SAME index
+#    formula as Spark percentile / DuckDB quantile_cont (p * (n-1));
+#    above that it is nondeterministic subsampling. percentile() is the
+#    deterministic refinement of that contract.
+#  * CH quantileExact() returns the element at 0-based index
+#    floor(p * n) clamped to n-1 (QuantileExact::getImpl) — NOT
+#    percentile_disc's ceil(p*n)-1 — so the rewrite spells CH's formula
+#    directly over array_sort(collect_list); try_element_at so an
+#    all-NULL group yields NULL instead of an ANSI index-0 error.
+#  * CH topK(N) returns the ~N most frequent values, frequency-
+#    descending, tie order unspecified; the rewrite computes EXACT
+#    frequencies with a value-ascending tie-break (deterministic
+#    refinement of the approximate contract).
+# The collect_list spellings carry the whole group in memory —
+# exactness' honest cost at scale; heavy_hitters / approx_quantiles
+# (bounded sketches) are the 100 TB paths the refusal hints name.
+
+_NUM_LIT = r"\d+(?:\.\d+)?(?:[eE][+-]?\d+)?"
+_QUANT_PARAM = re.compile(
+    rf"\b(quantiles?)(Exact)?\s*\(\s*({_NUM_LIT}(?:\s*,\s*{_NUM_LIT})*)\s*\)"
+    rf"\s*\(\s*{_ARG}\s*\)",
+    re.I,
+)
+_QUANT_BARE = re.compile(
+    rf"\b(?:quantile|median)(Exact)?\s*\(\s*{_ARG}\s*\)(?!\s*\()", re.I
+)
+_TOPK = re.compile(rf"\btopK\s*\(\s*(\d+)\s*\)\s*\(\s*{_ARG}\s*\)", re.I)
+
+
+def _exact_quantile_expr(x: str, p: str) -> str:
+    return (
+        f"try_element_at(array_sort(collect_list({x})), "
+        f"least(CAST(floor({p} * count({x})) AS INT) + 1, "
+        f"CAST(count({x}) AS INT)))"
+    )
+
+
+def _topk_expr(x: str, n: int) -> str:
+    # let-binding via a 1-element array: the collected list is computed
+    # once and referenced repeatedly through the lambda variable `a`
+    return (
+        f"element_at(transform(array(collect_list({x})), a -> "
+        f"slice(transform(array_sort(transform(array_distinct(a), v -> "
+        f"named_struct('neg', -size(filter(a, e -> e <=> v)), 'val', v))), "
+        f"s -> s.val), 1, {n})), 1)"
+    )
+
+
+def _rewrite_quantile_family(sql: str) -> str:
+    def param_repl(m: "re.Match[str]", raw: str) -> str:
+        plural = m.group(1).lower().endswith("s")
+        levels = [p.strip() for p in raw[m.start(3) : m.end(3)].split(",")]
+        x = raw[m.start(4) : m.end(4)].strip()
+        if not plural and len(levels) > 1:
+            raise UnsupportedClickHouseSQL(
+                "quantile() takes one level — use quantiles(p1, ...)(x)"
+            )
+        if m.group(2):  # Exact
+            exprs = [_exact_quantile_expr(x, p) for p in levels]
+            return f"array({', '.join(exprs)})" if plural else exprs[0]
+        if plural:
+            return f"percentile({x}, array({', '.join(levels)}))"
+        return f"percentile({x}, {levels[0]})"
+
+    def bare_repl(m: "re.Match[str]", raw: str) -> str:
+        x = raw[m.start(2) : m.end(2)].strip()
+        if m.group(1):  # quantileExact(x) / medianExact(x), default level
+            return _exact_quantile_expr(x, "0.5")
+        return f"percentile({x}, 0.5)"
+
+    def topk_repl(m: "re.Match[str]", raw: str) -> str:
+        return _topk_expr(raw[m.start(2) : m.end(2)].strip(), int(m.group(1)))
+
+    out = _sub_outside_literals(_QUANT_PARAM, param_repl, sql)
+    out = _sub_outside_literals(_QUANT_BARE, bare_repl, out)
+    return _sub_outside_literals(_TOPK, topk_repl, out)
+
+
 def _rewrite_limit_by(sql: str) -> str:
     """Rewrite `... ORDER BY o LIMIT n BY c1, c2 [LIMIT m]` to a
     ROW_NUMBER window over the materialized inner select — the standard
@@ -1000,6 +1109,7 @@ def translate(ch_sql: str) -> str:
     out = _rewrite_brackets(out)
     out = _rewrite_format_datetime(out)
     out = _rewrite_replace_regexp(out)
+    out = _rewrite_quantile_family(out)
     for pat, repl in _REWRITES:
         out = _sub_outside_literals(pat, repl, out)
     masked = _mask_literals(out)
@@ -1040,11 +1150,163 @@ def translate(ch_sql: str) -> str:
     return out
 
 
+# ---- ORDER BY ... WITH FILL (schema-aware, ch_sql only) ----
+# ClickHouse's FillingTransform: walking the final sorted stream, emit
+# synthetic rows for the missing sort-key values, restarting the
+# arithmetic sequence AT EACH existing value (1,4,8 STEP 2 fills 3 and
+# 6 — not a global min..max spine, which would fill 3,5,7). FROM is
+# inclusive, TO is EXCLUSIVE, STEP defaults to 1; non-sort columns are
+# filled with the column type's CH DEFAULT (0 / '' / epoch), which is
+# why bare translate() refuses: the SQL text does not carry the types,
+# but a built DataFrame's schema does.
+#
+# Scope: single ascending identifier key, integer or date typed;
+# integer FROM/TO/STEP literals (dates: STEP n = n days, no FROM/TO).
+# INTERPOLATE, DESC, multi-key, and expression-key forms refuse with
+# pointers. An empty input produces no fill rows (CH would emit the
+# FROM..TO spine — degenerate presentation case, documented deviation).
+#
+# Scale: ClickHouse runs this as a single-threaded transform over the
+# initiator's merged sorted stream; the unpartitioned lead() window
+# here is the same single-stream shape but carries ONLY the sort key
+# (one narrow column), and the final order is a range-partitioned sort.
+_WITH_FILL_TAIL = re.compile(
+    r"\bORDER\s+BY\s+([A-Za-z_]\w*)(?:\s+ASC)?\s+WITH\s+FILL"
+    r"(?:\s+FROM\s+(-?\d+))?(?:\s+TO\s+(-?\d+))?(?:\s+STEP\s+(\d+))?"
+    r"\s*;?\s*$",
+    re.I,
+)
+
+_FILL_DEFAULTABLE = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+
+
+def _ch_default_lit(dt):
+    """The ClickHouse type-default literal for a filled row's non-sort
+    column (CH fills with the type default, never NULL)."""
+    if isinstance(dt, _FILL_DEFAULTABLE):
+        return F.lit(0).cast(dt)
+    if isinstance(dt, T.StringType):
+        return F.lit("")
+    if isinstance(dt, T.BooleanType):
+        return F.lit(False)
+    if isinstance(dt, T.DateType):
+        return F.lit("1970-01-01").cast(dt)
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return F.lit("1970-01-01 00:00:00").cast(dt)
+    if isinstance(dt, T.ArrayType):
+        return F.array().cast(dt)
+    raise UnsupportedClickHouseSQL(
+        f"WITH FILL beside a {dt.simpleString()} column has no textual "
+        "CH type default — use time_gap_fill"
+    )
+
+
+def _apply_with_fill(spark: SparkSession, sql: str) -> DataFrame:
+    masked = _mask_literals(sql)
+    if re.search(r"\bINTERPOLATE\b", masked, re.I):
+        raise UnsupportedClickHouseSQL(
+            "WITH FILL ... INTERPOLATE — use time_gap_fill_interpolate "
+            "(the text does not carry the interpolation columns' types)"
+        )
+    if len(re.findall(r"\bWITH\s+FILL\b", masked, re.I)) > 1:
+        raise UnsupportedClickHouseSQL(
+            "multi-key WITH FILL — fill one sort key, or time_gap_fill"
+        )
+    m = _WITH_FILL_TAIL.search(masked)
+    if not m:
+        raise UnsupportedClickHouseSQL(
+            "WITH FILL is supported as the statement tail `ORDER BY "
+            "<column> [ASC] WITH FILL [FROM i] [TO i] [STEP i]` (single "
+            "ascending identifier key) — other forms: time_gap_fill"
+        )
+    col = m.group(1)
+    lo = int(m.group(2)) if m.group(2) else None
+    hi = int(m.group(3)) if m.group(3) else None
+    step = int(m.group(4)) if m.group(4) else 1
+    if step == 0:
+        raise UnsupportedClickHouseSQL("WITH FILL STEP 0")
+
+    d = spark.sql(translate(sql[: m.start()] + f" ORDER BY {col}"))
+    if col not in d.columns:
+        raise UnsupportedClickHouseSQL(
+            "WITH FILL key must be a select-list column"
+        )
+    dt = d.schema[col].dataType
+    is_int = isinstance(
+        dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    )
+    if not is_int and not isinstance(dt, T.DateType):
+        raise UnsupportedClickHouseSQL(
+            f"WITH FILL over a {dt.simpleString()} sort key — integer or "
+            "date keys only (timestamps: time_gap_fill)"
+        )
+    if not is_int and (lo is not None or hi is not None):
+        raise UnsupportedClickHouseSQL(
+            "integer FROM/TO on a date fill key — use STEP only"
+        )
+
+    c, v = F.col(col), F.col("_v")
+    if is_int:
+        fwd = lambda e, k: e + k  # noqa: E731
+        seq_step = F.lit(step)
+    else:
+        fwd = lambda e, k: F.date_add(e, k)  # noqa: E731
+        seq_step = F.expr(f"INTERVAL {step} DAY")
+
+    # per-gap sequences restarting at each existing value: the lead()
+    # window carries only the (deduplicated-by-construction) sort key
+    keys = d.select(c.alias("_v")).withColumn(
+        "_nxt", F.lead("_v").over(Window.orderBy("_v"))
+    )
+    fill_keys = keys.where(F.col("_nxt") > fwd(v, step)).select(
+        F.explode(
+            F.sequence(fwd(v, step), fwd(F.col("_nxt"), -1), seq_step)
+        ).alias("_v")
+    )
+    if lo is not None or hi is not None:
+        bounds = d.agg(F.min(c).alias("_mn"), F.max(c).alias("_mx"))
+        if lo is not None:  # head: lo, lo+step, ... while < min
+            fill_keys = fill_keys.unionByName(
+                bounds.where(F.col("_mn") > lo).select(
+                    F.explode(
+                        F.sequence(F.lit(lo), F.col("_mn") - 1, seq_step)
+                    ).alias("_v")
+                )
+            )
+        if hi is not None:  # tail: max+step, ... while < hi (TO excl.)
+            fill_keys = fill_keys.unionByName(
+                bounds.where(F.col("_mx") + step < hi).select(
+                    F.explode(
+                        F.sequence(
+                            F.col("_mx") + step, F.lit(hi - 1), seq_step
+                        )
+                    ).alias("_v")
+                )
+            )
+    fills = fill_keys.select(
+        *[
+            v.cast(dt).alias(f.name)
+            if f.name == col
+            else _ch_default_lit(f.dataType).alias(f.name)
+            for f in d.schema.fields
+        ]
+    )
+    return d.unionByName(fills).orderBy(col)
+
+
 def ch_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
     """Run a ClickHouse-dialect query against the test tables: registers
-    each table as a temp view, translates, executes Spark-side."""
+    each table as a temp view, translates, executes Spark-side. The
+    simple-form ``ORDER BY ... WITH FILL`` tail is handled here (schema-
+    aware — see :func:`_apply_with_fill`); bare :func:`translate` has no
+    schema and refuses it."""
     for name, df in load_tables(spark, sf_dir).items():
         df.createOrReplaceTempView(name)
+    if re.search(r"\bWITH\s+FILL\b", _mask_literals(sql), re.I):
+        return _apply_with_fill(spark, sql)
     return spark.sql(translate(sql))
 
 
@@ -1559,3 +1821,153 @@ def ch_dialect_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one grouped exchange; every rewritten function is row-local
     JVM expression work."""
     return ch_sql(spark, sf_dir, _CH_DATETIME_QUERY)
+
+
+# ---- round-9 dialect queries: the three refusals-turned-rewrites ----
+# (VERDICT r8 #3: quantile/quantileExact, topK, and simple WITH FILL all
+# had exact in-repo semantics — approx_quantiles/median_exact,
+# heavy_hitters, time_gap_fill — so the translator now rewrites them
+# instead of refusing; these queries run the rewrites end-to-end.)
+
+def _sql_exact_q(x: str, p: str) -> str:
+    """DuckDB twin of the quantileExact rewrite: CH's nearest-rank
+    element at 0-based floor(p*n) clamped to n-1."""
+    return (
+        f"list_extract(list_sort(list({x})), "
+        f"least(CAST(floor({p} * COUNT({x})) AS INT) + 1, "
+        f"CAST(COUNT({x}) AS INT)))"
+    )
+
+
+_CH_QUANTILE_QUERY = """
+    SELECT l_returnflag,
+           quantileExact(0.25)(l_quantity) AS q25_qty,
+           medianExact(l_quantity) AS med_qty,
+           quantileExact(0.9)(l_quantity) AS q90_qty,
+           quantiles(0.25, 0.75)(l_quantity) AS iqr_qty,
+           round(quantile(0.5)(l_extendedprice), 9) AS med_price,
+           round(median(l_discount), 9) AS med_disc,
+           toUInt32(count()) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+"""
+
+_CH_QUANTILE_ORACLE = f"""
+    SELECT l_returnflag,
+           {_sql_exact_q('l_quantity', '0.25')} AS q25_qty,
+           {_sql_exact_q('l_quantity', '0.5')} AS med_qty,
+           {_sql_exact_q('l_quantity', '0.9')} AS q90_qty,
+           quantile_cont(l_quantity, [0.25, 0.75]) AS iqr_qty,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 9) AS med_price,
+           ROUND(quantile_cont(l_discount, 0.5), 9) AS med_disc,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+"""
+
+
+@query("ch_dialect_quantile", _CH_QUANTILE_ORACLE)
+def ch_dialect_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dialect shim end-to-end over the quantile-family rewrites
+    (VERDICT r8 #3 — a migrating ClickHouse user hits ``quantile()``
+    constantly): quantileExact/medianExact (CH's exact nearest-rank
+    formula, floor(p*n) 0-based, spelled over array_sort(collect_list)),
+    quantile/median -> percentile (the deterministic refinement of CH's
+    reservoir sketch — identical linear interpolation for groups within
+    the 8192-row reservoir), and the plural quantiles() -> one
+    percentile(x, array(...)) pass. Oracled against DuckDB's independent
+    quantile_cont and the same nearest-rank spelling; interpolated
+    doubles go through the ROUND(,9) absorber, exact order statistics
+    and the dyadic-fraction l_quantity interpolations compare bit-exact.
+
+    Scale: one grouped exchange; the exact forms carry each group's
+    values (exactness' honest cost — approx_quantiles is the sketch
+    path), percentile is a bounded-state JVM aggregate."""
+    return ch_sql(spark, sf_dir, _CH_QUANTILE_QUERY)
+
+
+_CH_TOPK_QUERY = """
+    SELECT l_linestatus,
+           topK(2)(l_returnflag) AS top_flags,
+           toUInt32(count()) AS n
+    FROM lineitem
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+"""
+
+_CH_TOPK_ORACLE = """
+    WITH c AS (
+      SELECT l_linestatus, l_returnflag, COUNT(*) AS cnt
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT l_linestatus,
+           list_slice(list(l_returnflag ORDER BY cnt DESC, l_returnflag),
+                      1, 2) AS top_flags,
+           CAST(SUM(cnt) AS BIGINT) AS n
+    FROM c GROUP BY l_linestatus ORDER BY l_linestatus
+"""
+
+
+@query("ch_dialect_topk", _CH_TOPK_ORACLE)
+def ch_dialect_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dialect shim end-to-end over the topK(N) rewrite (VERDICT r8 #3):
+    CH's approximate most-frequent-values aggregate becomes an exact
+    frequency top-N (frequency-descending, value-ascending tie-break —
+    the deterministic refinement of CH's unspecified tie order), built
+    from one collect_list let-bound through a transform lambda. Oracled
+    against DuckDB's independent two-level GROUP BY + ordered-list
+    spelling.
+
+    Scale: one grouped exchange; the collected group is scanned per
+    distinct value (bounded here by the 3-value flag domain).
+    heavy_hitters (Misra-Gries) is the bounded-memory 100 TB path."""
+    return ch_sql(spark, sf_dir, _CH_TOPK_QUERY)
+
+
+_CH_WITH_FILL_QUERY = """
+    SELECT toUInt64(o_totalprice / 20000) AS bucket,
+           toUInt64(count()) AS n,
+           uniqExact(o_custkey) AS n_cust
+    FROM orders
+    WHERE o_orderdate < toDate('1995-06-01')
+    GROUP BY bucket
+    ORDER BY bucket WITH FILL FROM 0 TO 30
+"""
+
+# FULL OUTER against the spine so a data bucket outside [0, 40) would
+# be kept (CH keeps original rows the fill range doesn't reach)
+_CH_WITH_FILL_ORACLE = """
+    WITH agg AS (
+      SELECT CAST(floor(o_totalprice / 20000) AS BIGINT) AS bucket,
+             COUNT(*) AS n, COUNT(DISTINCT o_custkey) AS n_cust
+      FROM orders
+      WHERE o_orderdate < DATE '1995-06-01'
+      GROUP BY 1
+    ), spine AS (
+      SELECT unnest(generate_series(0, 29)) AS bucket
+    )
+    SELECT COALESCE(s.bucket, a.bucket) AS bucket,
+           COALESCE(a.n, 0) AS n,
+           COALESCE(a.n_cust, 0) AS n_cust
+    FROM spine s FULL OUTER JOIN agg a ON s.bucket = a.bucket
+    ORDER BY 1
+"""
+
+
+@query("ch_dialect_with_fill", _CH_WITH_FILL_ORACLE)
+def ch_dialect_with_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dialect shim end-to-end over the schema-aware WITH FILL tail
+    (VERDICT r8 #3): a sparse price-bucket histogram densified to the
+    [0, 30) spine, filled rows carrying each column's CH TYPE DEFAULT
+    (0 for the counts) — the piece bare textual translation cannot know
+    and the built DataFrame's schema does. Restart-at-each-value STEP
+    semantics are unit-tested separately (step > 1 is where a global
+    min..max spine diverges from CH). Oracled against DuckDB's
+    independent generate_series spine FULL OUTER join.
+
+    Scale: the fill window carries only the sort key; ClickHouse itself
+    runs WITH FILL as a single-threaded transform over the initiator's
+    merged sorted stream — single-stream parity, not a repo shuffle."""
+    return ch_sql(spark, sf_dir, _CH_WITH_FILL_QUERY)

@@ -210,9 +210,13 @@ DRIVER_ORDER: list[str] = [
 # rounds, then the round-2 flagship operators, then the long tail of
 # per-function suite variants.
 DRIVER_ORDER_TIER2: list[str] = [
-    # next in line for driver rows: never-externally-verified members of
+    # next in line for driver rows: the r9 refusal-to-rewrite dialect
+    # queries (VERDICT r8 #3), then never-externally-verified members of
     # the COVERAGE.md ledger (VERDICT r8 #5 — bias rotations toward
     # queries with zero green driver rows across r1-r8)
+    "ch_dialect_quantile",
+    "ch_dialect_topk",
+    "ch_dialect_with_fill",
     "stream_quality_gate",
     "bucketed_join_noshuffle",
     "media_resize",

@@ -312,11 +312,10 @@ def test_ch_dialect_refuses_untranslatable():
         # test_ch_dialect_multiif_and_argmax_rewrites)
         "SELECT multiIf(a, 1) FROM t",
         "SELECT x FROM t SAMPLE 0.1",
-        # parametric quantile family and topK: approximate/nearest-rank
-        # semantics with no faithful textual map — pointered refusals
-        "SELECT quantile(0.5)(x) FROM t",
-        "SELECT quantileExact(0.9)(x) FROM t",
-        "SELECT topK(5)(x) FROM t",
+        # the quantile/topK COMBINATOR zoo still refuses (the plain
+        # forms translate since r9 — test_ch_dialect_quantile_topk_rewrites)
+        "SELECT quantileDeterministic(0.5)(x, d) FROM t",
+        "SELECT topKWeighted(5)(x, w) FROM t",
         # nested beyond one paren level inside a rewritten call must
         # raise (residual check), never silently mistranslate
         "SELECT sumIf(coalesce(a, nullif(b, 0)), c > least(d, e(f))) FROM t",
@@ -1777,7 +1776,6 @@ def test_ch_dialect_wave6_stats_and_arrays():
         "SELECT ltrim(s), trim(s) FROM t"
     )
     for bad, ptr in [
-        ("SELECT median(v) FROM t", "median_exact"),
         ("SELECT medianTDigest(v) FROM t", "median_exact"),
         ("SELECT arrayReduce('sum', a) FROM t", "lambda"),
         ("SELECT arraySum(a) FROM t", "lambda"),
@@ -1917,3 +1915,138 @@ def test_ch_dialect_literal_preservation_property(lits, col):
     sql2 = f"SELECT toUInt32(n), {col} FROM t WHERE {preds}"
     out2 = translate(sql2)
     assert out2 == f"SELECT CAST(n AS BIGINT), {col} FROM t WHERE {preds}"
+
+
+# ---- round-9 dialect rewrites: quantile family, topK, WITH FILL ----
+
+
+def test_ch_dialect_quantile_topk_rewrites():
+    from clickhouse_data_rebalance_spark.plans.ch_dialect import (
+        UnsupportedClickHouseSQL,
+        translate,
+    )
+
+    assert translate("SELECT quantile(0.9)(x) FROM t").strip() == (
+        "SELECT percentile(x, 0.9) FROM t"
+    )
+    assert translate("SELECT quantile(x) FROM t").strip() == (
+        "SELECT percentile(x, 0.5) FROM t"
+    )
+    assert translate("SELECT median(x) FROM t").strip() == (
+        "SELECT percentile(x, 0.5) FROM t"
+    )
+    assert translate("SELECT quantiles(0.25, 0.75)(x) FROM t").strip() == (
+        "SELECT percentile(x, array(0.25, 0.75)) FROM t"
+    )
+    # the exact forms spell CH's floor(p*n) nearest-rank formula
+    out = translate("SELECT quantileExact(0.25)(v) FROM t")
+    assert "array_sort(collect_list(v))" in out
+    assert "floor(0.25 * count(v))" in out
+    assert "try_element_at" in out  # all-NULL group -> NULL, not error
+    out = translate("SELECT medianExact(v) FROM t")
+    assert "floor(0.5 * count(v))" in out
+    out = translate("SELECT quantilesExact(0.1, 0.9)(v) FROM t")
+    assert out.count("array_sort(collect_list(v))") == 2
+    out = translate("SELECT topK(3)(mode) FROM t GROUP BY g")
+    assert "collect_list(mode)" in out and "slice(" in out
+    # combinator zoo still refuses — each suffix changes the rank rule
+    for bad in (
+        "SELECT quantileTiming(0.5)(x) FROM t",
+        "SELECT quantileExactLow(0.5)(x) FROM t",
+        "SELECT quantileExactWeighted(0.5)(x, w) FROM t",
+        "SELECT quantilesExactHigh(0.5)(x) FROM t",
+        "SELECT medianBFloat16(x) FROM t",
+        "SELECT topKWeighted(3)(x, w) FROM t",
+        "SELECT quantile(0.2, 0.8)(x) FROM t",  # not CH grammar
+    ):
+        try:
+            translate(bad)
+            raise AssertionError(f"should have refused: {bad}")
+        except UnsupportedClickHouseSQL:
+            pass
+    # literal-masked: family names inside string literals are data
+    lit = "SELECT 'quantile(0.5)(x) topK(3)(y) medianExact(z)' AS s FROM t"
+    assert translate(lit) == lit
+
+
+def test_with_fill_restart_semantics(spark):
+    """CH's FillingTransform restarts the STEP sequence AT EACH existing
+    value: data {1, 4, 8} STEP 2 fills 3 (from 1) and 6 (from 4) — a
+    global min..max spine would wrongly fill {3, 5, 7}."""
+    from clickhouse_data_rebalance_spark.plans.ch_dialect import (
+        _apply_with_fill,
+    )
+
+    spark.createDataFrame(
+        [(1, "a"), (4, "b"), (8, "c")], "k int, tag string"
+    ).createOrReplaceTempView("fill_t")
+    out = _apply_with_fill(
+        spark, "SELECT k, tag FROM fill_t ORDER BY k WITH FILL STEP 2"
+    ).collect()
+    assert [(r["k"], r["tag"]) for r in out] == [
+        (1, "a"), (3, ""), (4, "b"), (6, ""), (8, "c"),
+    ]
+
+
+def test_with_fill_from_to_and_defaults(spark):
+    """FROM is inclusive, TO exclusive; filled non-sort columns carry CH
+    TYPE DEFAULTS (0 / '' / false), never NULL."""
+    from clickhouse_data_rebalance_spark.plans.ch_dialect import (
+        _apply_with_fill,
+    )
+
+    spark.createDataFrame(
+        [(3, 10, "x", True)], "k int, n int, s string, b boolean"
+    ).createOrReplaceTempView("fill_t2")
+    out = _apply_with_fill(
+        spark,
+        "SELECT k, n, s, b FROM fill_t2 ORDER BY k WITH FILL FROM 1 TO 6",
+    ).collect()
+    assert [tuple(r) for r in out] == [
+        (1, 0, "", False),
+        (2, 0, "", False),
+        (3, 10, "x", True),
+        (4, 0, "", False),
+        (5, 0, "", False),  # TO 6 exclusive: no k=6 row
+    ]
+
+
+def test_with_fill_refusals(spark):
+    from clickhouse_data_rebalance_spark.plans.ch_dialect import (
+        UnsupportedClickHouseSQL,
+        _apply_with_fill,
+    )
+
+    spark.createDataFrame(
+        [(1, 1.5)], "k int, v double"
+    ).createOrReplaceTempView("fill_t3")
+    for bad in (
+        # INTERPOLATE needs column types the text does not carry
+        "SELECT k, v FROM fill_t3 ORDER BY k WITH FILL INTERPOLATE (v)",
+        # DESC fill / expression keys / multi-key: out of the simple form
+        "SELECT k, v FROM fill_t3 ORDER BY k DESC WITH FILL",
+        "SELECT k, v FROM fill_t3 ORDER BY k + 1 WITH FILL",
+        "SELECT k, v FROM fill_t3 ORDER BY k WITH FILL, v WITH FILL",
+        # double sort key refuses (neither integer nor date)
+        "SELECT v, k FROM fill_t3 ORDER BY v WITH FILL",
+        # WITH FILL not at the statement tail
+        "SELECT * FROM (SELECT k FROM fill_t3 ORDER BY k WITH FILL) q LIMIT 1",
+    ):
+        try:
+            _apply_with_fill(spark, bad)
+            raise AssertionError(f"should have refused: {bad}")
+        except UnsupportedClickHouseSQL:
+            pass
+
+
+def test_with_fill_literal_masked(spark):
+    """'WITH FILL' inside a string literal is data — ch_sql must run the
+    plain translate path, not the fill interceptor."""
+    from clickhouse_data_rebalance_spark.plans.ch_dialect import ch_sql
+
+    out = ch_sql(
+        spark,
+        SF_SMALL,
+        "SELECT 'ORDER BY x WITH FILL' AS s, count() AS n FROM region",
+    ).collect()
+    assert out[0]["s"] == "ORDER BY x WITH FILL" and out[0]["n"] == 5
