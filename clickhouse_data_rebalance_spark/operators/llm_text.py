@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from ..registry import query
 from ..tables import table
 from ..functions.text import BPE_ISH_RE, LANG_MARKERS, fingerprint, marker_count, tokens
+from .llm_similarity import pinned_index_frame
 from ._util import sql_hex_bigint
 
 
@@ -1430,10 +1431,10 @@ def bm25_inverted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = list(BM25_TERMS)
     buckets = sorted({_bm25_term_bucket(t) for t in terms})
 
-    meta = spark.read.parquet(os.path.join(idx, "meta")).collect()[0]
+    meta = pinned_index_frame(spark, os.path.join(idx, "meta")).collect()[0]
     n, avgdl = meta["n"], meta["sdl"] / meta["n"]
     df_rows = (
-        spark.read.parquet(os.path.join(idx, "termstats"))
+        pinned_index_frame(spark, os.path.join(idx, "termstats"))
         .filter(F.col("bucket").isin(buckets) & F.col("word").isin(terms))
         .collect()
     )
@@ -1454,7 +1455,7 @@ def bm25_inverted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         9,
     )
-    postings = spark.read.parquet(os.path.join(idx, "postings")).filter(
+    postings = pinned_index_frame(spark, os.path.join(idx, "postings")).filter(
         F.col("bucket").isin(buckets) & F.col("word").isin(terms)
     )
     return (
@@ -1769,7 +1770,7 @@ def bm25_index_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _bm25_admitted_index_for(spark, sf_dir)
     offset = _bm25_doc_offset(spark, sf_dir)
     split = (
-        spark.read.parquet(os.path.join(idx, "postings"))
+        pinned_index_frame(spark, os.path.join(idx, "postings"))
         .groupBy("word")
         .agg(
             F.count_if(F.col("doc_id") < offset).cast("bigint").alias("df_base"),
@@ -1777,7 +1778,7 @@ def bm25_index_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     after = (
-        spark.read.parquet(os.path.join(idx, "termstats"))
+        pinned_index_frame(spark, os.path.join(idx, "termstats"))
         .groupBy("word")
         .agg(F.sum("df").cast("bigint").alias("df_after"))
     )

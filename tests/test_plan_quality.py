@@ -1013,3 +1013,76 @@ def test_bm25_admit_touches_only_batch_buckets(spark, tmp_path):
     meta_after = spark.read.parquet(os.path.join(work, "meta")).collect()[0]
     assert meta_after["n"] == meta_before["n"] + nb
     assert meta_after["sdl"] == meta_before["sdl"] + sdlb
+
+
+def test_pinned_generation_probe_survives_admit(spark, tmp_path_factory):
+    """VERDICT r8 #6 — snapshot isolation for persisted indexes: a probe
+    that pinned a generation BEFORE an admission keeps answering from
+    its pinned file set (the rename-swap dance of
+    sharding_recreation.py:306-335, applied to index layout). Clone the
+    seed index, pin a frame, append a file into a cell directory
+    (exactly what admit_batch_into_index's append does), and assert the
+    pinned frame is unchanged while a fresh pin sees the new rows —
+    and that the pinned read still partition-prunes."""
+    import glob
+    import os
+    import shutil
+
+    from clickhouse_data_rebalance_spark.operators.llm_similarity import (
+        _ivf_index_for,
+        pinned_index_frame,
+    )
+
+    seed = _ivf_index_for(spark, SF_SMALL)
+    clone = str(tmp_path_factory.mktemp("pinned_gen") / "ivf")
+    shutil.copytree(seed, clone)
+
+    pinned = pinned_index_frame(spark, clone)
+    before = pinned.count()
+    assert before > 0
+
+    # concurrent admission: a new data file lands inside a cell dir
+    cell_dir = sorted(glob.glob(os.path.join(clone, "cell=*")))[0]
+    src = glob.glob(os.path.join(cell_dir, "*.parquet"))[0]
+    extra = os.path.join(cell_dir, "part-concurrent-admit.parquet")
+    shutil.copy(src, extra)
+
+    assert pinned.count() == before, "pinned probe saw concurrent admit"
+    fresh = pinned_index_frame(spark, clone)
+    assert fresh.count() > before, "fresh pin missed the admitted file"
+    probed = pinned.filter(F.col("cell").isin([0, 1]))
+    plan = _plan(probed)
+    assert "PartitionFilters" in plan
+    seg = plan[plan.index("PartitionFilters"):].splitlines()[0]
+    assert "cell" in seg, f"pinned read lost partition pruning: {seg}"
+
+
+def test_pinned_bm25_postings_survive_admission(spark, tmp_path_factory):
+    """Same snapshot contract for the BM25 inverted index: a probe that
+    pinned the postings before an admission append keeps its answer."""
+    import glob
+    import os
+    import shutil
+
+    from clickhouse_data_rebalance_spark.operators.llm_similarity import (
+        pinned_index_frame,
+    )
+    from clickhouse_data_rebalance_spark.operators.llm_text import (
+        _bm25_index_for,
+    )
+
+    base = _bm25_index_for(spark, SF_SMALL)
+    clone = str(tmp_path_factory.mktemp("pinned_bm25") / "idx")
+    shutil.copytree(base, clone)
+    postings_dir = os.path.join(clone, "postings")
+
+    pinned = pinned_index_frame(spark, postings_dir)
+    before = pinned.count()
+    assert before > 0
+
+    bucket_dir = sorted(glob.glob(os.path.join(postings_dir, "bucket=*")))[0]
+    src = glob.glob(os.path.join(bucket_dir, "*.parquet"))[0]
+    shutil.copy(src, os.path.join(bucket_dir, "part-concurrent-admit.parquet"))
+
+    assert pinned.count() == before, "pinned postings saw concurrent admit"
+    assert pinned_index_frame(spark, postings_dir).count() > before
