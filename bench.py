@@ -95,9 +95,27 @@ EXTENDED = [
     "retrieval_snippets",
     "gopher_rules_filter",
     "bm25_index_admit",
+    # round 9: the refusals-turned-rewrites dialect surface
+    "ch_dialect_quantile",
+    "ch_dialect_topk",
+    "ch_dialect_with_fill",
 ]
 
 HEADLINE = CORE + EXTENDED
+
+# Frozen absolute anchor (VERDICT r8 #7): the r9 median-of-3 quiet-box
+# record of the pinned 31-query core at sf0.1, local[32] — recorded ONCE
+# so the 2x gate compares against a fixed number instead of a drifting
+# round-over-round chain. NEVER update these values; per-query detail
+# lives in BASELINE.md. vs_anchor_core_cal_ratio =
+# (core_total/cal_now) / (ANCHOR core_total / ANCHOR cal).
+ANCHOR = {
+    "recorded": "round 9",
+    "sf": 0.1,
+    "core_total": 29.974,
+    "cal_spin_sec": 0.647,
+    "core_hash": "f2879f4c9f87",
+}
 
 
 def _cpu_calibration() -> float:
@@ -175,6 +193,12 @@ def main() -> None:
         "cal_spin_pre": cal_pre,
         "cal_spin_post": cal_post,
     }
+    if out["core_hash"] == ANCHOR["core_hash"] and cal:
+        out["vs_anchor_core_cal_ratio"] = round(
+            (out["core_total"] / cal)
+            / (ANCHOR["core_total"] / ANCHOR["cal_spin_sec"]),
+            3,
+        )
     vs = _vs_prev(timings, total, cal)
     if vs:
         # stdout carries only the compact core-vs-core ratio; the

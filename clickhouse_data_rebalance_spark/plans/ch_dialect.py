@@ -1173,6 +1173,7 @@ def translate(ch_sql: str) -> str:
 _WITH_FILL_TAIL = re.compile(
     r"\bORDER\s+BY\s+([A-Za-z_]\w*)(?:\s+ASC)?\s+WITH\s+FILL"
     r"(?:\s+FROM\s+(-?\d+))?(?:\s+TO\s+(-?\d+))?(?:\s+STEP\s+(\d+))?"
+    r"(?:\s+INTERPOLATE\s*\(\s*([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s*\))?"
     r"\s*;?\s*$",
     re.I,
 )
@@ -1206,10 +1207,18 @@ def _ch_default_lit(dt):
 
 def _apply_with_fill(spark: SparkSession, sql: str) -> DataFrame:
     masked = _mask_literals(sql)
-    if re.search(r"\bINTERPOLATE\b", masked, re.I):
+    if re.search(r"\bINTERPOLATE\b(?!\s*\()", masked, re.I) or re.search(
+        r"\bINTERPOLATE\s*\([^)]*\bAS\b", masked, re.I
+    ):
+        # bare INTERPOLATE (all columns, scope unknowable textually) and
+        # INTERPOLATE (col AS expr) (the expression evaluates over the
+        # PREVIOUS row's values — nonlinear forms) refuse; the explicit
+        # bare-column list (carry the previous value forward, CH's
+        # documented no-expression default) translates below
         raise UnsupportedClickHouseSQL(
-            "WITH FILL ... INTERPOLATE — use time_gap_fill_interpolate "
-            "(the text does not carry the interpolation columns' types)"
+            "WITH FILL ... INTERPOLATE supports an explicit bare-column "
+            "list only (carry-forward); AS-expression forms: "
+            "time_gap_fill_interpolate"
         )
     if len(re.findall(r"\bWITH\s+FILL\b", masked, re.I)) > 1:
         raise UnsupportedClickHouseSQL(
@@ -1226,6 +1235,7 @@ def _apply_with_fill(spark: SparkSession, sql: str) -> DataFrame:
     lo = int(m.group(2)) if m.group(2) else None
     hi = int(m.group(3)) if m.group(3) else None
     step = int(m.group(4)) if m.group(4) else 1
+    interp = [c.strip() for c in m.group(5).split(",")] if m.group(5) else []
     if step == 0:
         raise UnsupportedClickHouseSQL("WITH FILL STEP 0")
 
@@ -1294,7 +1304,42 @@ def _apply_with_fill(spark: SparkSession, sql: str) -> DataFrame:
             for f in d.schema.fields
         ]
     )
-    return d.unionByName(fills).orderBy(col)
+    if not interp:
+        return d.unionByName(fills).orderBy(col)
+
+    # INTERPOLATE (c1, c2, ...): filled rows carry the previous ORIGINAL
+    # row's value forward (CH's documented no-expression default);
+    # leading fills with no predecessor keep the type default. Fill keys
+    # never collide with original keys, so ORDER BY the sort key alone
+    # is a total order between originals and fills.
+    bad = [c for c in interp if c not in d.columns or c == col]
+    if bad:
+        raise UnsupportedClickHouseSQL(
+            f"INTERPOLATE columns must be non-sort select-list columns: {bad}"
+        )
+    u = d.withColumn("_filled", F.lit(False)).unionByName(
+        fills.withColumn("_filled", F.lit(True))
+    )
+    w = Window.orderBy(col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    out_cols = []
+    for f in d.schema.fields:
+        if f.name in interp:
+            carried = F.last(
+                F.when(~F.col("_filled"), F.col(f.name)), ignorenulls=True
+            ).over(w)
+            out_cols.append(
+                F.when(
+                    F.col("_filled"),
+                    F.coalesce(carried, _ch_default_lit(f.dataType)),
+                )
+                .otherwise(F.col(f.name))
+                .alias(f.name)
+            )
+        else:
+            out_cols.append(F.col(f.name))
+    return u.select(*out_cols).orderBy(col)
 
 
 def ch_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
@@ -1971,3 +2016,51 @@ def ch_dialect_with_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs WITH FILL as a single-threaded transform over the initiator's
     merged sorted stream — single-stream parity, not a repo shuffle."""
     return ch_sql(spark, sf_dir, _CH_WITH_FILL_QUERY)
+
+
+_CH_FILL_INTERP_QUERY = """
+    SELECT toUInt64(o_totalprice / 25000) AS bucket,
+           toUInt64(count()) AS n,
+           max(o_totalprice) AS max_price
+    FROM orders
+    WHERE o_orderdate < toDate('1995-04-01')
+    GROUP BY bucket
+    ORDER BY bucket WITH FILL FROM 0 TO 20 INTERPOLATE (max_price)
+"""
+
+_CH_FILL_INTERP_ORACLE = """
+    WITH agg AS (
+      SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) AS bucket,
+             COUNT(*) AS n, MAX(o_totalprice) AS max_price
+      FROM orders
+      WHERE o_orderdate < DATE '1995-04-01'
+      GROUP BY 1
+    ), spine AS (
+      SELECT unnest(generate_series(0, 19)) AS bucket
+    ), j AS (
+      SELECT COALESCE(s.bucket, a.bucket) AS bucket, a.n, a.max_price
+      FROM spine s FULL OUTER JOIN agg a ON s.bucket = a.bucket
+    )
+    SELECT bucket, COALESCE(n, 0) AS n,
+           COALESCE(last_value(max_price IGNORE NULLS)
+                      OVER (ORDER BY bucket
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                    0.0) AS max_price
+    FROM j ORDER BY bucket
+"""
+
+
+@query("ch_dialect_fill_interpolate", _CH_FILL_INTERP_ORACLE)
+def ch_dialect_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH FILL ... INTERPOLATE (bare-column list): filled rows carry
+    the previous original row's value forward — ClickHouse's documented
+    no-expression INTERPOLATE default — while non-listed columns take
+    type defaults and leading fills (no predecessor) fall back to the
+    type default too. AS-expression forms (evaluated over the previous
+    row) stay refusals with a pointer at time_gap_fill_interpolate.
+    Oracled against DuckDB's independent spine-join +
+    last_value IGNORE NULLS spelling.
+
+    Scale: same single-stream parity as the fill itself; the carry
+    window adds the listed columns to the one-column key stream."""
+    return ch_sql(spark, sf_dir, _CH_FILL_INTERP_QUERY)

@@ -217,6 +217,7 @@ DRIVER_ORDER_TIER2: list[str] = [
     "ch_dialect_quantile",
     "ch_dialect_topk",
     "ch_dialect_with_fill",
+    "ch_dialect_fill_interpolate",
     "stream_quality_gate",
     "bucketed_join_noshuffle",
     "media_resize",

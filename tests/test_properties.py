@@ -2021,8 +2021,10 @@ def test_with_fill_refusals(spark):
         [(1, 1.5)], "k int, v double"
     ).createOrReplaceTempView("fill_t3")
     for bad in (
-        # INTERPOLATE needs column types the text does not carry
-        "SELECT k, v FROM fill_t3 ORDER BY k WITH FILL INTERPOLATE (v)",
+        # INTERPOLATE AS-expressions evaluate over the previous row —
+        # refuse (the bare-column carry-forward form translates, see
+        # test_with_fill_interpolate_carry_forward)
+        "SELECT k, v FROM fill_t3 ORDER BY k WITH FILL INTERPOLATE (v AS v*2)",
         # DESC fill / expression keys / multi-key: out of the simple form
         "SELECT k, v FROM fill_t3 ORDER BY k DESC WITH FILL",
         "SELECT k, v FROM fill_t3 ORDER BY k + 1 WITH FILL",
@@ -2050,3 +2052,45 @@ def test_with_fill_literal_masked(spark):
         "SELECT 'ORDER BY x WITH FILL' AS s, count() AS n FROM region",
     ).collect()
     assert out[0]["s"] == "ORDER BY x WITH FILL" and out[0]["n"] == 5
+
+
+def test_with_fill_interpolate_carry_forward(spark):
+    """INTERPOLATE (col): filled rows carry the previous original row's
+    value (CH's no-expression default); leading fills keep the type
+    default; non-listed columns still take type defaults."""
+    from clickhouse_data_rebalance_spark.plans.ch_dialect import (
+        UnsupportedClickHouseSQL,
+        _apply_with_fill,
+    )
+
+    spark.createDataFrame(
+        [(2, 5, "b"), (5, 9, "e")], "k int, n int, s string"
+    ).createOrReplaceTempView("fill_i")
+    out = _apply_with_fill(
+        spark,
+        "SELECT k, n, s FROM fill_i ORDER BY k "
+        "WITH FILL FROM 0 TO 7 INTERPOLATE (n)",
+    ).collect()
+    assert [tuple(r) for r in out] == [
+        (0, 0, ""),   # leading fill: no predecessor -> type default
+        (1, 0, ""),
+        (2, 5, "b"),
+        (3, 5, ""),   # carried n, default s
+        (4, 5, ""),
+        (5, 9, "e"),
+        (6, 9, ""),
+    ]
+    # AS-expression and bare INTERPOLATE forms refuse
+    for bad in (
+        "SELECT k, n FROM fill_i ORDER BY k WITH FILL INTERPOLATE (n AS n+1)",
+        "SELECT k, n FROM fill_i ORDER BY k WITH FILL INTERPOLATE",
+        # sort key itself can't be interpolated
+        "SELECT k, n FROM fill_i ORDER BY k WITH FILL INTERPOLATE (k)",
+        # unknown column
+        "SELECT k, n FROM fill_i ORDER BY k WITH FILL INTERPOLATE (zz)",
+    ):
+        try:
+            _apply_with_fill(spark, bad)
+            raise AssertionError(f"should have refused: {bad}")
+        except UnsupportedClickHouseSQL:
+            pass
