@@ -154,12 +154,15 @@ _REFUSALS: list[tuple[re.Pattern[str], str]] = [
         "use heavy_hitters_weighted / top_k_per_group",
     ),
     (re.compile(r"\bON\s+CLUSTER\b", re.I), "cluster DDL is Spark-global (A4)"),
-    # FROM t FINAL forces ReplacingMergeTree collapse at read time; the
-    # correct translation needs the table's ORDER BY key and version
-    # column, which the SQL text does not carry
+    # FROM t FINAL forces the engine's merge-collapse at read time; the
+    # correct translation needs the table's engine family, ORDER BY key
+    # and version column, which the SQL text does not carry — ch_sql()
+    # DOES translate Replacing/Summing FINAL when the CH DDL is passed
+    # via ddls= (see _apply_final, which rewrites before reaching here)
     (
         re.compile(r"\bFROM\s+[\w.]+\s+FINAL\b", re.I),
-        "use upsert_latest_wins (latest-wins collapse over the key/version)",
+        "run via ch_sql(..., ddls=[CREATE ...]) (engine-aware collapse) "
+        "or use upsert_latest_wins",
     ),
     # ANY JOIN keeps at most one right-side match per left row — the
     # faithful translation needs the right side deduplicated BY THE JOIN
@@ -1342,14 +1345,251 @@ def _apply_with_fill(spark: SparkSession, sql: str) -> DataFrame:
     return u.select(*out_cols).orderBy(col)
 
 
-def ch_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
+# ---- FROM <table> FINAL (DDL-aware, ch_sql only) ----
+# ClickHouse's FINAL modifier forces the table's merge-collapse at read
+# time; WHICH collapse depends on the MergeTree engine family and its
+# declared sort key / version column — information the SELECT text does
+# not carry, which is why bare translate() refuses. ch_sql() accepts the
+# table's CH CREATE TABLE via ``ddls=`` (exactly the artifact the
+# reference pipes around: it SHOW CREATEs every table and carries the
+# DDL through its rewrite phases, sharding_recreation.py:49-107) and
+# translates the two deterministic families:
+#
+# - ReplacingMergeTree(ver): one survivor per sort key = the max-version
+#   row. CH breaks version TIES by insertion order, which a distributed
+#   parquet scan cannot observe — the rewrite breaks them by the
+#   remaining columns' values instead (a deterministic refinement, same
+#   ethos as the quantile translation). No version column at all means
+#   the ENTIRE collapse is insertion-ordered: refuse.
+# - SummingMergeTree: one row per sort key with the value columns
+#   summed; rows whose sums are all zero are dropped (CH deletes them at
+#   merge). Every non-key column must be summed (explicitly listed or
+#   numeric) — CH keeps "any value" for the rest, so their presence
+#   refuses — and summed columns must be non-Nullable (CH's NULL-skip
+#   sum vs SQL NULL propagation would silently diverge).
+#
+# Collapsing/VersionedCollapsing (sign-cancel state) and Aggregating
+# (partial-state finalize) FINALs point at the native state-merge
+# operators instead.
+
+_MT_NUMERIC_TYPE = re.compile(
+    r"^(U?Int\d+|Float(32|64)|Decimal(32|64|128|256)?\s*\()", re.I
+)
+_MT_COL_SKIP = re.compile(
+    r"^(INDEX|CONSTRAINT|PRIMARY|PROJECTION)\b", re.I
+)
+
+
+def merge_tree_meta(ch_ddl: str) -> dict:
+    """Parse the FINAL-relevant metadata out of a ClickHouse CREATE
+    TABLE: table name, MergeTree engine family, engine parameters,
+    declared (column, CH type) pairs, and the ORDER BY sort key."""
+    s = " ".join(ch_ddl.split())
+    m = re.search(
+        r"\bCREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)", s, re.I
+    )
+    if not m:
+        raise UnsupportedClickHouseSQL("not a CREATE TABLE DDL")
+    name = m.group(1)
+    if "." in name:
+        name = name.split(".")[-1]
+    # column block: balanced-paren span from the first '(' after the name
+    i = s.find("(", m.end())
+    if i < 0:
+        raise UnsupportedClickHouseSQL("CREATE TABLE without a column list")
+    depth, j = 0, i
+    while j < len(s):
+        if s[j] == "(":
+            depth += 1
+        elif s[j] == ")":
+            depth -= 1
+            if depth == 0:
+                break
+        j += 1
+    if depth != 0:
+        raise UnsupportedClickHouseSQL("unbalanced column list")
+    cols: list[tuple[str, str]] = []
+    for piece in _split_top_level_args(s[i + 1 : j]):
+        piece = piece.strip()
+        if not piece or _MT_COL_SKIP.match(piece):
+            continue
+        cm = re.match(r"([A-Za-z_]\w*)\s+(.+)$", piece)
+        if not cm:
+            raise UnsupportedClickHouseSQL(f"unparseable column def {piece!r}")
+        cols.append((cm.group(1), cm.group(2).strip()))
+    tail = s[j + 1 :]
+    em = re.search(r"\bENGINE\s*=\s*(\w*?)MergeTree\s*(\(([^)]*)\))?", tail, re.I)
+    if not em:
+        raise UnsupportedClickHouseSQL(
+            "FINAL semantics need a *MergeTree ENGINE clause"
+        )
+    family = em.group(1) or ""
+    params = [
+        p.strip() for p in (em.group(3) or "").split(",") if p.strip()
+    ]
+    om = re.search(r"\bORDER\s+BY\s+(\([^)]*\)|[\w.]+)", tail, re.I)
+    keys = (
+        [k.strip() for k in om.group(1).strip("()").split(",") if k.strip()]
+        if om
+        else []
+    )
+    declared = {c for c, _ in cols}
+    if not keys or any(k not in declared for k in keys):
+        raise UnsupportedClickHouseSQL(
+            "FINAL needs a bare-column ORDER BY sort key (expression keys "
+            "carry no collapse identity a scan can reconstruct)"
+        )
+    return {
+        "name": name,
+        "family": family,
+        "params": params,
+        "columns": cols,
+        "keys": keys,
+    }
+
+
+def _final_subquery(meta: dict) -> str:
+    """The collapse subquery replacing ``FROM t FINAL`` (CH-neutral SQL:
+    both dialects parse it, so it passes through translate() intact)."""
+    t, keys = meta["name"], meta["keys"]
+    cols = [c for c, _ in meta["columns"]]
+    types = dict(meta["columns"])
+    fam = meta["family"].lower()
+    if fam == "replacing":
+        if not meta["params"]:
+            raise UnsupportedClickHouseSQL(
+                "ReplacingMergeTree without a version column collapses by "
+                "insertion order, which a distributed scan cannot observe "
+                "— declare a version column or use upsert_latest_wins"
+            )
+        ver = meta["params"][0]
+        if ver not in types:
+            raise UnsupportedClickHouseSQL(
+                f"ReplacingMergeTree version column {ver!r} is not declared"
+            )
+        order = [f"{ver} DESC"] + [
+            f"{c} DESC" for c in cols if c not in keys and c != ver
+        ]
+        return (
+            f"SELECT {', '.join(cols)} FROM (SELECT {', '.join(cols)}, "
+            f"ROW_NUMBER() OVER (PARTITION BY {', '.join(keys)} "
+            f"ORDER BY {', '.join(order)}) AS __cdr_final_rn FROM {t}) "
+            f"__cdr_final_in WHERE __cdr_final_rn = 1"
+        )
+    if fam == "summing":
+        explicit = meta["params"]
+        bad = [c for c in explicit if c not in types or c in keys]
+        if bad:
+            raise UnsupportedClickHouseSQL(
+                f"SummingMergeTree sum columns not declared non-key "
+                f"columns: {bad}"
+            )
+        def _numeric(t: str) -> bool:
+            # look through Nullable(...) so a Nullable numeric reaches
+            # the summed set and the Nullable refusal below (not the
+            # misleading non-summed-column one)
+            inner = re.match(r"Nullable\s*\(\s*(.+?)\s*\)$", t, re.I)
+            return bool(_MT_NUMERIC_TYPE.match(inner.group(1) if inner else t))
+
+        summed = explicit or [
+            c for c in cols if c not in keys and _numeric(types[c])
+        ]
+        rest = [c for c in cols if c not in keys and c not in summed]
+        if rest:
+            raise UnsupportedClickHouseSQL(
+                f"SummingMergeTree keeps an ARBITRARY value for non-summed "
+                f"columns {rest} — drop them or use agg_state_merge"
+            )
+        nullable = [
+            c for c in summed if re.match(r"Nullable\s*\(", types[c], re.I)
+        ]
+        if nullable:
+            raise UnsupportedClickHouseSQL(
+                f"Nullable summed columns {nullable}: CH skips NULLs where "
+                "SQL SUM propagates them — make the columns non-Nullable"
+            )
+        if not summed:
+            raise UnsupportedClickHouseSQL(
+                "SummingMergeTree with nothing to sum"
+            )
+        sums = ", ".join(f"SUM({c}) AS {c}" for c in summed)
+        all_zero = " AND ".join(f"SUM({c}) = 0" for c in summed)
+        return (
+            f"SELECT {', '.join(keys)}, {sums} FROM {t} "
+            f"GROUP BY {', '.join(keys)} HAVING NOT ({all_zero})"
+        )
+    pointer = {
+        "collapsing": "use collapsing_sign_merge",
+        "versionedcollapsing": "use collapsing_sign_merge",
+        "aggregating": "use agg_state_merge",
+    }.get(fam)
+    if pointer:
+        raise UnsupportedClickHouseSQL(
+            f"{meta['family']}MergeTree FINAL folds engine state the SQL "
+            f"text cannot express — {pointer}"
+        )
+    raise UnsupportedClickHouseSQL(
+        f"FINAL on {meta['family'] or 'plain '}MergeTree has no "
+        "merge-collapse semantics"
+    )
+
+
+_FROM_FINAL = re.compile(r"\bFROM\s+([A-Za-z_][\w.]*)\s+FINAL\b", re.I)
+
+
+def _apply_final(sql: str, metas: dict[str, dict]) -> str:
+    """Rewrite every ``FROM <table> FINAL`` whose table has a provided
+    DDL into its collapse subquery (matched on the literal-masked copy;
+    spliced into raw text, the _sub_outside_literals discipline)."""
+    masked = _mask_literals(sql)
+    out: list[str] = []
+    last = 0
+    for m in _FROM_FINAL.finditer(masked):
+        t = m.group(1)
+        if "." in t:
+            raise UnsupportedClickHouseSQL(
+                f"qualified FROM {t} FINAL — register the table under its "
+                "bare name (the Spark-side views are database-less)"
+            )
+        if t not in metas:
+            raise UnsupportedClickHouseSQL(
+                f"FROM {t} FINAL but no DDL for {t!r} was passed via "
+                "ch_sql(..., ddls=[...]) — the collapse needs the table's "
+                "engine family, sort key and version column"
+            )
+        out.append(sql[last : m.start()])
+        out.append(f"FROM ({_final_subquery(metas[t])}) AS {t}")
+        last = m.end()
+    if not out:
+        raise UnsupportedClickHouseSQL(
+            "FINAL outside the `FROM <table> FINAL` form (aliased or "
+            "join-side FINALs) — collapse via upsert_latest_wins first"
+        )
+    out.append(sql[last:])
+    return "".join(out)
+
+
+def ch_sql(
+    spark: SparkSession,
+    sf_dir: str,
+    sql: str,
+    ddls: list[str] | None = None,
+) -> DataFrame:
     """Run a ClickHouse-dialect query against the test tables: registers
-    each table as a temp view, translates, executes Spark-side. The
-    simple-form ``ORDER BY ... WITH FILL`` tail is handled here (schema-
-    aware — see :func:`_apply_with_fill`); bare :func:`translate` has no
-    schema and refuses it."""
+    each table as a temp view, translates, executes Spark-side. Two
+    constructs bare :func:`translate` refuses are handled here with the
+    extra context they need: the simple-form ``ORDER BY ... WITH FILL``
+    tail (schema-aware — see :func:`_apply_with_fill`) and ``FROM t
+    FINAL`` when the table's ClickHouse DDL is passed via ``ddls``
+    (engine-aware — see :func:`_apply_final`)."""
     for name, df in load_tables(spark, sf_dir).items():
         df.createOrReplaceTempView(name)
+    if ddls and re.search(r"\bFINAL\b", _mask_literals(sql), re.I):
+        metas = {}
+        for d in ddls:
+            meta = merge_tree_meta(d)
+            metas[meta["name"]] = meta
+        sql = _apply_final(sql, metas)
     if re.search(r"\bWITH\s+FILL\b", _mask_literals(sql), re.I):
         return _apply_with_fill(spark, sql)
     return spark.sql(translate(sql))
@@ -2064,3 +2304,139 @@ def ch_dialect_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: same single-stream parity as the fill itself; the carry
     window adds the listed columns to the one-column key stream."""
     return ch_sql(spark, sf_dir, _CH_FILL_INTERP_QUERY)
+
+
+# ---- FROM t FINAL, end-to-end (DDL-aware collapse) ----
+# the fixture: an upsert-shaped state table over events — (user_id,
+# event_type) is the sort key, event_id the (unique, so tie-free)
+# version; FINAL must read back only the latest state row per key
+_CH_FINAL_DDL = """
+    CREATE TABLE IF NOT EXISTS cdr_state ON CLUSTER '{cluster}' (
+        user_id UInt64,
+        event_type LowCardinality(String),
+        ver UInt64,
+        value Float64
+    ) ENGINE = ReplacingMergeTree(ver)
+    ORDER BY (user_id, event_type)
+    SETTINGS index_granularity = 8192
+"""
+
+_CH_FINAL_QUERY = """
+    SELECT event_type, n_state, n_users, max_ver,
+           toFloat64(total_dec) AS total_value
+    FROM (
+        SELECT event_type,
+               toUInt32(count()) AS n_state,
+               uniqExact(user_id) AS n_users,
+               max(ver) AS max_ver,
+               sum(toDecimal64(value, 4)) AS total_dec
+        FROM cdr_state FINAL
+        GROUP BY event_type
+    ) AS s
+    ORDER BY event_type
+"""
+
+_CH_FINAL_ORACLE = """
+    WITH latest AS (
+      SELECT user_id, event_type, ver, value FROM (
+        SELECT user_id, event_type, event_id AS ver, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY event_id DESC) AS rn
+        FROM events) WHERE rn = 1)
+    SELECT event_type,
+           COUNT(*) AS n_state,
+           COUNT(DISTINCT user_id) AS n_users,
+           MAX(ver) AS max_ver,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM latest GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query("ch_dialect_final", _CH_FINAL_ORACLE)
+def ch_dialect_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``FROM t FINAL`` translated engine-aware: the table's verbatim
+    ClickHouse DDL (ON CLUSTER / LowCardinality / SETTINGS noise intact)
+    rides along via ``ch_sql(..., ddls=)`` — the same artifact the
+    reference pipes between its phases (sharding_recreation.py:49-107) —
+    and the ReplacingMergeTree(ver) collapse becomes a deterministic
+    max-version-per-sort-key window before the user's aggregation runs.
+    Oracled against DuckDB's independent ROW_NUMBER spelling over the
+    raw events.
+
+    Scale: the collapse is one hash-partitioned window on the sort key —
+    the same single-shuffle shape as upsert_latest_wins; everything
+    after it is ordinary pushed-down Spark SQL."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW cdr_state AS "
+        "SELECT user_id, event_type, event_id AS ver, value FROM events"
+    )
+    return ch_sql(spark, sf_dir, _CH_FINAL_QUERY, ddls=[_CH_FINAL_DDL])
+
+
+# the Summing arm: every non-key column numeric (Decimal so the sums
+# are order-free exact), FINAL = group-sum with CH's all-zero row drop
+_CH_SUMMING_DDL = """
+    CREATE TABLE cdr_totals (
+        l_suppkey UInt64,
+        l_returnflag LowCardinality(String),
+        qty Decimal(18, 2),
+        revenue Decimal(18, 2)
+    ) ENGINE = SummingMergeTree()
+    ORDER BY (l_suppkey, l_returnflag)
+"""
+
+_CH_SUMMING_QUERY = """
+    SELECT l_returnflag, n_keys,
+           toFloat64(qty_dec) AS sum_qty,
+           toFloat64(rev_dec) AS max_supplier_rev
+    FROM (
+        SELECT l_returnflag,
+               toUInt32(count()) AS n_keys,
+               sum(qty) AS qty_dec,
+               max(revenue) AS rev_dec
+        FROM cdr_totals FINAL
+        GROUP BY l_returnflag
+    ) AS s
+    ORDER BY l_returnflag
+"""
+
+_CH_SUMMING_ORACLE = """
+    WITH collapsed AS (
+      SELECT l_suppkey, l_returnflag,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS revenue
+      FROM lineitem GROUP BY l_suppkey, l_returnflag
+      HAVING NOT (SUM(CAST(l_quantity AS DECIMAL(18,2))) = 0
+                  AND SUM(CAST(l_extendedprice AS DECIMAL(18,2))) = 0))
+    SELECT l_returnflag,
+           COUNT(*) AS n_keys,
+           CAST(SUM(qty) AS DOUBLE) AS sum_qty,
+           CAST(MAX(revenue) AS DOUBLE) AS max_supplier_rev
+    FROM collapsed GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+@query("ch_dialect_final_summing", _CH_SUMMING_ORACLE)
+def ch_dialect_final_summing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``FROM t FINAL`` on a SummingMergeTree: the collapse becomes a
+    group-sum over the sort key with ClickHouse's all-zero-row drop
+    (rows whose every summed column totals zero are deleted at merge,
+    so FINAL must not show them). Decimal value columns keep the sums
+    order-free exact on both engines; the engine-family dispatch,
+    non-summed-column refusal and Nullable refusal live in
+    _final_subquery.
+
+    Scale: the collapse is one partial-aggregated hash shuffle on the
+    sort key — strictly cheaper than the Replacing window (no per-row
+    rank), and AQE coalesces the post-collapse side."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW cdr_totals AS "
+        "SELECT l_suppkey, l_returnflag, "
+        "CAST(l_quantity AS DECIMAL(18,2)) AS qty, "
+        "CAST(l_extendedprice AS DECIMAL(18,2)) AS revenue FROM lineitem"
+    )
+    return ch_sql(spark, sf_dir, _CH_SUMMING_QUERY, ddls=[_CH_SUMMING_DDL])

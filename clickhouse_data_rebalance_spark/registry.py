@@ -218,6 +218,8 @@ DRIVER_ORDER_TIER2: list[str] = [
     "ch_dialect_topk",
     "ch_dialect_with_fill",
     "ch_dialect_fill_interpolate",
+    "ch_dialect_final",
+    "ch_dialect_final_summing",
     "stream_quality_gate",
     "bucketed_join_noshuffle",
     "media_resize",

@@ -2094,3 +2094,234 @@ def test_with_fill_interpolate_carry_forward(spark):
             raise AssertionError(f"should have refused: {bad}")
         except UnsupportedClickHouseSQL:
             pass
+
+
+def test_merge_tree_meta_parsing():
+    from clickhouse_data_rebalance_spark.plans.ch_dialect import (
+        UnsupportedClickHouseSQL,
+        merge_tree_meta,
+    )
+
+    meta = merge_tree_meta(
+        """
+        CREATE TABLE IF NOT EXISTS db.t ON CLUSTER '{cluster}' (
+            k UInt64,
+            s LowCardinality(String),
+            d Decimal(18, 2),
+            v UInt64,
+            INDEX idx_s s TYPE set(0) GRANULARITY 4
+        ) ENGINE = ReplacingMergeTree(v)
+        PARTITION BY s
+        ORDER BY (k, s)
+        SETTINGS index_granularity = 8192
+        """
+    )
+    assert meta["name"] == "t"
+    assert meta["family"] == "Replacing"
+    assert meta["params"] == ["v"]
+    # Decimal(18, 2)'s inner comma must not split the column list; the
+    # INDEX entry must be skipped
+    assert meta["columns"] == [
+        ("k", "UInt64"),
+        ("s", "LowCardinality(String)"),
+        ("d", "Decimal(18, 2)"),
+        ("v", "UInt64"),
+    ]
+    assert meta["keys"] == ["k", "s"]
+    # single bare-column ORDER BY (no parens)
+    meta2 = merge_tree_meta(
+        "CREATE TABLE u (k UInt64, n Int32) ENGINE = SummingMergeTree() "
+        "ORDER BY k"
+    )
+    assert meta2["family"] == "Summing" and meta2["keys"] == ["k"]
+    # expression sort keys carry no reconstructible collapse identity
+    for bad in (
+        "CREATE TABLE e (k UInt64) ENGINE = MergeTree ORDER BY tuple()",
+        "CREATE TABLE e (k UInt64, t DateTime) ENGINE = "
+        "ReplacingMergeTree() ORDER BY toDate(t)",
+        "CREATE TABLE e (k UInt64) ENGINE = Distributed(c, d, t)",
+    ):
+        try:
+            merge_tree_meta(bad)
+            raise AssertionError(f"should have refused: {bad}")
+        except UnsupportedClickHouseSQL:
+            pass
+
+
+def test_final_replacing_semantics(spark):
+    """ReplacingMergeTree FINAL keeps the max-version row per sort key;
+    version ties break by the remaining columns DESC (the documented
+    deterministic refinement of CH's insertion-order tie)."""
+    from clickhouse_data_rebalance_spark.plans.ch_dialect import (
+        _apply_final,
+        merge_tree_meta,
+        translate,
+    )
+
+    spark.createDataFrame(
+        [
+            (1, "a", 1, 10.0),
+            (1, "a", 3, 30.0),   # max version for (1,a) -> survives
+            (1, "a", 2, 20.0),
+            (2, "b", 7, 70.0),   # tie on ver=7: value 71.0 > 70.0 wins
+            (2, "b", 7, 71.0),
+            (3, "c", 5, 50.0),   # singleton key
+        ],
+        "user_id long, event_type string, ver long, value double",
+    ).createOrReplaceTempView("final_t")
+    meta = merge_tree_meta(
+        "CREATE TABLE final_t (user_id UInt64, event_type String, "
+        "ver UInt64, value Float64) ENGINE = ReplacingMergeTree(ver) "
+        "ORDER BY (user_id, event_type)"
+    )
+    out = spark.sql(
+        translate(
+            _apply_final(
+                "SELECT user_id, event_type, ver, value FROM final_t FINAL "
+                "ORDER BY user_id",
+                {"final_t": meta},
+            )
+        )
+    ).collect()
+    assert [tuple(r) for r in out] == [
+        (1, "a", 3, 30.0),
+        (2, "b", 7, 71.0),
+        (3, "c", 5, 50.0),
+    ]
+
+
+def test_final_summing_semantics(spark):
+    """SummingMergeTree FINAL group-sums the value columns per sort key
+    and DROPS rows whose every summed column totals zero (CH deletes
+    them at merge)."""
+    from clickhouse_data_rebalance_spark.plans.ch_dialect import (
+        _apply_final,
+        merge_tree_meta,
+        translate,
+    )
+
+    spark.createDataFrame(
+        [
+            ("a", 1, 5, 2),
+            ("a", 1, 3, -2),    # (a,1): n=8, m=0 -> kept (n nonzero)
+            ("b", 2, 4, -4),
+            ("b", 2, -4, 4),    # (b,2): n=0, m=0 -> dropped
+            ("c", 3, 1, 1),
+        ],
+        "k string, g int, n int, m int",
+    ).createOrReplaceTempView("sum_t")
+    meta = merge_tree_meta(
+        "CREATE TABLE sum_t (k String, g Int32, n Int64, m Int64) "
+        "ENGINE = SummingMergeTree() ORDER BY (k, g)"
+    )
+    out = spark.sql(
+        translate(
+            _apply_final(
+                "SELECT k, g, n, m FROM sum_t FINAL ORDER BY k",
+                {"sum_t": meta},
+            )
+        )
+    ).collect()
+    assert [tuple(r) for r in out] == [("a", 1, 8, 0), ("c", 3, 1, 1)]
+
+
+def test_final_refusals(spark):
+    from clickhouse_data_rebalance_spark.plans.ch_dialect import (
+        UnsupportedClickHouseSQL,
+        _apply_final,
+        merge_tree_meta,
+        translate,
+    )
+
+    def expect_refusal(sql, metas, frag):
+        try:
+            _apply_final(sql, metas)
+            raise AssertionError(f"should have refused: {sql}")
+        except UnsupportedClickHouseSQL as e:
+            assert frag in str(e), (frag, str(e))
+
+    q = "SELECT * FROM t FINAL"
+    mk = lambda ddl: {"t": merge_tree_meta(ddl)}  # noqa: E731
+    # engine families whose FINAL folds state the SQL text can't express
+    expect_refusal(
+        q,
+        mk("CREATE TABLE t (k UInt64, sign Int8) ENGINE = "
+           "CollapsingMergeTree(sign) ORDER BY k"),
+        "collapsing_sign_merge",
+    )
+    expect_refusal(
+        q,
+        mk("CREATE TABLE t (k UInt64, st AggregateFunction(sum, UInt64)) "
+           "ENGINE = AggregatingMergeTree() ORDER BY k"),
+        "agg_state_merge",
+    )
+    # plain MergeTree has no collapse; Replacing without a version
+    # column collapses by unobservable insertion order
+    expect_refusal(
+        q,
+        mk("CREATE TABLE t (k UInt64, v UInt64) ENGINE = MergeTree() "
+           "ORDER BY k"),
+        "no merge-collapse semantics",
+    )
+    expect_refusal(
+        q,
+        mk("CREATE TABLE t (k UInt64, v UInt64) ENGINE = "
+           "ReplacingMergeTree() ORDER BY k"),
+        "insertion order",
+    )
+    # Summing: a non-numeric non-key column would keep an ARBITRARY
+    # value; a Nullable summed column diverges on NULL handling
+    expect_refusal(
+        q,
+        mk("CREATE TABLE t (k UInt64, n Int64, note String) ENGINE = "
+           "SummingMergeTree() ORDER BY k"),
+        "ARBITRARY",
+    )
+    expect_refusal(
+        q,
+        mk("CREATE TABLE t (k UInt64, n Nullable(Int64)) ENGINE = "
+           "SummingMergeTree() ORDER BY k"),
+        "Nullable",
+    )
+    # no DDL provided for the FINAL table; qualified names
+    expect_refusal(q, {}, "no DDL")
+    expect_refusal(
+        "SELECT * FROM db.t FINAL",
+        mk("CREATE TABLE t (k UInt64, v UInt64) ENGINE = "
+           "ReplacingMergeTree(v) ORDER BY k"),
+        "qualified",
+    )
+    # bare translate() still refuses with the ch_sql pointer
+    try:
+        translate("SELECT * FROM t FINAL")
+        raise AssertionError("translate should refuse FINAL")
+    except UnsupportedClickHouseSQL as e:
+        assert "ddls" in str(e)
+
+
+def test_final_literal_masked(spark):
+    """'FROM t FINAL' inside a string literal is data: the rewrite must
+    not fire on it, and the literal's content must survive."""
+    from clickhouse_data_rebalance_spark.plans.ch_dialect import (
+        _apply_final,
+        merge_tree_meta,
+        translate,
+    )
+
+    spark.createDataFrame(
+        [(1, 1, 1.0)], "user_id long, ver long, value double"
+    ).createOrReplaceTempView("lit_t")
+    meta = merge_tree_meta(
+        "CREATE TABLE lit_t (user_id UInt64, ver UInt64, value Float64) "
+        "ENGINE = ReplacingMergeTree(ver) ORDER BY user_id"
+    )
+    out = spark.sql(
+        translate(
+            _apply_final(
+                "SELECT 'SELECT * FROM x FINAL' AS s, user_id "
+                "FROM lit_t FINAL",
+                {"lit_t": meta},
+            )
+        )
+    ).collect()
+    assert out[0]["s"] == "SELECT * FROM x FINAL"
