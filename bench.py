@@ -99,6 +99,13 @@ EXTENDED = [
     "ch_dialect_quantile",
     "ch_dialect_topk",
     "ch_dialect_with_fill",
+    # round 9, wave 2: context-aware rewrites (DDL-resolved FINAL,
+    # union+window ASOF, key-deduped ANY) + the BPE trainer loop
+    "ch_dialect_final",
+    "ch_dialect_final_summing",
+    "ch_dialect_asof_join",
+    "ch_dialect_any_join",
+    "bpe_train_merges",
 ]
 
 HEADLINE = CORE + EXTENDED

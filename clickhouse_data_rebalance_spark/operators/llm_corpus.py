@@ -943,3 +943,158 @@ def mixture_sample_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---- multi-step BPE trainer ----
+# the iterative loop bpe_merge_step documents: K rounds of (count
+# adjacent pairs -> pick the most frequent -> rewrite every token
+# stream with the winning merge, left-to-right non-overlapping).
+BPE_TRAIN_STEPS = 2
+
+
+def _bpe_step_sql(src: str, k: int) -> str:
+    """One unrolled oracle step: pair counts over ``src``, winner
+    ``w{k}`` (count DESC, pair ASC), and the rewritten corpus ``t{k}``.
+
+    The rewrite mirrors the fold's left-to-right non-overlap rule in
+    set algebra: position i starts a merge iff (t[i], t[i+1]) is the
+    winning pair AND — when the pair is a self-pair (a = b), where
+    merges can chain — i sits at an EVEN offset inside its maximal run
+    of a's (gaps-and-islands + parity); position i+1 is then consumed.
+    The parity rule also makes a consumed position never a merge start,
+    so the rebuild is a single FILTER + ordered list_agg."""
+    return f"""
+    c{k} AS (
+      SELECT t[i] AS a, t[i + 1] AS b, COUNT(*) AS n
+      FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+            FROM {src} WHERE len(t) >= 2)
+      GROUP BY a, b
+    ),
+    w{k} AS (SELECT a, b, n FROM c{k} ORDER BY n DESC, a, b LIMIT 1),
+    p{k} AS (
+      SELECT doc_id, unnest(generate_series(1, len(t))) AS i, t
+      FROM {src}
+    ),
+    m{k} AS (
+      SELECT x.doc_id, x.i, x.tok, x.nxt, x.a, x.b,
+             CASE WHEN x.tok = x.a THEN
+               x.i - ROW_NUMBER() OVER (
+                 PARTITION BY x.doc_id, (x.tok = x.a) ORDER BY x.i)
+             END AS island
+      FROM (SELECT p.doc_id, p.i, p.t[p.i] AS tok, p.t[p.i + 1] AS nxt,
+                   w.a, w.b
+            FROM p{k} p CROSS JOIN w{k} w) x
+    ),
+    s{k} AS (
+      SELECT doc_id, i, tok, a, b,
+             (COALESCE(tok = a AND nxt = b, FALSE)
+              AND (a <> b OR
+                   (i - MIN(i) OVER (PARTITION BY doc_id, island)) % 2 = 0))
+               AS mstart
+      FROM m{k}
+    ),
+    f{k} AS (
+      SELECT doc_id, i, tok, a, b, mstart,
+             COALESCE(LAG(mstart) OVER (PARTITION BY doc_id ORDER BY i),
+                      FALSE) AS consumed
+      FROM s{k}
+    ),
+    t{k} AS (
+      SELECT doc_id,
+             list(CASE WHEN mstart THEN a || '+' || b ELSE tok END
+                  ORDER BY i) AS t
+      FROM f{k} WHERE NOT consumed GROUP BY doc_id
+    )"""
+
+
+_BPE_TRAIN_ORACLE = (
+    """
+    WITH t0 AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+    ),"""
+    + ",".join(_bpe_step_sql(f"t{k - 1}", k) for k in range(1, BPE_TRAIN_STEPS + 1))
+    + "".join(
+        f"""
+    {"SELECT" if k == 1 else "UNION ALL SELECT"} {k} AS step,
+           (SELECT a FROM w{k}) AS a, (SELECT b FROM w{k}) AS b,
+           (SELECT n FROM w{k}) AS n_occurrences,
+           (SELECT SUM(len(t)) FROM t{k}) AS corpus_tokens_after"""
+        for k in range(1, BPE_TRAIN_STEPS + 1)
+    )
+    + " ORDER BY step"
+)
+
+
+def bpe_apply_merge(col, a: str, b: str):
+    """Rewrite a token array with ONE merge rule, left-to-right
+    non-overlapping, as a rowwise JVM fold: walk the tokens, and when
+    the previous emitted token equals ``a`` and the current equals
+    ``b``, replace the tail with the merged token (``a+b`` joined with
+    '+', which is strictly longer than ``a`` — so a merge result can
+    never immediately re-trigger, which is exactly the non-overlap
+    rule)."""
+    merged = f"{a}+{b}"
+    return F.aggregate(
+        col,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.get(acc, F.size(acc) - 1) == F.lit(a)) & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1),
+                F.array(F.lit(merged)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+@query("bpe_train_merges", _BPE_TRAIN_ORACLE)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE trainer loop (tokenizer induction over the corpus):
+    BPE_TRAIN_STEPS rounds of count-pairs -> pick-winner -> rewrite,
+    emitting one row per round with the chosen merge, its pre-rewrite
+    occurrence count, and the corpus token total after applying it.
+    Winner ties break (count DESC, pair ASC) so the trajectory is
+    deterministic across engines; the DuckDB oracle unrolls the same
+    rounds with an independent gaps-and-islands + parity spelling of
+    the left-to-right non-overlap rule the fold implements.
+
+    Scale: each round is one map-side-combined pair count (the
+    bpe_merge_step shape), a 1-row TakeOrdered winner collect
+    (K-bounded metadata, never data), and a ZERO-shuffle rowwise
+    rewrite — the fold stays in whole-stage codegen. The fold copies
+    its accumulator per element (quadratic in per-doc length), fine to
+    ~10k-token documents; a 100 TB corpus of longer docs swaps
+    bpe_apply_merge for a linear mapInPandas pass, keeping the same
+    per-round plan."""
+    d = table(spark, sf_dir, "documents")
+    cur = d.select("doc_id", tokens("text").alias("t"))
+    rows = []
+    for step in range(1, BPE_TRAIN_STEPS + 1):
+        pairs = (
+            cur.filter(F.size("t") >= 2)
+            .select(
+                F.explode(F.sequence(F.lit(1), F.size("t") - 1)).alias("i"),
+                "t",
+            )
+            .select(
+                F.element_at("t", F.col("i")).alias("a"),
+                F.element_at("t", F.col("i") + 1).alias("b"),
+            )
+            .groupBy("a", "b")
+            .count()
+        )
+        top = pairs.orderBy(F.desc("count"), "a", "b").limit(1).collect()
+        if not top:  # pragma: no cover - fixture always has pairs
+            break
+        a, b, n = top[0]["a"], top[0]["b"], top[0]["count"]
+        cur = cur.select("doc_id", bpe_apply_merge(F.col("t"), a, b).alias("t"))
+        # checkpoint the lineage between rounds: each round's plan
+        # otherwise nests the previous round's fold expression
+        cur = cur.localCheckpoint(eager=False)
+        after = cur.agg(F.sum(F.size("t")).alias("s")).collect()[0]["s"]
+        rows.append((step, a, b, int(n), int(after)))
+    return spark.createDataFrame(
+        rows,
+        "step int, a string, b string, n_occurrences bigint, "
+        "corpus_tokens_after bigint",
+    ).orderBy("step")

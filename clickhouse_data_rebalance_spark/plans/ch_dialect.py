@@ -165,17 +165,23 @@ _REFUSALS: list[tuple[re.Pattern[str], str]] = [
         "or use upsert_latest_wins",
     ),
     # ANY JOIN keeps at most one right-side match per left row — the
-    # faithful translation needs the right side deduplicated BY THE JOIN
-    # KEYS, which the ON text does not carry reliably
+    # faithful translation needs the right table's column list for the
+    # deterministic dedup, which the SQL text does not carry — ch_sql()
+    # DOES translate the single-clause equi-ON LEFT/INNER form
+    # schema-aware (see _apply_any_join)
     (
         re.compile(r"\bANY\s+(LEFT\s+|RIGHT\s+|INNER\s+)?JOIN\b", re.I),
-        "dedupe the right side first (dedup_by_key / upsert_latest_wins), "
-        "then plain JOIN",
+        "run via ch_sql (right side deduped by the join keys) or dedupe "
+        "explicitly (dedup_by_key / upsert_latest_wins), then plain JOIN",
     ),
-    # ClickHouse ASOF JOIN: use the native as-of operator family
+    # ClickHouse ASOF JOIN: the deterministic tie order needs the right
+    # table's column list, which the SQL text does not carry — ch_sql()
+    # DOES translate the single-clause ON form schema-aware (see
+    # _apply_asof_join, which rewrites before reaching here)
     (
         re.compile(r"\bASOF\s+(LEFT\s+)?JOIN\b", re.I),
-        "use asof_join / asof_join_tolerance / asof_join_forward",
+        "run via ch_sql (lateral-top-1 rewrite) or use asof_join / "
+        "asof_join_tolerance / asof_join_forward",
     ),
     # the rest of the parametric-aggregate zoo: each points at the
     # native operator that computes the same thing deterministically
@@ -1569,6 +1575,254 @@ def _apply_final(sql: str, metas: dict[str, dict]) -> str:
     return "".join(out)
 
 
+# ---- ASOF [LEFT] JOIN (schema-aware, ch_sql only) ----
+# ClickHouse's ASOF JOIN: for each left row, join the single right row
+# that is CLOSEST under the one inequality condition (>= / > / <= / <),
+# among rows matching the equality conditions. The rewrite targets the
+# union + carry-forward-window shape the native asof_join family uses:
+# tag left and right rows, union them aligned on the equality keys,
+# and carry the latest right row (packed into ONE struct column named
+# BY THE RIGHT ALIAS, so the outer query's `ra.col` references resolve
+# as struct FIELD access on the derived table) along the asof order
+# with last_value IGNORE NULLS.
+#
+# Why not the lateral-top-1 spelling join_lateral_topn proves out?
+# Catalyst decorrelates a correlated LIMIT subquery whose predicates
+# include a NON-EQUALITY into a domain join executed as a nested-loop
+# over distinct(left keys) x right — measured on this very query: a
+# BroadcastNestedLoopJoin in the final plan, O(|left| * |right|) work
+# at scale. The union+window form is ONE hash shuffle on the equality
+# keys, the plan the 100 TB path needs.
+#
+# CH leaves the pick among EQUAL asof-key values unspecified; the
+# rewrite totals the order with the right-row struct itself (field-wise
+# struct comparison -> greatest remaining-column tuple wins; the same
+# deterministic-refinement ethos as FINAL's version-tie rule) — which
+# needs both tables' schemas, hence ch_sql-only (bare translate()
+# keeps refusing with the operator pointer).
+
+_ASOF_KEYWORD_GUARD = r"(?!(?:ASOF|LEFT|INNER|JOIN|FINAL|ON)\b)"
+_ASOF_CLAUSE = re.compile(
+    rf"\bFROM\s+([A-Za-z_]\w*)(?:\s+(?:AS\s+)?{_ASOF_KEYWORD_GUARD}([A-Za-z_]\w*))?"
+    rf"\s+ASOF\s+(LEFT\s+)?(?:INNER\s+)?JOIN\s+"
+    rf"([A-Za-z_]\w*)(?:\s+(?:AS\s+)?{_ASOF_KEYWORD_GUARD}([A-Za-z_]\w*))?"
+    rf"\s+ON\s+(.*?)"
+    r"(?=\bWHERE\b|\bGROUP\b|\bORDER\b|\bHAVING\b|\bLIMIT\b|\bSETTINGS\b"
+    r"|\bFORMAT\b|$)",
+    re.I | re.S,
+)
+_ASOF_COND = re.compile(
+    r"^\s*([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*(>=|<=|!?=|>|<)\s*"
+    r"([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*$"
+)
+
+
+def _apply_asof_join(spark: SparkSession, sql: str) -> str:
+    masked = _mask_literals(sql)
+    ms = list(_ASOF_CLAUSE.finditer(masked))
+    if len(ms) != 1:
+        raise UnsupportedClickHouseSQL(
+            "ASOF JOIN is supported as a single `FROM l [la] ASOF [LEFT] "
+            "JOIN r [ra] ON <equi-conds AND one inequality>` clause "
+            "(USING, multi-join and subquery forms: asof_join / "
+            "asof_join_tolerance / asof_join_forward)"
+        )
+    m = ms[0]
+    ltab, la = m.group(1), m.group(2) or m.group(1)
+    left_join = bool(m.group(3))
+    rtab, ra = m.group(4), m.group(5) or m.group(4)
+    conds = m.group(6).strip()
+    if "(" in conds or ")" in conds:
+        raise UnsupportedClickHouseSQL(
+            "parenthesized / function ON conditions in ASOF JOIN — "
+            "use the native asof_join family"
+        )
+    eqs: list[tuple[str, str]] = []  # (left col, right col)
+    ineq: tuple[str, str, str] | None = None  # (lcol, op, rcol)
+    for piece in re.split(r"\bAND\b", conds, flags=re.I):
+        cm = _ASOF_COND.match(piece)
+        if not cm:
+            raise UnsupportedClickHouseSQL(
+                f"unparseable ASOF ON condition {piece.strip()!r} — "
+                "alias-qualified `a.col <op> b.col` conditions only"
+            )
+        a1, c1, op, a2, c2 = cm.groups()
+        if {a1, a2} != {la, ra}:
+            raise UnsupportedClickHouseSQL(
+                f"ASOF ON condition {piece.strip()!r} must relate the two "
+                f"join sides ({la!r}, {ra!r})"
+            )
+        # normalize to left-side-first
+        if a1 == la:
+            lcol, rcol = c1, c2
+        else:
+            lcol, rcol = c2, c1
+            op = {">=": "<=", "<=": ">=", ">": "<", "<": ">"}.get(op, op)
+        if op == "=":
+            eqs.append((lcol, rcol))
+        elif op == "!=":
+            raise UnsupportedClickHouseSQL("!= in ASOF ON has no asof order")
+        else:
+            if ineq is not None:
+                raise UnsupportedClickHouseSQL(
+                    "ASOF JOIN needs exactly ONE inequality condition"
+                )
+            ineq = (lcol, op, rcol)
+    if not eqs or ineq is None:
+        raise UnsupportedClickHouseSQL(
+            "ASOF JOIN needs at least one equality condition and exactly "
+            "one inequality condition"
+        )
+    lcol, op, rcol = ineq
+    try:
+        lschema = spark.table(ltab).schema
+        rschema = spark.table(rtab).schema
+    except Exception as e:  # pragma: no cover - defensive
+        raise UnsupportedClickHouseSQL(
+            "ASOF JOIN sides must be registered tables/views "
+            f"({ltab!r}, {rtab!r})"
+        ) from e
+    lnames = [f.name for f in lschema]
+    if ra in lnames or la == ra:
+        raise UnsupportedClickHouseSQL(
+            f"ASOF right alias {ra!r} collides with a left column/alias — "
+            "the rewrite exposes the matched right row under that name"
+        )
+    # union-aligned projections: left columns ride flat; the equality
+    # keys and asof key get shared names; the right row travels as one
+    # struct (typed NULL on the left arm)
+    struct_t = T.StructType(list(rschema)).simpleString()
+    ks = [f"__cdr_k{i}" for i in range(len(eqs))]
+    # ord: whichever side must be VISIBLE first at an equal asof value
+    # sorts first — right for the inclusive ops (>=, <=), left for the
+    # strict ones (the left row then never sees an equal-key right row)
+    right_first = op in (">=", "<=")
+    ord_l, ord_r = (1, 0) if right_first else (0, 1)
+    left_arm = ", ".join(
+        lnames
+        + [f"{lc} AS {k}" for k, (lc, _) in zip(ks, eqs)]
+        + [
+            f"{lcol} AS __cdr_t",
+            f"{ord_l} AS __cdr_ord",
+            f"CAST(NULL AS {struct_t}) AS __cdr_p",
+        ]
+    )
+    right_arm = ", ".join(
+        [f"CAST(NULL AS {f.dataType.simpleString()}) AS {f.name}" for f in lschema]
+        + [f"{rc} AS {k}" for k, (_, rc) in zip(ks, eqs)]
+        + [
+            f"{rcol} AS __cdr_t",
+            f"{ord_r} AS __cdr_ord",
+            f"struct({', '.join(f.name for f in rschema)}) AS __cdr_p",
+        ]
+    )
+    tdir = "" if op in (">=", ">") else " DESC"
+    carry = (
+        f"last_value(__cdr_p) IGNORE NULLS OVER ("
+        f"PARTITION BY {', '.join(ks)} "
+        f"ORDER BY __cdr_t{tdir}, __cdr_ord, __cdr_p "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    )
+    keep = f"__cdr_ord = {ord_l}" + ("" if left_join else f" AND {ra} IS NOT NULL")
+    joined = (
+        f"FROM (SELECT {', '.join(lnames)}, {ra} FROM ("
+        f"SELECT {', '.join(lnames)}, __cdr_ord, {carry} AS {ra} FROM ("
+        f"SELECT {left_arm} FROM {ltab} UNION ALL "
+        f"SELECT {right_arm} FROM {rtab}) __cdr_u) __cdr_w "
+        f"WHERE {keep}) {la}"
+    )
+    # the ON-conds capture swallows trailing whitespace up to the
+    # lookahead keyword — restore one separator
+    return sql[: m.start()] + joined + " " + sql[m.end() :]
+
+
+# ---- ANY [LEFT|INNER] JOIN (schema-aware, ch_sql only) ----
+# ClickHouse's ANY JOIN keeps at most ONE right-side match per left
+# row — WHICH match is unspecified. The faithful deterministic
+# refinement: dedupe the right side BY THE JOIN KEYS first (greatest
+# remaining-column struct wins, the FINAL/ASOF tie rule), then join
+# plain — which needs the right table's column list, hence ch_sql-only.
+# ANY RIGHT JOIN (dedupes the LEFT side, mirrored semantics) refuses
+# with the pointer rather than guessing which side the user meant.
+
+_ANY_CLAUSE = re.compile(
+    rf"\bFROM\s+([A-Za-z_]\w*)(?:\s+(?:AS\s+)?{_ASOF_KEYWORD_GUARD}(?!ANY\b)([A-Za-z_]\w*))?"
+    rf"\s+ANY\s+(LEFT\s+|INNER\s+)?JOIN\s+"
+    rf"([A-Za-z_]\w*)(?:\s+(?:AS\s+)?{_ASOF_KEYWORD_GUARD}([A-Za-z_]\w*))?"
+    rf"\s+ON\s+(.*?)"
+    r"(?=\bWHERE\b|\bGROUP\b|\bORDER\b|\bHAVING\b|\bLIMIT\b|\bSETTINGS\b"
+    r"|\bFORMAT\b|$)",
+    re.I | re.S,
+)
+
+
+def _apply_any_join(spark: SparkSession, sql: str) -> str:
+    masked = _mask_literals(sql)
+    if re.search(r"\bANY\s+(RIGHT|FULL)\s+JOIN\b", masked, re.I):
+        raise UnsupportedClickHouseSQL(
+            "ANY RIGHT/FULL JOIN dedupes the LEFT side — flip the join or "
+            "dedupe explicitly (dedup_by_key / upsert_latest_wins)"
+        )
+    ms = list(_ANY_CLAUSE.finditer(masked))
+    if len(ms) != 1:
+        raise UnsupportedClickHouseSQL(
+            "ANY JOIN is supported as a single `FROM l [la] ANY "
+            "[LEFT|INNER] JOIN r [ra] ON <equi-conds>` clause — other "
+            "forms: dedupe the right side first (dedup_by_key), then "
+            "plain JOIN"
+        )
+    m = ms[0]
+    la = m.group(2) or m.group(1)
+    kind = (m.group(3) or "INNER").strip().upper()
+    rtab, ra = m.group(4), m.group(5) or m.group(4)
+    conds = m.group(6).strip()
+    if "(" in conds or ")" in conds:
+        raise UnsupportedClickHouseSQL(
+            "parenthesized / function ON conditions in ANY JOIN — "
+            "dedupe the right side explicitly, then plain JOIN"
+        )
+    rkeys: list[str] = []
+    for piece in re.split(r"\bAND\b", conds, flags=re.I):
+        cm = _ASOF_COND.match(piece)
+        if not cm or cm.group(3) != "=":
+            raise UnsupportedClickHouseSQL(
+                f"ANY JOIN ON condition {piece.strip()!r} must be an "
+                "alias-qualified equality (inequalities make the 'one "
+                "match' pick order-dependent — use ASOF JOIN)"
+            )
+        a1, c1, _, a2, c2 = cm.groups()
+        if {a1, a2} != {la, ra}:
+            raise UnsupportedClickHouseSQL(
+                f"ANY JOIN ON condition {piece.strip()!r} must relate the "
+                f"two join sides ({la!r}, {ra!r})"
+            )
+        rkeys.append(c1 if a1 == ra else c2)
+    try:
+        rcols = [f.name for f in spark.table(rtab).schema]
+    except Exception as e:  # pragma: no cover - defensive
+        raise UnsupportedClickHouseSQL(
+            f"ANY JOIN right side {rtab!r} is not a registered table/view"
+        ) from e
+    missing = [k for k in rkeys if k not in rcols]
+    if missing:
+        raise UnsupportedClickHouseSQL(
+            f"ANY JOIN right-side key(s) {missing} not in {rtab!r}"
+        )
+    dedup = (
+        f"(SELECT {', '.join(rcols)} FROM (SELECT {', '.join(rcols)}, "
+        f"ROW_NUMBER() OVER (PARTITION BY {', '.join(rkeys)} "
+        f"ORDER BY struct({', '.join(rcols)}) DESC) AS __cdr_any_rn "
+        f"FROM {rtab}) __cdr_any WHERE __cdr_any_rn = 1) {ra}"
+    )
+    jt = "LEFT JOIN" if kind == "LEFT" else "JOIN"
+    joined = (
+        f"FROM {m.group(1)}"
+        + (f" {m.group(2)}" if m.group(2) else "")
+        + f" {jt} {dedup} ON {conds}"
+    )
+    return sql[: m.start()] + joined + " " + sql[m.end() :]
+
+
 def ch_sql(
     spark: SparkSession,
     sf_dir: str,
@@ -1579,9 +1833,10 @@ def ch_sql(
     each table as a temp view, translates, executes Spark-side. Two
     constructs bare :func:`translate` refuses are handled here with the
     extra context they need: the simple-form ``ORDER BY ... WITH FILL``
-    tail (schema-aware — see :func:`_apply_with_fill`) and ``FROM t
+    tail (schema-aware — see :func:`_apply_with_fill`), ``FROM t
     FINAL`` when the table's ClickHouse DDL is passed via ``ddls``
-    (engine-aware — see :func:`_apply_final`)."""
+    (engine-aware — see :func:`_apply_final`), and ``ASOF [LEFT] JOIN``
+    (schema-aware tie order — see :func:`_apply_asof_join`)."""
     for name, df in load_tables(spark, sf_dir).items():
         df.createOrReplaceTempView(name)
     if ddls and re.search(r"\bFINAL\b", _mask_literals(sql), re.I):
@@ -1590,6 +1845,10 @@ def ch_sql(
             meta = merge_tree_meta(d)
             metas[meta["name"]] = meta
         sql = _apply_final(sql, metas)
+    if re.search(r"\bASOF\s+(LEFT\s+)?JOIN\b", _mask_literals(sql), re.I):
+        sql = _apply_asof_join(spark, sql)
+    if re.search(r"\bANY\s+(\w+\s+)?JOIN\b", _mask_literals(sql), re.I):
+        sql = _apply_any_join(spark, sql)
     if re.search(r"\bWITH\s+FILL\b", _mask_literals(sql), re.I):
         return _apply_with_fill(spark, sql)
     return spark.sql(translate(sql))
@@ -2440,3 +2699,136 @@ def ch_dialect_final_summing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(l_extendedprice AS DECIMAL(18,2)) AS revenue FROM lineitem"
     )
     return ch_sql(spark, sf_dir, _CH_SUMMING_QUERY, ddls=[_CH_SUMMING_DDL])
+
+
+# ---- ASOF LEFT JOIN end-to-end ----
+# the canonical CH time-series shape: each click/view event joins the
+# SAME user's latest purchase at-or-before its timestamp
+_CH_ASOF_QUERY = """
+    SELECT c.event_type AS click_type,
+           toUInt32(count()) AS n_clicks,
+           toUInt32(countIf(p.event_id IS NOT NULL)) AS n_matched,
+           uniqExact(p.event_id) AS n_distinct_purchases
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    GROUP BY click_type
+    ORDER BY click_type
+"""
+
+_CH_ASOF_ORACLE = """
+    WITH clicks AS (
+      SELECT event_id, user_id, ts, event_type FROM events
+      WHERE event_type IN ('click', 'view')
+    ), purchases AS (
+      SELECT user_id, ts, event_id, value FROM events
+      WHERE event_type = 'purchase'
+    ), best AS (
+      SELECT c.event_id AS cid, c.event_type, p.event_id AS pid,
+             ROW_NUMBER() OVER (
+               PARTITION BY c.event_id
+               ORDER BY p.ts DESC, p.user_id DESC, p.event_id DESC,
+                        p.value DESC) AS rn
+      FROM clicks c LEFT JOIN purchases p
+        ON c.user_id = p.user_id AND p.ts <= c.ts)
+    SELECT event_type AS click_type,
+           COUNT(*) AS n_clicks,
+           COUNT(pid) AS n_matched,
+           COUNT(DISTINCT pid) AS n_distinct_purchases
+    FROM best WHERE rn = 1
+    GROUP BY click_type ORDER BY click_type
+"""
+
+
+@query("ch_dialect_asof_join", _CH_ASOF_ORACLE)
+def ch_dialect_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``ASOF LEFT JOIN`` translated schema-aware: each
+    click/view joins the same user's latest purchase at-or-before its
+    timestamp, via the union + carry-forward-window rewrite
+    (_apply_asof_join) whose tie order is totaled by the right-row
+    struct (greatest remaining-column tuple wins). Oracled against
+    DuckDB's independent join + ROW_NUMBER spelling over the raw
+    events (the left side's unique event_id is the partition key, so
+    no synthetic row id is needed; the DESC tiebreaks mirror the
+    greatest-struct rule).
+
+    Scale: ONE hash shuffle on the equality key feeds the carry
+    window — the native asof_join plan shape; the lateral-top-1
+    spelling was measured to decorrelate into a BroadcastNestedLoopJoin
+    domain join (O(|left| x |right|)) and is deliberately not used."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW clicks AS "
+        "SELECT event_id, user_id, ts, event_type FROM events "
+        "WHERE event_type IN ('click', 'view')"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW purchases AS "
+        "SELECT user_id, ts, event_id, value FROM events "
+        "WHERE event_type = 'purchase'"
+    )
+    return ch_sql(spark, sf_dir, _CH_ASOF_QUERY)
+
+
+# ---- ANY LEFT JOIN end-to-end ----
+# each click/view joins at most ONE purchase row of the same user —
+# CH's ANY semantics with the pick made deterministic (greatest
+# remaining-column struct per user)
+_CH_ANY_QUERY = """
+    SELECT c.event_type AS click_type,
+           toUInt32(count()) AS n_clicks,
+           toUInt32(countIf(p.event_id IS NOT NULL)) AS n_matched,
+           uniqExact(p.event_id) AS n_distinct_purchases
+    FROM clicks c ANY LEFT JOIN purchases p ON c.user_id = p.user_id
+    GROUP BY click_type
+    ORDER BY click_type
+"""
+
+_CH_ANY_ORACLE = """
+    WITH clicks AS (
+      SELECT event_id, user_id, ts, event_type FROM events
+      WHERE event_type IN ('click', 'view')
+    ), purchases AS (
+      SELECT user_id, ts, event_id, value FROM events
+      WHERE event_type = 'purchase'
+    ), one AS (
+      SELECT user_id, event_id FROM (
+        SELECT user_id, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                 ORDER BY ts DESC, event_id DESC, value DESC) AS rn
+        FROM purchases) WHERE rn = 1)
+    SELECT c.event_type AS click_type,
+           COUNT(*) AS n_clicks,
+           COUNT(o.event_id) AS n_matched,
+           COUNT(DISTINCT o.event_id) AS n_distinct_purchases
+    FROM clicks c LEFT JOIN one o ON c.user_id = o.user_id
+    GROUP BY click_type ORDER BY click_type
+"""
+
+
+@query("ch_dialect_any_join", _CH_ANY_ORACLE)
+def ch_dialect_any_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``ANY LEFT JOIN`` translated schema-aware: the right
+    side is deduplicated BY THE JOIN KEYS before an ordinary LEFT JOIN
+    (greatest remaining-column struct per key — the same deterministic
+    refinement FINAL and ASOF use for CH's unspecified pick), so each
+    left row keeps at most one match. Oracled against DuckDB's
+    independent ROW_NUMBER-dedup spelling with mirrored DESC tiebreaks.
+
+    Scale: the dedup is one hash-partitioned window on the join keys —
+    strictly smaller than the join's own shuffle — and the joined right
+    side shrinks to one row per key, which AQE then broadcasts when it
+    fits."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW clicks AS "
+        "SELECT event_id, user_id, ts, event_type FROM events "
+        "WHERE event_type IN ('click', 'view')"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW purchases AS "
+        "SELECT user_id, ts, event_id, value FROM events "
+        "WHERE event_type = 'purchase'"
+    )
+    return ch_sql(spark, sf_dir, _CH_ANY_QUERY)

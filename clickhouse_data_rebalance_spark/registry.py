@@ -220,6 +220,9 @@ DRIVER_ORDER_TIER2: list[str] = [
     "ch_dialect_fill_interpolate",
     "ch_dialect_final",
     "ch_dialect_final_summing",
+    "ch_dialect_asof_join",
+    "ch_dialect_any_join",
+    "bpe_train_merges",
     "stream_quality_gate",
     "bucketed_join_noshuffle",
     "media_resize",

@@ -2325,3 +2325,253 @@ def test_final_literal_masked(spark):
         )
     ).collect()
     assert out[0]["s"] == "SELECT * FROM x FINAL"
+
+
+def _asof_run(spark, q):
+    from clickhouse_data_rebalance_spark.plans.ch_dialect import (
+        _apply_asof_join,
+        translate,
+    )
+
+    return [tuple(r) for r in spark.sql(translate(_apply_asof_join(spark, q))).collect()]
+
+
+def test_asof_rewrite_semantics(spark):
+    """All four inequality directions, inclusive vs strict, LEFT vs
+    inner, and the greatest-struct tie rule."""
+    spark.createDataFrame(
+        [("a", 5, "L1"), ("a", 2, "L2"), ("b", 9, "L3")],
+        "k string, t long, lv string",
+    ).createOrReplaceTempView("asof_l")
+    spark.createDataFrame(
+        [("a", 5, "R5a"), ("a", 5, "R5b"), ("a", 3, "R3"), ("a", 7, "R7")],
+        "k string, t long, rv string",
+    ).createOrReplaceTempView("asof_r")
+
+    # >= : inclusive backward — left t=5 may take right t=5; the two
+    # t=5 right rows tie and the GREATEST struct (R5b) wins
+    out = _asof_run(
+        spark,
+        "SELECT l.lv AS lv, r.rv AS rv FROM asof_l l ASOF LEFT JOIN asof_r r "
+        "ON l.k = r.k AND l.t >= r.t ORDER BY lv",
+    )
+    assert out == [("L1", "R5b"), ("L2", None), ("L3", None)]
+
+    # > : strict backward — left t=5 must NOT see right t=5
+    out = _asof_run(
+        spark,
+        "SELECT l.lv AS lv, r.rv AS rv FROM asof_l l ASOF LEFT JOIN asof_r r "
+        "ON l.k = r.k AND l.t > r.t ORDER BY lv",
+    )
+    assert out == [("L1", "R3"), ("L2", None), ("L3", None)]
+
+    # <= : inclusive forward — left t=5 takes the closest right ABOVE
+    # (t=5 included, tie -> greatest struct)
+    out = _asof_run(
+        spark,
+        "SELECT l.lv AS lv, r.rv AS rv FROM asof_l l ASOF LEFT JOIN asof_r r "
+        "ON l.k = r.k AND l.t <= r.t ORDER BY lv",
+    )
+    assert out == [("L1", "R5b"), ("L2", "R3"), ("L3", None)]
+
+    # < strict forward; INNER form drops the unmatched left rows
+    out = _asof_run(
+        spark,
+        "SELECT l.lv AS lv, r.rv AS rv FROM asof_l l ASOF JOIN asof_r r "
+        "ON l.k = r.k AND l.t < r.t ORDER BY lv",
+    )
+    assert out == [("L1", "R7"), ("L2", "R3")]
+
+    # flipped operand order normalizes (r.t <= l.t == l.t >= r.t)
+    out = _asof_run(
+        spark,
+        "SELECT l.lv AS lv, r.rv AS rv FROM asof_l l ASOF LEFT JOIN asof_r r "
+        "ON r.k = l.k AND r.t <= l.t ORDER BY lv",
+    )
+    assert out == [("L1", "R5b"), ("L2", None), ("L3", None)]
+
+
+def test_asof_rewrite_refusals(spark):
+    from clickhouse_data_rebalance_spark.plans.ch_dialect import (
+        UnsupportedClickHouseSQL,
+        _apply_asof_join,
+        translate,
+    )
+
+    spark.createDataFrame(
+        [("a", 1, "x")], "k string, t long, r string"
+    ).createOrReplaceTempView("asof_l2")
+    spark.createDataFrame(
+        [("a", 1, "y")], "k string, t long, rv string"
+    ).createOrReplaceTempView("asof_r2")
+    for bad in (
+        # USING form; no inequality; two inequalities; != ; unqualified;
+        # parenthesized conds; same alias both sides
+        "SELECT * FROM asof_l2 l ASOF JOIN asof_r2 r USING (k, t)",
+        "SELECT * FROM asof_l2 l ASOF JOIN asof_r2 r ON l.k = r.k",
+        "SELECT * FROM asof_l2 l ASOF JOIN asof_r2 r "
+        "ON l.k = r.k AND l.t > r.t AND l.t < r.t",
+        "SELECT * FROM asof_l2 l ASOF JOIN asof_r2 r "
+        "ON l.k = r.k AND l.t != r.t",
+        "SELECT * FROM asof_l2 l ASOF JOIN asof_r2 r ON k = r.k AND l.t > r.t",
+        "SELECT * FROM asof_l2 l ASOF JOIN asof_r2 r "
+        "ON (l.k = r.k) AND l.t > r.t",
+        "SELECT * FROM asof_l2 x ASOF JOIN asof_r2 x ON x.k = x.k AND x.t > x.t",
+    ):
+        try:
+            _apply_asof_join(spark, bad)
+            raise AssertionError(f"should have refused: {bad}")
+        except UnsupportedClickHouseSQL:
+            pass
+    # right alias colliding with a left COLUMN (the struct would shadow)
+    try:
+        _apply_asof_join(
+            spark,
+            "SELECT * FROM asof_l2 l ASOF JOIN asof_r2 r2 "
+            "ON l.k = r2.k AND l.t > r2.t".replace("r2", "r"),
+        )
+        raise AssertionError("alias collision should refuse")
+    except UnsupportedClickHouseSQL as e:
+        assert "collides" in str(e)
+    # bare translate() still refuses with the ch_sql pointer
+    try:
+        translate("SELECT * FROM a x ASOF JOIN b y ON x.k = y.k AND x.t > y.t")
+        raise AssertionError("translate should refuse ASOF")
+    except UnsupportedClickHouseSQL as e:
+        assert "ch_sql" in str(e)
+
+
+def test_asof_rewrite_literal_masked(spark):
+    """'ASOF JOIN' inside a string literal is data — the single-clause
+    matcher must see only the real clause and the literal must survive."""
+    spark.createDataFrame(
+        [("a", 1, "x")], "k string, t long, lv string"
+    ).createOrReplaceTempView("asof_l3")
+    spark.createDataFrame(
+        [("a", 1, "y")], "k string, t long, rv string"
+    ).createOrReplaceTempView("asof_r3")
+    out = _asof_run(
+        spark,
+        "SELECT 'FROM a ASOF JOIN b' AS s, r.rv AS rv FROM asof_l3 l "
+        "ASOF LEFT JOIN asof_r3 r ON l.k = r.k AND l.t >= r.t",
+    )
+    assert out == [("FROM a ASOF JOIN b", "y")]
+
+
+def test_any_join_rewrite_semantics(spark):
+    """ANY LEFT/INNER JOIN: right side deduped by the join keys with the
+    greatest-struct pick; left multiplicity preserved."""
+    from clickhouse_data_rebalance_spark.plans.ch_dialect import (
+        UnsupportedClickHouseSQL,
+        _apply_any_join,
+        translate,
+    )
+
+    spark.createDataFrame(
+        [("a", "L1"), ("a", "L2"), ("c", "L3")], "k string, lv string"
+    ).createOrReplaceTempView("any_l")
+    spark.createDataFrame(
+        [("a", 1, "R1"), ("a", 2, "R2"), ("b", 9, "R9")],
+        "k string, n long, rv string",
+    ).createOrReplaceTempView("any_r")
+
+    run = lambda q: [  # noqa: E731
+        tuple(r) for r in spark.sql(translate(_apply_any_join(spark, q))).collect()
+    ]
+    # LEFT: both 'a' left rows keep exactly one match — the greatest
+    # struct ('a', 2, 'R2'); unmatched 'c' survives with NULLs
+    out = run(
+        "SELECT l.lv AS lv, r.n AS n, r.rv AS rv FROM any_l l "
+        "ANY LEFT JOIN any_r r ON l.k = r.k ORDER BY lv"
+    )
+    assert out == [("L1", 2, "R2"), ("L2", 2, "R2"), ("L3", None, None)]
+    # INNER (bare ANY JOIN): unmatched left rows drop
+    out = run(
+        "SELECT l.lv AS lv, r.rv AS rv FROM any_l l "
+        "ANY JOIN any_r r ON l.k = r.k ORDER BY lv"
+    )
+    assert out == [("L1", "R2"), ("L2", "R2")]
+
+    for bad in (
+        # RIGHT dedupes the left side; inequalities are order-dependent
+        "SELECT * FROM any_l l ANY RIGHT JOIN any_r r ON l.k = r.k",
+        "SELECT * FROM any_l l ANY JOIN any_r r ON l.k = r.k AND l.lv > r.rv",
+        # unqualified / parenthesized conditions
+        "SELECT * FROM any_l l ANY JOIN any_r r ON k = r.k",
+        "SELECT * FROM any_l l ANY JOIN any_r r ON (l.k = r.k)",
+    ):
+        try:
+            _apply_any_join(spark, bad)
+            raise AssertionError(f"should have refused: {bad}")
+        except UnsupportedClickHouseSQL:
+            pass
+    # bare translate() still refuses with the ch_sql pointer
+    try:
+        translate("SELECT * FROM a x ANY JOIN b y ON x.k = y.k")
+        raise AssertionError("translate should refuse ANY JOIN")
+    except UnsupportedClickHouseSQL as e:
+        assert "ch_sql" in str(e)
+
+
+def test_bpe_train_matches_python_model(spark, sf_dir):
+    """The trainer loop one step DEEPER than the SQL oracle's unroll
+    (K=3): the fold-based rewrite + winner selection must track a pure
+    Python BPE reference exactly — merges applied left-to-right
+    non-overlapping, winner ties (count DESC, pair ASC)."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from clickhouse_data_rebalance_spark.operators.llm_corpus import (
+        bpe_apply_merge,
+    )
+    from clickhouse_data_rebalance_spark.tables import table
+
+    docs = [
+        r["text"]
+        for r in table(spark, sf_dir, "documents").select("text").collect()
+    ]
+    toks = [d.strip().split() for d in docs]
+    expected = []
+    for step in range(1, 4):
+        cnt = Counter(
+            (t[i], t[i + 1]) for t in toks for i in range(len(t) - 1)
+        )
+        (a, b), n = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merged = f"{a}+{b}"
+        nxt = []
+        for t in toks:
+            out, i = [], 0
+            while i < len(t):
+                if i + 1 < len(t) and t[i] == a and t[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(t[i])
+                    i += 1
+            nxt.append(out)
+        toks = nxt
+        expected.append((step, a, b, n, sum(len(t) for t in toks)))
+
+    cur = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("t")
+    )
+    got = []
+    for step in range(1, 4):
+        pairs = (
+            cur.filter(F.size("t") >= 2)
+            .select(F.explode(F.sequence(F.lit(1), F.size("t") - 1)).alias("i"), "t")
+            .select(
+                F.element_at("t", F.col("i")).alias("a"),
+                F.element_at("t", F.col("i") + 1).alias("b"),
+            )
+            .groupBy("a", "b")
+            .count()
+        )
+        top = pairs.orderBy(F.desc("count"), "a", "b").limit(1).collect()[0]
+        cur = cur.select(
+            "doc_id", bpe_apply_merge(F.col("t"), top["a"], top["b"]).alias("t")
+        ).localCheckpoint(eager=False)
+        after = cur.agg(F.sum(F.size("t"))).collect()[0][0]
+        got.append((step, top["a"], top["b"], int(top["count"]), int(after)))
+    assert got == expected
