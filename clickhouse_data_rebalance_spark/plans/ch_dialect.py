@@ -170,7 +170,7 @@ _REFUSALS: list[tuple[re.Pattern[str], str]] = [
     # DOES translate the single-clause equi-ON LEFT/INNER form
     # schema-aware (see _apply_any_join)
     (
-        re.compile(r"\bANY\s+(LEFT\s+|RIGHT\s+|INNER\s+)?JOIN\b", re.I),
+        re.compile(r"\bANY\s+(?:LEFT\s+|RIGHT\s+|FULL\s+|INNER\s+|OUTER\s+|CROSS\s+)*JOIN\b", re.I),
         "run via ch_sql (right side deduped by the join keys) or dedupe "
         "explicitly (dedup_by_key / upsert_latest_wins), then plain JOIN",
     ),
@@ -179,7 +179,7 @@ _REFUSALS: list[tuple[re.Pattern[str], str]] = [
     # DOES translate the single-clause ON form schema-aware (see
     # _apply_asof_join, which rewrites before reaching here)
     (
-        re.compile(r"\bASOF\s+(LEFT\s+)?JOIN\b", re.I),
+        re.compile(r"\bASOF\s+(?:LEFT\s+|RIGHT\s+|FULL\s+|INNER\s+|OUTER\s+|CROSS\s+)*JOIN\b", re.I),
         "run via ch_sql (lateral-top-1 rewrite) or use asof_join / "
         "asof_join_tolerance / asof_join_forward",
     ),
@@ -1601,12 +1601,16 @@ def _apply_final(sql: str, metas: dict[str, dict]) -> str:
 # needs both tables' schemas, hence ch_sql-only (bare translate()
 # keeps refusing with the operator pointer).
 
-_ASOF_KEYWORD_GUARD = r"(?!(?:ASOF|LEFT|INNER|JOIN|FINAL|ON)\b)"
+_ASOF_KEYWORD_GUARD = (
+    r"(?!(?:ASOF|ANY|GLOBAL|LEFT|INNER|JOIN|FINAL|ON|USING)\b)"
+)
+# GLOBAL is CH's ship-the-right-side modifier — Spark's planner owns
+# distribution, so it is consumed (the same strip translate() applies)
 _ASOF_CLAUSE = re.compile(
     rf"\bFROM\s+([A-Za-z_]\w*)(?:\s+(?:AS\s+)?{_ASOF_KEYWORD_GUARD}([A-Za-z_]\w*))?"
-    rf"\s+ASOF\s+(LEFT\s+)?(?:INNER\s+)?JOIN\s+"
+    rf"\s+(?:GLOBAL\s+)?ASOF\s+(?:(LEFT)\s+(?:OUTER\s+)?|INNER\s+)?JOIN\s+"
     rf"([A-Za-z_]\w*)(?:\s+(?:AS\s+)?{_ASOF_KEYWORD_GUARD}([A-Za-z_]\w*))?"
-    rf"\s+ON\s+(.*?)"
+    rf"\s+(?:ON\s+(.*?)|USING\s*\(([^)]*)\)\s*)"
     r"(?=\bWHERE\b|\bGROUP\b|\bORDER\b|\bHAVING\b|\bLIMIT\b|\bSETTINGS\b"
     r"|\bFORMAT\b|$)",
     re.I | re.S,
@@ -1617,62 +1621,95 @@ _ASOF_COND = re.compile(
 )
 
 
+def _ident_fold(spark: SparkSession):
+    """Identifier normalizer matching the session's resolution rule:
+    lower-case under the default case-insensitive analyzer, identity
+    under spark.sql.caseSensitive=true — so the rewrites' existence /
+    collision / alias checks refuse exactly what analysis would."""
+    cs = (
+        (spark.conf.get("spark.sql.caseSensitive", "false") or "false")
+        .lower()
+        == "true"
+    )
+    return (lambda x: x) if cs else str.lower
+
+
 def _apply_asof_join(spark: SparkSession, sql: str) -> str:
+    fold = _ident_fold(spark)
     masked = _mask_literals(sql)
     ms = list(_ASOF_CLAUSE.finditer(masked))
     if len(ms) != 1:
         raise UnsupportedClickHouseSQL(
             "ASOF JOIN is supported as a single `FROM l [la] ASOF [LEFT] "
-            "JOIN r [ra] ON <equi-conds AND one inequality>` clause "
-            "(USING, multi-join and subquery forms: asof_join / "
-            "asof_join_tolerance / asof_join_forward)"
+            "JOIN r [ra] ON <equi-conds AND one inequality>` or "
+            "`... USING (keys..., asof_key)` clause (multi-join and "
+            "subquery forms: asof_join / asof_join_tolerance / "
+            "asof_join_forward)"
         )
     m = ms[0]
     ltab, la = m.group(1), m.group(2) or m.group(1)
     left_join = bool(m.group(3))
     rtab, ra = m.group(4), m.group(5) or m.group(4)
-    conds = m.group(6).strip()
-    if "(" in conds or ")" in conds:
-        raise UnsupportedClickHouseSQL(
-            "parenthesized / function ON conditions in ASOF JOIN — "
-            "use the native asof_join family"
-        )
     eqs: list[tuple[str, str]] = []  # (left col, right col)
     ineq: tuple[str, str, str] | None = None  # (lcol, op, rcol)
-    for piece in re.split(r"\bAND\b", conds, flags=re.I):
-        cm = _ASOF_COND.match(piece)
-        if not cm:
+    if m.group(7) is not None:
+        # USING (k1, ..., kn): CH equi-joins all but the LAST column,
+        # which becomes the >= asof key; the exposed column keeps the
+        # left side's value — exactly what the flat-left + struct-right
+        # derived table produces
+        using = [c.strip() for c in m.group(7).split(",") if c.strip()]
+        if len(using) < 2 or not all(
+            re.fullmatch(r"[A-Za-z_]\w*", c) for c in using
+        ):
             raise UnsupportedClickHouseSQL(
-                f"unparseable ASOF ON condition {piece.strip()!r} — "
-                "alias-qualified `a.col <op> b.col` conditions only"
+                "ASOF USING needs >= 2 bare columns (equality keys + the "
+                "trailing asof key)"
             )
-        a1, c1, op, a2, c2 = cm.groups()
-        if {a1, a2} != {la, ra}:
+        eqs = [(c, c) for c in using[:-1]]
+        ineq = (using[-1], ">=", using[-1])
+    else:
+        conds = m.group(6).strip()
+        if "(" in conds or ")" in conds:
             raise UnsupportedClickHouseSQL(
-                f"ASOF ON condition {piece.strip()!r} must relate the two "
-                f"join sides ({la!r}, {ra!r})"
+                "parenthesized / function ON conditions in ASOF JOIN — "
+                "use the native asof_join family"
             )
-        # normalize to left-side-first
-        if a1 == la:
-            lcol, rcol = c1, c2
-        else:
-            lcol, rcol = c2, c1
-            op = {">=": "<=", "<=": ">=", ">": "<", "<": ">"}.get(op, op)
-        if op == "=":
-            eqs.append((lcol, rcol))
-        elif op == "!=":
-            raise UnsupportedClickHouseSQL("!= in ASOF ON has no asof order")
-        else:
-            if ineq is not None:
+        for piece in re.split(r"\bAND\b", conds, flags=re.I):
+            cm = _ASOF_COND.match(piece)
+            if not cm:
                 raise UnsupportedClickHouseSQL(
-                    "ASOF JOIN needs exactly ONE inequality condition"
+                    f"unparseable ASOF ON condition {piece.strip()!r} — "
+                    "alias-qualified `a.col <op> b.col` conditions only"
                 )
-            ineq = (lcol, op, rcol)
-    if not eqs or ineq is None:
-        raise UnsupportedClickHouseSQL(
-            "ASOF JOIN needs at least one equality condition and exactly "
-            "one inequality condition"
-        )
+            a1, c1, op, a2, c2 = cm.groups()
+            if {fold(a1), fold(a2)} != {fold(la), fold(ra)}:
+                raise UnsupportedClickHouseSQL(
+                    f"ASOF ON condition {piece.strip()!r} must relate the "
+                    f"two join sides ({la!r}, {ra!r})"
+                )
+            # normalize to left-side-first
+            if fold(a1) == fold(la):
+                lcol, rcol = c1, c2
+            else:
+                lcol, rcol = c2, c1
+                op = {">=": "<=", "<=": ">=", ">": "<", "<": ">"}.get(op, op)
+            if op == "=":
+                eqs.append((lcol, rcol))
+            elif op == "!=":
+                raise UnsupportedClickHouseSQL(
+                    "!= in ASOF ON has no asof order"
+                )
+            else:
+                if ineq is not None:
+                    raise UnsupportedClickHouseSQL(
+                        "ASOF JOIN needs exactly ONE inequality condition"
+                    )
+                ineq = (lcol, op, rcol)
+        if not eqs or ineq is None:
+            raise UnsupportedClickHouseSQL(
+                "ASOF JOIN needs at least one equality condition and "
+                "exactly one inequality condition"
+            )
     lcol, op, rcol = ineq
     try:
         lschema = spark.table(ltab).schema
@@ -1683,10 +1720,22 @@ def _apply_asof_join(spark: SparkSession, sql: str) -> str:
             f"({ltab!r}, {rtab!r})"
         ) from e
     lnames = [f.name for f in lschema]
-    if ra in lnames or la == ra:
+    lset = {fold(n) for n in lnames}
+    if fold(ra) in lset or fold(la) == fold(ra):
         raise UnsupportedClickHouseSQL(
             f"ASOF right alias {ra!r} collides with a left column/alias — "
             "the rewrite exposes the matched right row under that name"
+        )
+    rset = {fold(f.name) for f in rschema}
+    bad = [c for c, _ in eqs if fold(c) not in lset] + (
+        [lcol] if fold(lcol) not in lset else []
+    )
+    bad_r = [c for _, c in eqs if fold(c) not in rset] + (
+        [rcol] if fold(rcol) not in rset else []
+    )
+    if bad or bad_r:
+        raise UnsupportedClickHouseSQL(
+            f"ASOF JOIN key(s) not found: left {bad} right {bad_r}"
         )
     # union-aligned projections: left columns ride flat; the equality
     # keys and asof key get shared names; the right row travels as one
@@ -1746,8 +1795,8 @@ def _apply_asof_join(spark: SparkSession, sql: str) -> str:
 # with the pointer rather than guessing which side the user meant.
 
 _ANY_CLAUSE = re.compile(
-    rf"\bFROM\s+([A-Za-z_]\w*)(?:\s+(?:AS\s+)?{_ASOF_KEYWORD_GUARD}(?!ANY\b)([A-Za-z_]\w*))?"
-    rf"\s+ANY\s+(LEFT\s+|INNER\s+)?JOIN\s+"
+    rf"\bFROM\s+([A-Za-z_]\w*)(?:\s+(?:AS\s+)?{_ASOF_KEYWORD_GUARD}([A-Za-z_]\w*))?"
+    rf"\s+(?:GLOBAL\s+)?ANY\s+(?:(LEFT)\s+(?:OUTER\s+)?|INNER\s+)?JOIN\s+"
     rf"([A-Za-z_]\w*)(?:\s+(?:AS\s+)?{_ASOF_KEYWORD_GUARD}([A-Za-z_]\w*))?"
     rf"\s+ON\s+(.*?)"
     r"(?=\bWHERE\b|\bGROUP\b|\bORDER\b|\bHAVING\b|\bLIMIT\b|\bSETTINGS\b"
@@ -1757,8 +1806,9 @@ _ANY_CLAUSE = re.compile(
 
 
 def _apply_any_join(spark: SparkSession, sql: str) -> str:
+    fold = _ident_fold(spark)
     masked = _mask_literals(sql)
-    if re.search(r"\bANY\s+(RIGHT|FULL)\s+JOIN\b", masked, re.I):
+    if re.search(r"\bANY\s+(RIGHT|FULL)\s+(?:OUTER\s+)?JOIN\b", masked, re.I):
         raise UnsupportedClickHouseSQL(
             "ANY RIGHT/FULL JOIN dedupes the LEFT side — flip the join or "
             "dedupe explicitly (dedup_by_key / upsert_latest_wins)"
@@ -1791,19 +1841,20 @@ def _apply_any_join(spark: SparkSession, sql: str) -> str:
                 "match' pick order-dependent — use ASOF JOIN)"
             )
         a1, c1, _, a2, c2 = cm.groups()
-        if {a1, a2} != {la, ra}:
+        if {fold(a1), fold(a2)} != {fold(la), fold(ra)}:
             raise UnsupportedClickHouseSQL(
                 f"ANY JOIN ON condition {piece.strip()!r} must relate the "
                 f"two join sides ({la!r}, {ra!r})"
             )
-        rkeys.append(c1 if a1 == ra else c2)
+        rkeys.append(c1 if fold(a1) == fold(ra) else c2)
     try:
         rcols = [f.name for f in spark.table(rtab).schema]
     except Exception as e:  # pragma: no cover - defensive
         raise UnsupportedClickHouseSQL(
             f"ANY JOIN right side {rtab!r} is not a registered table/view"
         ) from e
-    missing = [k for k in rkeys if k not in rcols]
+    rset = {fold(c) for c in rcols}
+    missing = [k for k in rkeys if fold(k) not in rset]
     if missing:
         raise UnsupportedClickHouseSQL(
             f"ANY JOIN right-side key(s) {missing} not in {rtab!r}"
@@ -1845,9 +1896,9 @@ def ch_sql(
             meta = merge_tree_meta(d)
             metas[meta["name"]] = meta
         sql = _apply_final(sql, metas)
-    if re.search(r"\bASOF\s+(LEFT\s+)?JOIN\b", _mask_literals(sql), re.I):
+    if re.search(r"\bASOF\s+(?:LEFT\s+|RIGHT\s+|FULL\s+|INNER\s+|OUTER\s+|CROSS\s+)*JOIN\b", _mask_literals(sql), re.I):
         sql = _apply_asof_join(spark, sql)
-    if re.search(r"\bANY\s+(\w+\s+)?JOIN\b", _mask_literals(sql), re.I):
+    if re.search(r"\bANY\s+(?:LEFT\s+|RIGHT\s+|FULL\s+|INNER\s+|OUTER\s+|CROSS\s+)*JOIN\b", _mask_literals(sql), re.I):
         sql = _apply_any_join(spark, sql)
     if re.search(r"\bWITH\s+FILL\b", _mask_literals(sql), re.I):
         return _apply_with_fill(spark, sql)

@@ -6,6 +6,8 @@ scale paths. These catch regressions that correctness tests can't.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import functions as F
 
 from clickhouse_data_rebalance_spark import registry
@@ -1086,3 +1088,49 @@ def test_pinned_bm25_postings_survive_admission(spark, tmp_path_factory):
 
     assert pinned.count() == before, "pinned postings saw concurrent admit"
     assert pinned_index_frame(spark, postings_dir).count() > before
+
+
+def test_asof_dialect_rewrite_has_no_nested_loop(spark):
+    """The ASOF JOIN translation must keep the union + carry-window
+    shape: one hash exchange on the equality key, NO nested-loop domain
+    join (the lateral-top-1 spelling decorrelated into a
+    BroadcastNestedLoopJoin over distinct(left keys) x right — measured,
+    rejected, and pinned here) and no Python in the row path."""
+    plan = plan_of(spark, "ch_dialect_asof_join")
+    low = plan.lower()
+    assert "broadcastnestedloopjoin" not in low
+    assert "cartesianproduct" not in low
+    assert "window" in low, "the carry-forward window must survive"
+    assert "batchevalpython" not in low and "arrowevalpython" not in low
+
+
+def test_any_join_dialect_dedups_before_join(spark):
+    """ANY JOIN translation: the right side collapses to one row per
+    join key BEFORE the join — the rank/WindowGroupLimit must sit in
+    the join's build-side SUBTREE (printed below the join node in the
+    plan tree), never as a post-join dedup of the multiplied pairs."""
+    plan = plan_of(spark, "ch_dialect_any_join")
+    tree = plan.lower().split("\n\n")[0]  # operator tree, not details
+    assert "windowgrouplimit" in tree
+    assert "broadcastnestedloopjoin" not in tree
+    assert "cartesianproduct" not in tree
+    join_at = min(
+        i for i in (tree.find("hashjoin"), tree.find("sortmergejoin"))
+        if i >= 0
+    )
+    assert tree.find("windowgrouplimit") > join_at, (
+        "dedup must be under the join (children print below parents)"
+    )
+
+
+def test_final_dialect_is_single_collapse_window(spark):
+    """Replacing FINAL: EXACTLY one rank-window collapse (counted on
+    the formatted tree's Window exec nodes; WindowGroupLimit is its
+    rank-pushdown companion) feeding the user's aggregation; the
+    Summing arm must instead be pure hash aggregation with NO window."""
+    low_r = plan_of(spark, "ch_dialect_final").lower()
+    assert "windowgrouplimit" in low_r
+    assert len(re.findall(r"\(\d+\)\s+window\b", low_r)) == 1
+    low_s = plan_of(spark, "ch_dialect_final_summing").lower()
+    assert "window" not in low_s, "group-sum collapse needs no rank"
+    assert "hashaggregate" in low_s

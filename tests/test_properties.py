@@ -2390,6 +2390,15 @@ def test_asof_rewrite_semantics(spark):
     )
     assert out == [("L1", "R5b"), ("L2", None), ("L3", None)]
 
+    # USING (keys..., asof_key): equi on all but last, >= on the last;
+    # GLOBAL is consumed (Spark's planner owns distribution)
+    out = _asof_run(
+        spark,
+        "SELECT l.lv AS lv, r.rv AS rv FROM asof_l l "
+        "GLOBAL ASOF LEFT JOIN asof_r r USING (k, t) ORDER BY lv",
+    )
+    assert out == [("L1", "R5b"), ("L2", None), ("L3", None)]
+
 
 def test_asof_rewrite_refusals(spark):
     from clickhouse_data_rebalance_spark.plans.ch_dialect import (
@@ -2405,9 +2414,13 @@ def test_asof_rewrite_refusals(spark):
         [("a", 1, "y")], "k string, t long, rv string"
     ).createOrReplaceTempView("asof_r2")
     for bad in (
-        # USING form; no inequality; two inequalities; != ; unqualified;
-        # parenthesized conds; same alias both sides
-        "SELECT * FROM asof_l2 l ASOF JOIN asof_r2 r USING (k, t)",
+        # single-column USING (no equality keys); no inequality; two
+        # inequalities; != ; unqualified; parenthesized conds; same
+        # alias both sides; USING keys missing from a side
+        "SELECT * FROM asof_l2 l ASOF JOIN asof_r2 r USING (t)",
+        # missing-key refusal must be reachable: alias rr avoids the
+        # collision check (asof_l2 HAS a column named r) firing first
+        "SELECT * FROM asof_l2 l ASOF JOIN asof_r2 rr USING (k, zz)",
         "SELECT * FROM asof_l2 l ASOF JOIN asof_r2 r ON l.k = r.k",
         "SELECT * FROM asof_l2 l ASOF JOIN asof_r2 r "
         "ON l.k = r.k AND l.t > r.t AND l.t < r.t",
@@ -2485,10 +2498,10 @@ def test_any_join_rewrite_semantics(spark):
         "ANY LEFT JOIN any_r r ON l.k = r.k ORDER BY lv"
     )
     assert out == [("L1", 2, "R2"), ("L2", 2, "R2"), ("L3", None, None)]
-    # INNER (bare ANY JOIN): unmatched left rows drop
+    # INNER (bare ANY JOIN): unmatched left rows drop; GLOBAL consumed
     out = run(
         "SELECT l.lv AS lv, r.rv AS rv FROM any_l l "
-        "ANY JOIN any_r r ON l.k = r.k ORDER BY lv"
+        "GLOBAL ANY JOIN any_r r ON l.k = r.k ORDER BY lv"
     )
     assert out == [("L1", "R2"), ("L2", "R2")]
 
@@ -2575,3 +2588,105 @@ def test_bpe_train_matches_python_model(spark, sf_dir):
         after = cur.agg(F.sum(F.size("t"))).collect()[0][0]
         got.append((step, top["a"], top["b"], int(top["count"]), int(after)))
     assert got == expected
+
+
+def test_asof_any_modifier_spellings(spark):
+    """Review-fix regressions: ASOF INNER / ASOF LEFT OUTER / ANY LEFT
+    OUTER spellings must route through the rewrites (they previously
+    slipped every net and parsed ASOF/ANY as a table alias — silent row
+    multiplication); bare translate() must refuse them all, including
+    GLOBAL-prefixed forms (the ASOF refusal pattern itself matches past
+    the modifiers, firing before any GLOBAL handling)."""
+    from clickhouse_data_rebalance_spark.plans.ch_dialect import (
+        UnsupportedClickHouseSQL,
+        _apply_any_join,
+        _apply_asof_join,
+        translate,
+    )
+
+    # fixtures from the earlier tests may not exist when run alone
+    spark.createDataFrame(
+        [("a", 5, "L1")], "k string, t long, lv string"
+    ).createOrReplaceTempView("asof_m_l")
+    spark.createDataFrame(
+        [("a", 3, "R3"), ("a", 4, "R4")], "k string, t long, rv string"
+    ).createOrReplaceTempView("asof_m_r")
+
+    run_asof = lambda q: [  # noqa: E731
+        tuple(r)
+        for r in spark.sql(translate(_apply_asof_join(spark, q))).collect()
+    ]
+    assert run_asof(
+        "SELECT l.lv AS lv, r.rv AS rv FROM asof_m_l l "
+        "ASOF INNER JOIN asof_m_r r ON l.k = r.k AND l.t >= r.t"
+    ) == [("L1", "R4")]
+    assert run_asof(
+        "SELECT l.lv AS lv, r.rv AS rv FROM asof_m_l l "
+        "ASOF LEFT OUTER JOIN asof_m_r r ON l.k = r.k AND l.t >= r.t"
+    ) == [("L1", "R4")]
+    out = [
+        tuple(r)
+        for r in spark.sql(
+            translate(
+                _apply_any_join(
+                    spark,
+                    "SELECT l.lv AS lv, r.rv AS rv FROM asof_m_l l "
+                    "ANY LEFT OUTER JOIN asof_m_r r ON l.k = r.k",
+                )
+            )
+        ).collect()
+    ]
+    assert out == [("L1", "R4")]
+    # ANY RIGHT OUTER refuses (dedupes the left side)
+    try:
+        _apply_any_join(
+            spark,
+            "SELECT * FROM asof_m_l l ANY RIGHT OUTER JOIN asof_m_r r "
+            "ON l.k = r.k",
+        )
+        raise AssertionError("ANY RIGHT OUTER should refuse")
+    except UnsupportedClickHouseSQL as e:
+        assert "LEFT side" in str(e)
+    # case-variant keys AND aliases resolve like Spark does
+    # (case-insensitive under the default analyzer)
+    assert run_asof(
+        "SELECT l.lv AS lv, r.rv AS rv FROM asof_m_l l "
+        "ASOF JOIN asof_m_r r ON L.K = R.K AND L.T >= R.T"
+    ) == [("L1", "R4")]
+    # bare translate(): every spelling refuses with its own pointer
+    for q, frag in (
+        ("SELECT * FROM a x ASOF INNER JOIN b y ON x.k = y.k AND x.t > y.t",
+         "ch_sql"),
+        ("SELECT * FROM a x ANY LEFT OUTER JOIN b y ON x.k = y.k", "ch_sql"),
+        ("SELECT * FROM a x GLOBAL ASOF LEFT JOIN b y ON x.k = y.k "
+         "AND x.t > y.t", "ch_sql"),
+        # second-review repros: RIGHT/FULL/CROSS spellings previously
+        # passed through with ASOF/ANY parsing as a table alias
+        ("SELECT * FROM l ASOF RIGHT JOIN r ON l.k = r.k AND l.t >= r.t",
+         "ch_sql"),
+        ("SELECT * FROM l ASOF FULL JOIN r ON l.k = r.k AND l.t >= r.t",
+         "ch_sql"),
+        ("SELECT * FROM l ANY CROSS JOIN r", "ch_sql"),
+    ):
+        try:
+            translate(q)
+            raise AssertionError(f"translate should refuse: {q}")
+        except UnsupportedClickHouseSQL as e:
+            assert frag in str(e), (q, str(e))
+
+
+def test_asof_any_identifiers_do_not_trigger_rewrites(spark):
+    """Second-review repro: a column/alias NAMED asof or any beside an
+    ordinary JOIN must not route into the rewriters (the dispatch gates
+    are bounded to join-modifier keywords)."""
+    from .conftest import SF_SMALL
+    from clickhouse_data_rebalance_spark.plans.ch_dialect import ch_sql
+
+    out = ch_sql(
+        spark,
+        SF_SMALL,
+        "SELECT r.r_name AS asof, count() AS any FROM region r "
+        "JOIN nation n ON r.r_regionkey = n.n_regionkey "
+        "GROUP BY r.r_name ORDER BY r.r_name LIMIT 2",
+    ).collect()
+    assert len(out) == 2 and out[0]["any"] == 5
