@@ -260,13 +260,6 @@ _REFUSALS: list[tuple[re.Pattern[str], str]] = [
         "scalar WITH has no Spark spelling — inline the constant or "
         "use a CTE subquery (WITH c AS (SELECT 5 AS v))",
     ),
-    # `LIMIT offset, n BY cols` — the offset-per-group form the flat
-    # LIMIT BY rewrite can't bind
-    (
-        re.compile(r"\bLIMIT\s+\d+\s*,\s*\d+\s+BY\b", re.I),
-        "offset LIMIT BY per group — use top_k_per_group (C20) with a "
-        "rank range predicate",
-    ),
     # multi-array ARRAY JOIN zips arrays positionally — that is
     # arrays_zip + one explode, not two LATERAL VIEWs (which would
     # cross-product); refuse rather than mis-shape. In ClickHouse's
@@ -643,7 +636,8 @@ _RESIDUALS = re.compile(
 _LIMIT_BY = re.compile(
     r"^(?P<body>[\s\S]*?)"
     r"\bORDER\s+BY\s+(?P<ord>[^()]+?)"
-    r"\s+LIMIT\s+(?P<n>\d+)\s+BY\s+(?P<cols>[A-Za-z_][\w]*(?:\s*,\s*[A-Za-z_][\w]*)*)"
+    r"\s+LIMIT\s+(?:(?P<off>\d+)\s*,\s*)?(?P<n>\d+)\s+BY"
+    r"\s+(?P<cols>[A-Za-z_][\w]*(?:\s*,\s*[A-Za-z_][\w]*)*)"
     r"(?:\s+LIMIT\s+(?P<m>\d+))?\s*;?\s*$",
     re.I,
 )
@@ -1023,7 +1017,9 @@ def _rewrite_limit_by(sql: str) -> str:
     # straight into the raw (stripped) text
     stripped = sql.strip()
     masked = _mask_literals(stripped)
-    if not re.search(r"\bLIMIT\s+\d+\s+BY\b", masked, re.I):
+    if not re.search(
+        r"\bLIMIT\s+\d+(\s*,\s*\d+)?\s+BY\b", masked, re.I
+    ):
         return sql
     m = _LIMIT_BY.match(masked)
     if not m:
@@ -1035,13 +1031,20 @@ def _rewrite_limit_by(sql: str) -> str:
     raw_g = lambda name: stripped[slice(*m.span(name))]
     body, ordc, n, cols = raw_g("body").strip(), raw_g("ord").strip(), m["n"], m["cols"]
     tail = f"\nLIMIT {m['m']}" if m["m"] else ""
+    # `LIMIT off, n BY` skips the first off rows of each group, then
+    # takes n — a rank RANGE, not just a cap
+    if m["off"]:
+        off = int(m["off"])
+        pred = f"_cdr_rn BETWEEN {off + 1} AND {off + int(m['n'])}"
+    else:
+        pred = f"_cdr_rn <= {n}"
     return (
         f"WITH _cdr_limit_by AS ({body})\n"
         f"SELECT * EXCEPT (_cdr_rn) FROM (\n"
         f"  SELECT *, ROW_NUMBER() OVER (PARTITION BY {cols} ORDER BY {ordc})"
         f" AS _cdr_rn\n"
         f"  FROM _cdr_limit_by)\n"
-        f"WHERE _cdr_rn <= {n}\n"
+        f"WHERE {pred}\n"
         f"ORDER BY {ordc}{tail}"
     )
 
@@ -1169,10 +1172,12 @@ def translate(ch_sql: str) -> str:
 # why bare translate() refuses: the SQL text does not carry the types,
 # but a built DataFrame's schema does.
 #
-# Scope: single ascending identifier key, integer or date typed;
-# integer FROM/TO/STEP literals (dates: STEP n = n days, no FROM/TO).
-# INTERPOLATE, DESC, multi-key, and expression-key forms refuse with
-# pointers. An empty input produces no fill rows (CH would emit the
+# Scope: single identifier key, integer or date typed; ascending or
+# (integer keys only) DESCENDING — the downward walk runs as the
+# ascending one in negated key space; integer FROM/TO/STEP literals
+# (dates: STEP n = n days, no FROM/TO). Bare INTERPOLATE,
+# AS-expression INTERPOLATE, multi-key, and expression-key forms
+# refuse with pointers. An empty input produces no fill rows (CH would emit the
 # FROM..TO spine — degenerate presentation case, documented deviation).
 #
 # Scale: ClickHouse runs this as a single-threaded transform over the
@@ -1180,8 +1185,8 @@ def translate(ch_sql: str) -> str:
 # here is the same single-stream shape but carries ONLY the sort key
 # (one narrow column), and the final order is a range-partitioned sort.
 _WITH_FILL_TAIL = re.compile(
-    r"\bORDER\s+BY\s+([A-Za-z_]\w*)(?:\s+ASC)?\s+WITH\s+FILL"
-    r"(?:\s+FROM\s+(-?\d+))?(?:\s+TO\s+(-?\d+))?(?:\s+STEP\s+(\d+))?"
+    r"\bORDER\s+BY\s+([A-Za-z_]\w*)(?:\s+(ASC|DESC))?\s+WITH\s+FILL"
+    r"(?:\s+FROM\s+(-?\d+))?(?:\s+TO\s+(-?\d+))?(?:\s+STEP\s+(-?\d+))?"
     r"(?:\s+INTERPOLATE\s*\(\s*([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s*\))?"
     r"\s*;?\s*$",
     re.I,
@@ -1237,16 +1242,26 @@ def _apply_with_fill(spark: SparkSession, sql: str) -> DataFrame:
     if not m:
         raise UnsupportedClickHouseSQL(
             "WITH FILL is supported as the statement tail `ORDER BY "
-            "<column> [ASC] WITH FILL [FROM i] [TO i] [STEP i]` (single "
-            "ascending identifier key) — other forms: time_gap_fill"
+            "<column> [ASC|DESC] WITH FILL [FROM i] [TO i] [STEP i]` "
+            "(single identifier key) — other forms: time_gap_fill"
         )
     col = m.group(1)
-    lo = int(m.group(2)) if m.group(2) else None
-    hi = int(m.group(3)) if m.group(3) else None
-    step = int(m.group(4)) if m.group(4) else 1
-    interp = [c.strip() for c in m.group(5).split(",")] if m.group(5) else []
+    desc = (m.group(2) or "").upper() == "DESC"
+    lo = int(m.group(3)) if m.group(3) else None
+    hi = int(m.group(4)) if m.group(4) else None
+    step = int(m.group(5)) if m.group(5) else (-1 if desc else 1)
+    interp = [c.strip() for c in m.group(6).split(",")] if m.group(6) else []
     if step == 0:
         raise UnsupportedClickHouseSQL("WITH FILL STEP 0")
+    if desc and step > 0:
+        raise UnsupportedClickHouseSQL(
+            "DESC WITH FILL walks downward — STEP must be negative"
+        )
+    if not desc and step < 0:
+        raise UnsupportedClickHouseSQL(
+            "ascending WITH FILL needs a positive STEP (use ORDER BY "
+            "... DESC for a downward walk)"
+        )
 
     d = spark.sql(translate(sql[: m.start()] + f" ORDER BY {col}"))
     if col not in d.columns:
@@ -1266,6 +1281,22 @@ def _apply_with_fill(spark: SparkSession, sql: str) -> DataFrame:
         raise UnsupportedClickHouseSQL(
             "integer FROM/TO on a date fill key — use STEP only"
         )
+    if desc:
+        # the descending walk is the ascending one in NEGATED key space
+        # (CH's FillingTransform restart/bound rules mirror exactly):
+        # FROM (inclusive high start) -> -FROM inclusive low, TO
+        # (exclusive low end) -> -TO exclusive high, STEP -s -> +s.
+        # The fill set, restart points, bound fills and INTERPOLATE
+        # carry direction (previous row in OUTPUT order = larger key)
+        # all come out right; the key is negated back at the end.
+        if not is_int:
+            raise UnsupportedClickHouseSQL(
+                "DESC WITH FILL over a date key — use time_gap_fill"
+            )
+        d = d.withColumn(col, (-F.col(col)).cast(dt))
+        lo = -lo if lo is not None else None
+        hi = -hi if hi is not None else None
+        step = -step
 
     c, v = F.col(col), F.col("_v")
     if is_int:
@@ -1313,8 +1344,16 @@ def _apply_with_fill(spark: SparkSession, sql: str) -> DataFrame:
             for f in d.schema.fields
         ]
     )
+
+    def _finish(frame: DataFrame) -> DataFrame:
+        if desc:  # leave negated key space, present descending
+            return frame.withColumn(col, (-F.col(col)).cast(dt)).orderBy(
+                F.desc(col)
+            )
+        return frame.orderBy(col)
+
     if not interp:
-        return d.unionByName(fills).orderBy(col)
+        return _finish(d.unionByName(fills))
 
     # INTERPOLATE (c1, c2, ...): filled rows carry the previous ORIGINAL
     # row's value forward (CH's documented no-expression default);
@@ -1348,7 +1387,7 @@ def _apply_with_fill(spark: SparkSession, sql: str) -> DataFrame:
             )
         else:
             out_cols.append(F.col(f.name))
-    return u.select(*out_cols).orderBy(col)
+    return _finish(u.select(*out_cols))
 
 
 # ---- FROM <table> FINAL (DDL-aware, ch_sql only) ----
@@ -1874,6 +1913,28 @@ def _apply_any_join(spark: SparkSession, sql: str) -> str:
     return sql[: m.start()] + joined + " " + sql[m.end() :]
 
 
+def _context_rewrites(
+    spark: SparkSession, sql: str, ddls: list[str] | None
+) -> str:
+    """The ch_sql-only rewrite passes that need more than the query
+    text (views must already be registered): DDL-resolved FINAL,
+    schema-aware ASOF and ANY joins. Returns CH-dialect SQL with those
+    constructs lowered; WITH FILL (a DataFrame-op lowering, not a SQL
+    text) is left for the caller to dispatch."""
+    if ddls and re.search(r"\bFINAL\b", _mask_literals(sql), re.I):
+        metas = {}
+        for d in ddls:
+            meta = merge_tree_meta(d)
+            metas[meta["name"]] = meta
+        sql = _apply_final(sql, metas)
+    mods = r"(?:LEFT\s+|RIGHT\s+|FULL\s+|INNER\s+|OUTER\s+|CROSS\s+)*"
+    if re.search(rf"\bASOF\s+{mods}JOIN\b", _mask_literals(sql), re.I):
+        sql = _apply_asof_join(spark, sql)
+    if re.search(rf"\bANY\s+{mods}JOIN\b", _mask_literals(sql), re.I):
+        sql = _apply_any_join(spark, sql)
+    return sql
+
+
 def ch_sql(
     spark: SparkSession,
     sf_dir: str,
@@ -1881,28 +1942,44 @@ def ch_sql(
     ddls: list[str] | None = None,
 ) -> DataFrame:
     """Run a ClickHouse-dialect query against the test tables: registers
-    each table as a temp view, translates, executes Spark-side. Two
+    each table as a temp view, translates, executes Spark-side. Four
     constructs bare :func:`translate` refuses are handled here with the
     extra context they need: the simple-form ``ORDER BY ... WITH FILL``
     tail (schema-aware — see :func:`_apply_with_fill`), ``FROM t
     FINAL`` when the table's ClickHouse DDL is passed via ``ddls``
-    (engine-aware — see :func:`_apply_final`), and ``ASOF [LEFT] JOIN``
-    (schema-aware tie order — see :func:`_apply_asof_join`)."""
+    (engine-aware — see :func:`_apply_final`), and ``ASOF`` / ``ANY``
+    joins (schema-aware — see :func:`_apply_asof_join` /
+    :func:`_apply_any_join`)."""
     for name, df in load_tables(spark, sf_dir).items():
         df.createOrReplaceTempView(name)
-    if ddls and re.search(r"\bFINAL\b", _mask_literals(sql), re.I):
-        metas = {}
-        for d in ddls:
-            meta = merge_tree_meta(d)
-            metas[meta["name"]] = meta
-        sql = _apply_final(sql, metas)
-    if re.search(r"\bASOF\s+(?:LEFT\s+|RIGHT\s+|FULL\s+|INNER\s+|OUTER\s+|CROSS\s+)*JOIN\b", _mask_literals(sql), re.I):
-        sql = _apply_asof_join(spark, sql)
-    if re.search(r"\bANY\s+(?:LEFT\s+|RIGHT\s+|FULL\s+|INNER\s+|OUTER\s+|CROSS\s+)*JOIN\b", _mask_literals(sql), re.I):
-        sql = _apply_any_join(spark, sql)
+    sql = _context_rewrites(spark, sql, ddls)
     if re.search(r"\bWITH\s+FILL\b", _mask_literals(sql), re.I):
         return _apply_with_fill(spark, sql)
     return spark.sql(translate(sql))
+
+
+def ch_sql_text(
+    spark: SparkSession,
+    sf_dir: str,
+    sql: str,
+    ddls: list[str] | None = None,
+) -> str:
+    """The exact Spark SQL :func:`ch_sql` would execute — for review,
+    EXPLAIN, or pasting into a notebook (the migration-audit companion:
+    a reference user can diff every rewrite before trusting it).
+    Registers the same temp views (the context rewrites read their
+    schemas). Refuses ``WITH FILL``, which lowers to DataFrame
+    operations rather than one SQL text."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
+    sql = _context_rewrites(spark, sql, ddls)
+    if re.search(r"\bWITH\s+FILL\b", _mask_literals(sql), re.I):
+        raise UnsupportedClickHouseSQL(
+            "WITH FILL lowers to DataFrame operations (schema defaults, "
+            "gap sequences), not a single SQL text — run it via ch_sql "
+            "and inspect the DataFrame's plan instead"
+        )
+    return translate(sql)
 
 
 # a genuinely ClickHouse-flavored monthly rollup: PREWHERE, countIf,
@@ -2883,3 +2960,92 @@ def ch_dialect_any_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WHERE event_type = 'purchase'"
     )
     return ch_sql(spark, sf_dir, _CH_ANY_QUERY)
+
+
+# ---- ORDER BY ... DESC WITH FILL end-to-end ----
+# the descending walk with a carried column: direction-OBSERVABLE data
+# (the INTERPOLATE carry comes from the next-HIGHER bucket), so the
+# oracle pins the DESC semantics, not just a reversed presentation
+_CH_WF_DESC_QUERY = """
+    SELECT toUInt64(o_totalprice / 30000) AS bucket,
+           toUInt64(count()) AS n,
+           max(o_totalprice) AS max_price
+    FROM orders
+    WHERE o_orderkey % 5 = 0
+    GROUP BY bucket
+    ORDER BY bucket DESC WITH FILL FROM 19 TO -1 INTERPOLATE (max_price)
+"""
+
+_CH_WF_DESC_ORACLE = """
+    WITH agg AS (
+      SELECT CAST(floor(o_totalprice / 30000) AS BIGINT) AS bucket,
+             COUNT(*) AS n, MAX(o_totalprice) AS max_price
+      FROM orders
+      WHERE o_orderkey % 5 = 0
+      GROUP BY 1
+    ), spine AS (
+      SELECT unnest(generate_series(0, 19)) AS bucket
+    ), j AS (
+      SELECT COALESCE(s.bucket, a.bucket) AS bucket, a.n, a.max_price
+      FROM spine s FULL OUTER JOIN agg a ON s.bucket = a.bucket
+    )
+    SELECT bucket, COALESCE(n, 0) AS n,
+           COALESCE(last_value(max_price IGNORE NULLS)
+                      OVER (ORDER BY bucket DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                    0.0) AS max_price
+    FROM j ORDER BY bucket DESC
+"""
+
+
+@query("ch_dialect_with_fill_desc", _CH_WF_DESC_ORACLE)
+def ch_dialect_with_fill_desc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ORDER BY ... DESC WITH FILL`` (the r9 wave-2 refusal removal):
+    the downward walk runs as the ascending fill in NEGATED key space —
+    FROM becomes the inclusive high start, TO the exclusive low end,
+    sequences restart at each existing value going down, and the
+    INTERPOLATE carry takes the previous OUTPUT row (the next-higher
+    bucket), which is what makes this oracle direction-sensitive rather
+    than a re-sorted copy of the ascending one.
+
+    Scale: identical to the ascending fill — the gap window carries
+    only the (negated) sort key; single-stream parity with ClickHouse's
+    own FillingTransform."""
+    return ch_sql(spark, sf_dir, _CH_WF_DESC_QUERY)
+
+
+# ---- LIMIT offset, n BY end-to-end ----
+# the skip-k-take-n-per-group form (pagination within groups): a rank
+# RANGE over the same ROW_NUMBER plan the plain LIMIT BY lowers to
+_CH_LIMIT_BY_OFF_QUERY = """
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_custkey % 97 = 0
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 2, 3 BY o_custkey
+"""
+
+_CH_LIMIT_BY_OFF_ORACLE = """
+    SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders WHERE o_custkey % 97 = 0)
+    WHERE rn BETWEEN 3 AND 5
+    ORDER BY o_totalprice DESC, o_orderkey
+"""
+
+
+@query("ch_dialect_limit_by_offset", _CH_LIMIT_BY_OFF_ORACLE)
+def ch_dialect_limit_by_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``LIMIT offset, n BY cols`` (the r9 wave-2 refusal removal):
+    skip the first ``offset`` rows of each group in the query's ORDER,
+    take the next ``n`` — lowered to the same materialized ROW_NUMBER
+    plan as plain LIMIT BY with a rank RANGE predicate. The unique
+    o_orderkey tiebreak keeps the per-group order total, so the skipped
+    prefix is deterministic on both engines.
+
+    Scale: identical to ch_dialect_limit_by — one hash-partitioned
+    rank window; Spark's WindowGroupLimit pushdown still applies (the
+    rank upper bound caps per-group state at offset+n)."""
+    return ch_sql(spark, sf_dir, _CH_LIMIT_BY_OFF_QUERY)

@@ -222,6 +222,8 @@ DRIVER_ORDER_TIER2: list[str] = [
     "ch_dialect_final_summing",
     "ch_dialect_asof_join",
     "ch_dialect_any_join",
+    "ch_dialect_with_fill_desc",
+    "ch_dialect_limit_by_offset",
     "bpe_train_merges",
     "stream_quality_gate",
     "bucketed_join_noshuffle",

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import re
 
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
@@ -1724,12 +1725,15 @@ def test_ch_dialect_wave5_query_tails():
     assert "GROUPING SETS" in translate(
         "SELECT event_type, count() FROM events GROUP BY event_type WITH TOTALS"
     )
+    # LIMIT offset, n BY now translates (r9 wave 2): skip-take as a
+    # rank RANGE over the same materialized ROW_NUMBER plan
+    off_form = translate("SELECT x, y FROM t ORDER BY y LIMIT 2, 3 BY x")
+    assert "_cdr_rn BETWEEN 3 AND 5" in off_form
     for bad, ptr in [
         ("SELECT x FROM t INTO OUTFILE 'o.csv'", "sinks are explicit"),
         ("SELECT dictGet('d', 'a', k) FROM t", "broadcast dimension"),
         ("WITH 5 AS c SELECT c FROM t", "scalar WITH"),
         ("WITH RECURSIVE r AS (SELECT 1) SELECT * FROM r", "recursive_cte_chain"),
-        ("SELECT x, y FROM t ORDER BY y LIMIT 2, 3 BY x", "top_k_per_group"),
         # third-review regressions: non-tail SETTINGS must refuse (the
         # unanchored strip swallowed the outer query), 2-arg trims must
         # refuse (Spark's arg order is REVERSED — silent wrong data),
@@ -2025,8 +2029,10 @@ def test_with_fill_refusals(spark):
         # refuse (the bare-column carry-forward form translates, see
         # test_with_fill_interpolate_carry_forward)
         "SELECT k, v FROM fill_t3 ORDER BY k WITH FILL INTERPOLATE (v AS v*2)",
-        # DESC fill / expression keys / multi-key: out of the simple form
-        "SELECT k, v FROM fill_t3 ORDER BY k DESC WITH FILL",
+        # direction/step sign mismatches (DESC itself now translates)
+        "SELECT k, v FROM fill_t3 ORDER BY k DESC WITH FILL STEP 2",
+        "SELECT k, v FROM fill_t3 ORDER BY k WITH FILL STEP -1",
+        # expression keys / multi-key: out of the simple form
         "SELECT k, v FROM fill_t3 ORDER BY k + 1 WITH FILL",
         "SELECT k, v FROM fill_t3 ORDER BY k WITH FILL, v WITH FILL",
         # double sort key refuses (neither integer nor date)
@@ -2690,3 +2696,86 @@ def test_asof_any_identifiers_do_not_trigger_rewrites(spark):
         "GROUP BY r.r_name ORDER BY r.r_name LIMIT 2",
     ).collect()
     assert len(out) == 2 and out[0]["any"] == 5
+
+
+def test_with_fill_desc_semantics(spark):
+    """DESC WITH FILL: the downward walk — sequences restart at each
+    existing value going DOWN, FROM is the inclusive high start, TO the
+    exclusive low end, and INTERPOLATE carries the previous OUTPUT row
+    (the larger key side) forward."""
+    from clickhouse_data_rebalance_spark.plans.ch_dialect import (
+        _apply_with_fill,
+    )
+
+    spark.createDataFrame(
+        [(8, 80), (4, 40), (1, 10)], "k int, n int"
+    ).createOrReplaceTempView("fill_d")
+    # restart-at-each-value, step -2: 8 -> fill 6; 4 -> fill 2; stop at 1
+    out = _apply_with_fill(
+        spark, "SELECT k, n FROM fill_d ORDER BY k DESC WITH FILL STEP -2"
+    ).collect()
+    assert [tuple(r) for r in out] == [
+        (8, 80), (6, 0), (4, 40), (2, 0), (1, 10),
+    ]
+    # FROM 11 (inclusive high) TO 0 (exclusive low), default step -1
+    out = _apply_with_fill(
+        spark,
+        "SELECT k, n FROM fill_d ORDER BY k DESC WITH FILL FROM 11 TO 0 "
+        "INTERPOLATE (n)",
+    ).collect()
+    ks = [r["k"] for r in out]
+    assert ks == list(range(11, 0, -1))
+    by_k = {r["k"]: r["n"] for r in out}
+    # leading fills (11..9, no predecessor in output order) -> default;
+    # carries take the previous LARGER key's original value
+    assert by_k[11] == 0 and by_k[10] == 0 and by_k[9] == 0
+    assert by_k[7] == 80 and by_k[5] == 80  # carried from k=8
+    assert by_k[3] == 40 and by_k[2] == 40  # carried from k=4
+    assert by_k[1] == 10
+
+
+def test_ch_sql_text_roundtrip(spark):
+    """ch_sql_text returns the exact Spark SQL the context rewrites
+    produce — executing it must equal running ch_sql, and WITH FILL
+    (a DataFrame lowering, not one SQL text) must refuse."""
+    from .conftest import SF_SMALL
+    from clickhouse_data_rebalance_spark.plans.ch_dialect import (
+        UnsupportedClickHouseSQL,
+        ch_sql,
+        ch_sql_text,
+    )
+
+    q = (
+        "SELECT c.event_type AS t, toUInt32(count()) AS n "
+        "FROM clicks c ANY LEFT JOIN purchases p ON c.user_id = p.user_id "
+        "GROUP BY t ORDER BY t"
+    )
+    # base tables must exist before the derived views reference them
+    from clickhouse_data_rebalance_spark.tables import load_tables
+
+    for name, df in load_tables(spark, SF_SMALL).items():
+        df.createOrReplaceTempView(name)
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW clicks AS SELECT event_id, user_id, "
+        "ts, event_type FROM events WHERE event_type IN ('click', 'view')"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW purchases AS SELECT user_id, ts, "
+        "event_id, value FROM events WHERE event_type = 'purchase'"
+    )
+    text = ch_sql_text(spark, SF_SMALL, q)
+    # the ANY construct is lowered (the dedup rank marker is present,
+    # the keyword is gone) and the CH combinators are translated
+    assert "__cdr_any_rn" in text
+    assert not re.search(r"\bANY\s+LEFT\s+JOIN\b", text, re.I)
+    assert "count(*)" in text.lower()
+    a = [tuple(r) for r in spark.sql(text).collect()]
+    b = [tuple(r) for r in ch_sql(spark, SF_SMALL, q).collect()]
+    assert a == b and len(a) == 2
+    try:
+        ch_sql_text(
+            spark, SF_SMALL, "SELECT 1 AS k ORDER BY k WITH FILL TO 3"
+        )
+        raise AssertionError("WITH FILL should refuse in ch_sql_text")
+    except UnsupportedClickHouseSQL as e:
+        assert "DataFrame" in str(e)
