@@ -1262,6 +1262,17 @@ def _apply_with_fill(spark: SparkSession, sql: str) -> DataFrame:
             "ascending WITH FILL needs a positive STEP (use ORDER BY "
             "... DESC for a downward walk)"
         )
+    # direction-mismatched bounds are an ERROR in ClickHouse, not an
+    # empty fill — accepting them would silently change behavior
+    if lo is not None and hi is not None:
+        if desc and lo < hi:
+            raise UnsupportedClickHouseSQL(
+                "DESC WITH FILL FROM cannot be less than TO"
+            )
+        if not desc and lo > hi:
+            raise UnsupportedClickHouseSQL(
+                "ascending WITH FILL FROM cannot be greater than TO"
+            )
 
     d = spark.sql(translate(sql[: m.start()] + f" ORDER BY {col}"))
     if col not in d.columns:
@@ -1293,7 +1304,11 @@ def _apply_with_fill(spark: SparkSession, sql: str) -> DataFrame:
             raise UnsupportedClickHouseSQL(
                 "DESC WITH FILL over a date key — use time_gap_fill"
             )
-        d = d.withColumn(col, (-F.col(col)).cast(dt))
+        # negate in BIGINT working space: unary minus keeps the input
+        # type, so a narrow key at its type minimum (byte -128, ...)
+        # would ARITHMETIC_OVERFLOW under Spark 4's default ANSI mode;
+        # _finish casts back to the declared type after re-negation
+        d = d.withColumn(col, -(F.col(col).cast("bigint")))
         lo = -lo if lo is not None else None
         hi = -hi if hi is not None else None
         step = -step
@@ -1336,9 +1351,12 @@ def _apply_with_fill(spark: SparkSession, sql: str) -> DataFrame:
                     ).alias("_v")
                 )
             )
+    # in DESC mode the working key column is BIGINT (negated space) —
+    # fills must union against that type; _finish restores dt
+    work_dt = T.LongType() if desc else dt
     fills = fill_keys.select(
         *[
-            v.cast(dt).alias(f.name)
+            v.cast(work_dt).alias(f.name)
             if f.name == col
             else _ch_default_lit(f.dataType).alias(f.name)
             for f in d.schema.fields

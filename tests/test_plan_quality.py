@@ -1134,3 +1134,11 @@ def test_final_dialect_is_single_collapse_window(spark):
     low_s = plan_of(spark, "ch_dialect_final_summing").lower()
     assert "window" not in low_s, "group-sum collapse needs no rank"
     assert "hashaggregate" in low_s
+
+
+def test_limit_by_offset_keeps_group_limit_pushdown(spark):
+    """LIMIT offset, n BY lowers to a rank RANGE — the BETWEEN upper
+    bound must still drive Spark's WindowGroupLimit pushdown so
+    per-group state stays capped at offset+n."""
+    plan = plan_of(spark, "ch_dialect_limit_by_offset")
+    assert "windowgrouplimit" in plan.lower()

@@ -2779,3 +2779,38 @@ def test_ch_sql_text_roundtrip(spark):
         raise AssertionError("WITH FILL should refuse in ch_sql_text")
     except UnsupportedClickHouseSQL as e:
         assert "DataFrame" in str(e)
+
+
+def test_with_fill_desc_bounds_and_narrow_keys(spark):
+    """Third-review regressions: direction-mismatched FROM/TO refuse
+    (CH errors; silently emitting gap fills would change behavior) and
+    a narrow int key at its type minimum survives the negation (BIGINT
+    working space — unary minus on byte -128 would ANSI-overflow)."""
+    from clickhouse_data_rebalance_spark.plans.ch_dialect import (
+        UnsupportedClickHouseSQL,
+        _apply_with_fill,
+    )
+
+    spark.createDataFrame(
+        [(-128, 1), (-125, 2)], "k tinyint, n int"
+    ).createOrReplaceTempView("fill_b")
+    out = _apply_with_fill(
+        spark, "SELECT k, n FROM fill_b ORDER BY k DESC WITH FILL"
+    ).collect()
+    assert [tuple(r) for r in out] == [
+        (-125, 2), (-126, 0), (-127, 0), (-128, 1),
+    ]
+    assert out[0].__fields__ == ["k", "n"]
+    # the key column keeps its declared narrow type after the round trip
+    assert dict(_apply_with_fill(
+        spark, "SELECT k, n FROM fill_b ORDER BY k DESC WITH FILL"
+    ).dtypes)["k"] == "tinyint"
+    for bad in (
+        "SELECT k, n FROM fill_b ORDER BY k DESC WITH FILL FROM 0 TO 19",
+        "SELECT k, n FROM fill_b ORDER BY k WITH FILL FROM 19 TO 0",
+    ):
+        try:
+            _apply_with_fill(spark, bad)
+            raise AssertionError(f"should have refused: {bad}")
+        except UnsupportedClickHouseSQL:
+            pass
