@@ -211,9 +211,12 @@ DRIVER_ORDER: list[str] = [
 # per-function suite variants.
 DRIVER_ORDER_TIER2: list[str] = [
     # next in line for driver rows: the r9 refusal-to-rewrite dialect
-    # queries (VERDICT r8 #3), then never-externally-verified members of
-    # the COVERAGE.md ledger (VERDICT r8 #5 — bias rotations toward
-    # queries with zero green driver rows across r1-r8)
+    # queries — wave 1 (VERDICT r8 #3: quantile/topK/WITH FILL) and
+    # wave 2 (FINAL Replacing/Summing, ASOF ON/USING, ANY, DESC fill,
+    # LIMIT offset BY, the BPE trainer) — then never-externally-verified
+    # members of the COVERAGE.md ledger (VERDICT r8 #5 — bias rotations
+    # toward queries with zero green driver rows). The r10 rotation
+    # should promote this head block.
     "ch_dialect_quantile",
     "ch_dialect_topk",
     "ch_dialect_with_fill",

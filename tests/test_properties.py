@@ -2814,3 +2814,51 @@ def test_with_fill_desc_bounds_and_narrow_keys(spark):
             raise AssertionError(f"should have refused: {bad}")
         except UnsupportedClickHouseSQL:
             pass
+
+
+_CONTEXT_TRAP_LITERALS = st.sampled_from(
+    [
+        "SELECT * FROM t FINAL",
+        "FROM state FINAL WHERE",
+        "l ASOF LEFT JOIN r ON l.k = r.k",
+        "ASOF INNER JOIN quotes USING (k, t)",
+        "a ANY LEFT JOIN b ON a.k = b.k",
+        "GLOBAL ANY JOIN x",
+        "ORDER BY k DESC WITH FILL",
+        "LIMIT 2, 3 BY c",
+    ]
+)
+
+
+@settings(**_SETTINGS)
+@given(lits=st.lists(_CONTEXT_TRAP_LITERALS, min_size=1, max_size=3))
+def test_final_rewrite_literal_preservation_property(lits):
+    """PROPERTY (r9 context-rewrite layer): _apply_final is pure text —
+    for ANY combination of trigger phrases embedded as string literals
+    beside a REAL `FROM t FINAL`, the rewrite must keep every literal
+    byte-for-byte and lower only the real clause (matching runs on the
+    literal-masked copy; splices index into raw text)."""
+    from clickhouse_data_rebalance_spark.plans.ch_dialect import (
+        _apply_final,
+        merge_tree_meta,
+    )
+
+    meta = merge_tree_meta(
+        "CREATE TABLE t (k UInt64, ver UInt64, v Float64) "
+        "ENGINE = ReplacingMergeTree(ver) ORDER BY k"
+    )
+    sel = ", ".join(f"'{t}' AS s{i}" for i, t in enumerate(lits))
+    out = _apply_final(
+        f"SELECT {sel}, k FROM t FINAL", {"t": meta}
+    )
+    for t in lits:
+        assert f"'{t}'" in out, (t, out)
+    assert "FINAL" not in _re_strip_literals_for_test(out)
+
+
+def _re_strip_literals_for_test(sql: str) -> str:
+    from clickhouse_data_rebalance_spark.plans.ch_dialect import (
+        _mask_literals,
+    )
+
+    return _mask_literals(sql)
