@@ -34,10 +34,17 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def newest_reference() -> str:
+    # newest file that IS a bench record (side artifacts like
+    # bench_local_r09_anchor_runs.json sort after the record and carry
+    # no "queries" map — skip them)
     cands = sorted(glob.glob(os.path.join(REPO, "tools", "bench_local_r*.json")))
-    if not cands:
-        sys.exit("no tools/bench_local_r*.json to compare against")
-    return cands[-1]
+    for p in reversed(cands):
+        try:
+            if isinstance(json.load(open(p)).get("queries"), dict):
+                return p
+        except (OSError, json.JSONDecodeError):
+            continue
+    sys.exit("no tools/bench_local_r*.json bench record to compare against")
 
 
 def run_fresh() -> dict:
