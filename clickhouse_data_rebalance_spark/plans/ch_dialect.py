@@ -241,12 +241,6 @@ _REFUSALS: list[tuple[re.Pattern[str], str]] = [
         re.compile(r"\bWITH\s+RECURSIVE\b", re.I),
         "use recursive_cte_chain (iterative DataFrame closure)",
     ),
-    # LIMIT n WITH TIES: Spark has no WITH TIES — rank window instead
-    (
-        re.compile(r"\bWITH\s+TIES\b", re.I),
-        "use a rank() <= n window (C15 window_ranking) — Spark LIMIT "
-        "has no WITH TIES",
-    ),
     # CH's scalar WITH (`WITH 5 AS c SELECT c`) — Spark's WITH binds
     # only subqueries; the lookaheads admit the CTE form `WITH x AS (`
     # and the clause keywords TOTALS/FILL/ROLLUP/CUBE/TIES/RECURSIVE,
@@ -641,6 +635,53 @@ _LIMIT_BY = re.compile(
     r"(?:\s+LIMIT\s+(?P<m>\d+))?\s*;?\s*$",
     re.I,
 )
+
+
+_LIMIT_TIES = re.compile(
+    r"^(?P<body>[\s\S]*?)"
+    r"\bORDER\s+BY\s+(?P<col>[A-Za-z_]\w*)(?:\s+ASC)?"
+    r"\s+LIMIT\s+(?P<n>\d+)\s+WITH\s+TIES\s*;?\s*$",
+    re.I,
+)
+
+
+def _rewrite_limit_ties(sql: str) -> str:
+    """Rewrite the statement-tail `ORDER BY col [ASC] LIMIT n WITH
+    TIES` to a DISTRIBUTED threshold form: take the n-th smallest
+    non-null key via an ordinary LIMIT (TakeOrdered — never a
+    single-partition rank window over ALL rows), keep every row at or
+    below it, and admit the NULL rows exactly when fewer than n
+    non-null keys exist (ClickHouse sorts NULLS LAST by default, so
+    nulls enter the top-n only past the non-null tail; the final ORDER
+    BY carries an explicit NULLS LAST for the same reason). DESC,
+    multi-key and expression-key forms refuse — CH's null placement
+    under DESC is direction-independent while Spark's flips, so a
+    textual map could silently move rows across the cut."""
+    stripped = sql.strip()
+    masked = _mask_literals(stripped)
+    if not re.search(r"\bWITH\s+TIES\b", masked, re.I):
+        return sql
+    m = _LIMIT_TIES.match(masked)
+    if not m:
+        raise UnsupportedClickHouseSQL(
+            "LIMIT n WITH TIES is supported as the statement tail "
+            "`ORDER BY <column> [ASC] LIMIT n WITH TIES` (single "
+            "ascending bare-column key) — DESC/multi-key forms: a "
+            "rank() <= n window (C15 window_ranking)"
+        )
+    body = stripped[slice(*m.span("body"))].strip()
+    col, n = m["col"], int(m["n"])
+    return (
+        f"WITH _cdr_ties_b AS ({body}),\n"
+        f"_cdr_ties_t AS (SELECT {col} AS _cdr_o FROM _cdr_ties_b\n"
+        f"  WHERE {col} IS NOT NULL ORDER BY {col} LIMIT {n})\n"
+        f"SELECT * FROM _cdr_ties_b\n"
+        f"WHERE ({col} IS NOT NULL\n"
+        f"       AND {col} <= (SELECT max(_cdr_o) FROM _cdr_ties_t))\n"
+        f"   OR ({col} IS NULL\n"
+        f"       AND (SELECT count(*) FROM _cdr_ties_t) < {n})\n"
+        f"ORDER BY {col} ASC NULLS LAST"
+    )
 
 
 def _split_top_level_args(s: str) -> list[str]:
@@ -1117,6 +1158,7 @@ def translate(ch_sql: str) -> str:
             "(named_struct / col.field)"
         )
     out = _rewrite_limit_by(ch_sql)
+    out = _rewrite_limit_ties(out)
     out = _rewrite_multiif(out)
     out = _rewrite_brackets(out)
     out = _rewrite_format_datetime(out)
@@ -3067,3 +3109,39 @@ def ch_dialect_limit_by_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank window; Spark's WindowGroupLimit pushdown still applies (the
     rank upper bound caps per-group state at offset+n)."""
     return ch_sql(spark, sf_dir, _CH_LIMIT_BY_OFF_QUERY)
+
+
+# ---- LIMIT n WITH TIES end-to-end ----
+# banded prices give real tie groups, so the cut admits far more than
+# n rows — the semantics, not a plain LIMIT in disguise
+_CH_TIES_QUERY = """
+    SELECT o_custkey, toUInt64(o_totalprice / 50000) AS band
+    FROM orders
+    WHERE o_orderkey % 11 = 0
+    ORDER BY band LIMIT 10 WITH TIES
+"""
+
+_CH_TIES_ORACLE = """
+    SELECT o_custkey, band FROM (
+      SELECT o_custkey, band, RANK() OVER (ORDER BY band) AS rk FROM (
+        SELECT o_custkey, CAST(floor(o_totalprice / 50000) AS BIGINT) AS band
+        FROM orders WHERE o_orderkey % 11 = 0))
+    WHERE rk <= 10
+    ORDER BY band
+"""
+
+
+@query("ch_dialect_limit_ties", _CH_TIES_ORACLE)
+def ch_dialect_limit_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``LIMIT n WITH TIES`` (the r9 wave-2 refusal removal): the first
+    n rows in the query's order PLUS every further row tying the n-th
+    key value — lowered to a distributed threshold (TakeOrdered n-th
+    key + filter), never a single-partition rank window over all rows.
+    Oracled against DuckDB's independent RANK() <= n spelling, which is
+    the construct's definition.
+
+    Scale: the threshold subquery is an ordinary n-row TakeOrdered;
+    the main pass is a scan + broadcast-scalar filter — both fully
+    distributed, unlike the textbook rank-window lowering whose
+    unpartitioned window funnels the corpus through one task."""
+    return ch_sql(spark, sf_dir, _CH_TIES_QUERY)

@@ -227,6 +227,7 @@ DRIVER_ORDER_TIER2: list[str] = [
     "ch_dialect_any_join",
     "ch_dialect_with_fill_desc",
     "ch_dialect_limit_by_offset",
+    "ch_dialect_limit_ties",
     "bpe_train_merges",
     "stream_quality_gate",
     "bucketed_join_noshuffle",

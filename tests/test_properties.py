@@ -1741,7 +1741,9 @@ def test_ch_dialect_wave5_query_tails():
         ("SELECT a FROM (SELECT a FROM t SETTINGS m = 1) s WHERE a > 0", "non-tail"),
         ("SELECT a FROM t SETTINGS x = 1 UNION ALL SELECT b FROM u", "non-tail"),
         ("SELECT trimLeft(s, 'xy') FROM t", "could not rewrite"),
-        ("SELECT x FROM t ORDER BY x LIMIT 5 WITH TIES", "rank()"),
+        # WITH TIES beyond the single-ascending-key tail still refuses
+        ("SELECT x FROM t ORDER BY x DESC LIMIT 5 WITH TIES", "rank()"),
+        ("SELECT x FROM t ORDER BY x, y LIMIT 5 WITH TIES", "rank()"),
     ]:
         with _pytest.raises(UnsupportedClickHouseSQL) as ei:
             translate(bad)
@@ -2862,3 +2864,34 @@ def _re_strip_literals_for_test(sql: str) -> str:
     )
 
     return _mask_literals(sql)
+
+
+def test_limit_with_ties_semantics(spark):
+    """LIMIT n WITH TIES: boundary ties all admitted; NULL keys (CH
+    sorts them LAST) enter only when n exceeds the non-null count."""
+    from clickhouse_data_rebalance_spark.plans.ch_dialect import translate
+
+    spark.createDataFrame(
+        [(1, "a"), (2, "b1"), (2, "b2"), (2, "b3"), (3, "c"), (None, "z")],
+        "k int, v string",
+    ).createOrReplaceTempView("ties_t")
+    run = lambda n: [  # noqa: E731
+        tuple(r)
+        for r in spark.sql(
+            translate(f"SELECT k, v FROM ties_t ORDER BY k LIMIT {n} WITH TIES")
+        ).collect()
+    ]
+    # n=2 cuts inside the k=2 tie group -> the whole group comes along
+    assert run(2) == [(1, "a"), (2, "b1"), (2, "b2"), (2, "b3")]
+    # n=5 covers all non-null keys exactly -> NULL row stays out
+    assert sorted(run(5), key=lambda t: (t[0] is None, t)) == [
+        (1, "a"), (2, "b1"), (2, "b2"), (2, "b3"), (3, "c"),
+    ]
+    # n=6 exceeds the non-null count -> the NULL row (CH: NULLS LAST)
+    # is admitted, and it sorts last in the output
+    out6 = run(6)
+    assert out6[-1] == (None, "z") and len(out6) == 6
+    # translate() emits the distributed threshold, not a rank window
+    assert "RANK()" not in translate(
+        "SELECT k FROM ties_t ORDER BY k LIMIT 2 WITH TIES"
+    ).upper()
