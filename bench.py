@@ -106,6 +106,13 @@ EXTENDED = [
     "ch_dialect_asof_join",
     "ch_dialect_any_join",
     "bpe_train_merges",
+    # round 10: the corpus-pipeline stage bisection (tracked from birth,
+    # VERDICT r9 #7) + the two refusals-turned-rewrites
+    "corpus_stage_gate",
+    "corpus_stage_dedup",
+    "corpus_stage_split",
+    "ch_dialect_totals_expr",
+    "ch_dialect_array_join_zip",
 ]
 
 HEADLINE = CORE + EXTENDED

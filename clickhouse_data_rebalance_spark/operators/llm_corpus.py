@@ -355,24 +355,185 @@ def bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "corpus_pipeline_e2e",
-    f"""
-    WITH w AS (
+# --------------------------------------------------------------------------
+# Corpus-pipeline family: shared Gopher-gate CTEs (VERDICT r9 #1 — stage
+# bisection of the two-round driver-only hash mismatch).
+#
+# Two deliberate respellings vs the r8/r9 form, so every construct in
+# this family's oracle also appears in a DRIVER-GREEN oracle:
+#   (a) the distinct-5-gram count is unnest(range()) + COUNT(DISTINCT …)
+#       — the exact spelling dedup_repeated_substring's green oracle
+#       uses — instead of list_transform + list_distinct, which appeared
+#       in NO other cover oracle;
+#   (b) the repetition gate is INTEGER-EXACT: "duplicate-gram fraction
+#       1 - nd/ng <= 0.2" is algebraically (ng - nd) * 5 <= ng over
+#       BIGINT counts — the only float boundary comparison in the whole
+#       cover is gone, so no engine-version division/ulp drift can flip
+#       a document's gate membership while keeping row counts stable.
+# The Spark side mirrors (b) exactly (same integer predicate).
+# --------------------------------------------------------------------------
+_SQL_GATE_CTES = """
+    w AS (
       SELECT doc_id, lang, text, string_split(text, ' ') AS toks
       FROM documents WHERE len(string_split(text, ' ')) >= 5
     ),
-    q AS (
-      SELECT doc_id, lang, text, toks FROM w
-      WHERE (1.0 - CAST(len(list_distinct(list_transform(
-                     range(1, len(toks) - 3),
-                     i -> array_to_string(list_slice(toks, i, i + 4), ' '))))
-                   AS DOUBLE)
-                 / (len(toks) - 4)) <= 0.2
+    g AS (
+      SELECT doc_id, array_to_string(list_slice(toks, i, i + 4), ' ') AS gram
+      FROM w, unnest(range(1, len(toks) - 3)) AS u(i)
     ),
+    c AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS ng,
+             CAST(COUNT(DISTINCT gram) AS BIGINT) AS nd
+      FROM g GROUP BY doc_id
+    ),
+    q AS (
+      SELECT w.doc_id, w.lang, w.text, w.toks, c.ng, c.nd
+      FROM w JOIN c ON w.doc_id = c.doc_id
+      WHERE (c.ng - c.nd) * 5 <= c.ng
+    )
+"""
+
+
+def _gated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents with >= 5 tokens plus integer 5-gram counts (`ng` total
+    grams, `nd` distinct grams) — the shared first stage of the
+    corpus-pipeline family. The Gopher repetition gate is the integer
+    predicate ``(ng - nd) * 5 <= ng`` (== duplicate-gram fraction
+    <= 0.2, no doubles involved)."""
+    d = table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    base = d.select("doc_id", "lang", "text", w.alias("toks")).filter(
+        F.size(w) >= 5
+    )
+    ngrams = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - 5),
+        lambda i: F.array_join(F.slice("toks", i + 1, 5), " "),
+    )
+    return base.select(
+        "doc_id",
+        "lang",
+        "text",
+        "toks",
+        F.size(F.array_distinct(ngrams)).cast("bigint").alias("nd"),
+        (F.size("toks") - 4).cast("bigint").alias("ng"),
+    )
+
+
+def _gate_pred():
+    # Column exprs invoke the JVM — built lazily, never at import time
+    return (F.col("ng") - F.col("nd")) * 5 <= F.col("ng")
+
+
+@query(
+    "corpus_stage_gate",
+    f"""
+    WITH {_SQL_GATE_CTES.strip()}
+    SELECT w.doc_id,
+           c.ng AS n_grams,
+           c.nd AS n_distinct,
+           CAST(CASE WHEN (c.ng - c.nd) * 5 <= c.ng THEN 1 ELSE 0 END
+                AS INT) AS passed
+    FROM w JOIN c ON w.doc_id = c.doc_id
+    ORDER BY w.doc_id
+    """,
+)
+def corpus_stage_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-bisection query 1/3 for the corpus pipeline (VERDICT r9
+    #1): the Gopher repetition gate ALONE, reported per document with
+    its raw integer gram counts — so a driver-side red row localizes a
+    divergence to the gram counting itself (nd/ng values) or to gate
+    membership (passed flag), per document, before any dedup or split
+    stage runs. Row-local expression work; no shuffle beyond the final
+    small sort."""
+    sized = _gated_docs(spark, sf_dir)
+    return sized.select(
+        "doc_id",
+        F.col("ng").alias("n_grams"),
+        F.col("nd").alias("n_distinct"),
+        _gate_pred().cast("int").alias("passed"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "corpus_stage_dedup",
+    f"""
+    WITH {_SQL_GATE_CTES.strip()},
     d AS (
-      SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(lower(trim(text)))
-                                   ORDER BY doc_id) AS rn
+      SELECT q.*, ROW_NUMBER() OVER (PARTITION BY md5(lower(trim(text)))
+                                     ORDER BY doc_id) AS rn
+      FROM q
+    )
+    SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_toks
+    FROM d WHERE rn = 1 ORDER BY doc_id
+    """,
+)
+def corpus_stage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-bisection query 2/3: gate + exact dedup (normalized-md5
+    fingerprint, min-doc_id keeper), emitting the kept document set —
+    red here with `corpus_stage_gate` green localizes a divergence to
+    the fingerprint window; the doc_id grain names the row. One shuffle
+    (the fingerprint hash partition), same plan class as the full
+    pipeline's dedup stage."""
+    from pyspark.sql import Window as W
+
+    gated = _gated_docs(spark, sf_dir).filter(_gate_pred())
+    fp = F.md5(F.lower(F.trim("text")))
+    kept = gated.withColumn(
+        "rn", F.row_number().over(W.partitionBy(fp).orderBy(F.col("doc_id").asc()))
+    ).filter(F.col("rn") == 1)
+    return kept.select(
+        "doc_id", "lang", F.size("toks").cast("bigint").alias("n_toks")
+    ).orderBy("doc_id")
+
+
+@query(
+    "corpus_stage_split",
+    f"""
+    WITH {_SQL_GATE_CTES.strip()},
+    d AS (
+      SELECT q.*, ROW_NUMBER() OVER (PARTITION BY md5(lower(trim(text)))
+                                     ORDER BY doc_id) AS rn
+      FROM q
+    )
+    SELECT doc_id,
+           CAST({_SQL_DOC_BUCKET} % 100 AS BIGINT) AS bucket,
+           CASE WHEN {_SQL_DOC_BUCKET} % 100 < 80 THEN 'train'
+                WHEN {_SQL_DOC_BUCKET} % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM d WHERE rn = 1 ORDER BY doc_id
+    """,
+)
+def corpus_stage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-bisection query 3/3: gate + dedup + md5-bucket 80/10/10
+    split assignment at the per-document grain (the raw bucket value is
+    emitted so a red row names the diverging hash, not just the split
+    label). Red here with `corpus_stage_dedup` green localizes to the
+    bucket hash; green here with `corpus_pipeline_e2e` red localizes to
+    the final rollup. Row-local split math on top of stage 2's plan."""
+    from pyspark.sql import Window as W
+
+    gated = _gated_docs(spark, sf_dir).filter(_gate_pred())
+    fp = F.md5(F.lower(F.trim("text")))
+    kept = gated.withColumn(
+        "rn", F.row_number().over(W.partitionBy(fp).orderBy(F.col("doc_id").asc()))
+    ).filter(F.col("rn") == 1)
+    bucket = _md5_bucket(F.col("doc_id"), 100)
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return kept.select(
+        "doc_id", bucket.cast("bigint").alias("bucket"), split.alias("split")
+    ).orderBy("doc_id")
+
+
+@query(
+    "corpus_pipeline_e2e",
+    f"""
+    WITH {_SQL_GATE_CTES.strip()},
+    d AS (
+      SELECT q.*, ROW_NUMBER() OVER (PARTITION BY md5(lower(trim(text)))
+                                     ORDER BY doc_id) AS rn
       FROM q
     ),
     a AS (
@@ -419,24 +580,7 @@ def corpus_pipeline_e2e(
 
     if keeper not in ("min_id", "longest"):
         raise ValueError(f"unknown keeper policy: {keeper!r}")
-    d = table(spark, sf_dir, "documents")
-    w = F.split("text", " ")
-    base = d.select("doc_id", "lang", "text", w.alias("toks")).filter(
-        F.size(w) >= 5
-    )
-    ngrams = F.transform(
-        F.sequence(F.lit(0), F.size("toks") - 5),
-        lambda i: F.array_join(F.slice("toks", i + 1, 5), " "),
-    )
-    sized = base.select(
-        "doc_id",
-        "lang",
-        "text",
-        "toks",
-        F.size(F.array_distinct(ngrams)).cast("double").alias("nd"),
-        (F.size("toks") - 4).cast("double").alias("ng"),
-    )
-    gated = sized.filter(1.0 - F.col("nd") / F.col("ng") <= 0.2)
+    gated = _gated_docs(spark, sf_dir).filter(_gate_pred())
     fp = F.md5(F.lower(F.trim("text")))
     order = (
         [F.length("text").desc(), F.col("doc_id").asc()]
@@ -463,21 +607,10 @@ def corpus_pipeline_e2e(
 @query(
     "corpus_pipeline_e2e_keep_longest",
     f"""
-    WITH w AS (
-      SELECT doc_id, lang, text, string_split(text, ' ') AS toks
-      FROM documents WHERE len(string_split(text, ' ')) >= 5
-    ),
-    q AS (
-      SELECT doc_id, lang, text, toks FROM w
-      WHERE (1.0 - CAST(len(list_distinct(list_transform(
-                     range(1, len(toks) - 3),
-                     i -> array_to_string(list_slice(toks, i, i + 4), ' '))))
-                   AS DOUBLE)
-                 / (len(toks) - 4)) <= 0.2
-    ),
+    WITH {_SQL_GATE_CTES.strip()},
     d AS (
-      SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(lower(trim(text)))
-                                   ORDER BY len(text) DESC, doc_id) AS rn
+      SELECT q.*, ROW_NUMBER() OVER (PARTITION BY md5(lower(trim(text)))
+                                     ORDER BY len(text) DESC, doc_id) AS rn
       FROM q
     ),
     a AS (

@@ -135,20 +135,69 @@ DRIVER_ORDER: list[str] = [
     # fixed randomness), having_filter -> dedup_repeated_substring's
     # post-aggregation duplicate-span filter + stream_watermark_counts's
     # emitted-window HAVING (C14))
-    "rebalance_shard_stats",
+    # (r10 rotation, per the same rule: sixteen enter — the three
+    # corpus_stage_* bisection queries (VERDICT r9 #1: cumulative-prefix
+    # twins of the two-round-red corpus_pipeline_e2e family, so a red
+    # row finally NAMES the diverging stage), the twelve VERDICT r9 #2
+    # promotions (the whole r9 dialect wave: quantile, topk, with_fill,
+    # fill_interpolate, final, final_summing, asof_join, any_join,
+    # with_fill_desc, limit_by_offset, limit_ties — plus
+    # bpe_train_merges), and ch_dialect_totals (never-green; its
+    # GROUPING SETS lowering keeps C13 covered when grouping_sets
+    # leaves). Sixteen 2+-green veterans leave for tier 2. Merge mapping
+    # (COVERAGE.md §r10): table_swap_lifecycle + rebalance_shard_stats
+    # -> rebalance_pipeline (its rename-aside/create/swap/GC phases =
+    # A5-A12/C36, its verify phase = C37), ch_dialect_limit_by ->
+    # ch_dialect_limit_by_offset (same ROW_NUMBER plan + offset,
+    # C15/C20), ch_dialect_brackets -> the 12-strong dialect block,
+    # decontaminate_minhash -> dedup_repeated_substring keeps C41
+    # (banded-LSH variants stay registered), ann_ivf_topk_refined ->
+    # matryoshka_topk_recall + ivf_index_admit/compact (C42/C9 probe
+    # the same index machinery), stream_tumbling_equiv ->
+    # stream_watermark_counts' tumbling windows (C48),
+    # stream_mv_maintain + stream_custom_state -> stream_index_admit
+    # (the foreachBatch-maintained stateful sink IS MV maintenance,
+    # B5/C53), projection_expr -> corpus_stage_split's CASE + every
+    # cover projection (C2/C25), time_gap_fill_interpolate ->
+    # ch_dialect_with_fill + ch_dialect_fill_interpolate (the same
+    # gap-fill lowering, dialect-driven — C16 also rides
+    # asof_join_nearest's fills), join_right_outer ->
+    # ch_dialect_any_join + ch_dialect_asof_join LEFT arms (C5),
+    # join_null_safe -> asof_join_nearest's range predicates keep C8
+    # (the <=> variant stays registered), shipping_priority_topk ->
+    # ch_dialect_limit_ties' TakeOrdered threshold cut (C18/C19) +
+    # national_market_share's pushed filters (C3), grouping_sets ->
+    # ch_dialect_totals (C13; rollup/cube variants stay registered),
+    # correlated_scalar_subquery -> ch_dialect_limit_ties' scalar
+    # subquery threshold (C23; the correlated/IN/EXISTS variants stay
+    # registered + locally oracled))
     "rebalance_pipeline",
-    "table_swap_lifecycle",
     "source_python_datasource",
-    "ch_dialect_limit_by",
-    "ch_dialect_brackets",
+    # ClickHouse dialect layer (r9 wave promoted whole, VERDICT r9 #2)
+    "ch_dialect_quantile",
+    "ch_dialect_topk",
+    "ch_dialect_with_fill",
+    "ch_dialect_fill_interpolate",
+    "ch_dialect_with_fill_desc",
+    "ch_dialect_final",
+    "ch_dialect_final_summing",
+    "ch_dialect_asof_join",
+    "ch_dialect_any_join",
+    "ch_dialect_limit_by_offset",
+    "ch_dialect_limit_ties",
+    "ch_dialect_totals",
     # LLM data-pipeline operators
     "dedup_repeated_substring",
     "corpus_ingest_incremental",
     "dedup_semantic_prune",
+    # corpus-pipeline stage bisection (VERDICT r9 #1): gate -> dedup ->
+    # split -> full, so the driver's red/green boundary names the stage
+    "corpus_stage_gate",
+    "corpus_stage_dedup",
+    "corpus_stage_split",
     "corpus_pipeline_e2e",
     "corpus_pipeline_e2e_keep_longest",
-    "decontaminate_minhash",
-    "ann_ivf_topk_refined",
+    "bpe_train_merges",
     "matryoshka_topk_recall",
     "bm25_topk",
     "bm25_batch_topk",
@@ -162,42 +211,26 @@ DRIVER_ORDER: list[str] = [
     "mixture_sample_weights",
     "pack_quality_curriculum",
     "multimodal_roundtrip",
-    # structured streaming + event-time windows (r6 second swap, VERDICT
-    # r5 #8: the stream trio that silently broke in r1/r3 and has never
-    # had an external row enters; three 2+-green veterans leave —
-    # collect_agg -> agg_multikey keeps C10, window_ranking ->
-    # top_k_per_group's row_number keeps C15, cast_coercion ->
-    # scalar_funcs_suite's CAST family keeps C32)
-    "stream_tumbling_equiv",
+    # structured streaming + event-time windows
     "sliding_window_agg",
     "session_window_agg",
     "stream_watermark_counts",
     "stream_dedup_events",
-    "stream_mv_maintain",
-    "stream_custom_state",
     "stream_index_admit",
     # scalar function families + UDF ladder
     "scalar_funcs_suite",
     "semi_structured_suite",
     "grouped_map_udaf",
-    # relational core
-    "projection_expr",
     # joins
-    "join_right_outer",
-    "join_null_safe",
     "asof_join_nearest",
     # aggregation
     "approx_count_distinct",
-    "grouping_sets",
-    # windows / sort / top-k / event-time
+    # windows / frames
     "window_range_interval",
-    "time_gap_fill_interpolate",
-    # composed multi-join analytics (TPC-H-shaped, new r6 surface)
-    "shipping_priority_topk",
+    # composed multi-join analytics (TPC-H-shaped)
     "national_market_share",
-    # set ops + subqueries
+    # set ops + subqueries + CTE
     "except_all_rows",
-    "correlated_scalar_subquery",
     "cte_query",
 ]
 
@@ -210,25 +243,31 @@ DRIVER_ORDER: list[str] = [
 # rounds, then the round-2 flagship operators, then the long tail of
 # per-function suite variants.
 DRIVER_ORDER_TIER2: list[str] = [
-    # next in line for driver rows: the r9 refusal-to-rewrite dialect
-    # queries — wave 1 (VERDICT r8 #3: quantile/topK/WITH FILL) and
-    # wave 2 (FINAL Replacing/Summing, ASOF ON/USING, ANY, DESC fill,
-    # LIMIT offset BY, the BPE trainer) — then never-externally-verified
+    # next in line for driver rows: the r10 refusal-translations
+    # (ch_dialect_totals_expr / ch_dialect_array_join_zip, never
+    # externally verified), then the sixteen veterans the r10 rotation
+    # moved out of the cover (every one 2+-green; ordered
+    # streaming-first by drift risk), then never-externally-verified
     # members of the COVERAGE.md ledger (VERDICT r8 #5 — bias rotations
-    # toward queries with zero green driver rows). The r10 rotation
-    # should promote this head block.
-    "ch_dialect_quantile",
-    "ch_dialect_topk",
-    "ch_dialect_with_fill",
-    "ch_dialect_fill_interpolate",
-    "ch_dialect_final",
-    "ch_dialect_final_summing",
-    "ch_dialect_asof_join",
-    "ch_dialect_any_join",
-    "ch_dialect_with_fill_desc",
-    "ch_dialect_limit_by_offset",
-    "ch_dialect_limit_ties",
-    "bpe_train_merges",
+    # toward queries with zero green driver rows).
+    "ch_dialect_totals_expr",
+    "ch_dialect_array_join_zip",
+    "stream_tumbling_equiv",
+    "stream_mv_maintain",
+    "stream_custom_state",
+    "time_gap_fill_interpolate",
+    "table_swap_lifecycle",
+    "rebalance_shard_stats",
+    "decontaminate_minhash",
+    "ann_ivf_topk_refined",
+    "shipping_priority_topk",
+    "projection_expr",
+    "join_right_outer",
+    "join_null_safe",
+    "grouping_sets",
+    "correlated_scalar_subquery",
+    "ch_dialect_limit_by",
+    "ch_dialect_brackets",
     "stream_quality_gate",
     "bucketed_join_noshuffle",
     "media_resize",
@@ -261,7 +300,6 @@ DRIVER_ORDER_TIER2: list[str] = [
     "quantile_state_merge",
     "theta_set_ops",
     "uniq_sliding_window",
-    "ch_dialect_totals",
     "global_shuffle_shards",
     "retention_conditions",
     "stream_stream_left_join",

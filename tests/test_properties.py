@@ -326,9 +326,11 @@ def test_ch_dialect_refuses_untranslatable():
         # FINAL needs the table's key/version columns the SQL text
         # does not carry — refuse, pointing at upsert_latest_wins
         "SELECT x FROM t FINAL WHERE x > 0",
-        # WITH TOTALS over expression group keys falls outside the
-        # bare-column rewrite — refuse, never mis-group
-        "SELECT count(*) FROM t GROUP BY x % 2 WITH TOTALS",
+        # WITH TOTALS composed with ROLLUP/CUBE/subquery keys is beyond
+        # the key-list rewrite (expression keys now translate — see
+        # test_ch_dialect_with_totals_rewrite) — refuse, never mis-group
+        "SELECT count(*) FROM t GROUP BY ROLLUP(a) WITH TOTALS",
+        "SELECT count(*) FROM t GROUP BY (SELECT 1) WITH TOTALS",
     ]:
         with _pytest.raises(UnsupportedClickHouseSQL):
             translate(sql)
@@ -389,10 +391,12 @@ def test_ch_dialect_global_strip_and_residual_refusal():
 
 
 def test_ch_dialect_array_join_refusal_is_anchored():
-    """The multi-array ARRAY JOIN refusal must fire only on a genuine
-    second `<expr> AS <alias>` operand — a single-array ARRAY JOIN
-    followed by unrelated comma text is translatable and must translate
-    (ADVICE r6: the old pattern matched any later comma + ' AS ')."""
+    """Multi-array ARRAY JOIN translates since r10 (one zip_with struct
+    + one inline — never two cross-producting LATERAL VIEWs); the
+    single-array form keeps the plain explode rewrite, and a
+    single-array clause followed by unrelated comma text must still
+    translate (ADVICE r6: the old refusal matched any later comma +
+    ' AS ')."""
     import pytest as _pytest
 
     from clickhouse_data_rebalance_spark.plans.ch_dialect import (
@@ -400,10 +404,21 @@ def test_ch_dialect_array_join_refusal_is_anchored():
         translate,
     )
 
-    # true multi-array form: refuse (positional zip has no 2-LATERAL-VIEW
-    # equivalent)
-    with _pytest.raises(UnsupportedClickHouseSQL, match="arrays_zip"):
-        translate("SELECT x, y FROM t ARRAY JOIN xs AS x, ys AS y")
+    # true multi-array form: ONE lateral inline over a positional zip,
+    # struct fields named by the user's aliases
+    out = translate("SELECT x, y FROM t ARRAY JOIN xs AS x, ys AS y")
+    assert out.count("LATERAL VIEW") == 1
+    assert "inline(zip_with(xs, ys," in out
+    assert "AS x" in out and "AS y" in out
+    # LEFT multi-array keeps empty rows via the OUTER generator
+    out = translate("SELECT x FROM t LEFT ARRAY JOIN xs AS x, ys AS y")
+    assert "LATERAL VIEW OUTER inline(" in out
+    # an operand without an alias refuses (it would shadow the source)
+    with _pytest.raises(UnsupportedClickHouseSQL, match="AS alias"):
+        translate("SELECT x FROM t ARRAY JOIN xs AS x, ys")
+    # duplicate aliases refuse
+    with _pytest.raises(UnsupportedClickHouseSQL, match="distinct"):
+        translate("SELECT x FROM t ARRAY JOIN xs AS x, ys AS x")
     # single-array followed by a comma + AS later in the statement:
     # translate, don't refuse
     out = translate(
@@ -1174,9 +1189,13 @@ def test_ch_dialect_array_join_clause():
     assert "LATERAL VIEW explode(split(s, ','))" in translate(
         "SELECT x FROM t ARRAY JOIN splitByChar(',', s) AS x"
     )
-    # multi-array zip form must refuse, never emit two lateral views
+    # multi-array zip form: ONE lateral inline over zip_with (r10 —
+    # never two cross-producting lateral views)
+    out = translate("SELECT a FROM t ARRAY JOIN xs AS x, ys AS y")
+    assert out.count("LATERAL VIEW") == 1 and "zip_with(xs, ys," in out
+    # but an alias-less operand still refuses
     with _pytest.raises(UnsupportedClickHouseSQL):
-        translate("SELECT a FROM t ARRAY JOIN xs AS x, ys AS y")
+        translate("SELECT a FROM t ARRAY JOIN xs, ys AS y")
 
 
 def test_identifier_clause_rejects_hostile_names(spark, sf_dir):
@@ -1883,6 +1902,8 @@ _TRAP_LITERALS = st.sampled_from(
         "formatDateTime(ts, c)",
         "replaceRegexpAll(s, p, r)",
         "GROUP BY k WITH TOTALS",
+        "GROUP BY toYear(d), substring(s, 1, 1) WITH TOTALS",
+        "ARRAY JOIN a AS x, b AS y",
         "LIMIT 3 BY c",
         "LIMIT 5, 10",
         "SETTINGS a = 1",
@@ -2895,3 +2916,106 @@ def test_limit_with_ties_semantics(spark):
     assert "RANK()" not in translate(
         "SELECT k FROM ties_t ORDER BY k LIMIT 2 WITH TIES"
     ).upper()
+
+
+def test_quantile_exact_all_null_group(spark):
+    """ADVICE r9: an all-NULL group makes count(x)=0 and the unclamped
+    nearest-rank index 0 — Spark's try_element_at raises
+    INVALID_INDEX_OF_ZERO (it only forgives out-of-bounds). The clamp
+    to index >= 1 turns the empty-list lookup into a genuine NULL."""
+    from clickhouse_data_rebalance_spark.plans.ch_dialect import translate
+
+    spark.createDataFrame(
+        [(1, None), (1, None), (2, 5.0), (2, 7.0)], "g int, x double"
+    ).createOrReplaceTempView("qnull_t")
+    out = {
+        r["g"]: r["q"]
+        for r in spark.sql(
+            translate(
+                "SELECT g, quantileExact(0.5)(x) AS q FROM qnull_t "
+                "GROUP BY g ORDER BY g"
+            )
+        ).collect()
+    }
+    assert out[1] is None
+    assert out[2] == 7.0  # CH nearest-rank: 0-based floor(0.5*2)=1 -> 7.0
+    # medianExact takes the same path
+    out = spark.sql(
+        translate("SELECT medianExact(x) AS q FROM qnull_t WHERE g = 1")
+    ).collect()
+    assert out[0]["q"] is None
+
+
+def test_final_join_side_residue_refuses(spark):
+    """ADVICE r9: `FROM t FINAL JOIN b FINAL` — the join-side FINAL
+    survives the FROM-anchored rewrite and Spark would parse it as a
+    table alias, silently skipping b's collapse. The post-splice
+    re-mask must refuse on ANY leftover FINAL token."""
+    from clickhouse_data_rebalance_spark.plans.ch_dialect import (
+        UnsupportedClickHouseSQL,
+        _apply_final,
+        merge_tree_meta,
+    )
+
+    ddl_a = (
+        "CREATE TABLE fr_a (k UInt64, v UInt64, ver UInt64) "
+        "ENGINE = ReplacingMergeTree(ver) ORDER BY k"
+    )
+    ddl_b = (
+        "CREATE TABLE fr_b (k UInt64, w UInt64, ver UInt64) "
+        "ENGINE = ReplacingMergeTree(ver) ORDER BY k"
+    )
+    metas = {
+        m["name"]: m for m in (merge_tree_meta(ddl_a), merge_tree_meta(ddl_b))
+    }
+    try:
+        _apply_final(
+            "SELECT * FROM fr_a FINAL JOIN fr_b FINAL ON fr_a.k = fr_b.k",
+            metas,
+        )
+        raise AssertionError("join-side FINAL should refuse")
+    except UnsupportedClickHouseSQL as e:
+        assert "FINAL outside" in str(e)
+    # the single-table form still rewrites, and its splice's internal
+    # __cdr_final_* identifiers do not trip the residue scan
+    out = _apply_final("SELECT k, v FROM fr_a FINAL", metas)
+    assert "__cdr_final_rn" in out
+    import re as _re
+
+    assert not _re.search(r"\bFINAL\b", out)
+
+
+def test_asof_null_keys_never_match(spark):
+    """ADVICE r9: ClickHouse join equality never matches NULL = NULL,
+    but Spark's PARTITION BY groups NULL keys into one partition. Left
+    rows with a NULL equality key or a NULL asof key must come back
+    unmatched (LEFT) or dropped (inner), in both asof directions."""
+    spark.createDataFrame(
+        [(None, 10, "Lnullk"), (1, 10, "Lok"), (1, None, "Lnullt")],
+        "k int, t int, lv string",
+    ).createOrReplaceTempView("asofn_l")
+    spark.createDataFrame(
+        [(None, 5, "Rnullk"), (1, 5, "Rok"), (1, None, "Rnullt")],
+        "k int, t int, rv string",
+    ).createOrReplaceTempView("asofn_r")
+    for op, match in ((">=", "Rok"), ("<=", None)):
+        out = dict(
+            _asof_run(
+                spark,
+                "SELECT l.lv AS lv, r.rv AS rv FROM asofn_l l "
+                "ASOF LEFT JOIN asofn_r r "
+                f"ON l.k = r.k AND l.t {op} r.t",
+            )
+        )
+        assert out["Lnullk"] is None, op  # NULL eq key: no NULL=NULL match
+        assert out["Lnullt"] is None, op  # NULL asof key: no carry
+        # the NULL-keyed/NULL-asof right rows are invisible even to
+        # valid left rows; only the fully-keyed right row can match
+        assert out["Lok"] == match, (op, out)
+    # inner form drops the NULL-keyed left rows entirely
+    out = _asof_run(
+        spark,
+        "SELECT l.lv AS lv, r.rv AS rv FROM asofn_l l ASOF JOIN asofn_r r "
+        "ON l.k = r.k AND l.t >= r.t",
+    )
+    assert out == [("Lok", "Rok")]
