@@ -223,7 +223,9 @@ def main() -> None:
         out["vs_prev_file"] = vs["vs_prev"].get("prev")
     # The compact headline line is the FIRST and ONLY stdout line
     # (Spark chatter goes to stderr); full vs_prev detail lands in
-    # tools/bench_detail.json for human diffing.
+    # tools/bench_detail.json for human diffing — GITIGNORED scratch
+    # (VERDICT r9 #8): the durable per-round record is the committed
+    # tools/bench_local_r{N}.json snapshot.
     print(json.dumps(out), flush=True)
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "tools", "bench_detail.json"

@@ -128,8 +128,34 @@ PLANES_PER_TABLE = 5
 EMBED_DIM = 64
 
 
-def _planes_matrix(dim: int = EMBED_DIM):
-    """(dim, N_TABLES*PLANES_PER_TABLE) matrix of deterministic
+def lsh_params_for(n_vectors: int) -> tuple[int, int]:
+    """Corpus-size-derived hyperplane-LSH geometry (n_tables,
+    planes_per_table) — the scale rule behind the fixture-tuned module
+    defaults (same contract as ivf_params_for). Tables stay at N_TABLES
+    (the recall knob: union of L independent partitions); planes per
+    table grow with log2 of corpus size so per-table bucket occupancy
+    stays ~4k and the candidate union stays a few percent of the
+    corpus: planes = clamp(round(log2(N / 4000)), PLANES_PER_TABLE,
+    20). At the 500-row fixture this evaluates to the registered
+    (16, 5) defaults; at 1M vectors it gives (16, 8) — ~3.9k
+    vectors/bucket, ~6% of the corpus scanned across 16 tables
+    (empirically validated by tests/test_lsh_scale.py)."""
+    import math
+
+    planes = PLANES_PER_TABLE
+    if n_vectors > 4000:
+        planes = max(
+            PLANES_PER_TABLE, min(20, round(math.log2(n_vectors / 4000)))
+        )
+    return N_TABLES, planes
+
+
+def _planes_matrix(
+    dim: int = EMBED_DIM,
+    n_tables: int = N_TABLES,
+    planes_per_table: int = PLANES_PER_TABLE,
+):
+    """(dim, n_tables*planes_per_table) matrix of deterministic
     pseudo-random components in [-1, 1]: md5-derived, no RNG state, no
     correlation across planes (an LCG stride here makes every table a
     shift of the same ramp and extra tables add zero recall)."""
@@ -137,7 +163,7 @@ def _planes_matrix(dim: int = EMBED_DIM):
 
     import numpy as np
 
-    n_planes = N_TABLES * PLANES_PER_TABLE
+    n_planes = n_tables * planes_per_table
     m = np.empty((dim, n_planes), dtype=np.float64)
     for seed in range(n_planes):
         for j in range(dim):
@@ -148,14 +174,19 @@ def _planes_matrix(dim: int = EMBED_DIM):
     return m
 
 
-def _make_bucket_codes_udf():
+def _make_bucket_codes_udf(
+    n_tables: int = N_TABLES, planes_per_table: int = PLANES_PER_TABLE
+):
     """Vectorized bucket coder: one numpy matmul per Arrow batch projects
-    every vector onto all 80 hyperplanes at once. The flat-expression JVM
-    form needs 80 interpreted higher-order dot products per row (~6 s at
-    2000 vectors); this is the case Pandas UDFs exist for."""
+    every vector onto all hyperplanes at once. The flat-expression JVM
+    form needs n_tables*planes interpreted higher-order dot products per
+    row (~6 s at 2000 vectors for the 80-plane default); this is the
+    case Pandas UDFs exist for."""
     from pyspark.sql.functions import pandas_udf
 
-    planes = _planes_matrix()
+    planes = _planes_matrix(
+        n_tables=n_tables, planes_per_table=planes_per_table
+    )
 
     @pandas_udf("array<long>")
     def bucket_codes(emb: pd.Series) -> pd.Series:
@@ -163,9 +194,9 @@ def _make_bucket_codes_udf():
 
         x = np.stack(emb.to_numpy()).astype(np.float64)  # (batch, dim)
         signs = (x @ planes >= 0).astype(np.int64)  # (batch, n_planes)
-        per_table = signs.reshape(len(x), N_TABLES, PLANES_PER_TABLE)
-        weights = 1 << np.arange(PLANES_PER_TABLE, dtype=np.int64)
-        codes = (per_table * weights).sum(axis=2)  # (batch, N_TABLES)
+        per_table = signs.reshape(len(x), n_tables, planes_per_table)
+        weights = 1 << np.arange(planes_per_table, dtype=np.int64)
+        codes = (per_table * weights).sum(axis=2)  # (batch, n_tables)
         return pd.Series(list(codes))
 
     return bucket_codes
@@ -317,10 +348,18 @@ def pinned_index_frame(spark: SparkSession, path: str) -> DataFrame:
     snapshot-isolation analog of the reference's rename swap
     (sharding_recreation.py:306-335) applied to index layout, and the
     read-side contract the `_KEY`/generation markers exist for
-    (VERDICT r8 #6). The pin is free: listing is the same driver-side
-    metadata walk spark.read performs internally, and partition pruning
-    on the explicit file set is unchanged (plan-asserted in
-    test_plan_quality)."""
+    (VERDICT r8 #6). Partition pruning on the explicit file set is
+    unchanged (plan-asserted in test_plan_quality).
+
+    The resolved frame is CACHED per (session, path, file set): Spark
+    rebuilds an InMemoryFileIndex — one listing per path plus a footer
+    read — on EVERY explicit-file-list ``read.parquet(*files)`` call,
+    which cost bm25_index_admit 1.7x in the r9 bench (VERDICT r9 #4).
+    A generation's file set is immutable by contract (admissions add
+    files, compactions write a NEW generation), so the local glob is
+    the only per-call work: unchanged set -> the already-resolved
+    frame; changed set -> a fresh pin, preserving snapshot semantics.
+    Keyed by tables._session_id so frames never outlive their session."""
     import glob
     import os
 
@@ -329,7 +368,20 @@ def pinned_index_frame(spark: SparkSession, path: str) -> DataFrame:
     )
     if not files:  # empty/unborn layout: defer to the directory read
         return spark.read.parquet(path)
-    return spark.read.option("basePath", path).parquet(*files)
+    from ..tables import _session_id
+
+    sid = _session_id(spark)
+    hit = _PIN_CACHE.get((sid, path))
+    if hit is not None and hit[0] == tuple(files):
+        return hit[1]
+    df = spark.read.option("basePath", path).parquet(*files)
+    _PIN_CACHE[(sid, path)] = (tuple(files), df)
+    return df
+
+
+# latest pinned frame per (session, index path) — one small logical
+# plan each; replaced whenever the generation's file set changes
+_PIN_CACHE: dict = {}
 
 
 def _gc_stale_indexes(sf_dir: str, src_fp: str) -> None:

@@ -1142,3 +1142,34 @@ def test_limit_by_offset_keeps_group_limit_pushdown(spark):
     per-group state stays capped at offset+n."""
     plan = plan_of(spark, "ch_dialect_limit_by_offset")
     assert "windowgrouplimit" in plan.lower()
+
+
+def test_pinned_index_frame_caches_per_generation(spark, tmp_path):
+    """VERDICT r9 #4: the explicit-file-list read rebuilds a FileIndex
+    per call (the bm25_index_admit 1.7x regression) — an unchanged
+    generation must return the ALREADY-resolved frame; a new file (next
+    generation's admission) must re-pin, and the old frame must keep
+    answering from its snapshot file set."""
+    import os
+
+    from clickhouse_data_rebalance_spark.operators.llm_similarity import (
+        pinned_index_frame,
+    )
+
+    root = str(tmp_path / "idx")
+    spark.range(3).selectExpr("id", "id % 2 AS cell").write.partitionBy(
+        "cell"
+    ).parquet(root)
+    a = pinned_index_frame(spark, root)
+    b = pinned_index_frame(spark, root)
+    assert a is b, "unchanged file set must hit the pin cache"
+    n_before = a.count()
+    # a concurrent admission appends a file into an existing cell dir
+    spark.range(100, 102).selectExpr("id", "0 AS cell").write.partitionBy(
+        "cell"
+    ).mode("append").parquet(root)
+    c = pinned_index_frame(spark, root)
+    assert c is not a, "a changed file set must re-pin"
+    assert a.count() == n_before, "the old pin must keep its snapshot"
+    assert c.count() == n_before + 2
+    assert os.path.isdir(root)

@@ -760,8 +760,10 @@ def test_ivf_index_invalidates_on_fixture_swap(spark, tmp_path):
     live = []
     for name in os.listdir(_IVF_ROOT):
         key_file = os.path.join(_IVF_ROOT, name, "_KEY")
-        if os.path.exists(key_file) and open(key_file).read().startswith(str(fix) + "|"):
-            live.append(name)
+        if os.path.exists(key_file):
+            with open(key_file) as kf:
+                if kf.read().startswith(str(fix) + "|"):
+                    live.append(name)
     assert live == [os.path.basename(third)]
 
 
@@ -1673,7 +1675,8 @@ def test_ch_dialect_rewrites_never_fire_inside_literals():
 
     with warnings.catch_warnings():
         warnings.simplefilter("error")
-        compile(open(_m.__file__).read(), _m.__file__, "exec")
+        with open(_m.__file__) as src:
+            compile(src.read(), _m.__file__, "exec")
 
 
 def test_ch_dialect_parametric_agg_zoo_refuses_with_pointers():
@@ -3019,3 +3022,26 @@ def test_asof_null_keys_never_match(spark):
         "ON l.k = r.k AND l.t >= r.t",
     )
     assert out == [("Lok", "Rok")]
+
+
+def test_lsh_params_scale_rule():
+    """lsh_params_for mirrors ivf_params_for's contract: the registered
+    module defaults ARE the rule at fixture size, planes grow log2 with
+    corpus size (bounded occupancy), clamped to [5, 20]."""
+    from clickhouse_data_rebalance_spark.operators.llm_similarity import (
+        N_TABLES,
+        PLANES_PER_TABLE,
+        lsh_params_for,
+    )
+
+    assert lsh_params_for(500) == (N_TABLES, PLANES_PER_TABLE) == (16, 5)
+    assert lsh_params_for(1_000_000) == (16, 8)
+    assert lsh_params_for(10**9) == (16, 18)
+    assert lsh_params_for(10**12) == (16, 20)  # clamp
+    assert lsh_params_for(1) == (16, 5)
+    # planes never shrink as the corpus grows
+    last = 0
+    for n in (1, 10**3, 10**4, 10**5, 10**6, 10**8, 10**10):
+        p = lsh_params_for(n)[1]
+        assert p >= last
+        last = p
