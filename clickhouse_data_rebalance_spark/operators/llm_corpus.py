@@ -395,7 +395,7 @@ _SQL_GATE_CTES = """
 """
 
 
-def _gated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _sized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Documents with >= 5 tokens plus integer 5-gram counts (`ng` total
     grams, `nd` distinct grams) — the shared first stage of the
     corpus-pipeline family. The Gopher repetition gate is the integer
@@ -425,6 +425,33 @@ def _gate_pred():
     return (F.col("ng") - F.col("nd")) * 5 <= F.col("ng")
 
 
+def _kept_docs(spark: SparkSession, sf_dir: str, keeper: str = "min_id") -> DataFrame:
+    """Gate + exact dedup: the Gopher-gated documents collapsed to one
+    keeper per normalized-md5 fingerprint. SHARED by the stage-bisection
+    queries and both e2e variants so the bisection prefixes can never
+    silently diverge from the pipeline they exist to localize (review
+    r10). ``keeper``: ``min_id`` (smallest doc_id) or ``longest``
+    (longest raw text, doc_id tie-break)."""
+    from pyspark.sql import Window as W
+
+    if keeper not in ("min_id", "longest"):
+        raise ValueError(f"unknown keeper policy: {keeper!r}")
+    gated = _sized_docs(spark, sf_dir).filter(_gate_pred())
+    fp = F.md5(F.lower(F.trim("text")))
+    order = (
+        [F.length("text").desc(), F.col("doc_id").asc()]
+        if keeper == "longest"
+        else [F.col("doc_id").asc()]
+    )
+    return (
+        gated.withColumn(
+            "rn", F.row_number().over(W.partitionBy(fp).orderBy(*order))
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
 @query(
     "corpus_stage_gate",
     f"""
@@ -446,7 +473,7 @@ def corpus_stage_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     membership (passed flag), per document, before any dedup or split
     stage runs. Row-local expression work; no shuffle beyond the final
     small sort."""
-    sized = _gated_docs(spark, sf_dir)
+    sized = _sized_docs(spark, sf_dir)
     return sized.select(
         "doc_id",
         F.col("ng").alias("n_grams"),
@@ -475,14 +502,7 @@ def corpus_stage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fingerprint window; the doc_id grain names the row. One shuffle
     (the fingerprint hash partition), same plan class as the full
     pipeline's dedup stage."""
-    from pyspark.sql import Window as W
-
-    gated = _gated_docs(spark, sf_dir).filter(_gate_pred())
-    fp = F.md5(F.lower(F.trim("text")))
-    kept = gated.withColumn(
-        "rn", F.row_number().over(W.partitionBy(fp).orderBy(F.col("doc_id").asc()))
-    ).filter(F.col("rn") == 1)
-    return kept.select(
+    return _kept_docs(spark, sf_dir).select(
         "doc_id", "lang", F.size("toks").cast("bigint").alias("n_toks")
     ).orderBy("doc_id")
 
@@ -511,13 +531,7 @@ def corpus_stage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     label). Red here with `corpus_stage_dedup` green localizes to the
     bucket hash; green here with `corpus_pipeline_e2e` red localizes to
     the final rollup. Row-local split math on top of stage 2's plan."""
-    from pyspark.sql import Window as W
-
-    gated = _gated_docs(spark, sf_dir).filter(_gate_pred())
-    fp = F.md5(F.lower(F.trim("text")))
-    kept = gated.withColumn(
-        "rn", F.row_number().over(W.partitionBy(fp).orderBy(F.col("doc_id").asc()))
-    ).filter(F.col("rn") == 1)
+    kept = _kept_docs(spark, sf_dir)
     bucket = _md5_bucket(F.col("doc_id"), 100)
     split = (
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
@@ -576,20 +590,7 @@ def corpus_pipeline_e2e(
     the final rollup exchanges |langs|x3 partial rows. At 100 TB this
     is the shape you want: filter early (gate before dedup shrinks the
     shuffle), hash-partition once, aggregate partials."""
-    from pyspark.sql import Window as W
-
-    if keeper not in ("min_id", "longest"):
-        raise ValueError(f"unknown keeper policy: {keeper!r}")
-    gated = _gated_docs(spark, sf_dir).filter(_gate_pred())
-    fp = F.md5(F.lower(F.trim("text")))
-    order = (
-        [F.length("text").desc(), F.col("doc_id").asc()]
-        if keeper == "longest"
-        else [F.col("doc_id").asc()]
-    )
-    kept = gated.withColumn(
-        "rn", F.row_number().over(W.partitionBy(fp).orderBy(*order))
-    ).filter(F.col("rn") == 1)
+    kept = _kept_docs(spark, sf_dir, keeper=keeper)
     bucket = _md5_bucket(F.col("doc_id"), 100)
     split = (
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")

@@ -359,7 +359,9 @@ def pinned_index_frame(spark: SparkSession, path: str) -> DataFrame:
     files, compactions write a NEW generation), so the local glob is
     the only per-call work: unchanged set -> the already-resolved
     frame; changed set -> a fresh pin, preserving snapshot semantics.
-    Keyed by tables._session_id so frames never outlive their session."""
+    A hit requires the cached frame's session wrapper to BE this
+    ``spark`` (identity, not id() — address reuse after spark.stop()
+    must never resurface a dead frame); a small LRU bounds the cache."""
     import glob
     import os
 
@@ -368,20 +370,28 @@ def pinned_index_frame(spark: SparkSession, path: str) -> DataFrame:
     )
     if not files:  # empty/unborn layout: defer to the directory read
         return spark.read.parquet(path)
-    from ..tables import _session_id
-
-    sid = _session_id(spark)
-    hit = _PIN_CACHE.get((sid, path))
-    if hit is not None and hit[0] == tuple(files):
-        return hit[1]
+    hit = _PIN_CACHE.get(path)
+    if hit is not None and hit[0] is spark and hit[1] == tuple(files):
+        _PIN_CACHE.move_to_end(path)  # LRU freshness
+        return hit[2]
     df = spark.read.option("basePath", path).parquet(*files)
-    _PIN_CACHE[(sid, path)] = (tuple(files), df)
+    _PIN_CACHE[path] = (spark, tuple(files), df)
+    _PIN_CACHE.move_to_end(path)
+    while len(_PIN_CACHE) > _PIN_CACHE_MAX:
+        _PIN_CACHE.popitem(last=False)
     return df
 
 
-# latest pinned frame per (session, index path) — one small logical
-# plan each; replaced whenever the generation's file set changes
-_PIN_CACHE: dict = {}
+# Latest pinned frame per index path — one small logical plan each.
+# The SESSION WRAPPER rides in the value and hits require `is spark`
+# (review r10: an id()-based key can alias a new session to a stopped
+# one's address and hand back a dead frame), and the LRU cap bounds
+# both the plans and the session references a long-lived driver
+# accumulates across admit/compact generations.
+import collections as _collections
+
+_PIN_CACHE: "_collections.OrderedDict" = _collections.OrderedDict()
+_PIN_CACHE_MAX = 64
 
 
 def _gc_stale_indexes(sf_dir: str, src_fp: str) -> None:

@@ -1081,15 +1081,50 @@ def _rewrite_totals(sql: str) -> str:
     return out
 
 
-_ARRAY_JOIN_CLAUSE = re.compile(
-    r"\b(LEFT\s+)?ARRAY\s+JOIN\s+(.*?)"
-    r"(?=\bWHERE\b|\bGROUP\b|\bORDER\b|\bHAVING\b|\bLIMIT\b|\bSETTINGS\b"
-    r"|\bFORMAT\b|\bUNION\b|$)",
-    re.I | re.S,
+_ARRAY_JOIN_START = re.compile(r"\b(LEFT\s+)?ARRAY\s+JOIN\s+", re.I)
+# clause keywords that end the operand list AT BRACKET DEPTH 0 (a
+# regex lookahead can't know the depth — review r10 finding: the lazy
+# form ran past a subquery's closing paren and broke every ARRAY JOIN
+# inside a derived table)
+_ARRAY_JOIN_STOP = re.compile(
+    r"\b(?:WHERE|GROUP|ORDER|HAVING|LIMIT|SETTINGS|FORMAT|UNION"
+    r"|LEFT|RIGHT|FULL|INNER|CROSS|JOIN|ASOF|ANY|GLOBAL)\b",
+    re.I,
 )
 _ARRAY_JOIN_OPERAND = re.compile(
     r"(?s)^\s*(.*\S)\s+AS\s+([A-Za-z_]\w*)\s*$", re.I
 )
+
+
+def _array_join_operand_end(masked: str, start: int) -> int:
+    """End index (exclusive) of an ARRAY JOIN operand list starting at
+    ``start``: scan the literal-masked text tracking bracket depth; the
+    list ends at a depth-0 clause keyword, a ';', or the enclosing
+    subquery's ')' (depth would go negative)."""
+    depth = 0
+    i, n = start, len(masked)
+    while i < n:
+        c = masked[i]
+        if c in "([":
+            depth += 1
+        elif c in ")]":
+            if depth == 0:
+                return i
+            depth -= 1
+        elif depth == 0:
+            if c == ";":
+                return i
+            if c.isalpha():
+                m = _ARRAY_JOIN_STOP.match(masked, i)
+                if m:
+                    return i
+                # skip the rest of this word so a keyword SUFFIX inside
+                # an identifier (my_where) can never match
+                while i < n and (masked[i].isalnum() or masked[i] == "_"):
+                    i += 1
+                continue
+        i += 1
+    return n
 
 
 def _zip_struct_expr(exprs: list[str], aliases: list[str], depth: int = 0) -> str:
@@ -1128,8 +1163,11 @@ def _rewrite_array_join_zip(sql: str) -> str:
     in the single-array rewrite)."""
     masked = _mask_literals(sql)
     out = sql
-    for m in reversed(list(_ARRAY_JOIN_CLAUSE.finditer(masked))):
-        raw_list = out[m.start(2) : m.end(2)]
+    spans = []
+    for m in _ARRAY_JOIN_START.finditer(masked):
+        spans.append((m, _array_join_operand_end(masked, m.end())))
+    for m, end in reversed(spans):
+        raw_list = out[m.end() : end]
         pieces = _split_top_level_args(raw_list)
         if len(pieces) < 2:
             continue  # single-array form: the explode rewrite owns it
@@ -1153,7 +1191,7 @@ def _rewrite_array_join_zip(sql: str) -> str:
             f"LATERAL VIEW {outer}"
             f"inline({_zip_struct_expr(exprs, aliases)}) __cdr_zip "
         )
-        out = out[: m.start()] + lateral + out[m.end() :]
+        out = out[: m.start()] + lateral + out[end:]
     return out
 
 
@@ -2346,8 +2384,9 @@ def ch_dialect_array_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dialect shim end-to-end over the ARRAY JOIN CLAUSE (ClickHouse's
     signature flatten — distinct from the arrayJoin() function): the
     expression form translates to LATERAL VIEW explode, LEFT ARRAY JOIN
-    to the OUTER variant, and the multi-array zip form REFUSES (two
-    lateral views would cross-product, not zip). The oracle flattens
+    to the OUTER variant, and the multi-array zip form translates to
+    ONE inline(zip_with(...)) since r10 (see ch_dialect_array_join_zip
+    — never two cross-producting lateral views). The oracle flattens
     via DuckDB unnest — an independent derivation of the same rows.
 
     Scale: explode is a codegen Generate over the scan — the flatten

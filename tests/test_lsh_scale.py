@@ -20,7 +20,7 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
-from tests.test_ivf_scale import DIM, _synth_block
+from tests.test_ivf_scale import _synth_block
 
 N_VECTORS = 1_000_000
 QUERY_IDS = (0, 31337, 123457, 555555, 999999)

@@ -1198,6 +1198,21 @@ def test_ch_dialect_array_join_clause():
     # but an alias-less operand still refuses
     with _pytest.raises(UnsupportedClickHouseSQL):
         translate("SELECT a FROM t ARRAY JOIN xs, ys AS y")
+    # review r10 regressions: the operand scan must stop at the
+    # enclosing subquery's ')' (single AND multi form) and at a ';'
+    out = translate("SELECT z.x FROM (SELECT x FROM t ARRAY JOIN xs AS x) z")
+    assert "LATERAL VIEW explode(xs) AS x) z" in out
+    out = translate(
+        "SELECT z.x FROM (SELECT x, y FROM t ARRAY JOIN xs AS x, ys AS y) z"
+    )
+    assert out.count("LATERAL VIEW") == 1 and out.rstrip().endswith(") z")
+    out = translate("SELECT x, y FROM t ARRAY JOIN xs AS x, ys AS y;")
+    assert "zip_with(xs, ys," in out and out.rstrip().endswith(";")
+    # a keyword-prefixed identifier is not a clause stop
+    out = translate(
+        "SELECT x FROM t ARRAY JOIN xs AS x, whereabouts AS y GROUP BY x"
+    )
+    assert "zip_with(xs, whereabouts," in out and "GROUP BY x" in out
 
 
 def test_identifier_clause_rejects_hostile_names(spark, sf_dir):
