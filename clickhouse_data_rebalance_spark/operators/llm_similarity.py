@@ -370,24 +370,27 @@ def pinned_index_frame(spark: SparkSession, path: str) -> DataFrame:
     )
     if not files:  # empty/unborn layout: defer to the directory read
         return spark.read.parquet(path)
-    hit = _PIN_CACHE.get(path)
+    key = (id(spark), path)
+    hit = _PIN_CACHE.get(key)
     if hit is not None and hit[0] is spark and hit[1] == tuple(files):
-        _PIN_CACHE.move_to_end(path)  # LRU freshness
+        _PIN_CACHE.move_to_end(key)  # LRU freshness
         return hit[2]
     df = spark.read.option("basePath", path).parquet(*files)
-    _PIN_CACHE[path] = (spark, tuple(files), df)
-    _PIN_CACHE.move_to_end(path)
+    _PIN_CACHE[key] = (spark, tuple(files), df)
+    _PIN_CACHE.move_to_end(key)
     while len(_PIN_CACHE) > _PIN_CACHE_MAX:
         _PIN_CACHE.popitem(last=False)
     return df
 
 
-# Latest pinned frame per index path — one small logical plan each.
-# The SESSION WRAPPER rides in the value and hits require `is spark`
-# (review r10: an id()-based key can alias a new session to a stopped
-# one's address and hand back a dead frame), and the LRU cap bounds
-# both the plans and the session references a long-lived driver
-# accumulates across admit/compact generations.
+# Latest pinned frame per (session, index path) — one small logical
+# plan each. The id(spark) in the KEY keeps two live sessions probing
+# the same path from evicting each other (review-2 r10), while the
+# session WRAPPER in the value with the `is spark` hit condition keeps
+# id() address reuse after spark.stop() from ever resurfacing a dead
+# frame (review-1 r10); the LRU cap bounds both the plans and the
+# session references a long-lived driver accumulates across
+# admit/compact generations.
 import collections as _collections
 
 _PIN_CACHE: "_collections.OrderedDict" = _collections.OrderedDict()

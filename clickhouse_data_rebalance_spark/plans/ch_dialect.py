@@ -59,9 +59,11 @@ formatDateTime      date_format with %-tokens mapped to Java pattern
                     in older CH, month name in newer
 GLOBAL JOIN/IN      modifier stripped (planner owns distribution)
 ARRAY JOIN e AS x   LATERAL VIEW explode(e) AS x  (LEFT -> OUTER;
-                    multi-array zip form refuses: arrays_zip+explode)
+                    multi-array `e1 AS a, e2 AS b` zips positionally:
+                    ONE LATERAL VIEW inline(zip_with(...)) since r10)
 PREWHERE            WHERE (Spark pushes predicates anyway)
 GROUP BY c WITH TOTALS   GROUP BY GROUPING SETS ((c), ())
+                    (bare columns AND expression keys since r10)
 LIMIT o, n          LIMIT n OFFSET o (MySQL-style offset form)
 groupBit*/stddev*.. bit_and/bit_or/bit_xor, stddev_pop/... snake_case
 trimLeft/Right/Both ltrim / rtrim / trim
@@ -1087,8 +1089,9 @@ _ARRAY_JOIN_START = re.compile(r"\b(LEFT\s+)?ARRAY\s+JOIN\s+", re.I)
 # form ran past a subquery's closing paren and broke every ARRAY JOIN
 # inside a derived table)
 _ARRAY_JOIN_STOP = re.compile(
-    r"\b(?:WHERE|GROUP|ORDER|HAVING|LIMIT|SETTINGS|FORMAT|UNION"
-    r"|LEFT|RIGHT|FULL|INNER|CROSS|JOIN|ASOF|ANY|GLOBAL)\b",
+    r"(?:WHERE|PREWHERE|GROUP|ORDER|HAVING|LIMIT|WINDOW|QUALIFY"
+    r"|SETTINGS|FORMAT|UNION|LEFT|RIGHT|FULL|INNER|CROSS|JOIN|ASOF|ANY"
+    r"|GLOBAL)\b",
     re.I,
 )
 _ARRAY_JOIN_OPERAND = re.compile(
@@ -1100,9 +1103,15 @@ def _array_join_operand_end(masked: str, start: int) -> int:
     """End index (exclusive) of an ARRAY JOIN operand list starting at
     ``start``: scan the literal-masked text tracking bracket depth; the
     list ends at a depth-0 clause keyword, a ';', or the enclosing
-    subquery's ')' (depth would go negative)."""
+    subquery's ')' (depth would go negative).
+
+    Keyword classification needs syntactic context (review-2 r10):
+    a stop keyword immediately after ``AS`` is an operand ALIAS
+    (``ys AS any``), and LEFT/RIGHT followed by ``(`` are the string
+    FUNCTIONS (``left(xs, 2) AS a``) — neither ends the list."""
     depth = 0
     i, n = start, len(masked)
+    prev_word = None
     while i < n:
         c = masked[i]
         if c in "([":
@@ -1111,17 +1120,24 @@ def _array_join_operand_end(masked: str, start: int) -> int:
             if depth == 0:
                 return i
             depth -= 1
+            prev_word = None
         elif depth == 0:
             if c == ";":
                 return i
-            if c.isalpha():
+            if c.isalpha() or c == "_":
+                j = i
+                while j < n and (masked[j].isalnum() or masked[j] == "_"):
+                    j += 1
+                word = masked[i:j]
                 m = _ARRAY_JOIN_STOP.match(masked, i)
-                if m:
-                    return i
-                # skip the rest of this word so a keyword SUFFIX inside
-                # an identifier (my_where) can never match
-                while i < n and (masked[i].isalnum() or masked[i] == "_"):
-                    i += 1
+                if m and m.end() == j:  # the WHOLE word is the keyword
+                    after = masked[j:].lstrip()
+                    is_alias = prev_word is not None and prev_word.upper() == "AS"
+                    is_func = word.upper() in ("LEFT", "RIGHT") and after.startswith("(")
+                    if not is_alias and not is_func:
+                        return i
+                prev_word = word
+                i = j
                 continue
         i += 1
     return n

@@ -1213,6 +1213,23 @@ def test_ch_dialect_array_join_clause():
         "SELECT x FROM t ARRAY JOIN xs AS x, whereabouts AS y GROUP BY x"
     )
     assert "zip_with(xs, whereabouts," in out and "GROUP BY x" in out
+    # review-2 r10: keyword classification needs syntactic context —
+    # left( is the string FUNCTION, not a join modifier
+    out = translate("SELECT a FROM t ARRAY JOIN left(xs, 2) AS a, ys AS b")
+    assert "zip_with(left(xs, 2), ys," in out
+    # ... a stop keyword right after AS is an ALIAS
+    out = translate("SELECT x FROM t ARRAY JOIN xs AS x, ys AS any")
+    assert "AS any))" in out and out.count("LATERAL VIEW") == 1
+    # ... PREWHERE ends the operand list (and then rewrites to WHERE)
+    out = translate(
+        "SELECT x, y FROM t ARRAY JOIN xs AS x, ys AS y PREWHERE x > 0"
+    )
+    assert "zip_with(xs, ys," in out and "WHERE x > 0" in out
+    # ... and a genuine UNION arm still stops the scan
+    out = translate(
+        "SELECT x FROM t ARRAY JOIN xs AS x, ys AS y UNION ALL SELECT 1, 2"
+    )
+    assert "zip_with(xs, ys," in out and "UNION ALL SELECT 1, 2" in out
 
 
 def test_identifier_clause_rejects_hostile_names(spark, sf_dir):
