@@ -113,6 +113,7 @@ EXTENDED = [
     "corpus_stage_split",
     "ch_dialect_totals_expr",
     "ch_dialect_array_join_zip",
+    "ch_dialect_with_fill_multi",
 ]
 
 HEADLINE = CORE + EXTENDED

@@ -1385,9 +1385,12 @@ def translate(ch_sql: str) -> str:
 # Scope: single identifier key, integer or date typed; ascending or
 # (integer keys only) DESCENDING — the downward walk runs as the
 # ascending one in negated key space; integer FROM/TO/STEP literals
-# (dates: STEP n = n days, no FROM/TO). Bare INTERPOLATE,
-# AS-expression INTERPOLATE, multi-key, and expression-key forms
-# refuse with pointers. An empty input produces no fill rows (CH would emit the
+# (dates: STEP n = n days, no FROM/TO). Leading BARE sort keys group
+# the fill (r10): `ORDER BY g1, g2, k WITH FILL` restarts the fill at
+# every leading-key change, CH's FillingTransform rule — grouped
+# FROM/TO bounds refuse (per-group bound spines: time_gap_fill). Bare
+# INTERPOLATE, AS-expression INTERPOLATE, multiple filled keys, and
+# expression-key forms refuse with pointers. An empty input produces no fill rows (CH would emit the
 # FROM..TO spine — degenerate presentation case, documented deviation).
 #
 # Scale: ClickHouse runs this as a single-threaded transform over the
@@ -1396,6 +1399,20 @@ def translate(ch_sql: str) -> str:
 # (one narrow column), and the final order is a range-partitioned sort.
 _WITH_FILL_TAIL = re.compile(
     r"\bORDER\s+BY\s+([A-Za-z_]\w*)(?:\s+(ASC|DESC))?\s+WITH\s+FILL"
+    r"(?:\s+FROM\s+(-?\d+))?(?:\s+TO\s+(-?\d+))?(?:\s+STEP\s+(-?\d+))?"
+    r"(?:\s+INTERPOLATE\s*\(\s*([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s*\))?"
+    r"\s*;?\s*$",
+    re.I,
+)
+
+# the GROUPED form: bare leading sort keys (no fill of their own, no
+# ASC/DESC modifiers), then the one filled trailing key — ClickHouse's
+# FillingTransform restarts whenever a non-fill sort column changes, so
+# the fill runs independently inside each leading-key group (the
+# "per-series gap fill" shape time_gap_fill serves natively)
+_WITH_FILL_TAIL_GROUPED = re.compile(
+    r"\bORDER\s+BY\s+((?:[A-Za-z_]\w*\s*,\s*)+)([A-Za-z_]\w*)"
+    r"(?:\s+(ASC|DESC))?\s+WITH\s+FILL"
     r"(?:\s+FROM\s+(-?\d+))?(?:\s+TO\s+(-?\d+))?(?:\s+STEP\s+(-?\d+))?"
     r"(?:\s+INTERPOLATE\s*\(\s*([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s*\))?"
     r"\s*;?\s*$",
@@ -1446,21 +1463,48 @@ def _apply_with_fill(spark: SparkSession, sql: str) -> DataFrame:
         )
     if len(re.findall(r"\bWITH\s+FILL\b", masked, re.I)) > 1:
         raise UnsupportedClickHouseSQL(
-            "multi-key WITH FILL — fill one sort key, or time_gap_fill"
+            "multiple WITH FILL keys — fill ONE trailing sort key (leading "
+            "bare keys group the fill), or time_gap_fill"
         )
     m = _WITH_FILL_TAIL.search(masked)
-    if not m:
-        raise UnsupportedClickHouseSQL(
-            "WITH FILL is supported as the statement tail `ORDER BY "
-            "<column> [ASC|DESC] WITH FILL [FROM i] [TO i] [STEP i]` "
-            "(single identifier key) — other forms: time_gap_fill"
+    groups: list[str] = []
+    if m:
+        col = m.group(1)
+        mods = m.group(2)
+        lo_s, hi_s, step_s, interp_s = m.group(3), m.group(4), m.group(5), m.group(6)
+    else:
+        gm = _WITH_FILL_TAIL_GROUPED.search(masked)
+        if not gm:
+            raise UnsupportedClickHouseSQL(
+                "WITH FILL is supported as the statement tail `ORDER BY "
+                "[group_cols,] <column> [ASC|DESC] WITH FILL [FROM i] "
+                "[TO i] [STEP i]` (bare identifier keys) — other forms: "
+                "time_gap_fill"
+            )
+        groups = [g.strip() for g in gm.group(1).rstrip(", \t\n").split(",")]
+        col = gm.group(2)
+        mods = gm.group(3)
+        lo_s, hi_s, step_s, interp_s = (
+            gm.group(4), gm.group(5), gm.group(6), gm.group(7),
         )
-    col = m.group(1)
-    desc = (m.group(2) or "").upper() == "DESC"
-    lo = int(m.group(3)) if m.group(3) else None
-    hi = int(m.group(4)) if m.group(4) else None
-    step = int(m.group(5)) if m.group(5) else (-1 if desc else 1)
-    interp = [c.strip() for c in m.group(6).split(",")] if m.group(6) else []
+        m = gm
+        if lo_s is not None or hi_s is not None:
+            # ClickHouse re-applies FROM/TO at every leading-key change;
+            # per-group bound fills multiply rows in ways that are easy
+            # to mis-read — refuse and point at the native operator
+            raise UnsupportedClickHouseSQL(
+                "grouped WITH FILL with FROM/TO bounds — per-group bound "
+                "spines: time_gap_fill"
+            )
+        if len(set(g.lower() for g in groups) | {col.lower()}) != len(groups) + 1:
+            raise UnsupportedClickHouseSQL(
+                "grouped WITH FILL sort keys must be distinct"
+            )
+    desc = (mods or "").upper() == "DESC"
+    lo = int(lo_s) if lo_s else None
+    hi = int(hi_s) if hi_s else None
+    step = int(step_s) if step_s else (-1 if desc else 1)
+    interp = [c.strip() for c in interp_s.split(",")] if interp_s else []
     if step == 0:
         raise UnsupportedClickHouseSQL("WITH FILL STEP 0")
     if desc and step > 0:
@@ -1484,10 +1528,17 @@ def _apply_with_fill(spark: SparkSession, sql: str) -> DataFrame:
                 "ascending WITH FILL FROM cannot be greater than TO"
             )
 
-    d = spark.sql(translate(sql[: m.start()] + f" ORDER BY {col}"))
+    order_cols = ", ".join(groups + [col])
+    d = spark.sql(translate(sql[: m.start()] + f" ORDER BY {order_cols}"))
     if col not in d.columns:
         raise UnsupportedClickHouseSQL(
             "WITH FILL key must be a select-list column"
+        )
+    bad_groups = [g for g in groups if g not in d.columns]
+    if bad_groups:
+        raise UnsupportedClickHouseSQL(
+            f"grouped WITH FILL leading keys must be select-list "
+            f"columns: {bad_groups}"
         )
     dt = d.schema[col].dataType
     is_int = isinstance(
@@ -1531,15 +1582,21 @@ def _apply_with_fill(spark: SparkSession, sql: str) -> DataFrame:
         fwd = lambda e, k: F.date_add(e, k)  # noqa: E731
         seq_step = F.expr(f"INTERVAL {step} DAY")
 
-    # per-gap sequences restarting at each existing value: the lead()
-    # window carries only the (deduplicated-by-construction) sort key
-    keys = d.select(c.alias("_v")).withColumn(
-        "_nxt", F.lead("_v").over(Window.orderBy("_v"))
+    # per-gap sequences restarting at each existing value; with leading
+    # group keys the lead() window partitions per group (ClickHouse's
+    # FillingTransform restarts whenever a non-fill sort column changes)
+    gsel = [F.col(g) for g in groups]
+    lead_w = (
+        Window.partitionBy(*groups).orderBy("_v") if groups else Window.orderBy("_v")
+    )
+    keys = d.select(*gsel, c.alias("_v")).withColumn(
+        "_nxt", F.lead("_v").over(lead_w)
     )
     fill_keys = keys.where(F.col("_nxt") > fwd(v, step)).select(
+        *gsel,
         F.explode(
             F.sequence(fwd(v, step), fwd(F.col("_nxt"), -1), seq_step)
-        ).alias("_v")
+        ).alias("_v"),
     )
     if lo is not None or hi is not None:
         bounds = d.agg(F.min(c).alias("_mn"), F.max(c).alias("_mx"))
@@ -1562,23 +1619,31 @@ def _apply_with_fill(spark: SparkSession, sql: str) -> DataFrame:
                 )
             )
     # in DESC mode the working key column is BIGINT (negated space) —
-    # fills must union against that type; _finish restores dt
+    # fills must union against that type; _finish restores dt. Group
+    # columns carry THEIR group's value into the filled rows; every
+    # other non-sort column takes the CH type default.
     work_dt = T.LongType() if desc else dt
+    gset = {g.lower() for g in groups}
     fills = fill_keys.select(
         *[
             v.cast(work_dt).alias(f.name)
             if f.name == col
-            else _ch_default_lit(f.dataType).alias(f.name)
+            else (
+                F.col(f.name)
+                if f.name.lower() in gset
+                else _ch_default_lit(f.dataType).alias(f.name)
+            )
             for f in d.schema.fields
         ]
     )
 
     def _finish(frame: DataFrame) -> DataFrame:
+        lead_order = [F.col(g) for g in groups]
         if desc:  # leave negated key space, present descending
             return frame.withColumn(col, (-F.col(col)).cast(dt)).orderBy(
-                F.desc(col)
+                *lead_order, F.desc(col)
             )
-        return frame.orderBy(col)
+        return frame.orderBy(*lead_order, col)
 
     if not interp:
         return _finish(d.unionByName(fills))
@@ -1588,7 +1653,9 @@ def _apply_with_fill(spark: SparkSession, sql: str) -> DataFrame:
     # leading fills with no predecessor keep the type default. Fill keys
     # never collide with original keys, so ORDER BY the sort key alone
     # is a total order between originals and fills.
-    bad = [c for c in interp if c not in d.columns or c == col]
+    bad = [
+        c for c in interp if c not in d.columns or c == col or c.lower() in gset
+    ]
     if bad:
         raise UnsupportedClickHouseSQL(
             f"INTERPOLATE columns must be non-sort select-list columns: {bad}"
@@ -1596,9 +1663,10 @@ def _apply_with_fill(spark: SparkSession, sql: str) -> DataFrame:
     u = d.withColumn("_filled", F.lit(False)).unionByName(
         fills.withColumn("_filled", F.lit(True))
     )
-    w = Window.orderBy(col).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    carry_w = (
+        Window.partitionBy(*groups).orderBy(col) if groups else Window.orderBy(col)
     )
+    w = carry_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     out_cols = []
     for f in d.schema.fields:
         if f.name in interp:
@@ -2981,6 +3049,60 @@ def ch_dialect_with_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs WITH FILL as a single-threaded transform over the initiator's
     merged sorted stream — single-stream parity, not a repo shuffle."""
     return ch_sql(spark, sf_dir, _CH_WITH_FILL_QUERY)
+
+
+# the GROUPED (multi-key) form, r10: leading bare sort keys partition
+# the fill — ClickHouse's FillingTransform restarts whenever a non-fill
+# sort column changes. The year set differs per priority (the filter
+# keys on length(o_orderpriority), which differs across all five
+# values), so the oracle's per-group min/max spines are genuinely
+# distinct — a global-spine mistranslation cannot hash-match.
+_CH_WITH_FILL_GROUPED_QUERY = """
+    SELECT o_orderpriority AS pri,
+           toYear(o_orderdate) AS yr,
+           toUInt32(count()) AS n
+    FROM orders
+    WHERE (toYear(o_orderdate) + length(o_orderpriority)) % 3 > 0
+    GROUP BY pri, yr
+    ORDER BY pri, yr WITH FILL
+"""
+
+_CH_WITH_FILL_GROUPED_ORACLE = """
+    WITH base AS (
+      SELECT o_orderpriority AS pri,
+             CAST(year(o_orderdate) AS BIGINT) AS yr,
+             COUNT(*) AS n
+      FROM orders
+      WHERE (year(o_orderdate) + length(o_orderpriority)) % 3 > 0
+      GROUP BY 1, 2
+    ), spine AS (
+      SELECT pri, unnest(generate_series(mn, mx)) AS yr
+      FROM (SELECT pri, MIN(yr) AS mn, MAX(yr) AS mx FROM base GROUP BY pri)
+    )
+    SELECT s.pri, s.yr, CAST(COALESCE(b.n, 0) AS BIGINT) AS n
+    FROM spine s LEFT JOIN base b ON s.pri = b.pri AND s.yr = b.yr
+    ORDER BY 1, 2
+"""
+
+
+@query("ch_dialect_with_fill_multi", _CH_WITH_FILL_GROUPED_ORACLE)
+def ch_dialect_with_fill_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dialect shim end-to-end over the GROUPED `ORDER BY g, k WITH
+    FILL` form (the r9 'multi-key WITH FILL' refusal, removed r10 for
+    bare leading keys): per-priority order-count-by-year series with
+    per-group gaps densified independently — each priority's fill spine
+    runs its OWN min..max (the filter makes them differ), filled rows
+    carry the group value and type-default counts. FROM/TO bounds in
+    the grouped form still refuse (CH re-applies them per group — the
+    row multiplication is easy to mis-read; time_gap_fill is the native
+    per-group bound spine). Oracled against DuckDB's independent
+    per-group generate_series spine LEFT JOIN.
+
+    Scale: the gap window partitions by the leading keys — per-series
+    state only, embarrassingly parallel across groups (BETTER than
+    ClickHouse, whose FillingTransform is a single merged stream)."""
+    df = ch_sql(spark, sf_dir, _CH_WITH_FILL_GROUPED_QUERY)
+    return df.withColumn("yr", F.col("yr").cast("bigint"))
 
 
 _CH_FILL_INTERP_QUERY = """

@@ -252,6 +252,7 @@ DRIVER_ORDER_TIER2: list[str] = [
     # toward queries with zero green driver rows).
     "ch_dialect_totals_expr",
     "ch_dialect_array_join_zip",
+    "ch_dialect_with_fill_multi",
     "stream_tumbling_equiv",
     "stream_mv_maintain",
     "stream_custom_state",

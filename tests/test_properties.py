@@ -3077,3 +3077,54 @@ def test_lsh_params_scale_rule():
         p = lsh_params_for(n)[1]
         assert p >= last
         last = p
+
+
+def test_with_fill_grouped_semantics(spark):
+    """r10: `ORDER BY g, k WITH FILL` — leading bare keys partition the
+    fill (CH's FillingTransform restarts at every non-fill sort-column
+    change): per-group gap spines, group value carried into fills,
+    grouped INTERPOLATE carries within its group only, DESC walks
+    down per group; FROM/TO bounds and duplicate keys refuse."""
+    import pytest as _pytest
+
+    from clickhouse_data_rebalance_spark.plans.ch_dialect import (
+        UnsupportedClickHouseSQL,
+        _apply_with_fill,
+    )
+
+    spark.createDataFrame(
+        [("a", 1, 10), ("a", 4, 40), ("b", 7, 70), ("b", 9, 90), ("b", 10, 91)],
+        "g string, k int, val int",
+    ).createOrReplaceTempView("gfill_t")
+    run = lambda q: [  # noqa: E731
+        tuple(r) for r in _apply_with_fill(spark, q).collect()
+    ]
+    # independent per-group spines; fills carry the group + type default
+    assert run("SELECT g, k, val FROM gfill_t ORDER BY g, k WITH FILL") == [
+        ("a", 1, 10), ("a", 2, 0), ("a", 3, 0), ("a", 4, 40),
+        ("b", 7, 70), ("b", 8, 0), ("b", 9, 90), ("b", 10, 91),
+    ]
+    # grouped INTERPOLATE: carry stays inside the group (b's first fill
+    # carries 70, never a's 40)
+    assert run(
+        "SELECT g, k, val FROM gfill_t ORDER BY g, k WITH FILL "
+        "INTERPOLATE (val)"
+    ) == [
+        ("a", 1, 10), ("a", 2, 10), ("a", 3, 10), ("a", 4, 40),
+        ("b", 7, 70), ("b", 8, 70), ("b", 9, 90), ("b", 10, 91),
+    ]
+    # grouped DESC: downward restart-at-each-value per group (9 - 2 = 7
+    # is an original, so b gets NO fill row)
+    assert run(
+        "SELECT g, k, val FROM gfill_t ORDER BY g, k DESC WITH FILL STEP -2"
+    ) == [
+        ("a", 4, 40), ("a", 2, 0), ("a", 1, 10),
+        ("b", 10, 91), ("b", 9, 90), ("b", 7, 70),
+    ]
+    with _pytest.raises(UnsupportedClickHouseSQL, match="FROM/TO"):
+        run("SELECT g, k, val FROM gfill_t ORDER BY g, k WITH FILL FROM 0 TO 12")
+    with _pytest.raises(UnsupportedClickHouseSQL, match="distinct"):
+        run("SELECT g, k, val FROM gfill_t ORDER BY g, g WITH FILL")
+    # a leading key must be in the select list (fills must carry it)
+    with _pytest.raises(UnsupportedClickHouseSQL, match="select-list"):
+        run("SELECT k, val FROM gfill_t ORDER BY g, k WITH FILL")
