@@ -1397,27 +1397,25 @@ def translate(ch_sql: str) -> str:
 # initiator's merged sorted stream; the unpartitioned lead() window
 # here is the same single-stream shape but carries ONLY the sort key
 # (one narrow column), and the final order is a range-partitioned sort.
+# ORDER BY [g1, g2, ...,] k [ASC|DESC] WITH FILL ... — group(1) is the
+# OPTIONAL list of leading bare sort keys (no fill of their own, no
+# modifiers): ClickHouse's FillingTransform restarts whenever a
+# non-fill sort column changes, so leading keys make the fill run
+# independently inside each group (the "per-series gap fill" shape
+# time_gap_fill serves natively). One regex for both forms — a
+# shifted-group-index pair of near-twin patterns is the classic trap.
 _WITH_FILL_TAIL = re.compile(
-    r"\bORDER\s+BY\s+([A-Za-z_]\w*)(?:\s+(ASC|DESC))?\s+WITH\s+FILL"
-    r"(?:\s+FROM\s+(-?\d+))?(?:\s+TO\s+(-?\d+))?(?:\s+STEP\s+(-?\d+))?"
-    r"(?:\s+INTERPOLATE\s*\(\s*([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s*\))?"
-    r"\s*;?\s*$",
-    re.I,
-)
-
-# the GROUPED form: bare leading sort keys (no fill of their own, no
-# ASC/DESC modifiers), then the one filled trailing key — ClickHouse's
-# FillingTransform restarts whenever a non-fill sort column changes, so
-# the fill runs independently inside each leading-key group (the
-# "per-series gap fill" shape time_gap_fill serves natively)
-_WITH_FILL_TAIL_GROUPED = re.compile(
-    r"\bORDER\s+BY\s+((?:[A-Za-z_]\w*\s*,\s*)+)([A-Za-z_]\w*)"
+    r"\bORDER\s+BY\s+((?:[A-Za-z_]\w*\s*,\s*)*)([A-Za-z_]\w*)"
     r"(?:\s+(ASC|DESC))?\s+WITH\s+FILL"
     r"(?:\s+FROM\s+(-?\d+))?(?:\s+TO\s+(-?\d+))?(?:\s+STEP\s+(-?\d+))?"
     r"(?:\s+INTERPOLATE\s*\(\s*([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s*\))?"
     r"\s*;?\s*$",
     re.I,
 )
+
+# working-column names the fill machinery introduces; user columns with
+# these names would make the internal selects ambiguous
+_FILL_RESERVED = {"_v", "_nxt", "_filled"}
 
 _FILL_DEFAULTABLE = (
     T.ByteType, T.ShortType, T.IntegerType, T.LongType,
@@ -1467,27 +1465,20 @@ def _apply_with_fill(spark: SparkSession, sql: str) -> DataFrame:
             "bare keys group the fill), or time_gap_fill"
         )
     m = _WITH_FILL_TAIL.search(masked)
-    groups: list[str] = []
-    if m:
-        col = m.group(1)
-        mods = m.group(2)
-        lo_s, hi_s, step_s, interp_s = m.group(3), m.group(4), m.group(5), m.group(6)
-    else:
-        gm = _WITH_FILL_TAIL_GROUPED.search(masked)
-        if not gm:
-            raise UnsupportedClickHouseSQL(
-                "WITH FILL is supported as the statement tail `ORDER BY "
-                "[group_cols,] <column> [ASC|DESC] WITH FILL [FROM i] "
-                "[TO i] [STEP i]` (bare identifier keys) — other forms: "
-                "time_gap_fill"
-            )
-        groups = [g.strip() for g in gm.group(1).rstrip(", \t\n").split(",")]
-        col = gm.group(2)
-        mods = gm.group(3)
-        lo_s, hi_s, step_s, interp_s = (
-            gm.group(4), gm.group(5), gm.group(6), gm.group(7),
+    if not m:
+        raise UnsupportedClickHouseSQL(
+            "WITH FILL is supported as the statement tail `ORDER BY "
+            "[group_cols,] <column> [ASC|DESC] WITH FILL [FROM i] "
+            "[TO i] [STEP i]` (bare identifier keys) — other forms: "
+            "time_gap_fill"
         )
-        m = gm
+    # empty pieces can only be splitter artifacts (trailing separator,
+    # CRLF whitespace the rstrip charset missed) — drop, never splice
+    groups = [g.strip() for g in m.group(1).split(",") if g.strip()]
+    col = m.group(2)
+    mods = m.group(3)
+    lo_s, hi_s, step_s, interp_s = m.group(4), m.group(5), m.group(6), m.group(7)
+    if groups:
         if lo_s is not None or hi_s is not None:
             # ClickHouse re-applies FROM/TO at every leading-key change;
             # per-group bound fills multiply rows in ways that are easy
@@ -1500,6 +1491,16 @@ def _apply_with_fill(spark: SparkSession, sql: str) -> DataFrame:
             raise UnsupportedClickHouseSQL(
                 "grouped WITH FILL sort keys must be distinct"
             )
+    clash = [
+        n
+        for n in groups + [col]
+        if n.lower() in _FILL_RESERVED
+    ]
+    if clash:
+        raise UnsupportedClickHouseSQL(
+            f"WITH FILL sort keys collide with the rewrite's working "
+            f"columns {sorted(_FILL_RESERVED)}: {clash} — alias them"
+        )
     desc = (mods or "").upper() == "DESC"
     lo = int(lo_s) if lo_s else None
     hi = int(hi_s) if hi_s else None
@@ -1534,7 +1535,9 @@ def _apply_with_fill(spark: SparkSession, sql: str) -> DataFrame:
         raise UnsupportedClickHouseSQL(
             "WITH FILL key must be a select-list column"
         )
-    bad_groups = [g for g in groups if g not in d.columns]
+    fold = _ident_fold(spark)
+    d_cols = {fold(c) for c in d.columns}
+    bad_groups = [g for g in groups if fold(g) not in d_cols]
     if bad_groups:
         raise UnsupportedClickHouseSQL(
             f"grouped WITH FILL leading keys must be select-list "
@@ -1638,7 +1641,11 @@ def _apply_with_fill(spark: SparkSession, sql: str) -> DataFrame:
     )
 
     def _finish(frame: DataFrame) -> DataFrame:
-        lead_order = [F.col(g) for g in groups]
+        # NULLS LAST on the group keys: ClickHouse ORDER BY puts
+        # NULL/NaN last, Spark's default asc puts NULLs first — a
+        # nullable group column (left-join output) must not silently
+        # flip the presentation order
+        lead_order = [F.col(g).asc_nulls_last() for g in groups]
         if desc:  # leave negated key space, present descending
             return frame.withColumn(col, (-F.col(col)).cast(dt)).orderBy(
                 *lead_order, F.desc(col)
@@ -1650,15 +1657,22 @@ def _apply_with_fill(spark: SparkSession, sql: str) -> DataFrame:
 
     # INTERPOLATE (c1, c2, ...): filled rows carry the previous ORIGINAL
     # row's value forward (CH's documented no-expression default);
-    # leading fills with no predecessor keep the type default. Fill keys
-    # never collide with original keys, so ORDER BY the sort key alone
-    # is a total order between originals and fills.
+    # leading fills with no predecessor keep the type default. WITHIN a
+    # carry partition, fill keys never collide with original keys, so
+    # ORDER BY the sort key is a total order between originals and
+    # fills there (across groups keys CAN repeat — which is why the
+    # carry window partitions by the leading keys).
     bad = [
         c for c in interp if c not in d.columns or c == col or c.lower() in gset
     ]
     if bad:
         raise UnsupportedClickHouseSQL(
             f"INTERPOLATE columns must be non-sort select-list columns: {bad}"
+        )
+    if any(c.lower() == "_filled" for c in d.columns):
+        raise UnsupportedClickHouseSQL(
+            "INTERPOLATE beside a select-list column named _filled (the "
+            "rewrite's originals marker) — alias it"
         )
     u = d.withColumn("_filled", F.lit(False)).unionByName(
         fills.withColumn("_filled", F.lit(True))
@@ -3053,10 +3067,12 @@ def ch_dialect_with_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # the GROUPED (multi-key) form, r10: leading bare sort keys partition
 # the fill — ClickHouse's FillingTransform restarts whenever a non-fill
-# sort column changes. The year set differs per priority (the filter
-# keys on length(o_orderpriority), which differs across all five
-# values), so the oracle's per-group min/max spines are genuinely
-# distinct — a global-spine mistranslation cannot hash-match.
+# sort column changes. The filter keys on length(o_orderpriority) % 3,
+# which splits the five priorities into TWO classes with different year
+# sets (lengths 8/6/8/15/5 → {URGENT, MEDIUM, LOW} keep 1992-1998 with
+# interior gaps, {HIGH, NOT SPECIFIED} keep 1993-1997) — two genuinely
+# different per-group spines, so a global-spine mistranslation cannot
+# hash-match the per-group oracle.
 _CH_WITH_FILL_GROUPED_QUERY = """
     SELECT o_orderpriority AS pri,
            toYear(o_orderdate) AS yr,
@@ -3091,7 +3107,8 @@ def ch_dialect_with_fill_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     FILL` form (the r9 'multi-key WITH FILL' refusal, removed r10 for
     bare leading keys): per-priority order-count-by-year series with
     per-group gaps densified independently — each priority's fill spine
-    runs its OWN min..max (the filter makes them differ), filled rows
+    runs its OWN min..max (the filter yields two distinct spine classes
+    across the five priorities), filled rows
     carry the group value and type-default counts. FROM/TO bounds in
     the grouped form still refuse (CH re-applies them per group — the
     row multiplication is easy to mis-read; time_gap_fill is the native

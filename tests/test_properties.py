@@ -3128,3 +3128,35 @@ def test_with_fill_grouped_semantics(spark):
     # a leading key must be in the select list (fills must carry it)
     with _pytest.raises(UnsupportedClickHouseSQL, match="select-list"):
         run("SELECT k, val FROM gfill_t ORDER BY g, k WITH FILL")
+
+
+def test_with_fill_grouped_edge_regressions(spark):
+    """Review-3 r10 edges: CRLF whitespace between grouped keys must not
+    splice an empty key; case-mismatched group keys fold per
+    spark.sql.caseSensitive; sort keys colliding with the rewrite's
+    working columns refuse with a pointer instead of an ambiguous-
+    reference crash."""
+    import pytest as _pytest
+
+    from clickhouse_data_rebalance_spark.plans.ch_dialect import (
+        UnsupportedClickHouseSQL,
+        _apply_with_fill,
+    )
+
+    spark.createDataFrame(
+        [("a", 1, 10), ("a", 3, 30)], "g string, k int, val int"
+    ).createOrReplaceTempView("gfedge_t")
+    want = [("a", 1, 10), ("a", 2, 0), ("a", 3, 30)]
+    out = _apply_with_fill(
+        spark, "SELECT g, k, val FROM gfedge_t ORDER BY g,\r\nk WITH FILL"
+    )
+    assert [tuple(r) for r in out.collect()] == want
+    out = _apply_with_fill(
+        spark, "SELECT g, k, val FROM gfedge_t ORDER BY G, k WITH FILL"
+    )
+    assert [tuple(r) for r in out.collect()] == want
+    spark.createDataFrame([(1, 2)], "_v int, k int").createOrReplaceTempView(
+        "gfres_t"
+    )
+    with _pytest.raises(UnsupportedClickHouseSQL, match="working"):
+        _apply_with_fill(spark, "SELECT _v, k FROM gfres_t ORDER BY _v, k WITH FILL")
