@@ -1173,3 +1173,38 @@ def test_pinned_index_frame_caches_per_generation(spark, tmp_path):
     assert a.count() == n_before, "the old pin must keep its snapshot"
     assert c.count() == n_before + 2
     assert os.path.isdir(root)
+
+
+def test_corpus_stage_bisection_plan_shapes(spark):
+    """r10 stage-bisection queries must keep the pipeline's shuffle
+    budget: the gate stage is row-local (zero wide exchanges before the
+    output sort), dedup/split add ONLY the fingerprint window's hash
+    exchange — the same single corpus-wide shuffle the e2e pipeline
+    pays — and no stage introduces a cartesian."""
+    p = plan_of(spark, "corpus_stage_gate")
+    assert "CartesianProduct" not in p
+    assert p.count("hashpartitioning(") == 0, p
+    for name in ("corpus_stage_dedup", "corpus_stage_split"):
+        p = plan_of(spark, name)
+        assert "CartesianProduct" not in p
+        assert p.count("hashpartitioning(") == 1, (name, p)
+
+
+def test_with_fill_grouped_plan_partitions_by_group(spark):
+    """The grouped fill's gap window must partition by the leading keys
+    (per-series state, parallel across groups) — never an unpartitioned
+    global window — and stay cartesian-free."""
+    from clickhouse_data_rebalance_spark.plans.ch_dialect import (
+        _apply_with_fill,
+    )
+
+    spark.createDataFrame(
+        [("a", 1, 10), ("a", 4, 40), ("b", 7, 70)],
+        "g string, k int, val int",
+    ).createOrReplaceTempView("gfplan_t")
+    df = _apply_with_fill(
+        spark, "SELECT g, k, val FROM gfplan_t ORDER BY g, k WITH FILL"
+    )
+    p = _plan(df)
+    assert "CartesianProduct" not in p
+    assert "hashpartitioning(g" in p, p
