@@ -114,6 +114,7 @@ EXTENDED = [
     "ch_dialect_totals_expr",
     "ch_dialect_array_join_zip",
     "ch_dialect_with_fill_multi",
+    "corpus_curate_e2e",
 ]
 
 HEADLINE = CORE + EXTENDED

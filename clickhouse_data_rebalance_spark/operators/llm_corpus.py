@@ -374,7 +374,7 @@ def bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 _SQL_GATE_CTES = """
     w AS (
-      SELECT doc_id, lang, text, string_split(text, ' ') AS toks
+      SELECT doc_id, lang, source, text, string_split(text, ' ') AS toks
       FROM documents WHERE len(string_split(text, ' ')) >= 5
     ),
     g AS (
@@ -388,7 +388,7 @@ _SQL_GATE_CTES = """
       FROM g GROUP BY doc_id
     ),
     q AS (
-      SELECT w.doc_id, w.lang, w.text, w.toks, c.ng, c.nd
+      SELECT w.doc_id, w.lang, w.source, w.text, w.toks, c.ng, c.nd
       FROM w JOIN c ON w.doc_id = c.doc_id
       WHERE (c.ng - c.nd) * 5 <= c.ng
     )
@@ -403,7 +403,7 @@ def _sized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     <= 0.2, no doubles involved)."""
     d = table(spark, sf_dir, "documents")
     w = F.split("text", " ")
-    base = d.select("doc_id", "lang", "text", w.alias("toks")).filter(
+    base = d.select("doc_id", "lang", "source", "text", w.alias("toks")).filter(
         F.size(w) >= 5
     )
     ngrams = F.transform(
@@ -413,6 +413,7 @@ def _sized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.select(
         "doc_id",
         "lang",
+        "source",
         "text",
         "toks",
         F.size(F.array_distinct(ngrams)).cast("bigint").alias("nd"),
@@ -638,6 +639,163 @@ def corpus_pipeline_e2e_keep_longest(
     end-to-end pipeline — VERDICT r6 #6). Same single-shuffle plan; the
     policy is only the window's ORDER BY."""
     return corpus_pipeline_e2e(spark, sf_dir, keeper="longest")
+
+
+# full curation flagship (r10): the mixture/budget constants are the
+# driver-green mixture_sample_weights ones, applied to the CURATED set
+_CURATE_BUDGET_FRAC = 0.8
+_CURATE_WSUM = 210  # sum of (20 - idx) for idx 0..19
+
+
+@query(
+    "corpus_curate_e2e",
+    f"""
+    WITH {_SQL_GATE_CTES.strip()},
+    d AS (
+      SELECT q.*, ROW_NUMBER() OVER (PARTITION BY md5(lower(trim(text)))
+                                     ORDER BY doc_id) AS rn
+      FROM q
+    ),
+    k AS (
+      SELECT doc_id, source, text, toks FROM d WHERE rn = 1
+    ),
+    gv AS (
+      SELECT k.*,
+             len(string_split(trim(text), ' ')) AS n_words,
+             CAST(list_sum(list_transform(string_split(trim(text), ' '),
+                                          x -> length(x))) AS DOUBLE)
+               / len(string_split(trim(text), ' ')) AS mwl,
+             CAST(len(list_filter(string_split(trim(text), ' '),
+                                  x -> regexp_matches(x, '[A-Za-z]')))
+                  AS DOUBLE)
+               / len(string_split(trim(text), ' ')) AS alpha_frac,
+             len(list_filter(['the', 'a', 'and', 'of', 'to', 'be', 'that',
+                              'with'],
+                             s -> list_contains(
+                               string_split(lower(trim(text)), ' '), s)))
+               AS stop_hits
+      FROM k
+    ),
+    kk AS (
+      SELECT doc_id, source, toks FROM gv
+      WHERE n_words >= 50 AND n_words <= 100000
+        AND mwl >= 3.0 AND mwl <= 10.0
+        AND alpha_frac >= 0.8 AND stop_hits >= 2
+    ),
+    counts AS (
+      SELECT source, CAST(substr(source, 4) AS INT) AS idx,
+             COUNT(*) AS n_avail
+      FROM kk GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(FLOOR({_CURATE_BUDGET_FRAC} * SUM(n_avail)) AS BIGINT)
+               AS budget
+      FROM counts
+    ),
+    plan AS (
+      SELECT source,
+             LEAST(n_avail, CAST(FLOOR((20.0 - idx) / {_CURATE_WSUM}
+                                       * (SELECT budget FROM tot))
+                                 AS BIGINT)) AS n_take
+      FROM counts
+    ),
+    ranked AS (
+      SELECT kk.*,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                         doc_id) AS rnk
+      FROM kk
+    ),
+    sel AS (
+      SELECT r.doc_id, r.source, len(r.toks) AS n_toks,
+             {_SQL_DOC_BUCKET.replace('doc_id', 'r.doc_id')} % 100 AS bucket
+      FROM ranked r JOIN plan p ON r.source = p.source
+      WHERE r.rnk <= p.n_take
+    )
+    SELECT source,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           SUM(n_toks) AS n_tokens,
+           SUM(doc_id) AS sum_doc_id
+    FROM sel GROUP BY 1, 2 ORDER BY source, split
+    """,
+)
+def corpus_curate_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL curation pipeline, composed from driver-green stages
+    (r10 — the wider sibling of `corpus_pipeline_e2e`, proving five
+    operator families compose): integer Gopher repetition gate -> exact
+    dedup (min-doc_id keeper, `_kept_docs`) -> Gopher RULES gate (the
+    shared `gopher_verdicts` projector — word count / mean word length /
+    alpha fraction / stopword hits) -> budgeted domain-mixture
+    resampling over the SURVIVORS (`mixture_sample_weights`'s exact
+    min(avail, floor(share x budget)) takes by md5 permutation) ->
+    md5-bucket 80/10/10 split -> per-(source, split) doc/token budget.
+    `sum_doc_id` pins the selected SET, not just its size.
+
+    Rules gate runs after dedup here (score once per surviving
+    document); the verdicts are content-determined, so gate order
+    cannot change WHICH content survives — only how much work each
+    stage sees.
+
+    Scale: two corpus-wide hash exchanges total — the dedup fingerprint
+    window and the per-source mixture rank window (C20/C33 machinery);
+    the rules gate is rowwise at scan speed, the plan/budget frames are
+    |sources|-row broadcasts, and the rollup exchanges <= 60 partial
+    rows."""
+    from ..operators.llm_text import gopher_verdicts
+
+    kept = _kept_docs(spark, sf_dir)
+    gv = gopher_verdicts(kept.select("doc_id", "text"))
+    curated = kept.join(
+        gv.filter(F.col("keep")).select("doc_id"), "doc_id"
+    ).select("doc_id", "source", "toks")
+    counts = (
+        curated.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_avail"))
+        .withColumn("idx", F.substring("source", 4, 10).cast("int"))
+    )
+    budget = counts.agg(
+        F.floor(F.lit(_CURATE_BUDGET_FRAC) * F.sum("n_avail"))
+        .cast("bigint")
+        .alias("b")
+    )
+    plan = counts.crossJoin(F.broadcast(budget)).select(
+        "source",
+        F.least(
+            F.col("n_avail"),
+            F.floor(
+                (F.lit(20.0) - F.col("idx")) / F.lit(_CURATE_WSUM) * F.col("b")
+            ).cast("bigint"),
+        ).alias("n_take"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    sel = (
+        curated.withColumn("rnk", F.row_number().over(w))
+        .join(F.broadcast(plan), "source")
+        .filter(F.col("rnk") <= F.col("n_take"))
+    )
+    bucket = _md5_bucket(F.col("doc_id"), 100)
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        sel.select(
+            "source",
+            split.alias("split"),
+            F.size("toks").cast("bigint").alias("n_toks"),
+            "doc_id",
+        )
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+            F.sum("doc_id").alias("sum_doc_id"),
+        )
+        .orderBy("source", "split")
+    )
 
 
 N_SHUFFLE_SHARDS = 16
