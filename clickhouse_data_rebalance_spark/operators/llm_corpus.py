@@ -16,6 +16,15 @@ from ..registry import query
 from ..tables import table
 from ..functions.text import tokens
 from ._util import sql_hex_bigint
+from .llm_text import (
+    GOPHER_ALPHA_MIN,
+    GOPHER_MWL_MAX,
+    GOPHER_MWL_MIN,
+    GOPHER_STOP_MIN,
+    GOPHER_STOPWORDS,
+    GOPHER_WC_MAX,
+    GOPHER_WC_MIN,
+)
 
 # Version-proof DuckDB twin of _md5_bucket's hex parse (VERDICT r8 #1:
 # the '0x'-literal CAST was the one construct in the round-8 driver's
@@ -641,10 +650,12 @@ def corpus_pipeline_e2e_keep_longest(
     return corpus_pipeline_e2e(spark, sf_dir, keeper="longest")
 
 
-# full curation flagship (r10): the mixture/budget constants are the
-# driver-green mixture_sample_weights ones, applied to the CURATED set
-_CURATE_BUDGET_FRAC = 0.8
-_CURATE_WSUM = 210  # sum of (20 - idx) for idx 0..19
+# Mixture/budget constants — defined here (before the curation flagship
+# that composes them) and used verbatim by mixture_sample_weights below,
+# so retuning the mixture CANNOT silently decouple the flagship from the
+# operator it composes. w_raw = 20 - idx over source indexes 0..19.
+MIX_BUDGET_FRAC = 0.8
+MIX_WSUM = 210  # sum of (20 - idx) for idx 0..19
 
 
 @query(
@@ -669,8 +680,7 @@ _CURATE_WSUM = 210  # sum of (20 - idx) for idx 0..19
                                   x -> regexp_matches(x, '[A-Za-z]')))
                   AS DOUBLE)
                / len(string_split(trim(text), ' ')) AS alpha_frac,
-             len(list_filter(['the', 'a', 'and', 'of', 'to', 'be', 'that',
-                              'with'],
+             len(list_filter({list(GOPHER_STOPWORDS)},
                              s -> list_contains(
                                string_split(lower(trim(text)), ' '), s)))
                AS stop_hits
@@ -678,23 +688,25 @@ _CURATE_WSUM = 210  # sum of (20 - idx) for idx 0..19
     ),
     kk AS (
       SELECT doc_id, source, toks FROM gv
-      WHERE n_words >= 50 AND n_words <= 100000
-        AND mwl >= 3.0 AND mwl <= 10.0
-        AND alpha_frac >= 0.8 AND stop_hits >= 2
+      WHERE n_words >= {GOPHER_WC_MIN} AND n_words <= {GOPHER_WC_MAX}
+        AND mwl >= {GOPHER_MWL_MIN} AND mwl <= {GOPHER_MWL_MAX}
+        AND alpha_frac >= {GOPHER_ALPHA_MIN}
+        AND stop_hits >= {GOPHER_STOP_MIN}
     ),
     counts AS (
-      SELECT source, CAST(substr(source, 4) AS INT) AS idx,
+      SELECT source,
+             COALESCE(TRY_CAST(substr(source, 4) AS INT), 0) AS idx,
              COUNT(*) AS n_avail
       FROM kk GROUP BY source
     ),
     tot AS (
-      SELECT CAST(FLOOR({_CURATE_BUDGET_FRAC} * SUM(n_avail)) AS BIGINT)
+      SELECT CAST(FLOOR({MIX_BUDGET_FRAC} * SUM(n_avail)) AS BIGINT)
                AS budget
       FROM counts
     ),
     plan AS (
       SELECT source,
-             LEAST(n_avail, CAST(FLOOR((20.0 - idx) / {_CURATE_WSUM}
+             LEAST(n_avail, CAST(FLOOR((20.0 - idx) / {MIX_WSUM}
                                        * (SELECT budget FROM tot))
                                  AS BIGINT)) AS n_take
       FROM counts
@@ -753,10 +765,13 @@ def corpus_curate_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = (
         curated.groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_avail"))
-        .withColumn("idx", F.substring("source", 4, 10).cast("int"))
+        .withColumn(
+            "idx",
+            F.coalesce(F.substring("source", 4, 10).cast("int"), F.lit(0)),
+        )
     )
     budget = counts.agg(
-        F.floor(F.lit(_CURATE_BUDGET_FRAC) * F.sum("n_avail"))
+        F.floor(F.lit(MIX_BUDGET_FRAC) * F.sum("n_avail"))
         .cast("bigint")
         .alias("b")
     )
@@ -765,7 +780,7 @@ def corpus_curate_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(
             F.col("n_avail"),
             F.floor(
-                (F.lit(20.0) - F.col("idx")) / F.lit(_CURATE_WSUM) * F.col("b")
+                (F.lit(20.0) - F.col("idx")) / F.lit(MIX_WSUM) * F.col("b")
             ).cast("bigint"),
         ).alias("n_take"),
     )
@@ -1132,8 +1147,8 @@ def corpus_ingest_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (w_raw = 20 - idx, normalized), and the 0.8 budget makes the
 # availability cap BIND for heavy sources while light sources stay
 # weight-limited — both branches of the min() exercised at every SF.
-MIX_BUDGET_FRAC = 0.8
-MIX_WSUM = 210  # sum of (20 - idx) for idx 0..19
+# (MIX_BUDGET_FRAC / MIX_WSUM are defined above corpus_curate_e2e,
+# which composes this operator.)
 
 
 _MIXTURE_ORACLE = f"""

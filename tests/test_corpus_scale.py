@@ -33,6 +33,10 @@ FAMILY = [
     "corpus_stage_split",
     "corpus_pipeline_e2e",
     "corpus_pipeline_e2e_keep_longest",
+    # the full curation flagship rides too: its idx parse is total
+    # (COALESCE(TRY_CAST...)), so the synthetic single-source corpus
+    # exercises the max-weight branch at scale
+    "corpus_curate_e2e",
 ]
 
 
@@ -40,22 +44,32 @@ def _synth_documents(spark, out_dir: str) -> None:
     """200k docs, all columns expression-derived from doc_id:
 
     - content_key: ids k*10 and k*10+1 share one key -> exact duplicate
-      PAIRS (~10% of the corpus); the +1 twin is uppercased, so only the
-      NORMALIZED fingerprint collapses it (and 'longest' vs 'min_id'
-      keepers pick different survivors when lengths tie -> doc_id rule).
-    - repetitive docs (content_key % 7 == 3): 30 tokens cycling a
-      3-word vocabulary -> duplicate-5-gram fraction ~0.9, gate drops.
-    - normal docs: 30 tokens stepping a 997-word md5 vocabulary with a
-      per-doc stride -> high distinct-gram fraction, gate keeps.
+      PAIRS (~10% of the corpus); the +1 twin is uppercased AND carries
+      two trailing spaces, so only the NORMALIZED (lower+trim)
+      fingerprint collapses the pair while the RAW texts differ in both
+      case and length — 'longest' keeps the twin, 'min_id' the base, so
+      the two e2e keeper policies must produce DIFFERENT outputs.
+    - the first token is md5(ck) itself (review-4 r10: a vocabulary-only
+      construction aliased texts mod 4985, silently collapsing 171k
+      gate-passers to ~5k under ANY fingerprint — the anchor token makes
+      the designed pairs the ONLY duplicates).
+    - repetitive docs (content_key % 7 == 3): tokens cycling a 3-word
+      vocabulary -> duplicate-5-gram fraction ~0.9, gate drops.
+    - normal docs: 29 vocabulary tokens stepping a 997-word md5 vocab
+      with a per-doc stride -> high distinct-gram fraction, gate keeps.
     """
     d = spark.range(N_DOCS).select(F.col("id").alias("doc_id"))
     ck = F.when(
         (F.col("doc_id") % 10) < 2, F.col("doc_id") - (F.col("doc_id") % 10)
     ).otherwise(F.col("doc_id"))
     word = lambda e: F.substring(F.md5(e.cast("string")), 1, 5)  # noqa: E731
-    norm_tok = F.transform(
-        F.sequence(F.lit(0), F.lit(29)),
-        lambda j: word((ck * 31 + j * (ck % 5 + 1)) % 997),
+    anchor = F.md5(F.concat(F.lit("u"), ck.cast("string")))
+    norm_tok = F.concat(
+        F.array(anchor),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(28)),
+            lambda j: word((ck * 31 + j * (ck % 5 + 1)) % 997),
+        ),
     )
     rep_tok = F.transform(
         F.sequence(F.lit(0), F.lit(29)), lambda j: word(j % 3)
@@ -63,7 +77,9 @@ def _synth_documents(spark, out_dir: str) -> None:
     text = F.array_join(
         F.when(ck % 7 == 3, rep_tok).otherwise(norm_tok), " "
     )
-    text = F.when(F.col("doc_id") % 10 == 1, F.upper(text)).otherwise(text)
+    text = F.when(
+        F.col("doc_id") % 10 == 1, F.concat(F.upper(text), F.lit("  "))
+    ).otherwise(text)
     out = d.select(
         "doc_id",
         text.alias("text"),
@@ -105,8 +121,10 @@ def test_corpus_pipeline_family_at_200k(spark, tmp_path):
 
     con = duck_connection(corpus_dir)
     # structural sanity on the synthesized corpus: the gate must
-    # actually drop rows and the dedup must actually collapse rows,
-    # otherwise the differential proves less than it claims
+    # actually drop rows, the dedup must collapse exactly the designed
+    # pairs AND only under NORMALIZATION (raw-distinct texts stay ~= the
+    # passer count — a buggy raw fingerprint could not pass), and the
+    # two keeper policies must be output-distinguishable
     n_gated, n_passed = con.execute(
         f"""
         WITH g AS ({ORACLES['corpus_stage_gate']})
@@ -119,6 +137,18 @@ def test_corpus_pipeline_family_at_200k(spark, tmp_path):
         f"SELECT COUNT(*) FROM ({ORACLES['corpus_stage_dedup']})"
     ).fetchone()[0]
     assert n_kept < n_passed - 10_000, (n_kept, n_passed)  # dup pairs collapsed
+    n_raw_distinct = con.execute(
+        "SELECT COUNT(DISTINCT text) FROM documents "
+        "WHERE len(string_split(text, ' ')) >= 5"
+    ).fetchone()[0]
+    # raw texts are all distinct among passers (the twins differ in case
+    # + trailing spaces): collapse happens ONLY via lower+trim
+    assert n_raw_distinct > n_kept + 10_000, (n_raw_distinct, n_kept)
+    e2e = con.execute(ORACLES["corpus_pipeline_e2e"]).fetchall()
+    e2e_long = con.execute(
+        ORACLES["corpus_pipeline_e2e_keep_longest"]
+    ).fetchall()
+    assert e2e != e2e_long, "keeper policies must be distinguishable"
 
     for name in FAMILY:
         compare(
