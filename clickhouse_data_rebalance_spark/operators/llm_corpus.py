@@ -758,10 +758,18 @@ def corpus_curate_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.llm_text import gopher_verdicts
 
     kept = _kept_docs(spark, sf_dir)
-    gv = gopher_verdicts(kept.select("doc_id", "text"))
-    curated = kept.join(
-        gv.filter(F.col("keep")).select("doc_id"), "doc_id"
-    ).select("doc_id", "source", "toks")
+    curated = (
+        gopher_verdicts(kept, passthrough=("source", "toks"))
+        .filter(F.col("keep"))
+        .select("doc_id", "source", "toks")
+        # three consumers (counts -> plan -> budget, and the rank
+        # window) would each re-derive the gate+dedup+verdict subtree —
+        # multiple corpus scans at 100 TB. The curated set is the
+        # pipeline's natural materialization point (production stages
+        # it to parquet); the lazy local checkpoint is the in-session
+        # equivalent, same device as the BPE trainer's per-round cut.
+        .localCheckpoint(eager=False)
+    )
     counts = (
         curated.groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_avail"))

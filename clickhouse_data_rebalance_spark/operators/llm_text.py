@@ -1585,11 +1585,15 @@ _GOPHER_ORACLE = f"""
 """
 
 
-def gopher_verdicts(d: DataFrame) -> DataFrame:
+def gopher_verdicts(d: DataFrame, passthrough: tuple = ()) -> DataFrame:
     """Project a documents frame to its per-rule Gopher verdicts — ONE
-    copy of the expression tree, shared by the batch operator and the
-    streaming gate (so their common oracle can never drift against a
-    silent fork; same discipline as _admit_cell_accounting)."""
+    copy of the expression tree, shared by the batch operator, the
+    streaming gate, and the curation flagship (so their common oracle
+    can never drift against a silent fork; same discipline as
+    _admit_cell_accounting). ``passthrough`` columns ride along so a
+    composing pipeline can gate WITHOUT a self-join back to its own
+    lineage (corpus_curate_e2e: a join would recompute the whole
+    gate+dedup subtree — two corpus scans at scale)."""
     words = tokens(F.col("text"))
     lwords = tokens(F.lower(F.col("text")))
     n_words = F.size(words).cast("bigint")
@@ -1614,6 +1618,7 @@ def gopher_verdicts(d: DataFrame) -> DataFrame:
     alpha_ok = alpha_frac >= GOPHER_ALPHA_MIN
     stop_ok = stop_hits >= GOPHER_STOP_MIN
     return d.select(
+        *[F.col(c) for c in passthrough],
         "doc_id",
         n_words.alias("n_words"),
         F.round(mwl, 9).alias("mwl"),
