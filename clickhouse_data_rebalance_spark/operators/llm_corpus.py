@@ -750,11 +750,12 @@ def corpus_curate_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot change WHICH content survives — only how much work each
     stage sees.
 
-    Scale: two corpus-wide hash exchanges total — the dedup fingerprint
-    window and the per-source mixture rank window (C20/C33 machinery);
-    the rules gate is rowwise at scan speed, the plan/budget frames are
-    |sources|-row broadcasts, and the rollup exchanges <= 60 partial
-    rows."""
+    Scale: two corpus-wide hash exchanges — the dedup fingerprint
+    window (computed ONCE: the counts side and the rank side share it
+    via Spark's ReuseExchange, plan-asserted) and the per-source
+    mixture rank window (C20/C33 machinery); the rules gate is rowwise
+    at scan speed, the plan/budget frames are |sources|-row broadcasts,
+    and the rollup exchanges <= 60 partial rows."""
     from ..operators.llm_text import gopher_verdicts
 
     kept = _kept_docs(spark, sf_dir)
@@ -762,14 +763,12 @@ def corpus_curate_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         gopher_verdicts(kept, passthrough=("source", "toks"))
         .filter(F.col("keep"))
         .select("doc_id", "source", "toks")
-        # three consumers (counts -> plan -> budget, and the rank
-        # window) would each re-derive the gate+dedup+verdict subtree —
-        # multiple corpus scans at 100 TB. The curated set is the
-        # pipeline's natural materialization point (production stages
-        # it to parquet); the lazy local checkpoint is the in-session
-        # equivalent, same device as the BPE trainer's per-round cut.
-        .localCheckpoint(eager=False)
     )
+    # counts/budget/plan and the rank window all hang off the SAME
+    # curated subtree in ONE plan: Spark's ReuseExchange dedups the
+    # identical dedup-window exchange (plan-asserted), so the corpus is
+    # derived once per action — no checkpoint, no driver-side collect,
+    # plans stay transparent.
     counts = (
         curated.groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_avail"))

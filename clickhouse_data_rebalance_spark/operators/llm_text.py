@@ -1613,6 +1613,15 @@ def gopher_verdicts(d: DataFrame, passthrough: tuple = ()) -> DataFrame:
             lambda s: F.array_contains(lwords, s),
         )
     )
+    clash = set(c.lower() for c in passthrough) & {
+        "doc_id", "n_words", "mwl", "wc_ok", "mwl_ok", "alpha_ok",
+        "stop_ok", "keep",
+    }
+    if clash:
+        raise ValueError(
+            f"gopher_verdicts passthrough collides with verdict columns: "
+            f"{sorted(clash)}"
+        )
     wc_ok = (n_words >= GOPHER_WC_MIN) & (n_words <= GOPHER_WC_MAX)
     mwl_ok = (mwl >= GOPHER_MWL_MIN) & (mwl <= GOPHER_MWL_MAX)
     alpha_ok = alpha_frac >= GOPHER_ALPHA_MIN

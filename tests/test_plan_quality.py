@@ -1208,3 +1208,15 @@ def test_with_fill_grouped_plan_partitions_by_group(spark):
     p = _plan(df)
     assert "CartesianProduct" not in p
     assert "hashpartitioning(g" in p, p
+
+
+def test_curate_flagship_reuses_dedup_exchange(spark):
+    """corpus_curate_e2e's mixture-plan side and rank side both hang off
+    the curated (gate+dedup+verdict) subtree — Spark's ReuseExchange
+    must dedup the fingerprint-window exchange so the corpus is derived
+    once per action, and the plan must stay cartesian-free."""
+    df = registry.QUERIES["corpus_curate_e2e"](spark, SF_SMALL)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan, plan
+    assert "CartesianProduct" not in plan

@@ -3121,6 +3121,24 @@ def test_with_fill_grouped_semantics(spark):
         ("a", 4, 40), ("a", 2, 0), ("a", 1, 10),
         ("b", 10, 91), ("b", 9, 90), ("b", 7, 70),
     ]
+    # grouped DATE fill: per-group day spine, restart-at-each-value
+    import datetime as _dt
+
+    spark.createDataFrame(
+        [
+            ("a", _dt.date(2024, 1, 1), 1),
+            ("a", _dt.date(2024, 1, 4), 4),
+            ("b", _dt.date(2024, 2, 1), 9),
+        ],
+        "g string, d date, v int",
+    ).createOrReplaceTempView("gfill_dt")
+    assert run("SELECT g, d, v FROM gfill_dt ORDER BY g, d WITH FILL") == [
+        ("a", _dt.date(2024, 1, 1), 1),
+        ("a", _dt.date(2024, 1, 2), 0),
+        ("a", _dt.date(2024, 1, 3), 0),
+        ("a", _dt.date(2024, 1, 4), 4),
+        ("b", _dt.date(2024, 2, 1), 9),
+    ]
     with _pytest.raises(UnsupportedClickHouseSQL, match="FROM/TO"):
         run("SELECT g, k, val FROM gfill_t ORDER BY g, k WITH FILL FROM 0 TO 12")
     with _pytest.raises(UnsupportedClickHouseSQL, match="distinct"):
