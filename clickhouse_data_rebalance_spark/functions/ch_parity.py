@@ -32,9 +32,11 @@ from ..tables import table
     SELECT l_returnflag,
            bit_and(flags) AS all_and, bit_or(flags) AS any_or,
            bit_xor(flags) AS parity_xor,
-           SUM(flags << 2) AS sum_shl, SUM(flags >> 1) AS sum_shr,
-           SUM(flags & 21) AS sum_and21, SUM(flags | 8) AS sum_or8,
-           SUM(xor(flags, 255)) AS sum_xor255
+           CAST(SUM(flags << 2) AS BIGINT) AS sum_shl,
+           CAST(SUM(flags >> 1) AS BIGINT) AS sum_shr,
+           CAST(SUM(flags & 21) AS BIGINT) AS sum_and21,
+           CAST(SUM(flags | 8) AS BIGINT) AS sum_or8,
+           CAST(SUM(xor(flags, 255)) AS BIGINT) AS sum_xor255
     FROM (SELECT l_returnflag,
                  ((l_orderkey % 64) + 64) % 64 AS flags FROM lineitem) t
     GROUP BY l_returnflag ORDER BY l_returnflag
@@ -235,13 +237,14 @@ def encode_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COUNT(*) AS n_rows,
            COUNT(maybe_price) AS n_price,
            COUNT(DISTINCT maybe_prio) AS n_prio,
-           SUM(CASE WHEN maybe_price IS NULL THEN 1 ELSE 0 END) AS n_null_price,
-           SUM(CASE WHEN maybe_prio IS NOT DISTINCT FROM NULL
-                    THEN 1 ELSE 0 END) AS n_null_safe,
-           SUM(CASE WHEN COALESCE(maybe_price, 0.0) = 0.0
-                    THEN 1 ELSE 0 END) AS n_coalesced,
-           SUM(CASE WHEN NULLIF(maybe_prio, '1-URGENT') IS NULL
-                    THEN 1 ELSE 0 END) AS n_nullif,
+           CAST(SUM(CASE WHEN maybe_price IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_null_price,
+           CAST(SUM(CASE WHEN maybe_prio IS NOT DISTINCT FROM NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_null_safe,
+           CAST(SUM(CASE WHEN COALESCE(maybe_price, 0.0) = 0.0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_coalesced,
+           CAST(SUM(CASE WHEN NULLIF(maybe_prio, '1-URGENT') IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_nullif,
            {sum_skipnull} AS sum_skipnull
     FROM n
     """.format(sum_skipnull=sql_dec_sum("COALESCE(maybe_price, 0.0)")),

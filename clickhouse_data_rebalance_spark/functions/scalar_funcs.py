@@ -137,10 +137,15 @@ def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            len(embedding) AS dim,
            CAST(embedding[1] AS DOUBLE) AS first_val,
            CAST(embedding[64] AS DOUBLE) AS last_val,
-           list_transform(embedding[1:4], x -> CAST(x AS DOUBLE) * 2.0) AS first4_x2,
+           array_to_string(list_transform(embedding[1:4],
+             x -> CAST(CAST(CAST(x AS DOUBLE) * 2.0 AS DECIMAL(30,9))
+                       AS VARCHAR)), ',') AS first4_x2,
            CAST(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS DOUBLE)
              AS vec_sum,
-           list_sort(list_transform(embedding[1:3], x -> CAST(x AS DOUBLE))) AS first3_sorted,
+           array_to_string(list_transform(
+             list_sort(list_transform(embedding[1:3], x -> CAST(x AS DOUBLE))),
+             x -> CAST(CAST(x AS DECIMAL(30,9)) AS VARCHAR)), ',')
+             AS first3_sorted,
            list_contains(list_transform(embedding, x -> CAST(x AS DOUBLE) > 0.2), true)
              AS any_big
     FROM embeddings ORDER BY vec_id
@@ -154,13 +159,31 @@ def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("embedding").cast("bigint").alias("dim"),
         F.element_at("embedding", 1).cast("double").alias("first_val"),
         F.element_at("embedding", 64).cast("double").alias("last_val"),
-        F.transform(F.slice("embedding", 1, 4), lambda x: x.cast("double") * 2.0).alias(
-            "first4_x2"
-        ),
+        # double arrays serialized to decimal(30,9)-element CSV strings
+        # (oracle mirrors with array_to_string): the driver's pandas
+        # canonicalizer cannot sort LIST columns, and fixed-point
+        # strings also absorb double-repr divergence between engines
+        F.array_join(
+            F.transform(
+                F.slice("embedding", 1, 4),
+                lambda x: (x.cast("double") * 2.0)
+                .cast("decimal(30,9)")
+                .cast("string"),
+            ),
+            ",",
+        ).alias("first4_x2"),
         F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x).alias("vec_sum"),
-        F.sort_array(F.transform(F.slice("embedding", 1, 3), lambda x: x.cast("double"))).alias(
-            "first3_sorted"
-        ),
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.transform(
+                        F.slice("embedding", 1, 3), lambda x: x.cast("double")
+                    )
+                ),
+                lambda x: x.cast("decimal(30,9)").cast("string"),
+            ),
+            ",",
+        ).alias("first3_sorted"),
         F.array_contains(
             F.transform(F.col("embedding"), lambda x: x.cast("double") > 0.2), True
         ).alias("any_big"),
@@ -505,8 +528,8 @@ def timezone_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multi_array_zip_flatten",
     """
     SELECT doc_id,
-           unnest(string_split(trim(text), ' ')) AS tok,
-           CAST(unnest(list_transform(string_split(trim(text), ' '),
+           unnest(regexp_split_to_array(trim(text), '\s+')) AS tok,
+           CAST(unnest(list_transform(regexp_split_to_array(trim(text), '\s+'),
                                       x -> length(x))) AS INT) AS tok_len
     FROM documents
     WHERE doc_id % 50 = 0

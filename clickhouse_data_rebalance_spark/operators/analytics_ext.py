@@ -543,7 +543,7 @@ def median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE o_orderstatus = 'F'
     )
     SELECT o_custkey,
-           SUM(sign) AS net_orders,
+           CAST(SUM(sign) AS BIGINT) AS net_orders,
            {sql_dec_sum('sign * o_totalprice')} AS net_value
     FROM signed GROUP BY o_custkey
     HAVING SUM(sign) > 0
@@ -785,8 +785,9 @@ def multi_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1
     )
     SELECT r.day,
-           SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS n_starts,
-           COALESCE(MAX(c.carry), 0) + GREATEST(0, MAX(run)) AS max_concurrent
+           CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_starts,
+           CAST(COALESCE(MAX(c.carry), 0) + GREATEST(0, MAX(run))
+                AS BIGINT) AS max_concurrent
     FROM r LEFT JOIN c ON r.day = c.day
     GROUP BY r.day ORDER BY r.day
     """,

@@ -35,9 +35,9 @@ _ZORDER_SQL = """
       FROM lineitem
     ), z AS (
       SELECT pk, sk,
-             list_sum(list_transform(range(0, 16), i ->
+             CAST(list_sum(list_transform(range(0, 16), i ->
                (((pk >> i) & 1) << (2 * i)) +
-               (((sk >> i) & 1) << (2 * i + 1)))) AS zval
+               (((sk >> i) & 1) << (2 * i + 1)))) AS BIGINT) AS zval
       FROM keys
     )
     SELECT zval >> 26 AS z_bucket, COUNT(*) AS n_rows,
@@ -97,10 +97,11 @@ _DQ_SQL = f"""
            COUNT(*) - COUNT(o_totalprice) AS null_prices,
            COUNT(DISTINCT o_orderkey) AS distinct_keys,
            COUNT(DISTINCT o_orderstatus) AS n_statuses,
-           SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS nonpositive_prices,
-           SUM(CASE WHEN o_orderdate < TIMESTAMP '1992-01-01'
-                      OR o_orderdate >= TIMESTAMP '2000-01-01'
-                    THEN 1 ELSE 0 END) AS out_of_range_dates,
+           CAST(SUM(CASE WHEN o_totalprice <= 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS nonpositive_prices,
+           CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1992-01-01'
+                           OR o_orderdate >= TIMESTAMP '2000-01-01'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS out_of_range_dates,
            {sql_dec_sum('o_totalprice')} AS total_price_sum,
            (SELECT n_orphans FROM ri) AS fk_violations,
            COUNT(*) = COUNT(DISTINCT o_orderkey) AS pk_unique_ok

@@ -39,7 +39,7 @@ CHUNK_W, CHUNK_S = 40, 30
     "chunk_documents",
     f"""
     WITH t AS (
-      SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
     ),
     s AS (
       SELECT doc_id, toks, len(toks) AS n,
@@ -190,7 +190,7 @@ def _md5_bucket(c, n: int):
     f"""
     WITH assigned AS (
       SELECT lang, n_chars,
-             len(string_split(trim(text), ' ')) AS n_toks,
+             len(regexp_split_to_array(trim(text), '\s+')) AS n_toks,
              {_SQL_DOC_BUCKET} % 100 AS bucket
       FROM documents
     )
@@ -198,8 +198,8 @@ def _md5_bucket(c, n: int):
            CASE WHEN bucket < 80 THEN 'train'
                 WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
            COUNT(*) AS n_docs,
-           SUM(n_toks) AS n_tokens,
-           SUM(n_chars) AS sum_chars
+           CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
     FROM assigned GROUP BY 1, 2 ORDER BY lang, split
     """,
 )
@@ -243,7 +243,7 @@ _GRAM_K = 8  # contamination n-gram width
     "contamination_ngram_overlap",
     f"""
     WITH t AS (
-      SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
     ),
     g AS (
       SELECT doc_id,
@@ -323,7 +323,7 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bpe_merge_step",
     """
     WITH t AS (
-      SELECT string_split(trim(text), ' ') AS toks FROM documents
+      SELECT regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
     ),
     p AS (
       SELECT toks[i] || ' ' || toks[i + 1] AS pair
@@ -571,7 +571,8 @@ def corpus_stage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                   WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
       FROM a
     )
-    SELECT lang, split, COUNT(*) AS n_docs, SUM(n_toks) AS n_tokens
+    SELECT lang, split, COUNT(*) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS n_tokens
     FROM s GROUP BY 1, 2 ORDER BY lang, split
     """,
 )
@@ -635,7 +636,8 @@ def corpus_pipeline_e2e(
                   WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
       FROM a
     )
-    SELECT lang, split, COUNT(*) AS n_docs, SUM(n_toks) AS n_tokens
+    SELECT lang, split, COUNT(*) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS n_tokens
     FROM s GROUP BY 1, 2 ORDER BY lang, split
     """,
 )
@@ -672,14 +674,14 @@ MIX_WSUM = 210  # sum of (20 - idx) for idx 0..19
     ),
     gv AS (
       SELECT k.*,
-             len(string_split(trim(text), ' ')) AS n_words,
-             CAST(list_sum(list_transform(string_split(trim(text), ' '),
+             len(regexp_split_to_array(trim(text), '\s+')) AS n_words,
+             CAST(list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'),
                                           x -> length(x))) AS DOUBLE)
-               / len(string_split(trim(text), ' ')) AS mwl,
-             CAST(len(list_filter(string_split(trim(text), ' '),
+               / len(regexp_split_to_array(trim(text), '\s+')) AS mwl,
+             CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
                                   x -> regexp_matches(x, '[A-Za-z]')))
                   AS DOUBLE)
-               / len(string_split(trim(text), ' ')) AS alpha_frac,
+               / len(regexp_split_to_array(trim(text), '\s+')) AS alpha_frac,
              len(list_filter({list(GOPHER_STOPWORDS)},
                              s -> list_contains(
                                string_split(lower(trim(text)), ' '), s)))
@@ -728,8 +730,8 @@ MIX_WSUM = 210  # sum of (20 - idx) for idx 0..19
            CASE WHEN bucket < 80 THEN 'train'
                 WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
            COUNT(*) AS n_docs,
-           SUM(n_toks) AS n_tokens,
-           SUM(doc_id) AS sum_doc_id
+           CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
     FROM sel GROUP BY 1, 2 ORDER BY source, split
     """,
 )
@@ -774,7 +776,11 @@ def corpus_curate_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_avail"))
         .withColumn(
             "idx",
-            F.coalesce(F.substring("source", 4, 10).cast("int"), F.lit(0)),
+            # try_cast, not cast: ANSI mode (Spark 4 default) makes a
+            # plain cast THROW on a non-numeric suffix before coalesce
+            # can see it; the oracle's TRY_CAST parse is total (r10
+            # ADVICE, reproduced on a source='synth' corpus)
+            F.coalesce(F.substring("source", 4, 10).try_cast("int"), F.lit(0)),
         )
     )
     budget = counts.agg(
@@ -895,7 +901,7 @@ SPAN_W = 3
     "line_dedup_ratio",
     f"""
     WITH toks AS (
-      SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
     ),
     starts AS (
       SELECT doc_id, w,
@@ -1160,7 +1166,8 @@ def corpus_ingest_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MIXTURE_ORACLE = f"""
     WITH counts AS (
-      SELECT source, CAST(substr(source, 4) AS INT) AS idx, COUNT(*) AS n_docs
+      SELECT source, COALESCE(TRY_CAST(substr(source, 4) AS INT), 0) AS idx,
+             COUNT(*) AS n_docs
       FROM documents GROUP BY source
     ), tot AS (
       SELECT CAST(FLOOR({MIX_BUDGET_FRAC} * SUM(n_docs)) AS BIGINT) AS budget
@@ -1211,7 +1218,10 @@ def mixture_sample_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = (
         d.groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_docs"))
-        .withColumn("idx", F.substring("source", 4, 10).cast("int"))
+        .withColumn(
+            "idx",
+            F.coalesce(F.substring("source", 4, 10).try_cast("int"), F.lit(0)),
+        )
     )
     budget = counts.agg(
         F.floor(F.lit(MIX_BUDGET_FRAC) * F.sum("n_docs")).cast("bigint").alias("b")
@@ -1324,7 +1334,7 @@ def _bpe_step_sql(src: str, k: int) -> str:
 _BPE_TRAIN_ORACLE = (
     """
     WITH t0 AS (
-      SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
     ),"""
     + ",".join(_bpe_step_sql(f"t{k - 1}", k) for k in range(1, BPE_TRAIN_STEPS + 1))
     + "".join(
@@ -1332,7 +1342,7 @@ _BPE_TRAIN_ORACLE = (
     {"SELECT" if k == 1 else "UNION ALL SELECT"} {k} AS step,
            (SELECT a FROM w{k}) AS a, (SELECT b FROM w{k}) AS b,
            (SELECT n FROM w{k}) AS n_occurrences,
-           (SELECT SUM(len(t)) FROM t{k}) AS corpus_tokens_after"""
+           (SELECT CAST(SUM(len(t)) AS BIGINT) FROM t{k}) AS corpus_tokens_after"""
         for k in range(1, BPE_TRAIN_STEPS + 1)
     )
     + " ORDER BY step"

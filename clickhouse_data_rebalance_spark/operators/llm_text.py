@@ -25,7 +25,7 @@ from ._util import sql_hex_bigint
            array_to_string(list_sort(list_distinct(
              string_split(lower(trim(text)), ' '))), ' ') AS vocab_sorted,
            len(list_distinct(string_split(lower(trim(text)), ' '))) AS n_vocab,
-           len(string_split(trim(text), ' ')) AS n_tokens
+           len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
     FROM documents WHERE doc_id < 100 ORDER BY doc_id
     """,
 )
@@ -53,7 +53,7 @@ def tokenize_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "token_count",
     rf"""
     SELECT doc_id,
-           len(string_split(trim(text), ' ')) AS ws_tokens,
+           len(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens,
            len(regexp_extract_all(text, '{BPE_ISH_RE}')) AS bpeish_tokens,
            length(text) AS n_chars_computed,
            n_chars
@@ -78,12 +78,12 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT doc_id,
            length(text) AS n_chars_q,
-           len(string_split(trim(text), ' ')) AS n_words,
-           CAST(length(text) AS DOUBLE) / len(string_split(trim(text), ' '))
+           len(regexp_split_to_array(trim(text), '\s+')) AS n_words,
+           CAST(length(text) AS DOUBLE) / len(regexp_split_to_array(trim(text), '\s+'))
              AS chars_per_word,
            CAST(len(list_filter(string_split(lower(trim(text)), ' '),
                      w -> w IN ('the', 'and', 'of', 'to', 'a'))) AS DOUBLE)
-             / len(string_split(trim(text), ' ')) AS stopword_ratio,
+             / len(regexp_split_to_array(trim(text), '\s+')) AS stopword_ratio,
            CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE)
              / length(text) AS punct_ratio
     FROM documents ORDER BY doc_id
@@ -114,12 +114,12 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QUALITY_CLASSIFIER_ORACLE = """
     WITH feats AS (
       SELECT doc_id, lang,
-             CAST(len(string_split(trim(text), ' ')) AS DOUBLE) AS n_words,
-             CAST(length(text) AS DOUBLE) / len(string_split(trim(text), ' '))
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS n_words,
+             CAST(length(text) AS DOUBLE) / len(regexp_split_to_array(trim(text), '\s+'))
                AS cpw,
              CAST(len(list_filter(string_split(lower(trim(text)), ' '),
                        w -> w IN ('the', 'and', 'of', 'to', 'a'))) AS DOUBLE)
-               / len(string_split(trim(text), ' ')) AS stop_r,
+               / len(regexp_split_to_array(trim(text), '\s+')) AS stop_r,
              CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE)
                / length(text) AS punct_r
       FROM documents
@@ -274,7 +274,7 @@ def doc_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     "lang_source_profile",
     """
     SELECT lang, source, COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
            CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
     FROM documents GROUP BY lang, source
@@ -350,7 +350,7 @@ PACK_BUDGET = 4096  # tokens per training shard
            CAST(FLOOR(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                 / {PACK_BUDGET}.0) AS BIGINT) AS shard
-    FROM (SELECT doc_id, len(string_split(trim(text), ' ')) AS n_tok
+    FROM (SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS n_tok
           FROM documents)
     ORDER BY doc_id
     """,
@@ -697,7 +697,7 @@ def topk_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     "length_bucket_packing",
     """
     WITH toks AS (
-      SELECT doc_id, len(string_split(trim(text), ' ')) AS n_tok
+      SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS n_tok
       FROM documents
     ),
     bucketed AS (
@@ -767,7 +767,7 @@ def length_bucket_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH t AS (
       SELECT doc_id, lang, n_chars,
-             len(string_split(trim(text), ' ')) AS n_tok,
+             len(regexp_split_to_array(trim(text), '\s+')) AS n_tok,
              md5(lower(trim(text))) AS fp
       FROM documents
     ),
@@ -1102,7 +1102,7 @@ def _bm25_score_col(stats, terms) -> "F.Column":
 _BM25_ORACLE = f"""
     WITH per AS (
       SELECT doc_id,
-             len(string_split(trim(text), ' ')) AS dl,
+             len(regexp_split_to_array(trim(text), '\s+')) AS dl,
              {", ".join(
                  "len(list_filter(string_split(lower(trim(text)), ' '), "
                  f"x -> x = '{t}')) AS tf_{t}" for t in BM25_TERMS)}
@@ -1273,7 +1273,7 @@ def _bm25_batch_oracle() -> str:
         )
     return f"""
     WITH per AS (
-      SELECT doc_id, len(string_split(trim(text), ' ')) AS dl, {tf_cols}
+      SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS dl, {tf_cols}
       FROM documents
     ), stats AS (
       SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
@@ -1558,7 +1558,7 @@ GOPHER_STOP_MIN = 2
 _GOPHER_ORACLE = f"""
     WITH w AS (
       SELECT doc_id,
-             string_split(trim(text), ' ') AS words,
+             regexp_split_to_array(trim(text), '\s+') AS words,
              string_split(lower(trim(text)), ' ') AS lwords
       FROM documents
     ), feat AS (
@@ -1806,15 +1806,15 @@ def bm25_index_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CURRICULUM_ORACLE = f"""
     WITH feats AS (
       SELECT doc_id,
-             len(string_split(trim(text), ' ')) AS n_tok,
-             ROUND(-2.0 + 0.01 * CAST(len(string_split(trim(text), ' ')) AS DOUBLE)
+             len(regexp_split_to_array(trim(text), '\s+')) AS n_tok,
+             ROUND(-2.0 + 0.01 * CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)
                    + 6.0 * (CAST(len(list_filter(string_split(lower(trim(text)), ' '),
                               w -> w IN ('the', 'and', 'of', 'to', 'a'))) AS DOUBLE)
-                            / len(string_split(trim(text), ' ')))
+                            / len(regexp_split_to_array(trim(text), '\s+')))
                    - 4.0 * (CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE)
                             / length(text))
                    - 0.2 * abs(CAST(length(text) AS DOUBLE)
-                               / len(string_split(trim(text), ' ')) - 5.0), 9)
+                               / len(regexp_split_to_array(trim(text), '\s+')) - 5.0), 9)
                AS logit
       FROM documents
     )

@@ -135,19 +135,26 @@ _REFUSALS: list[tuple[re.Pattern[str], str]] = [
     # nearest-rank formula (floor(p*n), 0-based, clamped) spelled over
     # array_sort(collect_list)
     # the lookahead admits exactly quantile/quantiles/quantileExact/
-    # quantilesExact followed by `(` — any other completion refuses.
-    # (no alternation BEFORE the lookahead: `quantiles?` would backtrack
-    # s-less on quantilesExact and false-positive the refusal)
+    # quantilesExact/quantileExactWeighted/quantilesExactWeighted
+    # followed by `(` — any other completion refuses. (alternatives are
+    # longest-first so a shorter prefix can't satisfy the lookahead by
+    # backtracking and false-positive the refusal)
     (
-        re.compile(r"\bquantile(?!(?:s|Exact|sExact)?\s*\()\w*\s*\(", re.I),
+        re.compile(
+            r"\bquantile"
+            r"(?!(?:sExactWeighted|ExactWeighted|sExact|Exact|s)?\s*\()"
+            r"\w*\s*\(",
+            re.I,
+        ),
         "quantile combinators change the rank rule — use "
-        "quantile/quantileExact (translated) or approx_quantiles / "
-        "median_exact / quantile_state_merge",
+        "quantile/quantileExact/quantileExactWeighted (translated) or "
+        "approx_quantiles / median_exact / quantile_state_merge",
     ),
     (
-        re.compile(r"\bmedian(?!(?:Exact)?\s*\()\w*\s*\(", re.I),
+        re.compile(r"\bmedian(?!(?:ExactWeighted|Exact)?\s*\()\w*\s*\(", re.I),
         "median combinators change the rank rule — use median/"
-        "medianExact (translated) or approx_quantiles / median_exact",
+        "medianExact/medianExactWeighted (translated) or "
+        "approx_quantiles / median_exact",
     ),
     # weighted top-K needs the weight column's aggregation semantics;
     # plain topK(N)(x) IS translated (see _rewrite_topk)
@@ -974,6 +981,14 @@ _QUANT_PARAM = re.compile(
 _QUANT_BARE = re.compile(
     rf"\b(?:quantile|median)(Exact)?\s*\(\s*{_ARG}\s*\)(?!\s*\()", re.I
 )
+_QUANT_WEIGHTED = re.compile(
+    rf"\b(quantiles?)ExactWeighted\s*\(\s*({_NUM_LIT}(?:\s*,\s*{_NUM_LIT})*)"
+    rf"\s*\)\s*\(\s*{_ARG}\s*,\s*{_ARG}\s*\)",
+    re.I,
+)
+_MEDIAN_WEIGHTED = re.compile(
+    rf"\bmedianExactWeighted\s*\(\s*{_ARG}\s*,\s*{_ARG}\s*\)(?!\s*\()", re.I
+)
 _TOPK = re.compile(rf"\btopK\s*\(\s*(\d+)\s*\)\s*\(\s*{_ARG}\s*\)", re.I)
 
 
@@ -990,6 +1005,52 @@ def _exact_quantile_expr(x: str, p: str) -> str:
     )
 
 
+def _exact_weighted_expr(x: str, w: str, p: str) -> str:
+    """CH quantileExactWeighted(p)(x, w) (QuantileExactWeighted::getImpl,
+    public ClickHouse source): sort values ascending, accumulate weights,
+    return the FIRST value whose cumulative weight reaches the threshold
+    floor(p * total_weight). Deterministic refinement documented in
+    MIGRATION.md: weights are cast to BIGINT and assumed positive (CH's
+    zero-weight edge returns the first element regardless of p; the
+    threshold here clamps to >= 1, skipping zero-weight prefixes), and
+    NULL value/weight pairs are skipped (CH Nullable semantics).
+
+    Spelled as one pass over array_sort(collect_list(struct(v, w))) with
+    the 1-element-array let trick (the _topk_expr precedent): the sorted
+    list binds to `a`, the threshold to `t`, and an all-BIGINT aggregate
+    state finds the 1-based crossing index (f), so no typed-NULL struct
+    zero is needed. Empty group -> f = 0 -> index clamps to 1 over the
+    empty list -> try_element_at yields NULL (CH's answer). p is a
+    decimal literal and weights integers, so the threshold arithmetic is
+    exact decimal on BOTH engines — no float boundary anywhere."""
+    pairs = (
+        f"array_sort(collect_list(CASE WHEN ({x}) IS NOT NULL "
+        f"AND ({w}) IS NOT NULL THEN "
+        f"named_struct('v', {x}, 'w', CAST({w} AS BIGINT)) END))"
+    )
+    total = "aggregate(a, CAST(0 AS BIGINT), (s, e) -> s + e.w)"
+    threshold = (
+        f"greatest(CAST(floor({p} * {total}) AS BIGINT), CAST(1 AS BIGINT))"
+    )
+    find = (
+        "aggregate(a, named_struct("
+        "'s', CAST(0 AS BIGINT), 'i', CAST(0 AS BIGINT), "
+        "'f', CAST(0 AS BIGINT)), "
+        "(st, e) -> named_struct("
+        "'s', st.s + e.w, 'i', st.i + CAST(1 AS BIGINT), "
+        "'f', CASE WHEN st.f > CAST(0 AS BIGINT) THEN st.f "
+        "WHEN st.s + e.w >= t THEN st.i + CAST(1 AS BIGINT) "
+        "ELSE CAST(0 AS BIGINT) END), "
+        "st -> st.f)"
+    )
+    return (
+        f"element_at(transform(array({pairs}), a -> "
+        f"element_at(transform(array({threshold}), t -> "
+        f"try_element_at(a, CAST(greatest({find}, CAST(1 AS BIGINT)) "
+        f"AS INT)).v), 1)), 1)"
+    )
+
+
 def _topk_expr(x: str, n: int) -> str:
     # let-binding via a 1-element array: the collected list is computed
     # once and referenced repeatedly through the lambda variable `a`
@@ -1002,6 +1063,24 @@ def _topk_expr(x: str, n: int) -> str:
 
 
 def _rewrite_quantile_family(sql: str) -> str:
+    def weighted_repl(m: "re.Match[str]", raw: str) -> str:
+        plural = m.group(1).lower().endswith("s")
+        levels = [p.strip() for p in raw[m.start(2) : m.end(2)].split(",")]
+        x = raw[m.start(3) : m.end(3)].strip()
+        w = raw[m.start(4) : m.end(4)].strip()
+        if not plural and len(levels) > 1:
+            raise UnsupportedClickHouseSQL(
+                "quantileExactWeighted() takes one level — use "
+                "quantilesExactWeighted(p1, ...)(x, w)"
+            )
+        exprs = [_exact_weighted_expr(x, w, p) for p in levels]
+        return f"array({', '.join(exprs)})" if plural else exprs[0]
+
+    def median_weighted_repl(m: "re.Match[str]", raw: str) -> str:
+        x = raw[m.start(1) : m.end(1)].strip()
+        w = raw[m.start(2) : m.end(2)].strip()
+        return _exact_weighted_expr(x, w, "0.5")
+
     def param_repl(m: "re.Match[str]", raw: str) -> str:
         plural = m.group(1).lower().endswith("s")
         levels = [p.strip() for p in raw[m.start(3) : m.end(3)].split(",")]
@@ -1026,7 +1105,9 @@ def _rewrite_quantile_family(sql: str) -> str:
     def topk_repl(m: "re.Match[str]", raw: str) -> str:
         return _topk_expr(raw[m.start(2) : m.end(2)].strip(), int(m.group(1)))
 
-    out = _sub_outside_literals(_QUANT_PARAM, param_repl, sql)
+    out = _sub_outside_literals(_QUANT_WEIGHTED, weighted_repl, sql)
+    out = _sub_outside_literals(_MEDIAN_WEIGHTED, median_weighted_repl, out)
+    out = _sub_outside_literals(_QUANT_PARAM, param_repl, out)
     out = _sub_outside_literals(_QUANT_BARE, bare_repl, out)
     return _sub_outside_literals(_TOPK, topk_repl, out)
 
@@ -2754,8 +2835,8 @@ _CH_READBACK = """
     SELECT o_orderstatus,
            COUNT(*) AS n_rows,
            COUNT(DISTINCT o_orderkey) AS n_keys,
-           SUM(o_orderkey % 2) FILTER (WHERE o_totalprice > 100000)
-             AS n_flagged_big
+           CAST(SUM(o_orderkey % 2) FILTER (WHERE o_totalprice > 100000)
+                AS BIGINT) AS n_flagged_big
     FROM orders WHERE o_orderkey % 31 = 0
     GROUP BY o_orderstatus ORDER BY o_orderstatus
     """,
@@ -2811,7 +2892,8 @@ _CH_ARGMAX_ORACLE = """
                 ELSE 'small' END AS bucket,
            arg_max(o_custkey, o_orderkey) AS last_cust,
            arg_min(o_custkey, o_orderkey) AS first_cust,
-           list_sort(list_distinct(list(o_orderstatus))) AS statuses,
+           array_to_string(
+             list_sort(list_distinct(list(o_orderstatus))), ',') AS statuses,
            COUNT(*) AS n_rows
     FROM orders
     WHERE o_orderkey % 7 = 0
@@ -2832,8 +2914,13 @@ def ch_dialect_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: translated output is ordinary Spark SQL — one grouped
     exchange; max_by/min_by are single-pass partial-aggregable, and the
-    PREWHERE modulo lands in the scan as a pushed filter."""
-    return ch_sql(spark, sf_dir, _CH_ARGMAX_QUERY)
+    PREWHERE modulo lands in the scan as a pushed filter.
+
+    Driver surface: the sorted-uniq array is serialized to a CSV string
+    on both engines — pandas (the driver's canonicalizer) cannot sort
+    LIST columns (the r10 ERR mechanism)."""
+    out = ch_sql(spark, sf_dir, _CH_ARGMAX_QUERY)
+    return out.withColumn("statuses", F.array_join("statuses", ","))
 
 
 # a fourth verbatim-query shape exercising the bracket rewrites: CH
@@ -2950,7 +3037,9 @@ _CH_QUANTILE_ORACLE = f"""
            {_sql_exact_q('l_quantity', '0.25')} AS q25_qty,
            {_sql_exact_q('l_quantity', '0.5')} AS med_qty,
            {_sql_exact_q('l_quantity', '0.9')} AS q90_qty,
-           quantile_cont(l_quantity, [0.25, 0.75]) AS iqr_qty,
+           array_to_string(list_transform(
+             quantile_cont(l_quantity, [0.25, 0.75]),
+             x -> CAST(CAST(x AS DECIMAL(30,4)) AS VARCHAR)), ',') AS iqr_qty,
            ROUND(quantile_cont(l_extendedprice, 0.5), 9) AS med_price,
            ROUND(quantile_cont(l_discount, 0.5), 9) AS med_disc,
            COUNT(*) AS n
@@ -2976,8 +3065,89 @@ def ch_dialect_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one grouped exchange; the exact forms carry each group's
     values (exactness' honest cost — approx_quantiles is the sketch
-    path), percentile is a bounded-state JVM aggregate."""
-    return ch_sql(spark, sf_dir, _CH_QUANTILE_QUERY)
+    path), percentile is a bounded-state JVM aggregate.
+
+    Driver surface: the plural-quantiles array is serialized to a
+    decimal(30,4)-element CSV string (mirrored by the oracle's
+    array_to_string) — the external comparator canonicalizes through
+    pandas, which cannot sort LIST columns (the r10 ERR mechanism).
+    l_quantity order statistics interpolate at dyadic quarters, so the
+    4-decimal fixed-point form is exact."""
+    out = ch_sql(spark, sf_dir, _CH_QUANTILE_QUERY)
+    return out.withColumn(
+        "iqr_qty",
+        F.array_join(
+            F.transform(
+                "iqr_qty",
+                lambda x: x.cast("decimal(30,4)").cast("string"),
+            ),
+            ",",
+        ),
+    )
+
+
+_CH_QUANTILE_WEIGHTED_QUERY = """
+    SELECT l_returnflag,
+           quantileExactWeighted(0.25)(l_quantity, l_linenumber) AS q25_w,
+           medianExactWeighted(l_quantity, l_linenumber) AS med_w,
+           quantileExactWeighted(0.9)(l_quantity, l_linenumber) AS q90_w,
+           toUInt32(count()) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+"""
+
+
+def _sql_weighted_q(p: str) -> str:
+    """DuckDB twin of the quantileExactWeighted rewrite: over the cum
+    CTE's (per-group value-ordered cumulative weight cw, group total
+    tw), the smallest value whose cw reaches floor(p * tw) clamped
+    to >= 1. The threshold arithmetic is exact DECIMAL on both engines
+    (p is a decimal literal, weights are integers)."""
+    return (
+        f"MIN(CASE WHEN cw >= GREATEST(CAST(FLOOR({p} * tw) AS BIGINT), 1) "
+        f"THEN v END)"
+    )
+
+
+_CH_QUANTILE_WEIGHTED_ORACLE = f"""
+    WITH cum AS (
+      SELECT l_returnflag AS rf, l_quantity AS v,
+             SUM(CAST(l_linenumber AS BIGINT)) OVER (
+               PARTITION BY l_returnflag
+               ORDER BY l_quantity, l_linenumber
+               ROWS UNBOUNDED PRECEDING) AS cw,
+             SUM(CAST(l_linenumber AS BIGINT)) OVER (
+               PARTITION BY l_returnflag) AS tw
+      FROM lineitem
+    )
+    SELECT rf AS l_returnflag,
+           {_sql_weighted_q('0.25')} AS q25_w,
+           {_sql_weighted_q('0.5')} AS med_w,
+           {_sql_weighted_q('0.9')} AS q90_w,
+           COUNT(*) AS n
+    FROM cum GROUP BY rf ORDER BY rf
+"""
+
+
+@query("ch_dialect_quantile_weighted", _CH_QUANTILE_WEIGHTED_ORACLE)
+def ch_dialect_quantile_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dialect shim end-to-end over the quantileExactWeighted /
+    medianExactWeighted rewrites (VERDICT r10 #6 — the first weighted
+    member of the quantile-combinator zoo with exact semantics: CH
+    sorts values, accumulates weights, and returns the first value
+    whose cumulative weight reaches floor(p * total); see
+    _exact_weighted_expr for the refinement notes). l_linenumber (1..7,
+    positive integers) is the weight, so the threshold arithmetic is
+    exact decimal on both engines. Oracled against DuckDB's independent
+    windowed-cumulative-weight spelling.
+
+    Scale: one grouped exchange carrying (value, weight) structs —
+    exactness' honest cost, same posture as quantileExact; the sketch
+    path for 100 TB is approx_quantiles. The sort + two aggregate()
+    folds run once per GROUP inside the let-bound lambda (the sorted
+    list and threshold each bind once — no re-sort per level)."""
+    return ch_sql(spark, sf_dir, _CH_QUANTILE_WEIGHTED_QUERY)
 
 
 _CH_TOPK_QUERY = """
@@ -2995,8 +3165,9 @@ _CH_TOPK_ORACLE = """
       FROM lineitem GROUP BY 1, 2
     )
     SELECT l_linestatus,
-           list_slice(list(l_returnflag ORDER BY cnt DESC, l_returnflag),
-                      1, 2) AS top_flags,
+           array_to_string(
+             list_slice(list(l_returnflag ORDER BY cnt DESC, l_returnflag),
+                        1, 2), ',') AS top_flags,
            CAST(SUM(cnt) AS BIGINT) AS n
     FROM c GROUP BY l_linestatus ORDER BY l_linestatus
 """
@@ -3014,8 +3185,13 @@ def ch_dialect_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one grouped exchange; the collected group is scanned per
     distinct value (bounded here by the 3-value flag domain).
-    heavy_hitters (Misra-Gries) is the bounded-memory 100 TB path."""
-    return ch_sql(spark, sf_dir, _CH_TOPK_QUERY)
+    heavy_hitters (Misra-Gries) is the bounded-memory 100 TB path.
+
+    Driver surface: the top-N array is serialized to a CSV string on
+    both engines — pandas (the driver's canonicalizer) cannot sort LIST
+    columns (the r10 ERR mechanism)."""
+    out = ch_sql(spark, sf_dir, _CH_TOPK_QUERY)
+    return out.withColumn("top_flags", F.array_join("top_flags", ","))
 
 
 _CH_WITH_FILL_QUERY = """

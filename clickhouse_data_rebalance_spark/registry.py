@@ -253,6 +253,7 @@ DRIVER_ORDER_TIER2: list[str] = [
     "ch_dialect_totals_expr",
     "ch_dialect_array_join_zip",
     "ch_dialect_with_fill_multi",
+    "ch_dialect_quantile_weighted",
     "corpus_curate_e2e",
     "stream_tumbling_equiv",
     "stream_mv_maintain",

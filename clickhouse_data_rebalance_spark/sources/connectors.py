@@ -201,7 +201,7 @@ def write_bucketed(
     "source_text_roundtrip",
     """
     SELECT COUNT(*) AS n_lines,
-           SUM(LENGTH(text)) AS total_chars,
+           CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
            MIN(LENGTH(text)) AS min_chars,
            MAX(LENGTH(text)) AS max_chars
     FROM documents

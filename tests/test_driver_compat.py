@@ -1,0 +1,83 @@
+"""Driver-canonicalizer compatibility lint (VERDICT r10 #2).
+
+The external driver materializes DuckDB oracle results through pandas,
+which silently changes or breaks certain output types:
+
+  - HUGEINT (what DuckDB returns for an uncast SUM over BIGINT) becomes
+    float64 in a pandas frame, so a value-identical int64 Spark column
+    hash-mismatches (120 vs 120.0) — the mechanism behind every red
+    driver row from r8 through r10.
+  - LIST / STRUCT / MAP columns crash pandas ``sort_values``
+    ("TypeError: unhashable type: 'list'") — the two r10 ERR rows.
+
+This lint makes the class unrepresentable: DuckDB ``DESCRIBE`` over
+EVERY registered oracle (plans without executing — cheap), plus the
+Spark side of every COVER query (schema construction only, no action).
+A query that needs an array result serializes it to a string on both
+engines (array_join / array_to_string — see ch_dialect_quantile).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import duckdb
+import pytest
+
+from clickhouse_data_rebalance_spark import registry
+from .conftest import SF_SMALL
+from .oracle_harness import TABLE_NAMES
+
+registry.load_all()
+
+_BAD_DUCK = re.compile(r"HUGEINT|\[\]|LIST|STRUCT|MAP\(", re.IGNORECASE)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        p = os.path.join(SF_SMALL, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    yield con
+    con.close()
+
+
+def test_every_oracle_schema_is_driver_safe(duck):
+    """No registered oracle may plan a HUGEINT/LIST/STRUCT/MAP output
+    column — those dtypes corrupt (HUGEINT->float64) or crash
+    (unhashable list) the driver's pandas canonicalizer."""
+    offenders: dict[str, list[tuple[str, str]]] = {}
+    for name, sql in sorted(registry.ORACLES.items()):
+        desc = duck.execute(f"DESCRIBE {sql}").fetchall()
+        bad = [(c, typ) for c, typ, *_ in desc if _BAD_DUCK.search(typ)]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        "driver-unsafe oracle output columns (CAST sums to BIGINT; "
+        f"serialize arrays to strings on both engines): {offenders}"
+    )
+
+
+def test_cover_spark_schemas_are_driver_safe(spark):
+    """The Spark side of every cover query must emit only atomic
+    columns — complex types cannot survive the driver's pandas
+    sort/hash canonicalization either."""
+    from pyspark.sql import types as T
+
+    offenders: dict[str, list[tuple[str, str]]] = {}
+    for name in registry.DRIVER_ORDER:
+        fn = registry.QUERIES[name]
+        schema = fn(spark, SF_SMALL).schema
+        bad = [
+            (f.name, f.dataType.simpleString())
+            for f in schema.fields
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        f"cover queries with complex-typed Spark output columns: {offenders}"
+    )

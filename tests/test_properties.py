@@ -2011,15 +2011,29 @@ def test_ch_dialect_quantile_topk_rewrites():
     assert out.count("array_sort(collect_list(v))") == 2
     out = translate("SELECT topK(3)(mode) FROM t GROUP BY g")
     assert "collect_list(mode)" in out and "slice(" in out
+    # the weighted EXACT form translates since r11 (VERDICT r10 #6):
+    # sorted (v, w) structs, decimal threshold, all-BIGINT find state
+    out = translate("SELECT quantileExactWeighted(0.25)(v, w) FROM t")
+    assert "named_struct('v', v, 'w', CAST(w AS BIGINT))" in out
+    assert "floor(0.25 * aggregate(" in out
+    assert "try_element_at" in out  # empty group -> NULL, not error
+    out = translate("SELECT medianExactWeighted(v, w) FROM t")
+    assert "floor(0.5 * aggregate(" in out
+    out = translate("SELECT quantilesExactWeighted(0.1, 0.9)(v, w) FROM t")
+    assert out.count("array_sort(collect_list(") == 2
     # combinator zoo still refuses — each suffix changes the rank rule
     for bad in (
         "SELECT quantileTiming(0.5)(x) FROM t",
         "SELECT quantileExactLow(0.5)(x) FROM t",
-        "SELECT quantileExactWeighted(0.5)(x, w) FROM t",
+        "SELECT quantileTimingWeighted(0.5)(x, w) FROM t",
+        "SELECT quantileTDigestWeighted(0.5)(x, w) FROM t",
         "SELECT quantilesExactHigh(0.5)(x) FROM t",
         "SELECT medianBFloat16(x) FROM t",
+        "SELECT medianTimingWeighted(x, w) FROM t",
         "SELECT topKWeighted(3)(x, w) FROM t",
         "SELECT quantile(0.2, 0.8)(x) FROM t",  # not CH grammar
+        # single-level grammar for the weighted form too
+        "SELECT quantileExactWeighted(0.2, 0.8)(x, w) FROM t",
     ):
         try:
             translate(bad)
@@ -2029,6 +2043,38 @@ def test_ch_dialect_quantile_topk_rewrites():
     # literal-masked: family names inside string literals are data
     lit = "SELECT 'quantile(0.5)(x) topK(3)(y) medianExact(z)' AS s FROM t"
     assert translate(lit) == lit
+    lit_w = "SELECT 'quantileExactWeighted(0.5)(x, w)' AS s FROM t"
+    assert translate(lit_w) == lit_w
+
+
+def test_quantile_exact_weighted_known_values(spark):
+    """Hand-computed CH QuantileExactWeighted traces: sorted values,
+    cumulative weights, first value whose cum reaches floor(p*total).
+    values (1,2,3) weights (1,1,8): total=10 -> p=0.5 threshold=5 ->
+    cum (1,2,10) -> 3; p=0.1 threshold=1 -> 1; p=1.0 threshold=10 -> 3.
+    NULL pairs are skipped; an all-NULL group yields NULL."""
+    from clickhouse_data_rebalance_spark.plans.ch_dialect import translate
+
+    spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 8), (None, 4), (5, None)], "v int, w int"
+    ).createOrReplaceTempView("qew_t")
+    row = spark.sql(
+        translate(
+            "SELECT medianExactWeighted(v, w) AS m, "
+            "quantileExactWeighted(0.1)(v, w) AS lo, "
+            "quantileExactWeighted(1.0)(v, w) AS hi, "
+            "quantilesExactWeighted(0.1, 1.0)(v, w) AS both FROM qew_t"
+        )
+    ).collect()[0]
+    assert (row["m"], row["lo"], row["hi"]) == (3, 1, 3)
+    assert row["both"] == [1, 3]
+    empty = spark.sql(
+        translate(
+            "SELECT quantileExactWeighted(0.5)(v, w) AS q FROM qew_t "
+            "WHERE v IS NULL"
+        )
+    ).collect()[0]
+    assert empty["q"] is None
 
 
 def test_with_fill_restart_semantics(spark):
