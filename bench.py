@@ -115,6 +115,8 @@ EXTENDED = [
     "ch_dialect_array_join_zip",
     "ch_dialect_with_fill_multi",
     "corpus_curate_e2e",
+    # round 11: the weighted exact quantile rewrite (tracked from birth)
+    "ch_dialect_quantile_weighted",
 ]
 
 HEADLINE = CORE + EXTENDED

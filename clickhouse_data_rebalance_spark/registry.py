@@ -171,11 +171,52 @@ DRIVER_ORDER: list[str] = [
     # correlated_scalar_subquery -> ch_dialect_limit_ties' scalar
     # subquery threshold (C23; the correlated/IN/EXISTS variants stay
     # registered + locally oracled))
+    # (r11 rotation: fifteen enter, all never-externally-verified
+    # (VERDICT r10 #3/#4: burn the never-green ledger; the five r8–r10
+    # red rows STAY — their green flip is the proof the dtype diagnosis
+    # was right): corpus_curate_e2e (the curation flagship, VERDICT r10
+    # #3), the three r2-era flagships with zero external rows
+    # (dedup_clusters_cc, pack_token_shards, upsert_latest_wins), the
+    # r10/r11 dialect surface (ch_dialect_totals_expr,
+    # ch_dialect_array_join_zip, ch_dialect_with_fill_multi,
+    # ch_dialect_quantile_weighted, ch_dialect_argmax), and six members
+    # of the r11 driver-safe dtype sweep whose green rows externally
+    # prove the HUGEINT/LIST fix class (train_val_test_split,
+    # array_funcs, bitwise_funcs, collapsing_sign_merge,
+    # zorder_clustering, data_quality_checks). Fifteen 2+-green veterans
+    # leave for tier 2. Merge mapping (COVERAGE.md §r11):
+    # bm25_topk + bm25_batch_topk + bm25_inverted_topk + bm25_index_admit
+    # + retrieval_snippets + hybrid_rrf_topk -> C44/C45 carry their six
+    # r9+r10 green rows; the tokenize/token-count machinery also rides
+    # corpus_curate_e2e's stages + train_val_test_split (in cover),
+    # ivf_index_admit/_compact -> matryoshka_topk_recall (probes the
+    # same pinned-generation IVF index machinery, C42),
+    # gopher_rules_filter -> corpus_stage_gate + corpus_curate_e2e's
+    # rules gate (C46), mixture_sample_weights -> corpus_curate_e2e
+    # composes the exact same budget/weights plan (C33),
+    # pack_quality_curriculum -> pack_token_shards (the packing family's
+    # two-level-prefix-sum scale flagship), dedup_repeated_substring ->
+    # corpus_stage_gate (the same integer repetition gate; its C14
+    # post-agg filter -> collapsing_sign_merge's HAVING, in cover),
+    # dedup_semantic_prune -> dedup_clusters_cc (the pairwise-cosine
+    # edge family, transitive-closure form; IVF cell-blocking stays
+    # plan-asserted in test_plan_quality), corpus_ingest_incremental ->
+    # data_quality_checks' broadcast anti-join keeps C7 external (the
+    # LeftSemi screens stay plan-asserted + r10-green),
+    # asof_join_nearest -> ch_dialect_asof_join / ch_dialect_any_join
+    # (the as-of family, dialect-driven; C8 range predicates carry its
+    # r10 green row))
     "rebalance_pipeline",
     "source_python_datasource",
-    # ClickHouse dialect layer (r9 wave promoted whole, VERDICT r9 #2)
+    # ClickHouse dialect layer (r9 wave promoted whole, VERDICT r9 #2;
+    # r10 additions + the r11 weighted-quantile/argmax/driver-safe wave)
     "ch_dialect_quantile",
     "ch_dialect_topk",
+    "ch_dialect_quantile_weighted",
+    "ch_dialect_argmax",
+    "ch_dialect_totals_expr",
+    "ch_dialect_array_join_zip",
+    "ch_dialect_with_fill_multi",
     "ch_dialect_with_fill",
     "ch_dialect_fill_interpolate",
     "ch_dialect_with_fill_desc",
@@ -187,9 +228,6 @@ DRIVER_ORDER: list[str] = [
     "ch_dialect_limit_ties",
     "ch_dialect_totals",
     # LLM data-pipeline operators
-    "dedup_repeated_substring",
-    "corpus_ingest_incremental",
-    "dedup_semantic_prune",
     # corpus-pipeline stage bisection (VERDICT r9 #1): gate -> dedup ->
     # split -> full, so the driver's red/green boundary names the stage
     "corpus_stage_gate",
@@ -197,19 +235,13 @@ DRIVER_ORDER: list[str] = [
     "corpus_stage_split",
     "corpus_pipeline_e2e",
     "corpus_pipeline_e2e_keep_longest",
+    "corpus_curate_e2e",
     "bpe_train_merges",
+    "train_val_test_split",
+    "dedup_clusters_cc",
+    "pack_token_shards",
+    "upsert_latest_wins",
     "matryoshka_topk_recall",
-    "bm25_topk",
-    "bm25_batch_topk",
-    "bm25_inverted_topk",
-    "bm25_index_admit",
-    "retrieval_snippets",
-    "hybrid_rrf_topk",
-    "ivf_index_admit",
-    "ivf_index_compact",
-    "gopher_rules_filter",
-    "mixture_sample_weights",
-    "pack_quality_curriculum",
     "multimodal_roundtrip",
     # structured streaming + event-time windows
     "sliding_window_agg",
@@ -220,9 +252,13 @@ DRIVER_ORDER: list[str] = [
     # scalar function families + UDF ladder
     "scalar_funcs_suite",
     "semi_structured_suite",
+    "array_funcs",
+    "bitwise_funcs",
     "grouped_map_udaf",
-    # joins
-    "asof_join_nearest",
+    # ClickHouse engine analogs + layout/validation analytics
+    "collapsing_sign_merge",
+    "zorder_clustering",
+    "data_quality_checks",
     # aggregation
     "approx_count_distinct",
     # windows / frames
@@ -243,18 +279,28 @@ DRIVER_ORDER: list[str] = [
 # rounds, then the round-2 flagship operators, then the long tail of
 # per-function suite variants.
 DRIVER_ORDER_TIER2: list[str] = [
-    # next in line for driver rows: the r10 refusal-translations
-    # (ch_dialect_totals_expr / ch_dialect_array_join_zip, never
-    # externally verified), then the sixteen veterans the r10 rotation
-    # moved out of the cover (every one 2+-green; ordered
-    # streaming-first by drift risk), then never-externally-verified
-    # members of the COVERAGE.md ledger (VERDICT r8 #5 — bias rotations
-    # toward queries with zero green driver rows).
-    "ch_dialect_totals_expr",
-    "ch_dialect_array_join_zip",
-    "ch_dialect_with_fill_multi",
-    "ch_dialect_quantile_weighted",
-    "corpus_curate_e2e",
+    # next in line for driver rows: the fifteen veterans the r11
+    # rotation moved out of the cover (every one 2+-green; retrieval
+    # family first — the biggest green block with no live cover member),
+    # then the r10 rotation's veterans (streaming-first by drift risk),
+    # then never-externally-verified members of the COVERAGE.md ledger
+    # (VERDICT r8 #5 — bias rotations toward queries with zero green
+    # driver rows).
+    "bm25_topk",
+    "bm25_batch_topk",
+    "bm25_inverted_topk",
+    "bm25_index_admit",
+    "retrieval_snippets",
+    "hybrid_rrf_topk",
+    "ivf_index_admit",
+    "ivf_index_compact",
+    "gopher_rules_filter",
+    "mixture_sample_weights",
+    "pack_quality_curriculum",
+    "dedup_repeated_substring",
+    "dedup_semantic_prune",
+    "corpus_ingest_incremental",
+    "asof_join_nearest",
     "stream_tumbling_equiv",
     "stream_mv_maintain",
     "stream_custom_state",
@@ -318,7 +364,6 @@ DRIVER_ORDER_TIER2: list[str] = [
     "statestore_introspection",
     "sink_observed_metrics",
     "ch_dialect_array_join",
-    "ch_dialect_argmax",
     "ch_dialect_datetime",
     "timezone_funcs",
     "group_by_all",
@@ -397,24 +442,19 @@ DRIVER_ORDER_TIER2: list[str] = [
     "source_csv_roundtrip",
     # round-2 flagship operators
     "dedup_embedding_cosine",
-    "dedup_clusters_cc",
     "knn_join",
     "knn_join_label",
-    "pack_token_shards",
     "mixture_sample",
     "sample_k_per_group",
     "weighted_sample_es",
     "agg_state_merge",
-    "upsert_latest_wins",
     "sequence_match_funnel3",
     "sum_map_props",
     "ttl_expiry",
     "median_exact",
-    "collapsing_sign_merge",
     "char_entropy",
     "edit_distance_topk",
     "variant_json_extract",
-    "bitwise_funcs",
     "ip_funcs",
     "url_funcs",
     "encode_funcs",
@@ -423,8 +463,6 @@ DRIVER_ORDER_TIER2: list[str] = [
     "weighted_median",
     "geo_distance",
     "ngram_repetition_quality",
-    "zorder_clustering",
-    "data_quality_checks",
     "scd2_intervals",
     "embedding_quantize_int8",
     "source_text_roundtrip",
@@ -443,7 +481,6 @@ DRIVER_ORDER_TIER2: list[str] = [
     "string_search_funcs",
     "chunk_documents",
     "redact_pii",
-    "train_val_test_split",
     "contamination_ngram_overlap",
     "dict_get_lookup",
     "format_funcs",

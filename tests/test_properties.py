@@ -1497,7 +1497,9 @@ def test_ch_dialect_review_fix_regressions():
     )
     for bad in [
         "SELECT x FROM t ARRAY JOIN xs AS x, ys",
-        "SELECT quantileExactWeighted(0.9)(x, w) FROM t",
+        # quantileExactWeighted TRANSLATES since r11 (VERDICT r10 #6);
+        # the sketch-backed weighted combinator still refuses
+        "SELECT quantileTimingWeighted(0.9)(x, w) FROM t",
         "SELECT quantileBFloat16(0.5)(x) FROM t",
     ]:
         with _pytest.raises(UnsupportedClickHouseSQL):
@@ -2007,8 +2009,10 @@ def test_ch_dialect_quantile_topk_rewrites():
     assert "try_element_at" in out  # all-NULL group -> NULL, not error
     out = translate("SELECT medianExact(v) FROM t")
     assert "floor(0.5 * count(v))" in out
+    # plural exact: ONE let-bound sort indexed per level (VERDICT r10 #5)
     out = translate("SELECT quantilesExact(0.1, 0.9)(v) FROM t")
-    assert out.count("array_sort(collect_list(v))") == 2
+    assert out.count("array_sort(collect_list(v))") == 1
+    assert out.count("try_element_at(a,") == 2
     out = translate("SELECT topK(3)(mode) FROM t GROUP BY g")
     assert "collect_list(mode)" in out and "slice(" in out
     # the weighted EXACT form translates since r11 (VERDICT r10 #6):
