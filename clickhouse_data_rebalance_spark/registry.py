@@ -301,6 +301,7 @@ DRIVER_ORDER_TIER2: list[str] = [
     "dedup_semantic_prune",
     "corpus_ingest_incremental",
     "asof_join_nearest",
+    "ch_dialect_weighted_aggs",
     "stream_tumbling_equiv",
     "stream_mv_maintain",
     "stream_custom_state",

@@ -74,9 +74,30 @@ def test_no_cartesian_in_scale_paths(spark):
         "upsert_latest_wins",
         "window_funnel_levels",
         "decontaminate_minhash",
+        # r11 cover promotions: the CC edge build must stay label-blocked
+        # (equi-join on label, never all-pairs); the packing prefix sum
+        # must stay two-level (no single-task global window feeding a
+        # cartesian re-join)
+        "dedup_clusters_cc",
+        "pack_token_shards",
     ]:
         plan = plan_of(spark, name)
         assert "CartesianProduct" not in plan, name
+
+
+def test_pack_token_shards_no_global_window(spark):
+    """The packing prefix sum must be TWO-LEVEL (per-partition sums +
+    broadcast offsets), never an unpartitioned ROWS UNBOUNDED window —
+    the textbook single-task bottleneck the docstring prohibits. An
+    unpartitioned ordered window plans an Exchange SinglePartition
+    (verified: that exact token appears for Window.orderBy with no
+    partitionBy), so its absence proves no corpus-wide data funnels
+    through one task. The tiny offsets frame may legitimately funnel —
+    it is |partitions| rows — so the check walks the formatted plan and
+    only fails if a SinglePartition exchange feeds a Window over the
+    full documents scan (here: simply absent altogether)."""
+    plan = plan_of(spark, "pack_token_shards")
+    assert "SinglePartition" not in plan, "corpus funnels through one task"
 
 
 def test_decontaminate_broadcasts_benchmark_buckets(spark):

@@ -316,7 +316,9 @@ def test_ch_dialect_refuses_untranslatable():
         # the quantile/topK COMBINATOR zoo still refuses (the plain
         # forms translate since r9 — test_ch_dialect_quantile_topk_rewrites)
         "SELECT quantileDeterministic(0.5)(x, d) FROM t",
-        "SELECT topKWeighted(5)(x, w) FROM t",
+        # topKWeighted(N)(x, w) translates since r11; a malformed arity
+        # still hits the topK residual
+        "SELECT topKWeighted(5)(x) FROM t",
         # nested beyond one paren level inside a rewritten call must
         # raise (residual check), never silently mistranslate
         "SELECT sumIf(coalesce(a, nullif(b, 0)), c > least(d, e(f))) FROM t",
@@ -2016,15 +2018,27 @@ def test_ch_dialect_quantile_topk_rewrites():
     out = translate("SELECT topK(3)(mode) FROM t GROUP BY g")
     assert "collect_list(mode)" in out and "slice(" in out
     # the weighted EXACT form translates since r11 (VERDICT r10 #6):
-    # sorted (v, w) structs, decimal threshold, all-BIGINT find state
+    # sorted (v, w) structs let-bound once, decimal threshold (`tot` =
+    # the let-bound total fold), saturating (sum, result) crossing fold
     out = translate("SELECT quantileExactWeighted(0.25)(v, w) FROM t")
     assert "named_struct('v', v, 'w', CAST(w AS BIGINT))" in out
-    assert "floor(0.25 * aggregate(" in out
-    assert "try_element_at" in out  # empty group -> NULL, not error
+    assert "floor(0.25 * tot)" in out
+    assert "try_element_at" in out  # typed NULL for the not-found state
     out = translate("SELECT medianExactWeighted(v, w) FROM t")
-    assert "floor(0.5 * aggregate(" in out
+    assert "floor(0.5 * tot)" in out
+    # plural weighted: ONE sort and ONE total fold shared across levels
     out = translate("SELECT quantilesExactWeighted(0.1, 0.9)(v, w) FROM t")
-    assert out.count("array_sort(collect_list(") == 2
+    assert out.count("array_sort(collect_list(") == 1
+    assert out.count("floor(0.1 * tot)") == 1
+    assert out.count("floor(0.9 * tot)") == 1
+    # r11 weighted-aggregate rewrites: exact weight-sum top-K and
+    # sum(x*w)/sum(w) with the explicit zero-total NaN arm
+    out = translate("SELECT topKWeighted(2)(v, w) FROM t GROUP BY g")
+    assert "named_struct('v', v, 'w', CAST(w AS BIGINT))" in out
+    assert "'negw', -aggregate(filter(a, e -> e.v <=> v)" in out
+    out = translate("SELECT avgWeighted(v, w) FROM t GROUP BY g")
+    assert "CAST((v) AS DOUBLE) * CAST((w) AS DOUBLE)" in out
+    assert "CAST('NaN' AS DOUBLE)" in out
     # combinator zoo still refuses — each suffix changes the rank rule
     for bad in (
         "SELECT quantileTiming(0.5)(x) FROM t",
@@ -2034,7 +2048,9 @@ def test_ch_dialect_quantile_topk_rewrites():
         "SELECT quantilesExactHigh(0.5)(x) FROM t",
         "SELECT medianBFloat16(x) FROM t",
         "SELECT medianTimingWeighted(x, w) FROM t",
-        "SELECT topKWeighted(3)(x, w) FROM t",
+        # topKWeighted(N)(x, w) translates since r11; a non-2-arg or
+        # otherwise unparseable spelling still hits the topK residual
+        "SELECT topKWeighted(3)(x) FROM t",
         "SELECT quantile(0.2, 0.8)(x) FROM t",  # not CH grammar
         # single-level grammar for the weighted form too
         "SELECT quantileExactWeighted(0.2, 0.8)(x, w) FROM t",
@@ -2079,6 +2095,24 @@ def test_quantile_exact_weighted_known_values(spark):
         )
     ).collect()[0]
     assert empty["q"] is None
+    # topKWeighted: weight sums 1+1=2 for v in {1,2}? no — per-value:
+    # v=1 w=1, v=2 w=1, v=3 w=8 -> top-2 by weight = [3, 1] (value-asc
+    # tie-break between 1 and 2 keeps 1). avgWeighted known trace:
+    # (1*1 + 2*1 + 3*8) / 10 = 2.7; empty group -> NaN.
+    import math
+
+    row = spark.sql(
+        translate(
+            "SELECT topKWeighted(2)(v, w) AS tk, "
+            "avgWeighted(v, w) AS aw FROM qew_t"
+        )
+    ).collect()[0]
+    assert row["tk"] == [3, 1]
+    assert abs(row["aw"] - 2.7) < 1e-12
+    nan_row = spark.sql(
+        translate("SELECT avgWeighted(v, w) AS aw FROM qew_t WHERE v IS NULL")
+    ).collect()[0]
+    assert math.isnan(nan_row["aw"])
 
 
 def test_with_fill_restart_semantics(spark):
