@@ -302,6 +302,7 @@ DRIVER_ORDER_TIER2: list[str] = [
     "corpus_ingest_incremental",
     "asof_join_nearest",
     "ch_dialect_weighted_aggs",
+    "ch_dialect_dict_get",
     "stream_tumbling_equiv",
     "stream_mv_maintain",
     "stream_custom_state",

@@ -2244,6 +2244,79 @@ def test_with_fill_interpolate_carry_forward(spark):
             pass
 
 
+def test_dictionary_meta_and_dict_get_rewrite(spark):
+    """CREATE DICTIONARY parsing + the dictGet lowering (r11): literal
+    names resolve against the DDL, misses fall back to the DDL DEFAULT
+    (or the type default / explicit OrDefault), typed variants cast,
+    and the unguessable shapes refuse with pointers."""
+    import pytest as _pytest
+
+    from clickhouse_data_rebalance_spark.plans.ch_dialect import (
+        UnsupportedClickHouseSQL,
+        _apply_dict_get,
+        dictionary_meta,
+        translate,
+    )
+
+    ddl = (
+        "CREATE DICTIONARY d (k UInt64, s String DEFAULT 'miss', "
+        "v Float64) PRIMARY KEY k "
+        "SOURCE(CLICKHOUSE(TABLE 'src')) LAYOUT(FLAT()) LIFETIME(60)"
+    )
+    meta = dictionary_meta(ddl)
+    assert meta["name"] == "d" and meta["key"] == "k"
+    assert meta["source"] == "src"
+    assert meta["attrs"]["s"] == ("String", "'miss'")
+    assert meta["attrs"]["v"] == ("Float64", "0")  # type default
+
+    dicts = {"d": meta}
+    out = _apply_dict_get("SELECT dictGet('d', 's', x + 1) FROM t", dicts)
+    assert (
+        "coalesce((SELECT max(s) FROM src WHERE k = (x + 1)), 'miss')" in out
+    )
+    out = _apply_dict_get(
+        "SELECT dictGetOrDefault('d', 'v', x, -1.5) FROM t", dicts
+    )
+    assert "coalesce((SELECT max(v) FROM src WHERE k = (x)), (-1.5))" in out
+    out = _apply_dict_get("SELECT dictGetString('d', 's', x) FROM t", dicts)
+    assert out.startswith("SELECT CAST(coalesce(")
+    assert "AS STRING)" in out
+    out = _apply_dict_get("SELECT dictHas('d', x) FROM t", dicts)
+    assert "(SELECT count(*) FROM src WHERE k = (x)) > 0" in out
+    # literal-masked: a dictGet spelling inside a string is data
+    lit = "SELECT 'dictGet(''d'', ''s'', x)' AS s FROM t"
+    assert _apply_dict_get(lit, dicts) == lit
+
+    for bad_ddl in (
+        # composite key
+        "CREATE DICTIONARY d2 (a UInt64, b UInt64, s String) "
+        "PRIMARY KEY a, b SOURCE(CLICKHOUSE(TABLE 't'))",
+        # non-table source
+        "CREATE DICTIONARY d3 (k UInt64, s String) PRIMARY KEY k "
+        "SOURCE(HTTP(URL 'http://x'))",
+        # default this parser cannot state
+        "CREATE DICTIONARY d4 (k UInt64, t DateTime) PRIMARY KEY k "
+        "SOURCE(CLICKHOUSE(TABLE 't'))",
+    ):
+        with _pytest.raises(UnsupportedClickHouseSQL):
+            dictionary_meta(bad_ddl)
+
+    for bad_call in (
+        "SELECT dictGet('nope', 's', x) FROM t",  # unknown dictionary
+        "SELECT dictGet('d', 'zz', x) FROM t",  # unknown attribute
+        "SELECT dictGet('d', 's', x, 0) FROM t",  # 4-arg non-OrDefault
+        "SELECT dictGetDate('d', 's', x) FROM t",  # unmapped typed cast
+    ):
+        with _pytest.raises(UnsupportedClickHouseSQL):
+            _apply_dict_get(bad_call, dicts)
+
+    # without ddls the standing refusal fires with the ddls= pointer
+    with _pytest.raises(UnsupportedClickHouseSQL, match="ddls="):
+        translate("SELECT dictGet('d', 's', x) FROM t")
+    with _pytest.raises(UnsupportedClickHouseSQL, match="ddls="):
+        translate("SELECT dictGetHierarchy('d', x) FROM t")
+
+
 def test_merge_tree_meta_parsing():
     from clickhouse_data_rebalance_spark.plans.ch_dialect import (
         UnsupportedClickHouseSQL,
