@@ -528,8 +528,8 @@ def timezone_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multi_array_zip_flatten",
     """
     SELECT doc_id,
-           unnest(regexp_split_to_array(trim(text), '\s+')) AS tok,
-           CAST(unnest(list_transform(regexp_split_to_array(trim(text), '\s+'),
+           unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok,
+           CAST(unnest(list_transform(regexp_split_to_array(trim(text), '\\s+'),
                                       x -> length(x))) AS INT) AS tok_len
     FROM documents
     WHERE doc_id % 50 = 0

@@ -39,7 +39,7 @@ CHUNK_W, CHUNK_S = 40, 30
     "chunk_documents",
     f"""
     WITH t AS (
-      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
     ),
     s AS (
       SELECT doc_id, toks, len(toks) AS n,
@@ -190,7 +190,7 @@ def _md5_bucket(c, n: int):
     f"""
     WITH assigned AS (
       SELECT lang, n_chars,
-             len(regexp_split_to_array(trim(text), '\s+')) AS n_toks,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_toks,
              {_SQL_DOC_BUCKET} % 100 AS bucket
       FROM documents
     )
@@ -243,7 +243,7 @@ _GRAM_K = 8  # contamination n-gram width
     "contamination_ngram_overlap",
     f"""
     WITH t AS (
-      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
     ),
     g AS (
       SELECT doc_id,
@@ -323,7 +323,7 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bpe_merge_step",
     """
     WITH t AS (
-      SELECT regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+      SELECT regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
     ),
     p AS (
       SELECT toks[i] || ' ' || toks[i + 1] AS pair
@@ -674,17 +674,17 @@ MIX_WSUM = 210  # sum of (20 - idx) for idx 0..19
     ),
     gv AS (
       SELECT k.*,
-             len(regexp_split_to_array(trim(text), '\s+')) AS n_words,
-             CAST(list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'),
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
+             CAST(list_sum(list_transform(regexp_split_to_array(trim(text), '\\s+'),
                                           x -> length(x))) AS DOUBLE)
-               / len(regexp_split_to_array(trim(text), '\s+')) AS mwl,
-             CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+               / len(regexp_split_to_array(trim(text), '\\s+')) AS mwl,
+             CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
                                   x -> regexp_matches(x, '[A-Za-z]')))
                   AS DOUBLE)
-               / len(regexp_split_to_array(trim(text), '\s+')) AS alpha_frac,
+               / len(regexp_split_to_array(trim(text), '\\s+')) AS alpha_frac,
              len(list_filter({list(GOPHER_STOPWORDS)},
                              s -> list_contains(
-                               string_split(lower(trim(text)), ' '), s)))
+                               regexp_split_to_array(lower(trim(text)), '\\s+'), s)))
                AS stop_hits
       FROM k
     ),
@@ -901,7 +901,7 @@ SPAN_W = 3
     "line_dedup_ratio",
     f"""
     WITH toks AS (
-      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
     ),
     starts AS (
       SELECT doc_id, w,
@@ -1334,7 +1334,7 @@ def _bpe_step_sql(src: str, k: int) -> str:
 _BPE_TRAIN_ORACLE = (
     """
     WITH t0 AS (
-      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
     ),"""
     + ",".join(_bpe_step_sql(f"t{k - 1}", k) for k in range(1, BPE_TRAIN_STEPS + 1))
     + "".join(

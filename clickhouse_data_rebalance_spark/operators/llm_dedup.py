@@ -339,7 +339,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SIMHASH_SIG_ORACLE = """
     WITH toks AS (
       SELECT doc_id,
-             unnest(list_distinct(string_split(lower(trim(text)), ' '))) AS w
+             unnest(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS w
       FROM documents
     ), th AS (
       SELECT doc_id, (((((((((((((((CAST(0 AS BIGINT) * 16 + strpos('0123456789abcdef', substr(md5(w), 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(md5(w), 2, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(md5(w), 3, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(md5(w), 4, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(md5(w), 5, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(md5(w), 6, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(md5(w), 7, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(md5(w), 8, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(md5(w), 9, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(md5(w), 10, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(md5(w), 11, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(md5(w), 12, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(md5(w), 13, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(md5(w), 14, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(md5(w), 15, 1)) - 1) AS h
@@ -681,7 +681,7 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JACCARD_ORACLE = """
     WITH toks AS (
       SELECT doc_id, source,
-             list_distinct(string_split(lower(trim(text)), ' ')) AS words
+             list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS words
       FROM documents WHERE doc_id < 100
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

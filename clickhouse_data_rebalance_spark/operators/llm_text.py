@@ -23,9 +23,9 @@ from ._util import sql_hex_bigint
     """
     SELECT doc_id,
            array_to_string(list_sort(list_distinct(
-             string_split(lower(trim(text)), ' '))), ' ') AS vocab_sorted,
-           len(list_distinct(string_split(lower(trim(text)), ' '))) AS n_vocab,
-           len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+             regexp_split_to_array(lower(trim(text)), '\\s+'))), ' ') AS vocab_sorted,
+           len(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS n_vocab,
+           len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
     FROM documents WHERE doc_id < 100 ORDER BY doc_id
     """,
 )
@@ -78,12 +78,12 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT doc_id,
            length(text) AS n_chars_q,
-           len(regexp_split_to_array(trim(text), '\s+')) AS n_words,
-           CAST(length(text) AS DOUBLE) / len(regexp_split_to_array(trim(text), '\s+'))
+           len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
+           CAST(length(text) AS DOUBLE) / len(regexp_split_to_array(trim(text), '\\s+'))
              AS chars_per_word,
-           CAST(len(list_filter(string_split(lower(trim(text)), ' '),
+           CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
                      w -> w IN ('the', 'and', 'of', 'to', 'a'))) AS DOUBLE)
-             / len(regexp_split_to_array(trim(text), '\s+')) AS stopword_ratio,
+             / len(regexp_split_to_array(trim(text), '\\s+')) AS stopword_ratio,
            CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE)
              / length(text) AS punct_ratio
     FROM documents ORDER BY doc_id
@@ -114,12 +114,12 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QUALITY_CLASSIFIER_ORACLE = """
     WITH feats AS (
       SELECT doc_id, lang,
-             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS n_words,
-             CAST(length(text) AS DOUBLE) / len(regexp_split_to_array(trim(text), '\s+'))
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS n_words,
+             CAST(length(text) AS DOUBLE) / len(regexp_split_to_array(trim(text), '\\s+'))
                AS cpw,
-             CAST(len(list_filter(string_split(lower(trim(text)), ' '),
+             CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
                        w -> w IN ('the', 'and', 'of', 'to', 'a'))) AS DOUBLE)
-               / len(regexp_split_to_array(trim(text), '\s+')) AS stop_r,
+               / len(regexp_split_to_array(trim(text), '\\s+')) AS stop_r,
              CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE)
                / length(text) AS punct_r
       FROM documents
@@ -180,7 +180,7 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LANG_ID_ORACLE = """
     WITH scored AS (
       SELECT doc_id, lang,
-             string_split(lower(trim(text)), ' ') AS toks
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
       FROM documents
     ), counts AS (
       SELECT doc_id, lang,
@@ -248,7 +248,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            list_reduce(
              list_prepend(0, list_transform(
-               string_split(lower(trim(text)), ' '),
+               regexp_split_to_array(lower(trim(text)), '\\s+'),
                t -> {sql_hex_bigint("md5(t)", 8)})),
              (acc, x) -> (acc * 31 + x) % 1000000007) AS rhash
     FROM documents ORDER BY doc_id
@@ -298,7 +298,7 @@ def lang_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TFIDF_ORACLE = """
     WITH words AS (
-      SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS word
+      SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
       FROM documents
     ), tf AS (
       SELECT doc_id, word, COUNT(*) AS tf FROM words GROUP BY doc_id, word
@@ -350,7 +350,7 @@ PACK_BUDGET = 4096  # tokens per training shard
            CAST(FLOOR(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                 / {PACK_BUDGET}.0) AS BIGINT) AS shard
-    FROM (SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS n_tok
+    FROM (SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok
           FROM documents)
     ORDER BY doc_id
     """,
@@ -648,7 +648,7 @@ def mg_reduce_to_k(summed: DataFrame, k: int = MG_COUNTERS) -> DataFrame:
     "topk_state_merge",
     """
     WITH t AS (
-      SELECT unnest(string_split(lower(trim(text)), ' ')) AS item
+      SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS item
       FROM documents
     )
     SELECT item, COUNT(*) AS est FROM t GROUP BY item ORDER BY item
@@ -697,7 +697,7 @@ def topk_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     "length_bucket_packing",
     """
     WITH toks AS (
-      SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS n_tok
+      SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok
       FROM documents
     ),
     bucketed AS (
@@ -767,7 +767,7 @@ def length_bucket_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH t AS (
       SELECT doc_id, lang, n_chars,
-             len(regexp_split_to_array(trim(text), '\s+')) AS n_tok,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok,
              md5(lower(trim(text))) AS fp
       FROM documents
     ),
@@ -1099,13 +1099,19 @@ def _bm25_score_col(stats, terms) -> "F.Column":
         )
     return F.round(functools.reduce(operator.add, parts), 9)
 
+# hoisted out of the f-string: backslashes (the \s+ split pattern) are
+# illegal inside f-string EXPRESSION parts before Python 3.12
+_BM25_TF_COLS = ", ".join(
+    "len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), "
+    f"x -> x = '{t}')) AS tf_{t}"
+    for t in BM25_TERMS
+)
+
 _BM25_ORACLE = f"""
     WITH per AS (
       SELECT doc_id,
-             len(regexp_split_to_array(trim(text), '\s+')) AS dl,
-             {", ".join(
-                 "len(list_filter(string_split(lower(trim(text)), ' '), "
-                 f"x -> x = '{t}')) AS tf_{t}" for t in BM25_TERMS)}
+             len(regexp_split_to_array(trim(text), '\\s+')) AS dl,
+             {_BM25_TF_COLS}
       FROM documents
     ), stats AS (
       SELECT COUNT(*) AS n,
@@ -1256,7 +1262,7 @@ _BM25_ALL_TERMS = tuple(sorted({t for ts in BM25_BATCH.values() for t in ts}))
 
 def _bm25_batch_oracle() -> str:
     tf_cols = ", ".join(
-        "len(list_filter(string_split(lower(trim(text)), ' '), "
+        "len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), "
         f"x -> x = '{t}')) AS tf_{t}"
         for t in _BM25_ALL_TERMS
     )
@@ -1273,7 +1279,7 @@ def _bm25_batch_oracle() -> str:
         )
     return f"""
     WITH per AS (
-      SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS dl, {tf_cols}
+      SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS dl, {tf_cols}
       FROM documents
     ), stats AS (
       SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
@@ -1479,7 +1485,7 @@ def _snippets_oracle() -> str:
     WITH topk AS ({_BM25_ORACLE}),
     tokd AS (
       SELECT t.doc_id, t.bm25,
-             string_split(lower(trim(d.text)), ' ') AS toks
+             regexp_split_to_array(lower(trim(d.text)), '\\s+') AS toks
       FROM topk t JOIN documents d ON t.doc_id = d.doc_id
     ),
     hit AS (
@@ -1558,8 +1564,8 @@ GOPHER_STOP_MIN = 2
 _GOPHER_ORACLE = f"""
     WITH w AS (
       SELECT doc_id,
-             regexp_split_to_array(trim(text), '\s+') AS words,
-             string_split(lower(trim(text)), ' ') AS lwords
+             regexp_split_to_array(trim(text), '\\s+') AS words,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS lwords
       FROM documents
     ), feat AS (
       SELECT doc_id,
@@ -1749,7 +1755,7 @@ def _bm25_admitted_index_for(spark: SparkSession, sf_dir: str) -> str:
 
 _BM25_ADMIT_ORACLE = f"""
     WITH toks AS (
-      SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk FROM documents
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM documents
     ), words_base AS (
       SELECT DISTINCT doc_id, unnest(tk) AS w FROM toks
     ), df_base AS (
@@ -1806,15 +1812,15 @@ def bm25_index_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CURRICULUM_ORACLE = f"""
     WITH feats AS (
       SELECT doc_id,
-             len(regexp_split_to_array(trim(text), '\s+')) AS n_tok,
-             ROUND(-2.0 + 0.01 * CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)
-                   + 6.0 * (CAST(len(list_filter(string_split(lower(trim(text)), ' '),
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok,
+             ROUND(-2.0 + 0.01 * CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE)
+                   + 6.0 * (CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
                               w -> w IN ('the', 'and', 'of', 'to', 'a'))) AS DOUBLE)
-                            / len(regexp_split_to_array(trim(text), '\s+')))
+                            / len(regexp_split_to_array(trim(text), '\\s+')))
                    - 4.0 * (CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE)
                             / length(text))
                    - 0.2 * abs(CAST(length(text) AS DOUBLE)
-                               / len(regexp_split_to_array(trim(text), '\s+')) - 5.0), 9)
+                               / len(regexp_split_to_array(trim(text), '\\s+')) - 5.0), 9)
                AS logit
       FROM documents
     )

@@ -188,7 +188,7 @@ def sql_udf_inlined(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PY_UDTF_ORACLE = """
 WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
   WHERE doc_id % 25 = 0
 ),
 pos AS (

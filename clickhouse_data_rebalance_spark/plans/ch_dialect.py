@@ -1063,14 +1063,18 @@ def _exact_weighted_expr(x: str, w: str, p: str) -> str:
     return _weighted_let(x, w, [_weighted_find(_weighted_threshold(p))])
 
 
-def _weighted_pairs(x: str, w: str) -> str:
+def _weighted_pairs(x: str, w: str, sort: bool = True) -> str:
     # NULL value/weight pairs are skipped (collect_list drops NULL
-    # elements; CH Nullable semantics). Struct sort = (v, w) lexicographic.
-    return (
-        f"array_sort(collect_list(CASE WHEN ({x}) IS NOT NULL "
+    # elements; CH Nullable semantics). Struct sort = (v, w)
+    # lexicographic — required by the quantile crossing scan; top-K's
+    # weight sums are order-independent, so it passes sort=False (a
+    # struct-array sort costs ~0.43 s per 200k rows at sf0.1).
+    collected = (
+        f"collect_list(CASE WHEN ({x}) IS NOT NULL "
         f"AND ({w}) IS NOT NULL THEN "
-        f"named_struct('v', {x}, 'w', CAST({w} AS BIGINT)) END))"
+        f"named_struct('v', {x}, 'w', CAST({w} AS BIGINT)) END)"
     )
+    return f"array_sort({collected})" if sort else collected
 
 
 def _weighted_threshold(p: str) -> str:
@@ -1140,14 +1144,13 @@ def _topk_weighted_expr(x: str, w: str, n: int) -> str:
     weights. Deterministic refinement (same contract as _topk_expr's
     refinement of the counting sketch): EXACT per-value weight sums,
     weight-descending with a value-ascending tie-break; NULL value/
-    weight pairs are skipped; weights cast to BIGINT. The collected
-    group is scanned once per distinct value — bounded-domain dialect
+    weight pairs are skipped; weights cast to BIGINT. The pair list
+    stays UNSORTED (weight sums are order-independent; the output
+    order comes from the (negw, val) struct sort over the distinct
+    values, and a struct-array sort costs ~0.43 s per 200k rows at
+    sf0.1). The collected group is scanned once per distinct value — bounded-domain dialect
     path; heavy_hitters_weighted is the bounded-memory 100 TB path."""
-    pairs = (
-        f"array_sort(collect_list(CASE WHEN ({x}) IS NOT NULL "
-        f"AND ({w}) IS NOT NULL THEN "
-        f"named_struct('v', {x}, 'w', CAST({w} AS BIGINT)) END))"
-    )
+    pairs = _weighted_pairs(x, w, sort=False)
     return (
         f"element_at(transform(array({pairs}), a -> "
         f"slice(transform(array_sort(transform("

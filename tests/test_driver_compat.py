@@ -31,7 +31,10 @@ from .oracle_harness import TABLE_NAMES
 
 registry.load_all()
 
-_BAD_DUCK = re.compile(r"HUGEINT|\[\]|LIST|STRUCT|MAP\(", re.IGNORECASE)
+# \[\d*\] catches both variable-size LIST ("DOUBLE[]") and fixed-size
+# ARRAY ("DOUBLE[3]") spellings — both become unhashable lists in the
+# driver's pandas frame
+_BAD_DUCK = re.compile(r"HUGEINT|\[\d*\]|LIST|STRUCT|MAP\(", re.IGNORECASE)
 
 
 @pytest.fixture(scope="module")

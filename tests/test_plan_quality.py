@@ -91,11 +91,12 @@ def test_pack_token_shards_no_global_window(spark):
     the textbook single-task bottleneck the docstring prohibits. An
     unpartitioned ordered window plans an Exchange SinglePartition
     (verified: that exact token appears for Window.orderBy with no
-    partitionBy), so its absence proves no corpus-wide data funnels
-    through one task. The tiny offsets frame may legitimately funnel —
-    it is |partitions| rows — so the check walks the formatted plan and
-    only fails if a SinglePartition exchange feeds a Window over the
-    full documents scan (here: simply absent altogether)."""
+    partitionBy), so its absence proves no data funnels through one
+    task anywhere in this plan. The check is deliberately BLANKET: the
+    current plan routes even the |partitions|-row offsets frame without
+    a SinglePartition exchange, and if a future change introduces one,
+    fail loudly and decide then whether that funnel is the tiny frame
+    (relax to a targeted walk) or the corpus (a real regression)."""
     plan = plan_of(spark, "pack_token_shards")
     assert "SinglePartition" not in plan, "corpus funnels through one task"
 

@@ -27,7 +27,9 @@ TABLES = (
     "documents embeddings"
 ).split()
 
-BAD = re.compile(r"HUGEINT|\[\]|LIST|STRUCT|MAP\(", re.IGNORECASE)
+# \[\d*\] catches both variable-size LIST ("DOUBLE[]") and fixed-size
+# ARRAY ("DOUBLE[3]") spellings
+BAD = re.compile(r"HUGEINT|\[\d*\]|LIST|STRUCT|MAP\(", re.IGNORECASE)
 
 
 def scan(sf_dir: str) -> dict[str, list[tuple[str, str]]]:
