@@ -547,7 +547,10 @@ def multi_array_zip_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: row-local codegen Generate — zero shuffle for the flatten;
     output rows = total elements."""
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 50 == 0)
-    toks = F.split(F.trim(F.col("text")), " ")
+    # \s+ (not a literal space): the true twin of the oracle's
+    # regexp_split_to_array — single-space splits diverge on
+    # whitespace runs (r11 review)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
     lens = F.transform(toks, lambda x: F.length(x))
     z = F.explode(F.arrays_zip(toks.alias("tok"), lens.alias("tok_len")))
     return (

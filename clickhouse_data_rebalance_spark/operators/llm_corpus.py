@@ -950,7 +950,8 @@ def line_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     no count-join, no second pass over the span table — then the
     per-doc rollup shuffles once on doc_id."""
     d = table(spark, sf_dir, "documents")
-    w = F.split(F.trim(F.col("text")), " ")
+    # \s+ matches the oracle's regexp_split_to_array (r11 review)
+    w = F.split(F.trim(F.col("text")), r"\s+")
     n_full = F.floor(F.size(w) / SPAN_W).cast("int")
     # docs shorter than one span have zero spans: filter BEFORE the
     # sequence — Spark's sequence(0, -1) yields [0, -1] (descending

@@ -221,7 +221,9 @@ def python_udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="pos int, bigram string")
     class Bigrams:
         def eval(self, text: str):
-            words = text.strip().split(" ")
+            # bare split() = whitespace-run split, the Python twin of
+            # the oracle's regexp_split_to_array '\s+' (r11 review)
+            words = text.strip().split()
             for i in range(len(words) - 1):
                 yield i + 1, words[i] + " " + words[i + 1]
 

@@ -2189,11 +2189,22 @@ def dictionary_meta(ch_ddl: str) -> dict:
         raise UnsupportedClickHouseSQL(
             "CREATE DICTIONARY without an attribute list"
         )
+    # quote-aware balanced-paren scan: a paren inside a DEFAULT string
+    # literal (DEFAULT '(n/a)') must not move the depth counter
     depth, j = 0, i
     while j < len(s):
-        if s[j] == "(":
+        c = s[j]
+        if c == "'":
+            j += 1
+            while j < len(s) and s[j] != "'":
+                j += 1
+            if j >= len(s):
+                raise UnsupportedClickHouseSQL(
+                    "unterminated string literal in CREATE DICTIONARY"
+                )
+        elif c == "(":
             depth += 1
-        elif s[j] == ")":
+        elif c == ")":
             depth -= 1
             if depth == 0:
                 break
@@ -2229,7 +2240,14 @@ def dictionary_meta(ch_ddl: str) -> dict:
             )
         attrs[col] = (typ, default)
     tail = s[j + 1 :]
-    km = re.search(r"\bPRIMARY\s+KEY\s+([\w,\s]+?)(?=\bSOURCE\b|\(|$)", tail, re.I)
+    # the key list ends at the next clause keyword — ClickHouse accepts
+    # SOURCE/LAYOUT/LIFETIME/SETTINGS/COMMENT in any order after it
+    km = re.search(
+        r"\bPRIMARY\s+KEY\s+([\w,\s]+?)"
+        r"(?=\bSOURCE\b|\bLAYOUT\b|\bLIFETIME\b|\bSETTINGS\b|\bCOMMENT\b|\(|$)",
+        tail,
+        re.I,
+    )
     if not km:
         raise UnsupportedClickHouseSQL("CREATE DICTIONARY without PRIMARY KEY")
     keys = [k.strip() for k in km.group(1).split(",") if k.strip()]
@@ -2270,15 +2288,46 @@ _DICT_HAS = re.compile(
 )
 
 
-def _apply_dict_get(sql: str, dicts: dict[str, dict]) -> str:
+def _apply_dict_get(
+    sql: str, dicts: dict[str, dict], spark: "SparkSession | None" = None
+) -> str:
     """Rewrite every dictGet-family call whose dictionary DDL was
     provided into a correlated scalar-aggregate subquery over the
     source table (matched on the literal-masked copy, spliced into raw
-    text). Leftover dict* spellings fall through to translate()'s
-    standing refusal."""
+    text). Key/default expressions that name a column of the SOURCE
+    table refuse: inside the correlated subquery the inner scope wins,
+    so `dictGet('d', 'attr', n_nationkey)` evaluated FROM a table that
+    also has n_nationkey would silently compare the source column to
+    itself and return the global max — exactly the silent mistranslation
+    this module's contract prohibits. Leftover dict* spellings after the
+    pass raise a targeted shape error (not the generic pass-the-ddls
+    pointer, which would misdirect a caller who already passed them)."""
+
+    def source_columns(meta: dict) -> list[str]:
+        if spark is not None:
+            try:
+                return [c.lower() for c in spark.table(meta["source"]).columns]
+            except Exception:  # pragma: no cover - unregistered view
+                pass
+        return [a.lower() for a in meta["attrs"]]
+
+    def check_capture(meta: dict, expr: str, what: str) -> None:
+        masked_expr = re.sub(r"'[^']*'", "''", expr)
+        idents = {i.lower() for i in re.findall(r"[A-Za-z_]\w*", masked_expr)}
+        hit = sorted(idents & set(source_columns(meta)))
+        if hit:
+            raise UnsupportedClickHouseSQL(
+                f"dictGet {what} {expr!r} names column(s) {hit} of the "
+                f"dictionary source {meta['source']!r} — the correlated "
+                "lookup subquery would capture the INNER scope and "
+                "silently return the wrong value; alias or rename the "
+                "outer column, or join the dim table directly (C6)"
+            )
 
     def lookup(dict_lit: str, attr_lit: str | None) -> tuple[dict, str | None]:
-        dname = dict_lit.strip("'")
+        # the DDL parse registers bare names; accept the db-qualified
+        # call spelling symmetrically
+        dname = dict_lit.strip("'").split(".")[-1]
         if dname not in dicts:
             raise UnsupportedClickHouseSQL(
                 f"dictGet over unknown dictionary {dname!r} — pass its "
@@ -2298,12 +2347,15 @@ def _apply_dict_get(sql: str, dicts: dict[str, dict]) -> str:
         typed, or_default = m.group(1), m.group(2)
         meta, attr = lookup(raw[m.start(3) : m.end(3)], raw[m.start(4) : m.end(4)])
         key_expr = raw[m.start(5) : m.end(5)].strip()
+        check_capture(meta, key_expr, "key expression")
         if or_default:
             if m.group(6) is None:
                 raise UnsupportedClickHouseSQL(
                     "dictGetOrDefault takes (dict, attr, key, default)"
                 )
-            default = f"({raw[m.start(6) : m.end(6)].strip()})"
+            default_expr = raw[m.start(6) : m.end(6)].strip()
+            check_capture(meta, default_expr, "default expression")
+            default = f"({default_expr})"
         else:
             if m.group(6) is not None:
                 raise UnsupportedClickHouseSQL(
@@ -2329,13 +2381,24 @@ def _apply_dict_get(sql: str, dicts: dict[str, dict]) -> str:
     def has_repl(m: "re.Match[str]", raw: str) -> str:
         meta, _ = lookup(raw[m.start(1) : m.end(1)], None)
         key_expr = raw[m.start(2) : m.end(2)].strip()
+        check_capture(meta, key_expr, "key expression")
         return (
             f"((SELECT count(*) FROM {meta['source']} "
             f"WHERE {meta['key']} = ({key_expr})) > 0)"
         )
 
     out = _sub_outside_literals(_DICT_GET, get_repl, sql)
-    return _sub_outside_literals(_DICT_HAS, has_repl, out)
+    out = _sub_outside_literals(_DICT_HAS, has_repl, out)
+    leftover = re.search(r"\bdict(Get|Has)\w*\s*\(", _mask_literals(out), re.I)
+    if leftover:
+        raise UnsupportedClickHouseSQL(
+            f"could not rewrite {leftover.group(0).strip()!r} — the call "
+            "shape is unsupported (non-literal dictionary/attribute name, "
+            "a key expression nested deeper than one paren level, or a "
+            "hierarchy form); flatten the argument or join the dim table "
+            "directly (C6)"
+        )
+    return out
 
 
 # ---- ASOF [LEFT] JOIN (schema-aware, ch_sql only) ----
@@ -2666,7 +2729,7 @@ def _context_rewrites(
         for d in dict_ddls:
             meta = dictionary_meta(d)
             dicts[meta["name"]] = meta
-        sql = _apply_dict_get(sql, dicts)
+        sql = _apply_dict_get(sql, dicts, spark)
     if table_ddls and re.search(r"\bFINAL\b", _mask_literals(sql), re.I):
         metas = {}
         for d in table_ddls:

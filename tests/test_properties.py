@@ -2301,13 +2301,34 @@ def test_dictionary_meta_and_dict_get_rewrite(spark):
         with _pytest.raises(UnsupportedClickHouseSQL):
             dictionary_meta(bad_ddl)
 
-    for bad_call in (
-        "SELECT dictGet('nope', 's', x) FROM t",  # unknown dictionary
-        "SELECT dictGet('d', 'zz', x) FROM t",  # unknown attribute
-        "SELECT dictGet('d', 's', x, 0) FROM t",  # 4-arg non-OrDefault
-        "SELECT dictGetDate('d', 's', x) FROM t",  # unmapped typed cast
+    # clause order is free in CH: LAYOUT/LIFETIME may precede SOURCE,
+    # and DEFAULT literals may contain parens (quote-aware scan)
+    meta2 = dictionary_meta(
+        "CREATE DICTIONARY db.d5 (k UInt64, s String DEFAULT '(n/a)') "
+        "PRIMARY KEY k LAYOUT(FLAT()) LIFETIME(60) "
+        "SOURCE(CLICKHOUSE(TABLE 'src'))"
+    )
+    assert meta2["name"] == "d5" and meta2["key"] == "k"
+    assert meta2["attrs"]["s"] == ("String", "'(n/a)'")
+    # db-qualified call spelling resolves to the bare-registered name
+    out = _apply_dict_get("SELECT dictGet('db.d', 's', x) FROM t", dicts)
+    assert "FROM src WHERE k = (x)" in out
+
+    for bad_call, msg in (
+        ("SELECT dictGet('nope', 's', x) FROM t", "unknown dictionary"),
+        ("SELECT dictGet('d', 'zz', x) FROM t", "no attribute"),
+        ("SELECT dictGet('d', 's', x, 0) FROM t", "OrDefault"),
+        ("SELECT dictGetDate('d', 's', x) FROM t", "typed"),
+        # key expr naming a SOURCE column would bind to the subquery's
+        # inner scope and silently return the global max — refuse
+        ("SELECT dictGet('d', 's', k + 1) FROM t", "INNER scope"),
+        ("SELECT dictGetOrDefault('d', 's', x, v) FROM t", "INNER scope"),
+        # key nested beyond one paren level: a TARGETED shape error,
+        # not the misleading pass-the-ddls pointer
+        ("SELECT dictGet('d', 's', f(g(x))) FROM t", "shape"),
+        ("SELECT dictGetHierarchy('d', x) FROM t", "shape"),
     ):
-        with _pytest.raises(UnsupportedClickHouseSQL):
+        with _pytest.raises(UnsupportedClickHouseSQL, match=msg):
             _apply_dict_get(bad_call, dicts)
 
     # without ddls the standing refusal fires with the ddls= pointer
