@@ -115,8 +115,11 @@ EXTENDED = [
     "ch_dialect_array_join_zip",
     "ch_dialect_with_fill_multi",
     "corpus_curate_e2e",
-    # round 11: the weighted exact quantile rewrite (tracked from birth)
+    # round 11: the weighted exact quantile rewrite (tracked from
+    # birth), the weighted-aggregate pair, and the DDL-resolved dictGet
     "ch_dialect_quantile_weighted",
+    "ch_dialect_weighted_aggs",
+    "ch_dialect_dict_get",
 ]
 
 HEADLINE = CORE + EXTENDED

@@ -1242,3 +1242,31 @@ def test_curate_flagship_reuses_dedup_exchange(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_dict_get_lowers_to_broadcast_joins(spark):
+    """Every dictGet in the DDL-resolved demo must decorrelate into a
+    BroadcastHashJoin against the dim-sized source — never a
+    BroadcastNestedLoopJoin (the decorrelation failure mode) and never
+    a per-row subquery surviving to execution."""
+    plan = plan_of(spark, "ch_dialect_dict_get")
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_weighted_quantile_single_pair_collect(spark):
+    """The weighted-quantile cover query's plural and median columns
+    share ONE collect of (v, w) structs — Catalyst dedups the identical
+    aggregate function, so the corpus pays a single ObjectHashAggregate
+    buffer regardless of how many levels are requested."""
+    plan = plan_of(spark, "ch_dialect_quantile_weighted")
+    import re as _re
+
+    finals = [
+        l
+        for l in plan.splitlines()
+        if "Functions" in l and "partial_" not in l and "collect_list" in l
+    ]
+    assert finals, plan
+    assert finals[0].count("collect_list") == 1, finals[0]

@@ -2768,6 +2768,69 @@ def test_any_join_rewrite_semantics(spark):
         assert "ch_sql" in str(e)
 
 
+def test_weighted_aggs_match_python_model(spark):
+    """Third-implementation check for the r11 weighted rewrites: a pure
+    Python model of ClickHouse's rules — quantileExactWeighted (sort
+    values, accumulate weights, first value whose cumulative weight
+    reaches floor(p * total), threshold clamped >= 1), topKWeighted
+    (summed weights, weight-desc / value-asc), avgWeighted
+    (sum(x*w)/sum(w)) — over seeded random data, independent of both the
+    Spark lowering and the DuckDB oracle spelling."""
+    import math
+    import random
+
+    from clickhouse_data_rebalance_spark.plans.ch_dialect import translate
+
+    rng = random.Random(0xC0FFEE)
+    rows = [
+        (rng.randrange(0, 3), rng.randrange(-50, 51), rng.randrange(1, 9))
+        for _ in range(4000)
+    ]
+
+    def model_q(pairs, p):
+        pairs = sorted(pairs)
+        total = sum(w for _, w in pairs)
+        threshold = max(int(math.floor(p * total)), 1)
+        acc = 0
+        for v, w in pairs:
+            acc += w
+            if acc >= threshold:
+                return v
+        return None
+
+    def model_topk(pairs, n):
+        sums: dict[int, int] = {}
+        for v, w in pairs:
+            sums[v] = sums.get(v, 0) + w
+        return [v for v, _ in sorted(sums.items(), key=lambda kv: (-kv[1], kv[0]))][:n]
+
+    def model_avgw(pairs):
+        den = float(sum(w for _, w in pairs))
+        return sum(float(v) * w for v, w in pairs) / den
+
+    spark.createDataFrame(rows, "g int, v int, w int").createOrReplaceTempView(
+        "wagg_t"
+    )
+    got = {
+        r["g"]: r
+        for r in spark.sql(
+            translate(
+                "SELECT g, quantileExactWeighted(0.25)(v, w) AS q25, "
+                "quantilesExactWeighted(0.5, 0.9)(v, w) AS qs, "
+                "topKWeighted(3)(v, w) AS tk, "
+                "avgWeighted(v, w) AS aw FROM wagg_t GROUP BY g"
+            )
+        ).collect()
+    }
+    for g in (0, 1, 2):
+        pairs = [(v, w) for gg, v, w in rows if gg == g]
+        assert got[g]["q25"] == model_q(pairs, 0.25), g
+        assert got[g]["qs"] == [model_q(pairs, 0.5), model_q(pairs, 0.9)], g
+        assert got[g]["tk"] == model_topk(pairs, 3), g
+        # sums are exact integers in double, quotient bit-comparable
+        assert abs(got[g]["aw"] - model_avgw(pairs)) < 1e-12, g
+
+
 def test_bpe_train_matches_python_model(spark, sf_dir):
     """The trainer loop one step DEEPER than the SQL oracle's unroll
     (K=3): the fold-based rewrite + winner selection must track a pure
