@@ -74,21 +74,25 @@ SETTINGS tail       stripped (session confs own execution advice)
 FORMAT <fmt> tail   stripped (sinks are explicit in Spark)
 ==================  =========================================
 
-`FROM t FINAL` refuses (the collapse needs the table's key/version
-columns the SQL text does not carry) and points at upsert_latest_wins;
-`WITH TOTALS` over expression group keys likewise refuses rather than
-mis-grouping; `ANY JOIN` (needs right-side key dedup the ON text can't
-state) and `ASOF JOIN` (native asof_join family) refuse with pointers.
+Context-dependent constructs translate through :func:`ch_sql` when the
+missing context is supplied, and refuse from bare :func:`translate`:
+`FROM t FINAL` and the `dictGet` family need the CH DDL via ``ddls=``
+(engine-aware collapse / dictionary-lookup lowering), `ASOF JOIN` and
+`ANY JOIN` resolve schemas from the registered views, and the simple
+`ORDER BY ... WITH FILL` forms lower schema-aware (CH fills non-sort
+columns with TYPE DEFAULTS the SQL text alone does not carry).
 
 `LIMIT n BY cols` (ClickHouse's signature clause) translates to a
 ROW_NUMBER window in the flat single-SELECT shape (see
-`_rewrite_limit_by`). Constructs with no one-line Spark equivalent raise
-:class:`UnsupportedClickHouseSQL` with a pointer to the native operator
-in this package (nested `LIMIT n BY` -> top_k_per_group, `WITH FILL` ->
-time_gap_fill — CH fills non-sort columns with TYPE DEFAULTS the SQL
-text does not carry, so a textual translation would silently NULL them —
-`SAMPLE` -> sample_fraction, `quantile*` -> approx_quantiles /
-median_exact, `topK` -> heavy_hitters).
+`_rewrite_limit_by`); `quantile(s)[Exact[Weighted]]`, `median[Exact
+[Weighted]]`, `topK(N)`, `topKWeighted(N)` and `avgWeighted` translate
+as exact deterministic refinements of CH's sketches (see
+`_rewrite_quantile_family`). Constructs with no faithful textual
+equivalent raise :class:`UnsupportedClickHouseSQL` with a pointer to
+the native operator in this package (nested `LIMIT n BY` ->
+top_k_per_group, `SAMPLE` -> sample_fraction, sketch-only quantile
+combinators (TDigest/BFloat16/Timing...) -> approx_quantiles /
+median_exact, hierarchy dictGets -> broadcast dim joins).
 
 The single-argument rewrites use non-nested argument matching; deeply
 nested calls inside a rewritten function should be pre-flattened (the

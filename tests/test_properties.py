@@ -1688,6 +1688,10 @@ def test_ch_dialect_rewrites_never_fire_inside_literals():
         "SELECT x FROM t WHERE s = 'GROUP BY k WITH TOTALS'",
         "SELECT x, 'no LIMIT 3 BY here' AS lbl FROM t",
         "SELECT x FROM t WHERE s = 'position(h, n) arrayJoin(a)'",
+        # r11 rewrite families: weighted quantiles / topK / avg
+        "SELECT x FROM t WHERE s = 'quantileExactWeighted(0.5)(v, w)'",
+        "SELECT x FROM t WHERE s = 'medianExactWeighted(v, w)'",
+        "SELECT x FROM t WHERE s = 'topKWeighted(3)(v, w) avgWeighted(v, w)'",
     ]:
         assert translate(sql) == sql, sql
     # group captures that CONTAIN literals splice raw content, and
