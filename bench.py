@@ -120,6 +120,12 @@ EXTENDED = [
     "ch_dialect_quantile_weighted",
     "ch_dialect_weighted_aggs",
     "ch_dialect_dict_get",
+    # round 12: the exact rank-rule quantile variants (tracked from
+    # birth) + the mergeable-sketch trio promoted into the cover
+    "ch_dialect_quantile_rank_rules",
+    "quantile_state_merge",
+    "uniq_state_merge",
+    "heavy_hitters_weighted",
 ]
 
 HEADLINE = CORE + EXTENDED
@@ -228,11 +234,10 @@ def main() -> None:
         # left BENCH_r06.json unparseable)
         out["vs_prev_core_cal_ratio"] = vs["vs_prev"].get("core_cal_ratio")
         out["vs_prev_file"] = vs["vs_prev"].get("prev")
-    # The compact headline line is the FIRST and ONLY stdout line
-    # (Spark chatter goes to stderr); full vs_prev detail lands in
-    # tools/bench_detail.json for human diffing — GITIGNORED scratch
-    # (VERDICT r9 #8): the durable per-round record is the committed
-    # tools/bench_local_r{N}.json snapshot.
+    # The full headline record is the FIRST stdout line (humans + the
+    # committed tools/bench_local_r{N}.json snapshot); full vs_prev
+    # detail lands in tools/bench_detail.json for human diffing —
+    # GITIGNORED scratch (VERDICT r9 #8).
     print(json.dumps(out), flush=True)
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "tools", "bench_detail.json"
@@ -242,6 +247,23 @@ def main() -> None:
             json.dump({**out, **vs}, f, indent=1)
     except OSError:
         pass
+    # Driver-parseable trailer (VERDICT r11 #2): the harness records only
+    # the last ~2000 chars of stdout, so the ~3.4 KB full record above
+    # arrives front-truncated (BENCH_r10/r11 both had "parsed": null). A
+    # trimmed twin — every scalar field, per-query map limited to the
+    # pinned 31-query CORE — goes LAST, preceded by a newline run long
+    # enough that the captured tail holds nothing but whitespace + this
+    # line (json.loads tolerates leading whitespace; last-line and
+    # first-'{' parsers land on it too).
+    compact = {k: v for k, v in out.items() if k != "queries"}
+    compact["queries"] = {n: timings[n] for n in CORE}
+    compact["note"] = "core-only per-query map; full record = first stdout line"
+    line = json.dumps(compact)
+    if len(line) > 1900:  # never let the trailer itself overflow the window
+        compact.pop("queries", None)
+        line = json.dumps(compact)
+    sys.stdout.write("\n" * 2200)
+    print(line, flush=True)
     spark.stop()
 
 

@@ -128,37 +128,50 @@ _REFUSALS: list[tuple[re.Pattern[str], str]] = [
         "run via ch_sql (schema-aware simple-form fill) or time_gap_fill",
     ),
     (re.compile(r"\bSAMPLE\s+[\d.]", re.I), "use sample_fraction (C33)"),
-    # the quantile COMBINATOR zoo (Weighted/BFloat16/TDigest/Timing/
-    # Deterministic/ExactLow/ExactHigh/ExactInclusive/...): each suffix
-    # changes the rank rule or sketch, so a textual map would silently
-    # change the numbers. Plain quantile(s)/quantile(s)Exact and
-    # median/medianExact ARE translated (see _rewrite_quantile_family):
-    # quantile -> percentile (CH's reservoir is EXACT-interpolating for
-    # groups <= 8192 and nondeterministic above — the deterministic
-    # exact value is the faithful refinement), quantileExact -> CH's own
-    # nearest-rank formula (floor(p*n), 0-based, clamped) spelled over
-    # array_sort(collect_list)
-    # the lookahead admits exactly quantile/quantiles/quantileExact/
-    # quantilesExact/quantileExactWeighted/quantilesExactWeighted
-    # followed by `(` — any other completion refuses. (alternatives are
-    # longest-first so a shorter prefix can't satisfy the lookahead by
-    # backtracking and false-positive the refusal)
+    # the quantile SKETCH combinators (BFloat16/TDigest/Timing/
+    # Deterministic/Interpolated/GK/DD): each changes the sketch, so a
+    # textual map would silently change the numbers. The EXACT-semantics
+    # family IS translated (see _rewrite_quantile_family): plain
+    # quantile(s)/median -> percentile (CH's reservoir is
+    # EXACT-interpolating for groups <= 8192 and nondeterministic above
+    # — the deterministic exact value is the faithful refinement),
+    # quantile(s)Exact/medianExact -> CH's own nearest-rank formula
+    # (floor(p*n), 0-based, clamped) spelled over
+    # array_sort(collect_list), quantile(s)ExactWeighted /
+    # medianExactWeighted -> the cumulative-weight crossing, and — since
+    # r12 — the four exact RANK-RULE variants quantile(s)ExactLow/
+    # ExactHigh/ExactInclusive/ExactExclusive (+ medianExactLow/High)
+    # over the same sorted-array machinery (_exact_rank_rule_expr).
+    # the lookahead admits exactly those completions followed by `(` —
+    # any other completion refuses. (alternatives are longest-first so a
+    # shorter prefix can't satisfy the lookahead by backtracking and
+    # false-positive the refusal)
     (
         re.compile(
             r"\bquantile"
-            r"(?!(?:sExactWeighted|ExactWeighted|sExact|Exact|s)?\s*\()"
+            r"(?!(?:sExactInclusive|sExactExclusive|sExactWeighted"
+            r"|ExactInclusive|ExactExclusive|ExactWeighted"
+            r"|sExactHigh|sExactLow|ExactHigh|ExactLow"
+            r"|sExact|Exact|s)?\s*\()"
             r"\w*\s*\(",
             re.I,
         ),
-        "quantile combinators change the rank rule — use "
-        "quantile/quantileExact/quantileExactWeighted (translated) or "
-        "approx_quantiles / median_exact / quantile_state_merge",
+        "quantile sketch combinators (TDigest/BFloat16/Timing/"
+        "Deterministic/...) change the sketch — use quantile/"
+        "quantileExact[Weighted|Low|High|Inclusive|Exclusive] "
+        "(translated) or approx_quantiles / median_exact / "
+        "quantile_state_merge",
     ),
     (
-        re.compile(r"\bmedian(?!(?:ExactWeighted|Exact)?\s*\()\w*\s*\(", re.I),
-        "median combinators change the rank rule — use median/"
-        "medianExact/medianExactWeighted (translated) or "
-        "approx_quantiles / median_exact",
+        re.compile(
+            r"\bmedian"
+            r"(?!(?:ExactWeighted|ExactHigh|ExactLow|Exact)?\s*\()"
+            r"\w*\s*\(",
+            re.I,
+        ),
+        "median sketch combinators change the sketch — use median/"
+        "medianExact/medianExactWeighted/medianExactLow/medianExactHigh "
+        "(translated) or approx_quantiles / median_exact",
     ),
     # topKWeighted(N)(x, w) translates since r11 (exact weight-sum
     # frequencies — see _topk_weighted_expr); any OTHER topK suffix
@@ -996,6 +1009,17 @@ _QUANT_WEIGHTED = re.compile(
 _MEDIAN_WEIGHTED = re.compile(
     rf"\bmedianExactWeighted\s*\(\s*{_ARG}\s*,\s*{_ARG}\s*\)(?!\s*\()", re.I
 )
+_QUANT_RANK = re.compile(
+    rf"\b(quantiles?)Exact(Low|High|Inclusive|Exclusive)\s*"
+    rf"\(\s*({_NUM_LIT}(?:\s*,\s*{_NUM_LIT})*)\s*\)"
+    rf"\s*\(\s*{_ARG}\s*\)",
+    re.I,
+)
+_QUANT_RANK_BARE = re.compile(
+    rf"\b(?:quantileExact(Low|High|Inclusive|Exclusive)"
+    rf"|medianExact(Low|High))\s*\(\s*{_ARG}\s*\)(?!\s*\()",
+    re.I,
+)
 _TOPK = re.compile(rf"\btopK\s*\(\s*(\d+)\s*\)\s*\(\s*{_ARG}\s*\)", re.I)
 _TOPK_WEIGHTED = re.compile(
     rf"\btopKWeighted\s*\(\s*(\d+)\s*\)\s*\(\s*{_ARG}\s*,\s*{_ARG}\s*\)", re.I
@@ -1043,6 +1067,111 @@ def _exact_quantiles_plural_expr(x: str, levels: list[str]) -> str:
     )
 
 
+def _exact_index_low(p: str) -> str:
+    # CH QuantileExactLow (QuantileExact.h, public ClickHouse source):
+    # level == 0.5 EXACTLY takes the LOWER median — 0-based (n/2)-1 for
+    # even n, (n-1)/2 for odd — i.e. 1-based (n+1) DIV 2 (= ceil(n/2));
+    # every OTHER level uses quantileExact's own floor(p*n) rule (the
+    # source comment's example: level 0.1 over 10 elements -> array[1]).
+    # The float() comparison mirrors CH's Float64 `level == 0.5` test
+    # on the parsed literal. Same >= 1 clamp as _exact_index (all-NULL
+    # group -> index 1 over the empty list -> NULL).
+    if float(p) == 0.5:
+        return "greatest(CAST((count({x}) + 1) DIV 2 AS INT), 1)"
+    return _exact_index(p)
+
+
+def _check_exclusive_levels(levels: list[str]) -> None:
+    for p in levels:
+        if float(p) in (0.0, 1.0):
+            raise UnsupportedClickHouseSQL(
+                "quantileExactExclusive cannot interpolate levels 0 and 1 "
+                "(ClickHouse throws BAD_ARGUMENTS there) — use "
+                "quantileExact / min / max"
+            )
+
+
+def _exclusive_expr(x: str, levels: list[str]) -> str:
+    """CH quantileExactExclusive (QuantileExact.h getFloatImpl; Excel
+    PERCENTILE.EXC / R-6 / SciPy-(0,0)): h = level * (n + 1),
+    k = floor(h); k < 1 -> first element, k >= n -> last, else
+    a[k] + (h - k) * (a[k+1] - a[k]) over the 1-based sorted array,
+    all in Float64 (the input casts to DOUBLE — CH returns Float64
+    regardless of input type). h is computed in exact DECIMAL here
+    where CH multiplies in Float64 — the same one-rank boundary caveat
+    as the weighted threshold, documented in MIGRATION.md. Levels 0/1
+    refuse upstream (CH throws). All-NULL group -> NULL (CH Nullable
+    semantics; the raw NaN arm of getFloatImpl is unreachable through
+    Nullable aggregation). The plural form shares ONE sort and ONE
+    size binding across all levels."""
+
+    def one(p: str) -> str:
+        k = f"CAST(floor({p} * (n + 1)) AS INT)"
+        frac = f"CAST({p} * (n + 1) - floor({p} * (n + 1)) AS DOUBLE)"
+        return (
+            f"CASE WHEN n = 0 THEN CAST(NULL AS DOUBLE) "
+            f"WHEN {k} < 1 THEN element_at(a, 1) "
+            f"WHEN {k} >= n THEN element_at(a, n) "
+            f"ELSE element_at(a, {k}) + {frac} * "
+            f"(element_at(a, {k} + 1) - element_at(a, {k})) END"
+        )
+
+    body = (
+        one(levels[0])
+        if len(levels) == 1
+        else f"array({', '.join(one(p) for p in levels)})"
+    )
+    return (
+        f"element_at(transform(array(array_sort(collect_list("
+        f"CAST({x} AS DOUBLE)))), a -> "
+        f"element_at(transform(array(size(a)), n -> {body}), 1)), 1)"
+    )
+
+
+def _exact_rank_rule_expr(x: str, levels: list[str], rule: str) -> str:
+    """The four exact rank-rule variants (refusal removal, VERDICT r11
+    #5) — same sorted-array machinery as quantileExact, different rank
+    formula (all from QuantileExact.h, public ClickHouse source):
+
+      Low       — lower median at level 0.5; floor(p*n) otherwise.
+      High      — higher median at level 0.5, which COINCIDES with
+                  quantileExact's floor(p*n)+1 at every n parity
+                  (even: n/2+1 both; odd: (n+1)/2 both), and the other
+                  levels share quantileExact's branch verbatim — so
+                  High lowers to exactly the quantileExact spelling.
+      Inclusive — Excel PERCENTILE.INC / R-7: h = p*(n-1) linear
+                  interpolation = Spark percentile / DuckDB
+                  quantile_cont, exact over all values (CH evaluates
+                  this one exactly too — no reservoir), so the lowering
+                  is the function's own definition, not a refinement.
+      Exclusive — Excel PERCENTILE.EXC / R-6: see _exclusive_expr.
+
+    Plural forms share ONE sort across levels (the _exact_quantiles_
+    plural_expr let trick)."""
+    rule = rule.lower()
+    if rule == "inclusive":
+        if len(levels) == 1:
+            return f"percentile({x}, {levels[0]})"
+        return f"percentile({x}, array({', '.join(levels)}))"
+    if rule == "exclusive":
+        _check_exclusive_levels(levels)
+        return _exclusive_expr(x, levels)
+    idx_fn = _exact_index_low if rule == "low" else _exact_index
+    if len(levels) == 1:
+        return (
+            f"try_element_at(array_sort(collect_list({x})), "
+            + idx_fn(levels[0]).format(x=x)
+            + ")"
+        )
+    idx = ", ".join(
+        f"try_element_at(a, {idx_fn(p).format(x=x)})" for p in levels
+    )
+    return (
+        f"element_at(transform(array(array_sort(collect_list({x}))), "
+        f"a -> array({idx})), 1)"
+    )
+
+
 def _exact_weighted_expr(x: str, w: str, p: str) -> str:
     """CH quantileExactWeighted(p)(x, w) (QuantileExactWeighted::getImpl,
     public ClickHouse source): sort values ascending, accumulate weights,
@@ -1062,7 +1191,16 @@ def _exact_weighted_expr(x: str, w: str, p: str) -> str:
     unknown type is needed). Empty group -> result stays NULL (CH's
     answer). p is a decimal literal and weights integers, so the
     threshold arithmetic is exact decimal on BOTH engines — no float
-    boundary anywhere. The plural form (_exact_weighted_plural_expr)
+    boundary anywhere. Documented deviation from live ClickHouse
+    (ADVICE r11, also in MIGRATION.md): CH computes its threshold as
+    `level * sum_weight` in FLOAT64 and truncates, so at float-boundary
+    combinations (e.g. p=0.29, total=100: Float64 0.29*100 =
+    28.999999999999996 -> CH threshold 28 vs exact decimal 29) a live
+    server can sit one rank away from this translation. The
+    exact-decimal spelling is deliberate — it matches the construct's
+    mathematical definition and the DuckDB oracle's arithmetic — but
+    that same agreement means the harness cannot observe the deviation;
+    only a live-CH differential would. The plural form (_exact_weighted_plural_expr)
     shares ONE sort + ONE total fold across all levels."""
     return _weighted_let(x, w, [_weighted_find(_weighted_threshold(p))])
 
@@ -1213,6 +1351,23 @@ def _rewrite_quantile_family(sql: str) -> str:
         w = raw[m.start(2) : m.end(2)].strip()
         return _exact_weighted_expr(x, w, "0.5")
 
+    def rank_repl(m: "re.Match[str]", raw: str) -> str:
+        plural = m.group(1).lower().endswith("s")
+        rule = m.group(2)
+        levels = [p.strip() for p in raw[m.start(3) : m.end(3)].split(",")]
+        x = raw[m.start(4) : m.end(4)].strip()
+        if not plural and len(levels) > 1:
+            raise UnsupportedClickHouseSQL(
+                f"quantileExact{rule}() takes one level — use "
+                f"quantilesExact{rule}(p1, ...)(x)"
+            )
+        return _exact_rank_rule_expr(x, levels, rule)
+
+    def rank_bare_repl(m: "re.Match[str]", raw: str) -> str:
+        rule = m.group(1) or m.group(2)
+        x = raw[m.start(3) : m.end(3)].strip()
+        return _exact_rank_rule_expr(x, ["0.5"], rule)
+
     def param_repl(m: "re.Match[str]", raw: str) -> str:
         plural = m.group(1).lower().endswith("s")
         levels = [p.strip() for p in raw[m.start(3) : m.end(3)].split(",")]
@@ -1240,6 +1395,8 @@ def _rewrite_quantile_family(sql: str) -> str:
 
     out = _sub_outside_literals(_QUANT_WEIGHTED, weighted_repl, sql)
     out = _sub_outside_literals(_MEDIAN_WEIGHTED, median_weighted_repl, out)
+    out = _sub_outside_literals(_QUANT_RANK, rank_repl, out)
+    out = _sub_outside_literals(_QUANT_RANK_BARE, rank_bare_repl, out)
     out = _sub_outside_literals(_QUANT_PARAM, param_repl, out)
     out = _sub_outside_literals(_QUANT_BARE, bare_repl, out)
     out = _sub_outside_literals(_TOPK_WEIGHTED, topk_weighted_repl, out)
@@ -2357,8 +2514,14 @@ def _apply_dict_get(
                 raise UnsupportedClickHouseSQL(
                     "dictGetOrDefault takes (dict, attr, key, default)"
                 )
+            # no capture check here (ADVICE r11): the default is spliced
+            # OUTSIDE the correlated subquery — coalesce(sub, (default))
+            # — so it binds in the OUTER query's scope exactly as CH
+            # evaluates it. A default naming a source-only column can't
+            # be captured; it fails Spark analysis loudly via the
+            # translate-then-analyze net instead of refusing valid
+            # queries whose outer table shares a column name.
             default_expr = raw[m.start(6) : m.end(6)].strip()
-            check_capture(meta, default_expr, "default expression")
             default = f"({default_expr})"
         else:
             if m.group(6) is not None:
@@ -3566,6 +3729,116 @@ def ch_dialect_quantile_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(
             F.transform(
                 "wq", lambda x: x.cast("decimal(30,4)").cast("string")
+            ),
+            ",",
+        ),
+    )
+
+
+_CH_RANK_RULES_QUERY = """
+    SELECT l_returnflag,
+           quantileExactLow(l_quantity) AS lo_med,
+           quantileExactHigh(l_quantity) AS hi_med,
+           quantileExactLow(0.3)(l_quantity) AS lo_30,
+           round(quantileExactInclusive(0.25)(l_quantity), 9) AS inc_25,
+           round(quantileExactExclusive(0.25)(l_quantity), 9) AS exc_25,
+           round(quantileExactExclusive(0.8125)(l_quantity), 9) AS exc_8125,
+           quantilesExactLow(0.25, 0.5)(l_quantity) AS lo_pair,
+           toUInt32(count()) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+"""
+
+
+def _sql_exclusive_q(p: str) -> str:
+    """DuckDB twin of the quantileExactExclusive rewrite (Excel
+    PERCENTILE.EXC / R-6): h = p * (n + 1) in exact decimal, k =
+    floor(h); k < 1 -> first, k >= n -> last, else linear interpolation
+    between the k-th and (k+1)-th sorted elements (1-based). Reads the
+    shared per-group (ls, n) CTE columns."""
+    k = f"CAST(FLOOR({p} * (n + 1)) AS INT)"
+    frac = f"CAST({p} * (n + 1) - FLOOR({p} * (n + 1)) AS DOUBLE)"
+    return (
+        f"CASE WHEN {k} < 1 THEN list_extract(ls, 1) "
+        f"WHEN {k} >= n THEN list_extract(ls, CAST(n AS INT)) "
+        f"ELSE list_extract(ls, {k}) + {frac} * "
+        f"(list_extract(ls, {k} + 1) - list_extract(ls, {k})) END"
+    )
+
+
+def _sql_rank_exact(p: str) -> str:
+    # quantileExact / ExactHigh rank over the shared sorted-list CTE:
+    # 0-based floor(p*n) clamped, as a 1-based list_extract index
+    return (
+        f"list_extract(ls, LEAST(CAST(FLOOR({p} * n) AS INT) + 1, "
+        f"CAST(n AS INT)))"
+    )
+
+
+# lower median over the shared CTE: 1-based (n+1)//2 = ceil(n/2)
+_SQL_RANK_LOW_MED = (
+    "list_extract(ls, GREATEST(CAST((n + 1) // 2 AS INT), 1))"
+)
+
+_CH_RANK_RULES_ORACLE = f"""
+    WITH g AS (
+      SELECT l_returnflag,
+             list_sort(list(l_quantity)) AS ls,
+             COUNT(l_quantity) AS n,
+             quantile_cont(l_quantity, 0.25) AS q25c
+      FROM lineitem
+      GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           {_SQL_RANK_LOW_MED} AS lo_med,
+           {_sql_rank_exact('0.5')} AS hi_med,
+           {_sql_rank_exact('0.3')} AS lo_30,
+           ROUND(q25c, 9) AS inc_25,
+           ROUND({_sql_exclusive_q('0.25')}, 9) AS exc_25,
+           ROUND({_sql_exclusive_q('0.8125')}, 9) AS exc_8125,
+           array_to_string(list_transform(
+             [{_sql_rank_exact('0.25')}, {_SQL_RANK_LOW_MED}],
+             x -> CAST(CAST(x AS DECIMAL(30,4)) AS VARCHAR)), ',')
+             AS lo_pair,
+           n AS n
+    FROM g
+    ORDER BY l_returnflag
+"""
+
+
+@query("ch_dialect_quantile_rank_rules", _CH_RANK_RULES_ORACLE)
+def ch_dialect_quantile_rank_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dialect shim end-to-end over the four exact rank-rule rewrites
+    (VERDICT r11 #5 — the last exact-semantics members of the quantile
+    refusal table; the sketch combinators TDigest/BFloat16/Timing/
+    Deterministic stay refused forever): quantileExactLow (lower median
+    at level 0.5, quantileExact's floor(p*n) otherwise),
+    quantileExactHigh (coincides with quantileExact at every level —
+    asserted by the rewrite test), quantileExactInclusive (Excel
+    PERCENTILE.INC = Spark percentile's own formula, exact),
+    quantileExactExclusive (Excel PERCENTILE.EXC: h = p*(n+1) with
+    first/last boundary arms), and the plural quantilesExactLow sharing
+    ONE sort. All formulas from QuantileExact.h (public ClickHouse
+    source); see _exact_rank_rule_expr / _exclusive_expr for the
+    refinement notes (exact-decimal h vs CH's Float64 — MIGRATION.md).
+
+    Oracled against DuckDB over a shared sorted-list CTE (quantile_cont
+    is the independent Inclusive spelling). l_quantity is
+    integer-valued and the exclusive levels are dyadic (1/4, 13/16), so
+    every interpolation is exact in double; the ROUND(,9) absorber
+    guards the convention anyway. The plural array serializes to a
+    decimal(30,4) CSV string on both engines (driver-safe dtype rule).
+
+    Scale: one grouped exchange carrying each group's values —
+    exactness' honest cost, same posture as quantileExact; the sketch
+    path for 100 TB is approx_quantiles / quantile_state_merge."""
+    out = ch_sql(spark, sf_dir, _CH_RANK_RULES_QUERY)
+    return out.withColumn(
+        "lo_pair",
+        F.array_join(
+            F.transform(
+                "lo_pair", lambda x: x.cast("decimal(30,4)").cast("string")
             ),
             ",",
         ),

@@ -206,65 +206,112 @@ DRIVER_ORDER: list[str] = [
     # asof_join_nearest -> ch_dialect_asof_join / ch_dialect_any_join
     # (the as-of family, dialect-driven; C8 range predicates carry its
     # r10 green row))
+    # (r12 rotation: fifteen enter — the two r11-new dialect surfaces
+    # with zero external rows (VERDICT r11 #1: ch_dialect_weighted_aggs,
+    # ch_dialect_dict_get), the brand-new exact rank-rule translation
+    # (ch_dialect_quantile_rank_rules, VERDICT r11 #5, in-cover from
+    # birth), the six r5-era streaming-equivalence queries that never
+    # had an external row (VERDICT r11 #3: stream_sliding_equiv,
+    # stream_session_equiv, stream_static_enrich,
+    # stream_stream_left_join, stream_ema_state,
+    # stream_session_timeout_state — C-IV's least externally-proven
+    # cluster), stratified_sample (its only external row ever is an r1
+    # no_oracle artifact; one green row retires the registry's last
+    # red-looking record), the mergeable-sketch trio
+    # (quantile_state_merge, uniq_state_merge, heavy_hitters_weighted —
+    # the bounded-memory 100 TB paths MIGRATION.md routes the exact
+    # quantile/topK translations to), exponential_moving_avg, and
+    # time_gap_fill (the WITH FILL family's native date-spine analog).
+    # Fifteen 2+-green veterans leave for tier 2. Merge mapping
+    # (COVERAGE.md §r12): ch_dialect_with_fill + fill_interpolate +
+    # with_fill_desc -> ch_dialect_with_fill_multi (same FillingTransform
+    # lowering: grouped restart is a superset of the single-key walk,
+    # INTERPOLATE carry and the DESC negated-key walk run per group) +
+    # time_gap_fill (in cover: the C16 date-spine gap fill the refusal
+    # points at), ch_dialect_final -> upsert_latest_wins (the
+    # max-version-per-key collapse IS the Replacing FINAL lowering),
+    # ch_dialect_final_summing -> collapsing_sign_merge (the same
+    # engine-collapse family: group-sum + drop rule),
+    # ch_dialect_any_join -> upsert_latest_wins (ANY lowers to the same
+    # greatest-struct dedup-by-key) with C5's outer arm riding
+    # ch_dialect_asof_join's LEFT form (in cover), ch_dialect_totals ->
+    # ch_dialect_totals_expr (same GROUPING SETS all-row lowering,
+    # expression keys a strict superset), sliding_window_agg ->
+    # stream_sliding_equiv and session_window_agg -> stream_session_equiv
+    # (each equivalence query states the SAME oracle as its batch twin —
+    # the streaming state must finalize to the batch answer, so the
+    # batch window semantics are checked through them),
+    # approx_count_distinct -> uniq_state_merge (C12's HLL machinery in
+    # its mergeable-state form; the single-shot query stays registered),
+    # grouped_map_udaf -> stream_ema_state + stream_session_timeout_state
+    # (applyInPandasWithState, the stateful rung of the same grouped-map
+    # Pandas ladder) + multimodal_roundtrip's mapInPandas (C34),
+    # corpus_stage_gate/dedup/split -> corpus_pipeline_e2e +
+    # corpus_pipeline_e2e_keep_longest + corpus_curate_e2e (the
+    # cumulative supersets the stages bisect; the stage grain stays
+    # registered for red-row debugging), national_market_share ->
+    # ch_dialect_dict_get (4x plan-pinned BroadcastHashJoin over the
+    # dictionary dims, C4/C6) + data_quality_checks' broadcast anti-join
+    # with C3's pushed filters riding every cover scan)
     "rebalance_pipeline",
     "source_python_datasource",
-    # ClickHouse dialect layer (r9 wave promoted whole, VERDICT r9 #2;
-    # r10 additions + the r11 weighted-quantile/argmax/driver-safe wave)
+    # ClickHouse dialect layer (r9 wave leads; r10-r12 additions: the
+    # weighted/rank-rule quantile family + DDL-resolved dictGet)
     "ch_dialect_quantile",
     "ch_dialect_topk",
     "ch_dialect_quantile_weighted",
+    "ch_dialect_quantile_rank_rules",
+    "ch_dialect_weighted_aggs",
+    "ch_dialect_dict_get",
     "ch_dialect_argmax",
     "ch_dialect_totals_expr",
     "ch_dialect_array_join_zip",
     "ch_dialect_with_fill_multi",
-    "ch_dialect_with_fill",
-    "ch_dialect_fill_interpolate",
-    "ch_dialect_with_fill_desc",
-    "ch_dialect_final",
-    "ch_dialect_final_summing",
     "ch_dialect_asof_join",
-    "ch_dialect_any_join",
     "ch_dialect_limit_by_offset",
     "ch_dialect_limit_ties",
-    "ch_dialect_totals",
-    # LLM data-pipeline operators
-    # corpus-pipeline stage bisection (VERDICT r9 #1): gate -> dedup ->
-    # split -> full, so the driver's red/green boundary names the stage
-    "corpus_stage_gate",
-    "corpus_stage_dedup",
-    "corpus_stage_split",
+    # LLM data-pipeline operators (the e2e family subsumes the stage
+    # bisection queries, which wait in tier 2 for red-row debugging)
     "corpus_pipeline_e2e",
     "corpus_pipeline_e2e_keep_longest",
     "corpus_curate_e2e",
     "bpe_train_merges",
     "train_val_test_split",
+    "stratified_sample",
     "dedup_clusters_cc",
     "pack_token_shards",
     "upsert_latest_wins",
     "matryoshka_topk_recall",
     "multimodal_roundtrip",
-    # structured streaming + event-time windows
-    "sliding_window_agg",
-    "session_window_agg",
+    # structured streaming + event-time windows (r12: the six
+    # never-externally-verified stream/batch equivalence queries)
+    "stream_sliding_equiv",
+    "stream_session_equiv",
+    "stream_static_enrich",
+    "stream_stream_left_join",
+    "stream_ema_state",
+    "stream_session_timeout_state",
     "stream_watermark_counts",
     "stream_dedup_events",
     "stream_index_admit",
-    # scalar function families + UDF ladder
+    "time_gap_fill",
+    # scalar function families
     "scalar_funcs_suite",
     "semi_structured_suite",
     "array_funcs",
     "bitwise_funcs",
-    "grouped_map_udaf",
     # ClickHouse engine analogs + layout/validation analytics
     "collapsing_sign_merge",
     "zorder_clustering",
     "data_quality_checks",
-    # aggregation
-    "approx_count_distinct",
+    # mergeable sketch states (the bounded-memory 100 TB quantile/CD/
+    # top-K paths) + running analytics
+    "quantile_state_merge",
+    "uniq_state_merge",
+    "heavy_hitters_weighted",
+    "exponential_moving_avg",
     # windows / frames
     "window_range_interval",
-    # composed multi-join analytics (TPC-H-shaped)
-    "national_market_share",
     # set ops + subqueries + CTE
     "except_all_rows",
     "cte_query",
@@ -279,13 +326,15 @@ DRIVER_ORDER: list[str] = [
 # rounds, then the round-2 flagship operators, then the long tail of
 # per-function suite variants.
 DRIVER_ORDER_TIER2: list[str] = [
-    # next in line for driver rows: the fifteen veterans the r11
-    # rotation moved out of the cover (every one 2+-green; retrieval
-    # family first — the biggest green block with no live cover member),
-    # then the r10 rotation's veterans (streaming-first by drift risk),
-    # then never-externally-verified members of the COVERAGE.md ledger
-    # (VERDICT r8 #5 — bias rotations toward queries with zero green
-    # driver rows).
+    # next in line for driver rows: the retrieval/index-maintenance
+    # family leads (VERDICT r11 #6 — six green rows r9-r10 but none
+    # since; re-prove the admit/compact machinery every ~3 rounds so it
+    # never goes stale against Spark upgrades), then the veterans the
+    # r12 and r11 rotations moved out of the cover (every one
+    # 2+-green), then the r10 rotation's veterans (streaming-first by
+    # drift risk), then never-externally-verified members of the
+    # COVERAGE.md ledger (VERDICT r8 #5 — bias rotations toward queries
+    # with zero green driver rows).
     "bm25_topk",
     "bm25_batch_topk",
     "bm25_inverted_topk",
@@ -301,8 +350,23 @@ DRIVER_ORDER_TIER2: list[str] = [
     "dedup_semantic_prune",
     "corpus_ingest_incremental",
     "asof_join_nearest",
-    "ch_dialect_weighted_aggs",
-    "ch_dialect_dict_get",
+    # rotated out of the 50-row cover in r12 (2+ green driver rounds
+    # each; merge mapping in the DRIVER_ORDER comment + COVERAGE.md)
+    "corpus_stage_gate",
+    "corpus_stage_dedup",
+    "corpus_stage_split",
+    "ch_dialect_with_fill",
+    "ch_dialect_fill_interpolate",
+    "ch_dialect_with_fill_desc",
+    "ch_dialect_final",
+    "ch_dialect_final_summing",
+    "ch_dialect_any_join",
+    "ch_dialect_totals",
+    "sliding_window_agg",
+    "session_window_agg",
+    "approx_count_distinct",
+    "grouped_map_udaf",
+    "national_market_share",
     "stream_tumbling_equiv",
     "stream_mv_maintain",
     "stream_custom_state",
@@ -328,7 +392,6 @@ DRIVER_ORDER_TIER2: list[str] = [
     "window_funnel_levels",
     "embedding_pq",
     "ch_dialect_weekday",
-    "exponential_moving_avg",
     "interval_length_sum",
     "sequence_count_pattern",
     "bitmap_state_merge",
@@ -348,13 +411,10 @@ DRIVER_ORDER_TIER2: list[str] = [
     "small_qty_order_revenue",
     "disjunctive_predicate_revenue",
     # sketch-state family completions (new r6 surface)
-    "quantile_state_merge",
     "theta_set_ops",
     "uniq_sliding_window",
     "global_shuffle_shards",
     "retention_conditions",
-    "stream_stream_left_join",
-    "stream_session_timeout_state",
     "line_dedup_ratio",
     "stream_python_datasource",
     "sink_python_datasource",
@@ -371,7 +431,6 @@ DRIVER_ORDER_TIER2: list[str] = [
     "group_by_all",
     "identifier_parameterized",
     "pivot_sql_clause",
-    "heavy_hitters_weighted",
     "mutation_delete_update",
     "multi_array_zip_flatten",
     "length_bucket_packing",
@@ -383,11 +442,7 @@ DRIVER_ORDER_TIER2: list[str] = [
     "corpus_datasheet",
     "user_churn_weekly",
     # drift-prone streaming/event-time equivalences
-    "stream_session_equiv",
-    "stream_sliding_equiv",
     "stream_ohlc_equiv",
-    "stream_static_enrich",
-    "stream_ema_state",
     # rotated out of the 50-row cover in r7 (2+ green driver rounds each;
     # merge mapping in the DRIVER_ORDER comment + COVERAGE.md)
     "dedup_exact_text",
@@ -477,7 +532,6 @@ DRIVER_ORDER_TIER2: list[str] = [
     "label_centroids",
     "embedding_norms",
     "funnel_conversion",
-    "time_gap_fill",
     "ch_dialect_rollup",
     "conditional_aggregates",
     "string_search_funcs",
@@ -491,7 +545,6 @@ DRIVER_ORDER_TIER2: list[str] = [
     "bpe_merge_step",
     "window_distribution",
     "ch_ddl_roundtrip",
-    "uniq_state_merge",
     "array_running_funcs",
 ]
 

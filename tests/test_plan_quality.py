@@ -1261,8 +1261,6 @@ def test_weighted_quantile_single_pair_collect(spark):
     aggregate function, so the corpus pays a single ObjectHashAggregate
     buffer regardless of how many levels are requested."""
     plan = plan_of(spark, "ch_dialect_quantile_weighted")
-    import re as _re
-
     finals = [
         l
         for l in plan.splitlines()

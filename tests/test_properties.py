@@ -1692,6 +1692,10 @@ def test_ch_dialect_rewrites_never_fire_inside_literals():
         "SELECT x FROM t WHERE s = 'quantileExactWeighted(0.5)(v, w)'",
         "SELECT x FROM t WHERE s = 'medianExactWeighted(v, w)'",
         "SELECT x FROM t WHERE s = 'topKWeighted(3)(v, w) avgWeighted(v, w)'",
+        # r12 rewrite family: exact rank rules
+        "SELECT x FROM t WHERE s = 'quantileExactLow(v) medianExactHigh(v)'",
+        "SELECT x FROM t WHERE s = 'quantilesExactExclusive(0.25)(v)'",
+        "SELECT x FROM t WHERE s = 'quantileExactInclusive(0.5)(v)'",
     ]:
         assert translate(sql) == sql, sql
     # group captures that CONTAIN literals splice raw content, and
@@ -1956,6 +1960,8 @@ _TRAP_LITERALS = st.sampled_from(
         "arr[1] and [1,2,3]",
         "PREWHERE v FORMAT JSON",
         "quantile(0.5)(x) topK(3)(y)",
+        "quantileExactLow(x) quantilesExactExclusive(0.25)(y)",
+        "medianExactHigh(v) quantileExactInclusive(0.5)(v)",
         "WITH 5 AS c",
         "dictGet(d, a, k)",
         "plus(a, b) divide(c, d)",
@@ -2043,15 +2049,39 @@ def test_ch_dialect_quantile_topk_rewrites():
     out = translate("SELECT avgWeighted(v, w) FROM t GROUP BY g")
     assert "CAST((v) AS DOUBLE) * CAST((w) AS DOUBLE)" in out
     assert "CAST('NaN' AS DOUBLE)" in out
-    # combinator zoo still refuses — each suffix changes the rank rule
+    # r12 exact rank-rule rewrites (VERDICT r11 #5): Low's lower median
+    # at level 0.5 exactly, quantileExact's floor(p*n) at other levels
+    out = translate("SELECT quantileExactLow(v) FROM t GROUP BY g")
+    assert "(count(v) + 1) DIV 2" in out
+    out = translate("SELECT quantileExactLow(0.3)(v) FROM t")
+    assert "floor(0.3 * count(v))" in out and "DIV" not in out
+    # High coincides with quantileExact at every level (incl. 0.5)
+    assert translate("SELECT quantileExactHigh(0.7)(v) FROM t") == translate(
+        "SELECT quantileExact(0.7)(v) FROM t"
+    )
+    assert translate("SELECT medianExactHigh(v) FROM t") == translate(
+        "SELECT medianExact(v) FROM t"
+    )
+    # Inclusive IS percentile's formula (Excel PERCENTILE.INC / R-7)
+    assert translate("SELECT quantileExactInclusive(0.25)(v) FROM t").strip() == (
+        "SELECT percentile(v, 0.25) FROM t"
+    )
+    # Exclusive: h = p*(n+1) with boundary arms; plural shares ONE sort
+    out = translate("SELECT quantilesExactExclusive(0.25, 0.75)(v) FROM t")
+    assert out.count("array_sort(collect_list(CAST(v AS DOUBLE)))") == 1
+    assert "floor(0.25 * (n + 1))" in out and "floor(0.75 * (n + 1))" in out
+    # sketch combinators still refuse — each changes the sketch
     for bad in (
         "SELECT quantileTiming(0.5)(x) FROM t",
-        "SELECT quantileExactLow(0.5)(x) FROM t",
+        "SELECT quantileExactExclusive(0)(x) FROM t",  # CH BAD_ARGUMENTS
+        "SELECT quantileExactExclusive(1.0)(x) FROM t",
+        "SELECT quantileExactLow(0.5, 0.9)(x) FROM t",  # plural grammar
         "SELECT quantileTimingWeighted(0.5)(x, w) FROM t",
         "SELECT quantileTDigestWeighted(0.5)(x, w) FROM t",
-        "SELECT quantilesExactHigh(0.5)(x) FROM t",
+        "SELECT quantileInterpolatedWeighted(0.5)(x, w) FROM t",
         "SELECT medianBFloat16(x) FROM t",
         "SELECT medianTimingWeighted(x, w) FROM t",
+        "SELECT medianExactInclusive(x) FROM t",  # not a CH alias
         # topKWeighted(N)(x, w) translates since r11; a non-2-arg or
         # otherwise unparseable spelling still hits the topK residual
         "SELECT topKWeighted(3)(x) FROM t",
@@ -2117,6 +2147,70 @@ def test_quantile_exact_weighted_known_values(spark):
         translate("SELECT avgWeighted(v, w) AS aw FROM qew_t WHERE v IS NULL")
     ).collect()[0]
     assert math.isnan(nan_row["aw"])
+
+
+def test_quantile_rank_rules_known_values(spark):
+    """Hand-traced QuantileExact.h rank rules (r12 refusal removals).
+
+    Even n=4 over [1,2,3,4]:
+      Low(0.5)  -> lower median  = 2   (1-based (4+1)//2 = 2)
+      High(0.5) -> higher median = 3   (= quantileExact: floor(2)+1)
+      Low(0.3)  -> general branch = floor(0.3*4)+1 = index 2 -> 2
+      Inclusive(0.25): h = 0.25*(4-1) = 0.75 -> 1 + 0.75*(2-1) = 1.75
+      Exclusive(0.25): h = 0.25*(4+1) = 1.25, k=1 -> 1 + 0.25*1 = 1.25
+        (Excel PERCENTILE.EXC([1..4], 0.25) = 1.25)
+      Exclusive boundary arms over [1,2]: p=0.25 -> k=0 < 1 -> first
+        element 1.0; p=0.9 -> k=2 >= n -> last element 2.0
+    Odd n=5 over [1..5]: Low = High = 3 (both medians coincide).
+    All-NULL group -> NULL for every variant."""
+    from clickhouse_data_rebalance_spark.plans.ch_dialect import translate
+
+    spark.createDataFrame(
+        [(1,), (2,), (3,), (4,)], "v int"
+    ).createOrReplaceTempView("qrr4")
+    row = spark.sql(
+        translate(
+            "SELECT quantileExactLow(v) AS lo, quantileExactHigh(v) AS hi, "
+            "quantileExactLow(0.3)(v) AS lo30, "
+            "quantileExactInclusive(0.25)(v) AS inc, "
+            "quantileExactExclusive(0.25)(v) AS exc, "
+            "quantilesExactLow(0.3, 0.5)(v) AS plo FROM qrr4"
+        )
+    ).collect()[0]
+    assert (row["lo"], row["hi"], row["lo30"]) == (2, 3, 2)
+    assert abs(row["inc"] - 1.75) < 1e-12
+    assert abs(row["exc"] - 1.25) < 1e-12
+    assert row["plo"] == [2, 2]
+    spark.createDataFrame([(1,), (2,)], "v int").createOrReplaceTempView(
+        "qrr2"
+    )
+    row = spark.sql(
+        translate(
+            "SELECT quantileExactExclusive(0.25)(v) AS lo_arm, "
+            "quantileExactExclusive(0.9)(v) AS hi_arm, "
+            "quantilesExactExclusive(0.25, 0.9)(v) AS both FROM qrr2"
+        )
+    ).collect()[0]
+    assert (row["lo_arm"], row["hi_arm"]) == (1.0, 2.0)
+    assert row["both"] == [1.0, 2.0]
+    spark.createDataFrame([(1,), (2,), (3,), (4,), (5,)], "v int") \
+        .createOrReplaceTempView("qrr5")
+    row = spark.sql(
+        translate(
+            "SELECT quantileExactLow(v) AS lo, medianExactHigh(v) AS hi "
+            "FROM qrr5"
+        )
+    ).collect()[0]
+    assert (row["lo"], row["hi"]) == (3, 3)
+    empty = spark.sql(
+        translate(
+            "SELECT quantileExactLow(v) AS lo, "
+            "quantileExactExclusive(0.5)(v) AS exc, "
+            "quantileExactInclusive(0.5)(v) AS inc "
+            "FROM qrr4 WHERE v IS NULL"
+        )
+    ).collect()[0]
+    assert empty["lo"] is None and empty["exc"] is None and empty["inc"] is None
 
 
 def test_with_fill_restart_semantics(spark):
@@ -2318,6 +2412,13 @@ def test_dictionary_meta_and_dict_get_rewrite(spark):
     out = _apply_dict_get("SELECT dictGet('db.d', 's', x) FROM t", dicts)
     assert "FROM src WHERE k = (x)" in out
 
+    # a default naming a source column is NOT a capture (ADVICE r11):
+    # the default splices OUTSIDE the correlated subquery —
+    # coalesce(sub, (default)) — binding in the OUTER scope exactly as
+    # CH evaluates it; only the key expression (inside WHERE) captures
+    out = _apply_dict_get("SELECT dictGetOrDefault('d', 's', x, v) FROM t", dicts)
+    assert "coalesce((SELECT max(s) FROM src WHERE k = (x)), (v))" in out
+
     for bad_call, msg in (
         ("SELECT dictGet('nope', 's', x) FROM t", "unknown dictionary"),
         ("SELECT dictGet('d', 'zz', x) FROM t", "no attribute"),
@@ -2326,7 +2427,6 @@ def test_dictionary_meta_and_dict_get_rewrite(spark):
         # key expr naming a SOURCE column would bind to the subquery's
         # inner scope and silently return the global max — refuse
         ("SELECT dictGet('d', 's', k + 1) FROM t", "INNER scope"),
-        ("SELECT dictGetOrDefault('d', 's', x, v) FROM t", "INNER scope"),
         # key nested beyond one paren level: a TARGETED shape error,
         # not the misleading pass-the-ddls pointer
         ("SELECT dictGet('d', 's', f(g(x))) FROM t", "shape"),
