@@ -206,7 +206,7 @@ DRIVER_ORDER: list[str] = [
     # asof_join_nearest -> ch_dialect_asof_join / ch_dialect_any_join
     # (the as-of family, dialect-driven; C8 range predicates carry its
     # r10 green row))
-    # (r12 rotation: fifteen enter — the two r11-new dialect surfaces
+    # (r12 rotation: sixteen enter — the two r11-new dialect surfaces
     # with zero external rows (VERDICT r11 #1: ch_dialect_weighted_aggs,
     # ch_dialect_dict_get), the brand-new exact rank-rule translation
     # (ch_dialect_quantile_rank_rules, VERDICT r11 #5, in-cover from
@@ -220,9 +220,11 @@ DRIVER_ORDER: list[str] = [
     # red-looking record), the mergeable-sketch trio
     # (quantile_state_merge, uniq_state_merge, heavy_hitters_weighted —
     # the bounded-memory 100 TB paths MIGRATION.md routes the exact
-    # quantile/topK translations to), exponential_moving_avg, and
-    # time_gap_fill (the WITH FILL family's native date-spine analog).
-    # Fifteen 2+-green veterans leave for tier 2. Merge mapping
+    # quantile/topK translations to), exponential_moving_avg,
+    # time_gap_fill (the WITH FILL family's native date-spine analog),
+    # and asof_join_forward (never-green native as-of machinery — the
+    # forward-direction union+carry-window form).
+    # Sixteen 2+-green veterans leave for tier 2. Merge mapping
     # (COVERAGE.md §r12): ch_dialect_with_fill + fill_interpolate +
     # with_fill_desc -> ch_dialect_with_fill_multi (same FillingTransform
     # lowering: grouped restart is a superset of the single-key walk,
@@ -252,7 +254,12 @@ DRIVER_ORDER: list[str] = [
     # registered for red-row debugging), national_market_share ->
     # ch_dialect_dict_get (4x plan-pinned BroadcastHashJoin over the
     # dictionary dims, C4/C6) + data_quality_checks' broadcast anti-join
-    # with C3's pushed filters riding every cover scan)
+    # with C3's pushed filters riding every cover scan,
+    # ch_dialect_asof_join -> asof_join_forward (in cover: the native
+    # as-of union+carry machinery the dialect rewrite lowers INTO) +
+    # window_range_interval's range predicates (C8), with C5's outer
+    # arm moving to stream_stream_left_join (in cover: a real LEFT
+    # OUTER join with an unmatched-row null arm))
     "rebalance_pipeline",
     "source_python_datasource",
     # ClickHouse dialect layer (r9 wave leads; r10-r12 additions: the
@@ -267,7 +274,6 @@ DRIVER_ORDER: list[str] = [
     "ch_dialect_totals_expr",
     "ch_dialect_array_join_zip",
     "ch_dialect_with_fill_multi",
-    "ch_dialect_asof_join",
     "ch_dialect_limit_by_offset",
     "ch_dialect_limit_ties",
     # LLM data-pipeline operators (the e2e family subsumes the stage
@@ -310,8 +316,9 @@ DRIVER_ORDER: list[str] = [
     "uniq_state_merge",
     "heavy_hitters_weighted",
     "exponential_moving_avg",
-    # windows / frames
+    # windows / frames + native as-of machinery
     "window_range_interval",
+    "asof_join_forward",
     # set ops + subqueries + CTE
     "except_all_rows",
     "cte_query",
@@ -361,6 +368,7 @@ DRIVER_ORDER_TIER2: list[str] = [
     "ch_dialect_final",
     "ch_dialect_final_summing",
     "ch_dialect_any_join",
+    "ch_dialect_asof_join",
     "ch_dialect_totals",
     "sliding_window_agg",
     "session_window_agg",
@@ -388,7 +396,6 @@ DRIVER_ORDER_TIER2: list[str] = [
     "media_resize",
     "media_frame_sample",
     "topk_state_merge",
-    "asof_join_forward",
     "window_funnel_levels",
     "embedding_pq",
     "ch_dialect_weekday",
