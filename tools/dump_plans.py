@@ -60,6 +60,10 @@ SHOWCASE = [
     ("ch_dialect_quantile_weighted", "ONE ObjectHashAggregate carries the shared pair collect; the plural's sort+folds run in the result projection, once per group"),
     ("ch_dialect_dict_get", "every dictGet decorrelates to a BroadcastHashJoin against the 25-row dim — no nested loop, no per-row subquery"),
     ("dedup_clusters_cc", "label-blocked edge join (equi on label) — no CartesianProduct; per-round join+min reuse the node partitioning"),
+    # round-12 additions
+    ("ch_dialect_quantile_rank_rules", "ONE shared collect_list feeds all five order-statistic columns (the Exclusive CAST folds away); Inclusive is a bounded-state percentile buffer; 2 exchanges total"),
+    ("heavy_hitters_weighted", "map-side-combined per-value weight sums — the bounded-memory path the exact topKWeighted translation routes 100 TB users to"),
+    ("asof_join_forward", "union + carry-forward window on ONE equality-key exchange — no BroadcastNestedLoopJoin domain join"),
 ]
 
 MAX_LINES = 80
