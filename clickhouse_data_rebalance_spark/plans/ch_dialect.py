@@ -1042,15 +1042,17 @@ def _exact_index(p: str) -> str:
     )
 
 
-def _exact_quantile_expr(x: str, p: str) -> str:
+def _exact_quantile_expr(x: str, p: str, idx_fn=None) -> str:
+    # idx_fn parameterizes the rank rule (see _exact_quantiles_plural_expr)
+    idx_fn = idx_fn or _exact_index
     return (
         f"try_element_at(array_sort(collect_list({x})), "
-        + _exact_index(p).format(x=x)
+        + idx_fn(p).format(x=x)
         + ")"
     )
 
 
-def _exact_quantiles_plural_expr(x: str, levels: list[str]) -> str:
+def _exact_quantiles_plural_expr(x: str, levels: list[str], idx_fn=None) -> str:
     # plural form: ONE sorted array let-bound via the 1-element-array
     # transform trick, indexed once per level — the sort runs once
     # (VERDICT r10 #5). Measured caveat for the SINGULAR form: separate
@@ -1058,8 +1060,12 @@ def _exact_quantiles_plural_expr(x: str, levels: list[str]) -> str:
     # per-group re-sort is noise anyway — at sf0.1 a 3-exact-quantile
     # query times identically to a 1-exact-quantile query (~0.85 s both;
     # the collect_list/percentile aggregation buffers dominate).
+    # idx_fn parameterizes the rank rule (default quantileExact's
+    # floor(p*n); _exact_index_low for quantilesExactLow) so the
+    # rank-rule variants reuse THIS spelling instead of a copy.
+    idx_fn = idx_fn or _exact_index
     idx = ", ".join(
-        f"try_element_at(a, {_exact_index(p).format(x=x)})" for p in levels
+        f"try_element_at(a, {idx_fn(p).format(x=x)})" for p in levels
     )
     return (
         f"element_at(transform(array(array_sort(collect_list({x}))), "
@@ -1081,6 +1087,18 @@ def _exact_index_low(p: str) -> str:
     return _exact_index(p)
 
 
+def _check_level_range(levels: list[str]) -> None:
+    # ClickHouse throws PARAMETER_OUT_OF_BOUND for any quantile level
+    # outside [0, 1] (every quantile* function) — refuse rather than
+    # silently clamp to the first/last element
+    for p in levels:
+        if not 0.0 <= float(p) <= 1.0:
+            raise UnsupportedClickHouseSQL(
+                f"quantile level {p} is outside [0, 1] — ClickHouse "
+                "throws PARAMETER_OUT_OF_BOUND"
+            )
+
+
 def _check_exclusive_levels(levels: list[str]) -> None:
     for p in levels:
         if float(p) in (0.0, 1.0):
@@ -1091,7 +1109,7 @@ def _check_exclusive_levels(levels: list[str]) -> None:
             )
 
 
-def _exclusive_expr(x: str, levels: list[str]) -> str:
+def _exclusive_expr(x: str, levels: list[str], plural: bool = False) -> str:
     """CH quantileExactExclusive (QuantileExact.h getFloatImpl; Excel
     PERCENTILE.EXC / R-6 / SciPy-(0,0)): h = level * (n + 1),
     k = floor(h); k < 1 -> first element, k >= n -> last, else
@@ -1103,7 +1121,8 @@ def _exclusive_expr(x: str, levels: list[str]) -> str:
     refuse upstream (CH throws). All-NULL group -> NULL (CH Nullable
     semantics; the raw NaN arm of getFloatImpl is unreachable through
     Nullable aggregation). The plural form shares ONE sort and ONE
-    size binding across all levels."""
+    size binding across all levels and returns an array even with a
+    single level (CH's quantiles* contract)."""
 
     def one(p: str) -> str:
         k = f"CAST(floor({p} * (n + 1)) AS INT)"
@@ -1118,7 +1137,7 @@ def _exclusive_expr(x: str, levels: list[str]) -> str:
 
     body = (
         one(levels[0])
-        if len(levels) == 1
+        if not plural
         else f"array({', '.join(one(p) for p in levels)})"
     )
     return (
@@ -1128,17 +1147,20 @@ def _exclusive_expr(x: str, levels: list[str]) -> str:
     )
 
 
-def _exact_rank_rule_expr(x: str, levels: list[str], rule: str) -> str:
+def _exact_rank_rule_expr(
+    x: str, levels: list[str], rule: str, plural: bool = False
+) -> str:
     """The four exact rank-rule variants (refusal removal, VERDICT r11
     #5) — same sorted-array machinery as quantileExact, different rank
     formula (all from QuantileExact.h, public ClickHouse source):
 
-      Low       — lower median at level 0.5; floor(p*n) otherwise.
+      Low       — lower median at level 0.5; floor(p*n) otherwise
+                  (_exact_index_low parameterizes the shared spellings).
       High      — higher median at level 0.5, which COINCIDES with
                   quantileExact's floor(p*n)+1 at every n parity
                   (even: n/2+1 both; odd: (n+1)/2 both), and the other
                   levels share quantileExact's branch verbatim — so
-                  High lowers to exactly the quantileExact spelling.
+                  High delegates to exactly the quantileExact spelling.
       Inclusive — Excel PERCENTILE.INC / R-7: h = p*(n-1) linear
                   interpolation = Spark percentile / DuckDB
                   quantile_cont, exact over all values (CH evaluates
@@ -1146,30 +1168,25 @@ def _exact_rank_rule_expr(x: str, levels: list[str], rule: str) -> str:
                   is the function's own definition, not a refinement.
       Exclusive — Excel PERCENTILE.EXC / R-6: see _exclusive_expr.
 
-    Plural forms share ONE sort across levels (the _exact_quantiles_
-    plural_expr let trick)."""
+    A PLURAL spelling returns an array even with one level (CH returns
+    Array(T) for every quantiles* form — a scalar here would be a
+    silent dtype mistranslation); singular spellings return the scalar.
+    Plural forms share ONE sort across levels (the
+    _exact_quantiles_plural_expr let trick). Levels outside [0, 1]
+    refuse (CH PARAMETER_OUT_OF_BOUND)."""
     rule = rule.lower()
+    _check_level_range(levels)
     if rule == "inclusive":
-        if len(levels) == 1:
+        if not plural:
             return f"percentile({x}, {levels[0]})"
         return f"percentile({x}, array({', '.join(levels)}))"
     if rule == "exclusive":
         _check_exclusive_levels(levels)
-        return _exclusive_expr(x, levels)
+        return _exclusive_expr(x, levels, plural=plural)
     idx_fn = _exact_index_low if rule == "low" else _exact_index
-    if len(levels) == 1:
-        return (
-            f"try_element_at(array_sort(collect_list({x})), "
-            + idx_fn(levels[0]).format(x=x)
-            + ")"
-        )
-    idx = ", ".join(
-        f"try_element_at(a, {idx_fn(p).format(x=x)})" for p in levels
-    )
-    return (
-        f"element_at(transform(array(array_sort(collect_list({x}))), "
-        f"a -> array({idx})), 1)"
-    )
+    if not plural:
+        return _exact_quantile_expr(x, levels[0], idx_fn=idx_fn)
+    return _exact_quantiles_plural_expr(x, levels, idx_fn=idx_fn)
 
 
 def _exact_weighted_expr(x: str, w: str, p: str) -> str:
@@ -1342,6 +1359,7 @@ def _rewrite_quantile_family(sql: str) -> str:
                 "quantileExactWeighted() takes one level — use "
                 "quantilesExactWeighted(p1, ...)(x, w)"
             )
+        _check_level_range(levels)
         if plural:
             return _exact_weighted_plural_expr(x, w, levels)
         return _exact_weighted_expr(x, w, levels[0])
@@ -1361,7 +1379,7 @@ def _rewrite_quantile_family(sql: str) -> str:
                 f"quantileExact{rule}() takes one level — use "
                 f"quantilesExact{rule}(p1, ...)(x)"
             )
-        return _exact_rank_rule_expr(x, levels, rule)
+        return _exact_rank_rule_expr(x, levels, rule, plural=plural)
 
     def rank_bare_repl(m: "re.Match[str]", raw: str) -> str:
         rule = m.group(1) or m.group(2)
@@ -1376,6 +1394,7 @@ def _rewrite_quantile_family(sql: str) -> str:
             raise UnsupportedClickHouseSQL(
                 "quantile() takes one level — use quantiles(p1, ...)(x)"
             )
+        _check_level_range(levels)
         if m.group(2):  # Exact
             if plural:
                 return _exact_quantiles_plural_expr(x, levels)

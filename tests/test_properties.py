@@ -2070,6 +2070,33 @@ def test_ch_dialect_quantile_topk_rewrites():
     out = translate("SELECT quantilesExactExclusive(0.25, 0.75)(v) FROM t")
     assert out.count("array_sort(collect_list(CAST(v AS DOUBLE)))") == 1
     assert "floor(0.25 * (n + 1))" in out and "floor(0.75 * (n + 1))" in out
+    # a PLURAL spelling returns an array even with ONE level (CH's
+    # quantiles* contract — a scalar would be a silent dtype
+    # mistranslation); the singular spelling stays scalar
+    assert translate(
+        "SELECT quantilesExactInclusive(0.25)(v) FROM t"
+    ).strip() == ("SELECT percentile(v, array(0.25)) FROM t")
+    assert "a -> array(" in translate(
+        "SELECT quantilesExactLow(0.5)(v) FROM t"
+    )
+    assert "n -> array(" in translate(
+        "SELECT quantilesExactExclusive(0.25)(v) FROM t"
+    )
+    # levels outside [0, 1] refuse — CH throws PARAMETER_OUT_OF_BOUND
+    # for every quantile* function (negative literals never parse as
+    # levels and fall to the residual backstop instead)
+    import pytest as _pytest
+
+    for bad_lvl in (
+        "SELECT quantileExact(2)(v) FROM t",
+        "SELECT quantiles(0.5, 1.5)(v) FROM t",
+        "SELECT quantileExactLow(1.5)(v) FROM t",
+        "SELECT quantilesExactWeighted(1.01)(v, w) FROM t",
+    ):
+        with _pytest.raises(
+            UnsupportedClickHouseSQL, match="PARAMETER_OUT_OF_BOUND"
+        ):
+            translate(bad_lvl)
     # sketch combinators still refuse — each changes the sketch
     for bad in (
         "SELECT quantileTiming(0.5)(x) FROM t",
@@ -2174,13 +2201,16 @@ def test_quantile_rank_rules_known_values(spark):
             "quantileExactLow(0.3)(v) AS lo30, "
             "quantileExactInclusive(0.25)(v) AS inc, "
             "quantileExactExclusive(0.25)(v) AS exc, "
-            "quantilesExactLow(0.3, 0.5)(v) AS plo FROM qrr4"
+            "quantilesExactLow(0.3, 0.5)(v) AS plo, "
+            "quantilesExactInclusive(0.25)(v) AS pinc FROM qrr4"
         )
     ).collect()[0]
     assert (row["lo"], row["hi"], row["lo30"]) == (2, 3, 2)
     assert abs(row["inc"] - 1.75) < 1e-12
     assert abs(row["exc"] - 1.25) < 1e-12
     assert row["plo"] == [2, 2]
+    # plural keeps the array shape even for ONE level (CH contract)
+    assert list(row["pinc"]) == [1.75]
     spark.createDataFrame([(1,), (2,)], "v int").createOrReplaceTempView(
         "qrr2"
     )
