@@ -1135,6 +1135,7 @@ def _exclusive_expr(x: str, levels: list[str], plural: bool = False) -> str:
             f"(element_at(a, {k} + 1) - element_at(a, {k})) END"
         )
 
+    assert plural or len(levels) == 1, levels  # see _exact_rank_rule_expr
     body = (
         one(levels[0])
         if not plural
@@ -1175,6 +1176,9 @@ def _exact_rank_rule_expr(
     _exact_quantiles_plural_expr let trick). Levels outside [0, 1]
     refuse (CH PARAMETER_OUT_OF_BOUND)."""
     rule = rule.lower()
+    # singular callers must pre-split to one level — silently computing
+    # only levels[0] would be a wrong-result hazard for future callers
+    assert plural or len(levels) == 1, levels
     _check_level_range(levels)
     if rule == "inclusive":
         if not plural:
