@@ -21,6 +21,11 @@ uniq                approx_count_distinct
 uniqExact           COUNT(DISTINCT x)
 uniqUpTo(N)(x)      LEAST(COUNT(DISTINCT x), N + 1)
 any/anyLast         any_value
+dateDiff/date_diff  timestampdiff over unit-TRUNCATED operands (CH
+                    counts boundary crossings, not complete units)
+age                 timestampdiff (complete units — direct)
+extract(s, 're')    regexp_extract(s, 're', has_group ? 1 : 0) — the
+                    ANSI EXTRACT(f FROM x) form passes through
 argMax/argMin       max_by / min_by (same tie nondeterminism)
 groupArray          collect_list (both unordered in distributed runs)
 groupUniqArray      collect_set
@@ -176,6 +181,20 @@ _REFUSALS: list[tuple[re.Pattern[str], str]] = [
     # topKWeighted(N)(x, w) translates since r11 (exact weight-sum
     # frequencies — see _topk_weighted_expr); any OTHER topK suffix
     # still falls to the residual check and refuses.
+    # locate()'s argument order FLIPPED in ClickHouse 24.1 — older
+    # servers take (haystack, needle), newer default to MySQL's
+    # (needle, haystack) behind function_locate_has_mysql_compatible_
+    # argument_order — and Spark's locate(substr, str) parses either
+    # spelling without complaint, silently searching swapped operands
+    # for half of migrating users. position(haystack, needle) is
+    # version-stable and translates.
+    (
+        re.compile(r"\blocate\s*\(", re.I),
+        "locate's argument order is ClickHouse-version-dependent "
+        "(flipped to MySQL order in 24.1) and Spark would accept either "
+        "silently — write position(haystack, needle) instead "
+        "(translated)",
+    ),
     (re.compile(r"\bON\s+CLUSTER\b", re.I), "cluster DDL is Spark-global (A4)"),
     # FROM t FINAL forces the engine's merge-collapse at read time; the
     # correct translation needs the table's engine family, ORDER BY key
@@ -929,6 +948,175 @@ def _rewrite_format_datetime(sql: str) -> str:
         return f"date_format({expr}, '{pattern.replace(chr(39), chr(39) * 2)}')"
 
     return _sub_outside_literals(_FDT, repl, sql)
+
+
+# ---- dateDiff / age / extract(haystack, re) — the r12 datetime wave ----
+# CH dateDiff counts UNIT-BOUNDARY CROSSINGS (DateDiff in
+# src/Functions/dateDiff.cpp, public ClickHouse source: both operands
+# convert to the unit's relative ordinal and subtract, so
+# dateDiff('day', 23:59:59, next-day 00:01) = 1). That is NOT Spark
+# timestampdiff's complete-unit count — but on unit-TRUNCATED operands
+# the two coincide, so the lowering is
+#   timestampdiff(U, date_trunc('U', s), date_trunc('U', e))
+# (verified per-unit against hand traces; exact at any scale — pure
+# datetime arithmetic: on first-of-unit operands even Spark's
+# months_between-based MONTH counting is an exact integer). CH age()
+# counts COMPLETE elapsed units and maps to timestampdiff for the
+# FIXED-length units only (second/minute/hour/day/week — exact duration
+# arithmetic on both sides). age month/quarter/year REFUSE: Spark's
+# timestampdiff(MONTH) floors months_between's (day2-day1)/31 fraction,
+# which at month-end edges (age('month', Jan31 23:59, Mar01) -> CH 1 via
+# its remainder-tuple rule, Spark 0) disagrees with ClickHouse's
+# complete-month counting — measured, not hypothetical. 'week' refuses
+# for dateDiff (ClickHouse's week ordinal follows toRelativeWeekNum's
+# Sunday convention while Spark's date_trunc('WEEK') starts Monday — a
+# textual map would move rows across the cut) but translates for age
+# (complete 7-day periods involve no boundary convention). Sub-second
+# units refuse.
+#
+# extract(haystack, 'pattern') — CH's regex fragment extractor — is the
+# WORST collision class: Spark parses the same comma spelling as ANSI
+# datetime EXTRACT (field, source), so an untranslated call either
+# errors misleadingly (INVALID_EXTRACT_FIELD) or, with a column named
+# like a field, silently extracts a date part. Literal patterns lower
+# to regexp_extract(haystack, pattern, g) with g = 1 when the pattern
+# has a capturing group (CH "extracts the first subpattern") else 0;
+# (?...) constructs refuse (RE2/Java group+flag syntaxes diverge), and
+# any surviving comma-form extract refuses via a depth-aware scan (the
+# ANSI `EXTRACT(f FROM x)` form has no top-level comma and passes).
+# Pattern flavor: CH is RE2, Spark is Java regex — a domain superset
+# for the accepted subset (no (?...), no backrefs in patterns; classes,
+# quantifiers, alternation, anchors agree).
+_DD_UNIT = {
+    "year": "YEAR", "yyyy": "YEAR", "yy": "YEAR",
+    "quarter": "QUARTER", "qq": "QUARTER", "q": "QUARTER",
+    "month": "MONTH", "mm": "MONTH", "m": "MONTH",
+    "day": "DAY", "dd": "DAY", "d": "DAY",
+    "hour": "HOUR", "hh": "HOUR", "h": "HOUR",
+    "minute": "MINUTE", "mi": "MINUTE", "n": "MINUTE",
+    "second": "SECOND", "ss": "SECOND", "s": "SECOND",
+}
+_DD_WEEK = ("week", "wk", "ww")
+_DATEDIFF = re.compile(
+    rf"\b(dateDiff|date_diff|age)\s*\(\s*'([^']*)'\s*,\s*{_ARG}\s*,\s*{_ARG}\s*\)",
+    re.I,
+)
+_EXTRACT_RX = re.compile(rf"\bextract\s*\(\s*{_ARG}\s*,\s*'([^']*)'\s*\)", re.I)
+
+
+def _extract_group_index(pat: str) -> int:
+    """1 when the pattern has a capturing group (CH extract returns the
+    FIRST subpattern), else 0 — scanned escape- and class-aware; any
+    (?...) construct refuses."""
+    i, n = 0, len(pat)
+    in_class = False
+    saw_capture = False
+    while i < n:
+        c = pat[i]
+        if c == "\\":
+            i += 2
+            continue
+        if in_class:
+            if c == "]":
+                in_class = False
+        elif c == "[":
+            in_class = True
+        elif c == "(":
+            if i + 1 < n and pat[i + 1] == "?":
+                raise UnsupportedClickHouseSQL(
+                    "extract() pattern uses a (?...) group — RE2 and Java "
+                    "group/flag syntaxes diverge there; use a plain "
+                    "capturing group or Spark regexp_extract directly"
+                )
+            saw_capture = True
+        i += 1
+    return 1 if saw_capture else 0
+
+
+def _has_toplevel_comma_call(masked: str, name: str) -> bool:
+    # depth-aware scan (regex lookaheads can't know bracket depth —
+    # the r10 lesson): does any `name(...)` call carry a depth-1 comma?
+    for m in re.finditer(rf"\b{name}\s*\(", masked, re.I):
+        depth, i = 1, m.end()
+        while i < len(masked) and depth:
+            c = masked[i]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif c == "," and depth == 1:
+                return True
+            i += 1
+    return False
+
+
+def _rewrite_datetime_diff(sql: str) -> str:
+    def dd_repl(m: "re.Match[str]", raw: str) -> str:
+        fname = m.group(1).lower()
+        unit = raw[slice(*m.span(2))].strip().lower()
+        s = raw[slice(*m.span(3))].strip()
+        e = raw[slice(*m.span(4))].strip()
+        is_age = fname == "age"
+        if unit in _DD_WEEK:
+            if not is_age:
+                raise UnsupportedClickHouseSQL(
+                    "dateDiff('week', ...) — ClickHouse counts "
+                    "Sunday-based toRelativeWeekNum boundaries, Spark's "
+                    "week starts Monday; count day boundaries "
+                    "(dateDiff('day', ...) then divide) or truncate "
+                    "explicitly with date_trunc"
+                )
+            u = "WEEK"
+        else:
+            u = _DD_UNIT.get(unit)
+        if is_age and u in ("MONTH", "QUARTER", "YEAR"):
+            raise UnsupportedClickHouseSQL(
+                f"age({unit!r}, ...) — Spark's timestampdiff floors a "
+                "months_between /31 fraction, which disagrees with "
+                "ClickHouse's complete-month rule at month-end edges "
+                "(Jan31 23:59 -> Mar01: CH 1, Spark 0); use "
+                "dateDiff('month', ...) (boundary counting, translated) "
+                "or spell the remainder-tuple rule explicitly"
+            )
+        if u is None:
+            raise UnsupportedClickHouseSQL(
+                f"{fname} unit {unit!r} — year/quarter/month/day/hour/"
+                "minute/second translate (+ week for age); sub-second "
+                "units have no boundary-exact Spark twin here"
+            )
+        if is_age:
+            return f"timestampdiff({u}, {s}, {e})"
+        return (
+            f"timestampdiff({u}, date_trunc('{u}', {s}), "
+            f"date_trunc('{u}', {e}))"
+        )
+
+    def extract_repl(m: "re.Match[str]", raw: str) -> str:
+        hay = raw[slice(*m.span(1))].strip()
+        pat = raw[slice(*m.span(2))]
+        return f"regexp_extract({hay}, '{pat}', {_extract_group_index(pat)})"
+
+    out = _sub_outside_literals(_DATEDIFF, dd_repl, sql)
+    out = _sub_outside_literals(_EXTRACT_RX, extract_repl, out)
+    masked = _mask_literals(out)
+    # leftovers the regexes could not parse must refuse, not fall
+    # through: a comma-form extract PARSES in Spark as ANSI datetime
+    # extraction (wrong semantics), and a unit-literal dateDiff/age
+    # (4-arg timezone form, nested args) would hit an opaque arg-count
+    # error
+    if _has_toplevel_comma_call(masked, "extract"):
+        raise UnsupportedClickHouseSQL(
+            "could not rewrite a comma-form extract(haystack, pattern) "
+            "(non-literal or quote-bearing pattern?) — Spark would parse "
+            "it as ANSI datetime EXTRACT; use regexp_extract directly"
+        )
+    if re.search(r"\b(?:dateDiff|date_diff|age)\s*\(\s*'", masked, re.I):
+        raise UnsupportedClickHouseSQL(
+            "could not rewrite dateDiff/age (4-arg timezone form or "
+            "nested arguments?) — flatten the call; the 3-arg "
+            "unit-literal form translates"
+        )
+    return out
 
 
 # replaceRegexpAll: the PATTERN dialects are close (RE2 vs Java), but
@@ -1724,6 +1912,7 @@ def translate(ch_sql: str) -> str:
     out = _rewrite_multiif(out)
     out = _rewrite_brackets(out)
     out = _rewrite_format_datetime(out)
+    out = _rewrite_datetime_diff(out)
     out = _rewrite_replace_regexp(out)
     out = _rewrite_quantile_family(out)
     out = _rewrite_totals(out)

@@ -1692,10 +1692,12 @@ def test_ch_dialect_rewrites_never_fire_inside_literals():
         "SELECT x FROM t WHERE s = 'quantileExactWeighted(0.5)(v, w)'",
         "SELECT x FROM t WHERE s = 'medianExactWeighted(v, w)'",
         "SELECT x FROM t WHERE s = 'topKWeighted(3)(v, w) avgWeighted(v, w)'",
-        # r12 rewrite family: exact rank rules
+        # r12 rewrite families: exact rank rules + datetime diff
         "SELECT x FROM t WHERE s = 'quantileExactLow(v) medianExactHigh(v)'",
         "SELECT x FROM t WHERE s = 'quantilesExactExclusive(0.25)(v)'",
         "SELECT x FROM t WHERE s = 'quantileExactInclusive(0.5)(v)'",
+        "SELECT x FROM t WHERE s = 'dateDiff(''day'', a, b) age(u, a, b)'",
+        "SELECT x FROM t WHERE s = 'extract(h, p) locate(h, n)'",
     ]:
         assert translate(sql) == sql, sql
     # group captures that CONTAIN literals splice raw content, and
@@ -1962,6 +1964,8 @@ _TRAP_LITERALS = st.sampled_from(
         "quantile(0.5)(x) topK(3)(y)",
         "quantileExactLow(x) quantilesExactExclusive(0.25)(y)",
         "medianExactHigh(v) quantileExactInclusive(0.5)(v)",
+        "dateDiff(day, a, b) age(hour, a, b)",
+        "extract(s, p) locate(h, n)",
         "WITH 5 AS c",
         "dictGet(d, a, k)",
         "plus(a, b) divide(c, d)",
@@ -2241,6 +2245,120 @@ def test_quantile_rank_rules_known_values(spark):
         )
     ).collect()[0]
     assert empty["lo"] is None and empty["exc"] is None and empty["inc"] is None
+
+
+def test_ch_dialect_datetime_diff_semantics(spark):
+    """r12 datetime wave: dateDiff counts UNIT-BOUNDARY CROSSINGS (CH
+    dateDiff.cpp: relative-ordinal subtraction), lowered to
+    timestampdiff over unit-truncated operands; age counts COMPLETE
+    units = timestampdiff directly; extract(haystack, 'regex') lowers
+    to regexp_extract with the CH first-subpattern group rule. Hand
+    traces, then a fixture-scale differential against DuckDB's own
+    date_diff (boundary) / date_sub (complete) twins."""
+    import pytest as _pytest
+
+    from clickhouse_data_rebalance_spark.plans.ch_dialect import (
+        UnsupportedClickHouseSQL,
+        translate,
+    )
+    from .oracle_harness import compare, duck_connection
+
+    assert translate("SELECT dateDiff('day', a, b) FROM t").strip() == (
+        "SELECT timestampdiff(DAY, date_trunc('DAY', a), "
+        "date_trunc('DAY', b)) FROM t"
+    )
+    assert translate("SELECT age('day', a, b) FROM t").strip() == (
+        "SELECT timestampdiff(DAY, a, b) FROM t"
+    )
+    assert translate("SELECT age('week', a, b) FROM t").strip() == (
+        "SELECT timestampdiff(WEEK, a, b) FROM t"
+    )
+    # ANSI EXTRACT(f FROM x) passes through untouched; 2-arg Spark
+    # date_diff (not valid CH, valid Spark) passes through untouched
+    for passthrough in (
+        "SELECT extract(YEAR FROM ts) FROM t",
+        "SELECT date_diff(a, b) FROM t",
+    ):
+        assert translate(passthrough) == passthrough
+    for bad, msg in (
+        ("SELECT dateDiff('week', a, b) FROM t", "Sunday-based"),
+        ("SELECT dateDiff('millisecond', a, b) FROM t", "unit"),
+        ("SELECT dateDiff('day', a, b, 'UTC') FROM t", "timezone"),
+        # Spark timestampdiff(MONTH) floors months_between's /31
+        # fraction — diverges from CH's complete-month rule at
+        # month-end edges (measured: Jan31 23:59 -> Mar01 gives CH 1,
+        # Spark 0) — so age's variable-length units refuse
+        ("SELECT age('month', a, b) FROM t2", "month-end"),
+        ("SELECT age('year', a, b) FROM t2", "month-end"),
+        ("SELECT extract(s, '(?i)abc') FROM t", "RE2"),
+        ("SELECT extract(s, p) FROM t", "ANSI datetime EXTRACT"),
+        ("SELECT locate(h, n) FROM t", "version-dependent"),
+    ):
+        with _pytest.raises(UnsupportedClickHouseSQL, match=msg):
+            translate(bad)
+
+    # hand traces: 2 minutes across midnight = 1 day / 1 hour / 2 min
+    # boundaries but ZERO complete days/hours; month boundary Jan31 ->
+    # Feb01 = 1 crossing; age('month', Jan31, Mar01) = 1 complete
+    # (Jan31 + 1mo = Feb29 <= Mar01 in 2024)
+    spark.sql(
+        "SELECT TIMESTAMP_NTZ '2024-01-31 23:59:00' AS s, "
+        "TIMESTAMP_NTZ '2024-02-01 00:01:00' AS e, "
+        "TIMESTAMP_NTZ '2024-03-01 00:00:00' AS e2, "
+        "'id12 user@corp' AS txt"
+    ).createOrReplaceTempView("ddt")
+    row = spark.sql(
+        translate(
+            "SELECT dateDiff('day', s, e) AS dd, dateDiff('hour', s, e) AS dh, "
+            "dateDiff('minute', s, e) AS dmi, dateDiff('month', s, e) AS dmo, "
+            "age('day', s, e) AS ad, age('hour', s, e) AS ah, "
+            "age('day', s, e2) AS ad2, dateDiff('day', e, s) AS neg, "
+            "extract(txt, '[0-9]+') AS x0, "
+            "extract(txt, '([a-z]+)@') AS x1, "
+            "extract(txt, 'zzz') AS xmiss FROM ddt"
+        )
+    ).collect()[0]
+    assert (row["dd"], row["dh"], row["dmi"], row["dmo"]) == (1, 1, 2, 1)
+    # Jan31 23:59 -> Mar01 00:00 = 29 complete days (+30 overshoots)
+    assert (row["ad"], row["ah"], row["ad2"]) == (0, 0, 29)
+    assert row["neg"] == -1  # signed, end < start
+    assert (row["x0"], row["x1"], row["xmiss"]) == ("12", "user", "")
+
+    # fixture differential: per-user sums of every unit over (first
+    # event, event) pairs — DuckDB's date_diff/date_sub are the
+    # independent boundary/complete twins
+    inner = (
+        "(SELECT user_id, ts, min(ts) OVER (PARTITION BY user_id) AS t0 "
+        "FROM events) x"
+    )
+    ch_q = (
+        "SELECT user_id, "
+        "sum(dateDiff('day', t0, ts)) AS d_day, "
+        "sum(dateDiff('hour', t0, ts)) AS d_hour, "
+        "sum(dateDiff('month', t0, ts)) AS d_month, "
+        "sum(age('day', t0, ts)) AS a_day, "
+        "sum(age('hour', t0, ts)) AS a_hour "
+        f"FROM {inner} GROUP BY user_id ORDER BY user_id"
+    )
+    duck_q = (
+        "SELECT user_id, "
+        "sum(date_diff('day', t0, ts)) AS d_day, "
+        "sum(date_diff('hour', t0, ts)) AS d_hour, "
+        "sum(date_diff('month', t0, ts)) AS d_month, "
+        "sum(date_sub('day', t0, ts)) AS a_day, "
+        "sum(date_sub('hour', t0, ts)) AS a_hour "
+        f"FROM {inner} GROUP BY user_id ORDER BY user_id"
+    )
+    from clickhouse_data_rebalance_spark.tables import load_tables
+
+    load_tables(spark, SF_SMALL)["events"].createOrReplaceTempView("events")
+    con = duck_connection(SF_SMALL)
+    try:
+        compare(
+            spark.sql(translate(ch_q)), con, duck_q, name="datetime_diff"
+        )
+    finally:
+        con.close()
 
 
 def test_with_fill_restart_semantics(spark):
