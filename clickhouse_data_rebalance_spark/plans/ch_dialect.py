@@ -794,6 +794,62 @@ def _rewrite_multiif(sql: str) -> str:
         sql = sql[: m.start()] + case + sql[i:]
 
 
+_LG_HEAD = re.compile(r"\b(least|greatest)\s*\(", re.I)
+
+
+def _rewrite_least_greatest(sql: str) -> str:
+    """NULL-propagation guard for least/greatest (r12): ClickHouse's
+    least/greatest are ordinary functions — ANY NULL argument makes the
+    result NULL — while Spark's SKIP nulls and return the extreme of
+    the non-null arguments (greatest(1, NULL) = 1). Same name, silently
+    different answers: exactly the position()/bracket-indexing collision
+    class. Each user-written call becomes
+    `(CASE WHEN (a) IS NULL OR (b) IS NULL ... THEN NULL ELSE
+    least((a), (b), ...) END)` — arguments are evaluated twice, both
+    row-local (CH users pass columns/arithmetic here). Nested calls
+    recurse argument-first with an explicit cursor, so the emitted ELSE
+    call is never re-matched and the later rewrite stages' OWN
+    least/greatest spellings (quantile index clamps, weighted
+    thresholds — all over provably non-null counts) run after this
+    stage and stay untouched. 1-argument calls pass through (not valid
+    ClickHouse; Spark refuses them loudly)."""
+    masked = _mask_literals(sql)
+    m = _LG_HEAD.search(masked)
+    if not m:
+        return sql
+    out: list[str] = []
+    pos = 0
+    while m:
+        name = m.group(1).lower()
+        depth, i = 1, m.end()
+        while i < len(masked) and depth:
+            c = masked[i]  # masked copy: literal contents carry no parens
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            i += 1
+        if depth:
+            raise UnsupportedClickHouseSQL(
+                f"unbalanced parentheses in {name}()"
+            )
+        args = [
+            _rewrite_least_greatest(a.strip())
+            for a in _split_top_level_args(sql[m.end() : i - 1])
+        ]
+        out.append(sql[pos : m.start()])
+        if len(args) < 2:
+            out.append(sql[m.start() : i])
+        else:
+            checks = " OR ".join(f"({a}) IS NULL" for a in args)
+            call = f"{name}({', '.join(f'({a})' for a in args)})"
+            out.append(f"(CASE WHEN {checks} THEN NULL ELSE {call} END)")
+        pos = i
+        m = _LG_HEAD.search(masked, i)
+    out.append(sql[pos:])
+    return "".join(out)
+
+
 _IDX_BASE = re.compile(r"([A-Za-z_][\w]*(?:\.[A-Za-z_][\w]*)*)\s*$")
 
 # a bracket after one of these words starts an array LITERAL, not an
@@ -1910,6 +1966,7 @@ def translate(ch_sql: str) -> str:
     out = _rewrite_limit_by(ch_sql)
     out = _rewrite_limit_ties(out)
     out = _rewrite_multiif(out)
+    out = _rewrite_least_greatest(out)
     out = _rewrite_brackets(out)
     out = _rewrite_format_datetime(out)
     out = _rewrite_datetime_diff(out)

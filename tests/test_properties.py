@@ -2247,6 +2247,48 @@ def test_quantile_rank_rules_known_values(spark):
     assert empty["lo"] is None and empty["exc"] is None and empty["inc"] is None
 
 
+def test_ch_dialect_least_greatest_null_propagation(spark):
+    """r12: ClickHouse least/greatest are ordinary functions — any NULL
+    argument yields NULL — while Spark's SKIP nulls (greatest(1, NULL)
+    = 1). The rewrite wraps every user-written call in an explicit
+    NULL-propagation CASE; generated spellings (quantile index clamps)
+    are emitted by LATER stages and stay untouched."""
+    from clickhouse_data_rebalance_spark.plans.ch_dialect import translate
+
+    out = translate("SELECT greatest(a, b, c) FROM t")
+    assert (
+        "(CASE WHEN (a) IS NULL OR (b) IS NULL OR (c) IS NULL "
+        "THEN NULL ELSE greatest((a), (b), (c)) END)" in out
+    )
+    # nested calls recurse argument-first — the inner call keeps its own
+    # guard inside the outer's (the guarded inner text appears in the
+    # outer's IS NULL check AND its ELSE call: 3 CASEs for 2 calls)
+    nested = translate("SELECT least(least(a, b), c) FROM t")
+    assert nested.count("CASE WHEN") == 3
+    assert "least(((CASE WHEN (a) IS NULL" in nested
+    # literals stay data; the quantile clamp's own greatest/least (a
+    # LATER rewrite stage's output) is not wrapped
+    lit = "SELECT 'least(a, b) here' AS s FROM t"
+    assert translate(lit) == lit
+    q = translate("SELECT quantileExact(0.25)(v) FROM t")
+    assert "greatest(least(CAST" in q and q.count("CASE WHEN") == 0
+
+    spark.createDataFrame(
+        [(1, None, 5), (2, 3, None), (3, 7, 2)],
+        "id int, x int, y int",
+    ).createOrReplaceTempView("lg_t")
+    rows = spark.sql(
+        translate(
+            "SELECT id, least(x, y) AS lo, greatest(x, y) AS hi, "
+            "greatest(x, y, 0) AS hi3 FROM lg_t ORDER BY id"
+        )
+    ).collect()
+    got = [(r["lo"], r["hi"], r["hi3"]) for r in rows]
+    # CH semantics: any NULL argument -> NULL (Spark bare would give
+    # (5,5,5) / (3,3,3) on the first two rows)
+    assert got == [(None, None, None), (None, None, None), (2, 7, 7)]
+
+
 def test_ch_dialect_datetime_diff_semantics(spark):
     """r12 datetime wave: dateDiff counts UNIT-BOUNDARY CROSSINGS (CH
     dateDiff.cpp: relative-ordinal subtraction), lowered to
