@@ -797,7 +797,42 @@ def _rewrite_multiif(sql: str) -> str:
 _LG_HEAD = re.compile(r"\b(least|greatest)\s*\(", re.I)
 
 
-def _rewrite_least_greatest(sql: str) -> str:
+def _scan_to_close(masked: str, start: int) -> int:
+    """Index just past the ')' closing the '(' that precedes ``start``,
+    scanning the literal-MASKED copy (masked literal contents carry no
+    parens). Raises on unbalanced text."""
+    depth, i = 1, start
+    while i < len(masked) and depth:
+        c = masked[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        i += 1
+    if depth:
+        raise UnsupportedClickHouseSQL("unbalanced parentheses")
+    return i
+
+
+def _lg_leaves(name: str, arg: str) -> list[str]:
+    # flatten SAME-function nesting: least(a, least(b, c)) has exactly
+    # least(a, b, c)'s semantics in CH (min of all, NULL if any NULL),
+    # and the pre-variadic ClickHouse idiom chains 2-arg calls — without
+    # flattening, the guard's double-embedding grows 2^depth
+    m = re.match(rf"{name}\s*\(", arg, re.I)
+    if m and arg.endswith(")"):
+        try:
+            pieces = _split_top_level_args(arg[m.end() : -1])
+        except UnsupportedClickHouseSQL:
+            return [arg]  # trailing ')' closes something else
+        out: list[str] = []
+        for p in pieces:
+            out.extend(_lg_leaves(name, p.strip()))
+        return out
+    return [arg]
+
+
+def _rewrite_least_greatest(sql: str, depth: int = 0) -> str:
     """NULL-propagation guard for least/greatest (r12): ClickHouse's
     least/greatest are ordinary functions — ANY NULL argument makes the
     result NULL — while Spark's SKIP nulls and return the extreme of
@@ -806,13 +841,22 @@ def _rewrite_least_greatest(sql: str) -> str:
     class. Each user-written call becomes
     `(CASE WHEN (a) IS NULL OR (b) IS NULL ... THEN NULL ELSE
     least((a), (b), ...) END)` — arguments are evaluated twice, both
-    row-local (CH users pass columns/arithmetic here). Nested calls
-    recurse argument-first with an explicit cursor, so the emitted ELSE
-    call is never re-matched and the later rewrite stages' OWN
+    row-local (CH users pass columns/arithmetic here). SAME-function
+    nesting flattens first (identical CH semantics, kills the
+    2^depth growth on idiomatic 2-arg chains); MIXED nesting recurses
+    argument-first with an explicit cursor (the emitted ELSE call is
+    never re-matched) and refuses past depth 8, where the doubling
+    would make the emitted text megabytes. Later rewrite stages' OWN
     least/greatest spellings (quantile index clamps, weighted
     thresholds — all over provably non-null counts) run after this
-    stage and stay untouched. 1-argument calls pass through (not valid
-    ClickHouse; Spark refuses them loudly)."""
+    stage and stay untouched. 1-argument calls keep their (recursed)
+    argument and pass to Spark's loud arity error."""
+    if depth > 8:
+        raise UnsupportedClickHouseSQL(
+            "least/greatest nested deeper than 8 mixed levels — the "
+            "NULL-propagation guard doubles per level; flatten to the "
+            "variadic form least(a, b, c, ...)"
+        )
     masked = _mask_literals(sql)
     m = _LG_HEAD.search(masked)
     if not m:
@@ -821,25 +865,21 @@ def _rewrite_least_greatest(sql: str) -> str:
     pos = 0
     while m:
         name = m.group(1).lower()
-        depth, i = 1, m.end()
-        while i < len(masked) and depth:
-            c = masked[i]  # masked copy: literal contents carry no parens
-            if c == "(":
-                depth += 1
-            elif c == ")":
-                depth -= 1
-            i += 1
-        if depth:
+        try:
+            i = _scan_to_close(masked, m.end())
+        except UnsupportedClickHouseSQL:
             raise UnsupportedClickHouseSQL(
                 f"unbalanced parentheses in {name}()"
-            )
-        args = [
-            _rewrite_least_greatest(a.strip())
-            for a in _split_top_level_args(sql[m.end() : i - 1])
-        ]
+            ) from None
+        leaves: list[str] = []
+        for a in _split_top_level_args(sql[m.end() : i - 1]):
+            leaves.extend(_lg_leaves(name, a.strip()))
+        args = [_rewrite_least_greatest(a, depth + 1) for a in leaves]
         out.append(sql[pos : m.start()])
         if len(args) < 2:
-            out.append(sql[m.start() : i])
+            # not valid CH; keep the recursed arg so nested calls stay
+            # guarded, and let Spark's arity check refuse loudly
+            out.append(f"{name}({', '.join(args)})")
         else:
             checks = " OR ".join(f"({a}) IS NULL" for a in args)
             call = f"{name}({', '.join(f'({a})' for a in args)})"
@@ -1062,30 +1102,41 @@ _EXTRACT_RX = re.compile(rf"\bextract\s*\(\s*{_ARG}\s*,\s*'([^']*)'\s*\)", re.I)
 
 def _extract_group_index(pat: str) -> int:
     """1 when the pattern has a capturing group (CH extract returns the
-    FIRST subpattern), else 0 — scanned escape- and class-aware; any
-    (?...) construct refuses."""
-    i, n = 0, len(pat)
+    FIRST subpattern), else 0 — scanned class-aware. BACKSLASH-bearing
+    patterns refuse outright (review finding, r12): the two engines'
+    STRING-LITERAL escape dialects diverge before the regex engine ever
+    sees the text — CH unescapes \\x41 to 'A' and preserves unknown
+    escapes, Spark's unescaper has no \\x and drops the backslash from
+    unknown escapes — so the same literal denotes different regexes
+    ('\\x41+' means A-runs in CH and 'x41' repetitions in Spark), and
+    group-ness judged on the literal (\\( vs () would be wrong anyway.
+    Without backslashes the literal IS the regex on both engines, so
+    the scan below is exact. (?...) constructs refuse (RE2/Java
+    group+flag syntaxes diverge)."""
+    if "\\" in pat:
+        raise UnsupportedClickHouseSQL(
+            "extract() pattern contains backslash escapes — ClickHouse "
+            "and Spark unescape string literals differently (\\x41 vs "
+            "x41; \\( group-ness flips), so the same text denotes "
+            "different regexes; use Spark regexp_extract directly with "
+            "a Spark-escaped pattern"
+        )
     in_class = False
     saw_capture = False
-    while i < n:
-        c = pat[i]
-        if c == "\\":
-            i += 2
-            continue
+    for i, c in enumerate(pat):
         if in_class:
             if c == "]":
                 in_class = False
         elif c == "[":
             in_class = True
         elif c == "(":
-            if i + 1 < n and pat[i + 1] == "?":
+            if i + 1 < len(pat) and pat[i + 1] == "?":
                 raise UnsupportedClickHouseSQL(
                     "extract() pattern uses a (?...) group — RE2 and Java "
                     "group/flag syntaxes diverge there; use a plain "
                     "capturing group or Spark regexp_extract directly"
                 )
             saw_capture = True
-        i += 1
     return 1 if saw_capture else 0
 
 
@@ -1966,10 +2017,14 @@ def translate(ch_sql: str) -> str:
     out = _rewrite_limit_by(ch_sql)
     out = _rewrite_limit_ties(out)
     out = _rewrite_multiif(out)
-    out = _rewrite_least_greatest(out)
     out = _rewrite_brackets(out)
     out = _rewrite_format_datetime(out)
     out = _rewrite_datetime_diff(out)
+    # AFTER datetime_diff (review finding, r12): the guard's CASE
+    # expansion would otherwise push dateDiff('day', least(a, b), c)
+    # past _ARG's one paren level and falsely refuse a flat user call;
+    # neither stage emits the other's trigger tokens in this order
+    out = _rewrite_least_greatest(out)
     out = _rewrite_replace_regexp(out)
     out = _rewrite_quantile_family(out)
     out = _rewrite_totals(out)

@@ -2253,19 +2253,42 @@ def test_ch_dialect_least_greatest_null_propagation(spark):
     = 1). The rewrite wraps every user-written call in an explicit
     NULL-propagation CASE; generated spellings (quantile index clamps)
     are emitted by LATER stages and stay untouched."""
-    from clickhouse_data_rebalance_spark.plans.ch_dialect import translate
+    import pytest as _pytest
+
+    from clickhouse_data_rebalance_spark.plans.ch_dialect import (
+        UnsupportedClickHouseSQL,
+        translate,
+    )
 
     out = translate("SELECT greatest(a, b, c) FROM t")
     assert (
         "(CASE WHEN (a) IS NULL OR (b) IS NULL OR (c) IS NULL "
         "THEN NULL ELSE greatest((a), (b), (c)) END)" in out
     )
-    # nested calls recurse argument-first — the inner call keeps its own
-    # guard inside the outer's (the guarded inner text appears in the
-    # outer's IS NULL check AND its ELSE call: 3 CASEs for 2 calls)
+    # SAME-function nesting FLATTENS (identical CH semantics: min of
+    # all, NULL if any NULL) — one guard over the leaf args, so the
+    # idiomatic pre-variadic 2-arg chain cannot grow 2^depth
     nested = translate("SELECT least(least(a, b), c) FROM t")
-    assert nested.count("CASE WHEN") == 3
-    assert "least(((CASE WHEN (a) IS NULL" in nested
+    assert nested.count("CASE WHEN") == 1
+    assert "least((a), (b), (c))" in nested
+    # MIXED nesting keeps per-call guards (argument-first recursion)
+    mixed = translate("SELECT greatest(least(a, b), c) FROM t")
+    assert mixed.count("CASE WHEN") == 3  # inner guard embeds twice
+    # ... and refuses past depth 8 where the doubling explodes
+    deep = "x"
+    for k in range(10):
+        fn = "least" if k % 2 == 0 else "greatest"
+        deep = f"{fn}({deep}, {k})"
+    with _pytest.raises(UnsupportedClickHouseSQL, match="deeper than 8"):
+        translate(f"SELECT {deep} FROM t")
+    # 1-arg (not valid CH): inner calls stay guarded, arity error is
+    # Spark's to raise
+    one = translate("SELECT least(greatest(a, b)) FROM t")
+    assert one.count("CASE WHEN") == 1 and "least((CASE" in one
+    # a flat dateDiff with a least() argument translates BOTH constructs
+    # (stage order: datetime diff first, guard after)
+    both = translate("SELECT dateDiff('day', least(a, b), c) FROM t")
+    assert "timestampdiff(DAY" in both and both.count("CASE WHEN") == 1
     # literals stay data; the quantile clamp's own greatest/least (a
     # LATER rewrite stage's output) is not wrapped
     lit = "SELECT 'least(a, b) here' AS s FROM t"
@@ -2333,6 +2356,10 @@ def test_ch_dialect_datetime_diff_semantics(spark):
         ("SELECT age('month', a, b) FROM t2", "month-end"),
         ("SELECT age('year', a, b) FROM t2", "month-end"),
         ("SELECT extract(s, '(?i)abc') FROM t", "RE2"),
+        # escape dialects diverge BEFORE the regex engine: CH \x41 ->
+        # 'A', Spark drops the backslash -> 'x41' (review finding)
+        ("SELECT extract(s, '\\\\d+') FROM t", "backslash"),
+        ("SELECT extract(s, 'v\\\\(x\\\\)') FROM t", "backslash"),
         ("SELECT extract(s, p) FROM t", "ANSI datetime EXTRACT"),
         ("SELECT locate(h, n) FROM t", "version-dependent"),
     ):
