@@ -761,26 +761,18 @@ def _rewrite_multiif(sql: str) -> str:
     Occurrences are located on the literal-masked copy so a string like
     'has multiIf(x, 1, 2) inside' is data, never rewritten."""
     while True:
-        matches = list(_MULTIIF_HEAD.finditer(_mask_literals(sql)))
+        masked = _mask_literals(sql)
+        matches = list(_MULTIIF_HEAD.finditer(masked))
         if not matches:
             return sql
         m = matches[-1]  # last occurrence = never contains another
         start = m.end()  # just past the '('
-        depth, i = 1, start
-        while i < len(sql) and depth:
-            c = sql[i]
-            if c == "'":
-                j = sql.find("'", i + 1)
-                if j < 0:
-                    raise UnsupportedClickHouseSQL("unterminated string literal")
-                i = j
-            elif c == "(":
-                depth += 1
-            elif c == ")":
-                depth -= 1
-            i += 1
-        if depth:
-            raise UnsupportedClickHouseSQL("unbalanced multiIf parentheses")
+        try:
+            i = _scan_to_close(masked, start)
+        except UnsupportedClickHouseSQL:
+            raise UnsupportedClickHouseSQL(
+                "unbalanced multiIf parentheses"
+            ) from None
         args = [a.strip() for a in _split_top_level_args(sql[start : i - 1])]
         if len(args) < 3 or len(args) % 2 == 0:
             raise UnsupportedClickHouseSQL(
@@ -818,18 +810,29 @@ def _lg_leaves(name: str, arg: str) -> list[str]:
     # flatten SAME-function nesting: least(a, least(b, c)) has exactly
     # least(a, b, c)'s semantics in CH (min of all, NULL if any NULL),
     # and the pre-variadic ClickHouse idiom chains 2-arg calls — without
-    # flattening, the guard's double-embedding grows 2^depth
-    m = re.match(rf"{name}\s*\(", arg, re.I)
-    if m and arg.endswith(")"):
-        try:
-            pieces = _split_top_level_args(arg[m.end() : -1])
-        except UnsupportedClickHouseSQL:
-            return [arg]  # trailing ')' closes something else
-        out: list[str] = []
-        for p in pieces:
-            out.extend(_lg_leaves(name, p.strip()))
-        return out
-    return [arg]
+    # flattening, the guard's double-embedding grows 2^depth. Iterative
+    # (explicit work stack): a machine-generated 1000-deep chain must
+    # flatten, not blow Python's recursion limit (review finding).
+    head = re.compile(rf"{name}\s*\(", re.I)
+    out: list[str] = []
+    stack = [arg]
+    while stack:
+        a = stack.pop()
+        m = head.match(a)
+        if m and a.endswith(")"):
+            try:
+                pieces = _split_top_level_args(a[m.end() : -1])
+            except UnsupportedClickHouseSQL:
+                out.append(a)  # trailing ')' closes something else
+                continue
+            if len(pieces) >= 2:
+                stack.extend(p.strip() for p in reversed(pieces))
+                continue
+            # a 1-arg same-name call is not valid CH — keep it intact
+            # so it reaches Spark's loud arity error instead of being
+            # silently legalized by the flatten (review finding)
+        out.append(a)
+    return out
 
 
 def _rewrite_least_greatest(sql: str, depth: int = 0) -> str:
@@ -853,9 +856,10 @@ def _rewrite_least_greatest(sql: str, depth: int = 0) -> str:
     argument and pass to Spark's loud arity error."""
     if depth > 8:
         raise UnsupportedClickHouseSQL(
-            "least/greatest nested deeper than 8 mixed levels — the "
-            "NULL-propagation guard doubles per level; flatten to the "
-            "variadic form least(a, b, c, ...)"
+            "least/greatest ALTERNATING more than 8 levels deep — the "
+            "NULL-propagation guard doubles per mixed level (same-name "
+            "chains flatten and never hit this); precompute inner "
+            "min/max steps as subquery/CTE columns and compose those"
         )
     masked = _mask_literals(sql)
     m = _LG_HEAD.search(masked)
@@ -871,16 +875,22 @@ def _rewrite_least_greatest(sql: str, depth: int = 0) -> str:
             raise UnsupportedClickHouseSQL(
                 f"unbalanced parentheses in {name}()"
             ) from None
-        leaves: list[str] = []
-        for a in _split_top_level_args(sql[m.end() : i - 1]):
-            leaves.extend(_lg_leaves(name, a.strip()))
-        args = [_rewrite_least_greatest(a, depth + 1) for a in leaves]
+        raw_args = [
+            a.strip() for a in _split_top_level_args(sql[m.end() : i - 1])
+        ]
         out.append(sql[pos : m.start()])
-        if len(args) < 2:
-            # not valid CH; keep the recursed arg so nested calls stay
-            # guarded, and let Spark's arity check refuse loudly
-            out.append(f"{name}({', '.join(args)})")
+        if len(raw_args) < 2:
+            # not valid CH — arity-check BEFORE flattening (review
+            # finding: least(least(a, b)) must stay 1-arg and reach
+            # Spark's loud arity error, not be silently legalized);
+            # recurse the arg so any nested calls inside stay guarded
+            inner = [_rewrite_least_greatest(a, depth + 1) for a in raw_args]
+            out.append(f"{name}({', '.join(inner)})")
         else:
+            leaves: list[str] = []
+            for a in raw_args:
+                leaves.extend(_lg_leaves(name, a))
+            args = [_rewrite_least_greatest(a, depth + 1) for a in leaves]
             checks = " OR ".join(f"({a}) IS NULL" for a in args)
             call = f"{name}({', '.join(f'({a})' for a in args)})"
             out.append(f"(CASE WHEN {checks} THEN NULL ELSE {call} END)")

@@ -2279,12 +2279,22 @@ def test_ch_dialect_least_greatest_null_propagation(spark):
     for k in range(10):
         fn = "least" if k % 2 == 0 else "greatest"
         deep = f"{fn}({deep}, {k})"
-    with _pytest.raises(UnsupportedClickHouseSQL, match="deeper than 8"):
+    with _pytest.raises(UnsupportedClickHouseSQL, match="8 levels deep"):
         translate(f"SELECT {deep} FROM t")
     # 1-arg (not valid CH): inner calls stay guarded, arity error is
-    # Spark's to raise
+    # Spark's to raise — including when the sole arg is a SAME-name
+    # call (arity checks before flattening, so it is not legalized)
     one = translate("SELECT least(greatest(a, b)) FROM t")
     assert one.count("CASE WHEN") == 1 and "least((CASE" in one
+    same = translate("SELECT least(least(a, b)) FROM t")
+    assert same.startswith("SELECT least((CASE WHEN (a) IS NULL")
+    # deep SAME-name chains flatten iteratively — linear output, one
+    # guard, no RecursionError (review finding)
+    deep_same = "x"
+    for k in range(1000):
+        deep_same = f"least({deep_same}, {k})"
+    flat = translate(f"SELECT {deep_same} FROM t")
+    assert flat.count("CASE WHEN") == 1 and len(flat) < 50_000
     # a flat dateDiff with a least() argument translates BOTH constructs
     # (stage order: datetime diff first, guard after)
     both = translate("SELECT dateDiff('day', least(a, b), c) FROM t")
