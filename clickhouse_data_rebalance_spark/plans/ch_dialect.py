@@ -320,6 +320,28 @@ _REWRITES: list[tuple[re.Pattern[str], str]] = [
     (re.compile(r"\bcount\s*\(\s*\)", re.I), "count(*)"),
     # ---- type conversions ----
     (re.compile(rf"\btoU?Int\d+\s*\(\s*{_ARG}\s*\)", re.I), r"CAST(\1 AS BIGINT)"),
+    # CH rand() is a UInt32 INTEGER in [0, 2^32) — Spark's same-named
+    # rand() is a double in [0, 1), the silent-collision class (a CH
+    # user's rand() % 100 would quietly become a fraction). Scale
+    # Spark's to the CH domain; the optional argument exists in CH only
+    # to defeat common-subexpression elimination and is ignored there,
+    # so it is ignored here too. randCanonical() IS Spark's rand()
+    # contract ([0, 1) double). Both are nondeterministic in BOTH
+    # engines — reproducible sampling wants the md5-derived operators
+    # (sample_fraction / stratified_sample), not rand. rand64 refuses
+    # (a 53-bit double mantissa cannot fill 64 uniform bits).
+    # ORDER: the bare-rand entry must run BEFORE randCanonical's, whose
+    # replacement emits a rand() that must not be re-matched (table
+    # entries rescan the running text; a single entry never rescans its
+    # own output)
+    (
+        re.compile(rf"\brand\s*\(\s*{_ARG}\s*\)", re.I),
+        "CAST(floor(rand() * 4294967296) AS BIGINT)",
+    ),
+    (
+        re.compile(rf"\brandCanonical\s*\(\s*{_ARG}\s*\)", re.I),
+        "rand()",
+    ),
     (re.compile(rf"\btoFloat\d+\s*\(\s*{_ARG}\s*\)", re.I), r"CAST(\1 AS DOUBLE)"),
     (re.compile(rf"\btoString\s*\(\s*{_ARG}\s*\)", re.I), r"CAST(\1 AS STRING)"),
     (re.compile(r"\btoDateTime\s*\(", re.I), "to_timestamp("),
@@ -630,7 +652,11 @@ _REWRITES: list[tuple[re.Pattern[str], str]] = [
 # any surviving ClickHouse-only name means a rewrite failed to match
 # (e.g. nested arguments) — refuse rather than ship wrong SQL
 _RESIDUALS = re.compile(
-    r"\b(toU?Int\d+|toFloat\d+|toString|toStartOf\w+|toYYYYMM(DD)?|sumIf|avgIf"
+    # \w* tails on the converter families: the OrZero/OrNull/OrDefault
+    # suffixes change failure semantics AND CH's strict string parsing
+    # differs from try_cast on padded/signed input — refuse with the
+    # pointer instead of an opaque unresolved-function error
+    r"\b(toU?Int\d+\w*|toFloat\d+\w*|toString|toStartOf\w+|toYYYYMM(DD)?|sumIf|avgIf"
     r"|avgWeighted"
     r"|minIf|maxIf|uniqExact|arrayJoin|notEmpty|multiIf|intDiv|splitByChar"
     r"|arrayStringConcat|lengthUTF8|toHour|toMinute|toSecond|toDayOf\w+"
@@ -640,7 +666,7 @@ _RESIDUALS = re.compile(
     r"|formatDateTime|match|position|uniqUpTo"
     r"|plus|minus|multiply|divide|assumeNotNull|arrayEnumerate"
     r"|leftPad|rightPad|numbers|trimLeft|trimRight|trimBoth"
-    r"|toDecimal\d+|arrayConcat|arrayMin|arrayMax|arrayUniq"
+    r"|toDecimal\d+\w*|rand64|arrayConcat|arrayMin|arrayMax|arrayUniq"
     r"|groupBit(And|Or|Xor)|stddev(Pop|Samp)|var(Pop|Samp)|covar(Pop|Samp)"
     r"|JSONExtract\w+|quantiles?\w*|median\w*|topK\w*)\s*\(",
     re.I,
@@ -2072,9 +2098,17 @@ def translate(ch_sql: str) -> str:
         )
     residual = _RESIDUALS.search(masked)
     if residual:
+        hint = "flatten the call or use the DataFrame API"
+        if re.search(r"Or(Zero|Null|Default)\s*\($", residual.group(0)):
+            hint = (
+                "use try_cast(x AS <type>) (NULL on failure) or "
+                "coalesce(try_cast(...), 0) — note ClickHouse's strict "
+                "string parsing rejects padded/fractional input that "
+                "try_cast accepts, so the two differ on malformed rows"
+            )
         raise UnsupportedClickHouseSQL(
-            f"could not rewrite {residual.group(0)!r} (nested arguments?) — "
-            "flatten the call or use the DataFrame API"
+            f"could not rewrite {residual.group(0)!r} (nested arguments?) "
+            f"— {hint}"
         )
     return out
 

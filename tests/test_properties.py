@@ -2247,6 +2247,46 @@ def test_quantile_rank_rules_known_values(spark):
     assert empty["lo"] is None and empty["exc"] is None and empty["inc"] is None
 
 
+def test_ch_dialect_rand_and_converter_suffixes():
+    """r12: CH rand() is a UInt32 INTEGER in [0, 2^32) while Spark's
+    same-named rand() is a double in [0, 1) — a CH user's rand() % 100
+    would quietly become a fraction. The rewrite scales Spark's rand to
+    the CH domain (the optional CSE-defeating argument is ignored, as
+    in CH); randCanonical() IS Spark's rand() contract; rand64 and the
+    Or{Zero,Null,Default} converter suffixes refuse with pointers."""
+    import pytest as _pytest
+
+    from clickhouse_data_rebalance_spark.plans.ch_dialect import (
+        UnsupportedClickHouseSQL,
+        translate,
+    )
+
+    assert translate("SELECT rand() % 100 FROM t").strip() == (
+        "SELECT CAST(floor(rand() * 4294967296) AS BIGINT) % 100 FROM t"
+    )
+    # the CSE-defeat argument is ignored, exactly as ClickHouse does
+    assert "floor(rand() * 4294967296)" in translate("SELECT rand(x) FROM t")
+    assert translate("SELECT randCanonical() FROM t").strip() == (
+        "SELECT rand() FROM t"
+    )
+    lit = "SELECT 'rand() inside' AS s FROM t"
+    assert translate(lit) == lit
+    with _pytest.raises(UnsupportedClickHouseSQL):
+        translate("SELECT rand64() FROM t")
+    for bad in (
+        "SELECT toUInt32OrZero(x) FROM t",
+        "SELECT toInt64OrNull(x) FROM t",
+        "SELECT toFloat64OrDefault(x, 0.0) FROM t",
+    ):
+        with _pytest.raises(UnsupportedClickHouseSQL, match="try_cast"):
+            translate(bad)
+    # the plain converters still rewrite (the \w* residual tails must
+    # not swallow them — rewrites run first)
+    assert translate("SELECT toUInt32(count()) FROM t").strip() == (
+        "SELECT CAST(count(*) AS BIGINT) FROM t"
+    )
+
+
 def test_ch_dialect_least_greatest_null_propagation(spark):
     """r12: ClickHouse least/greatest are ordinary functions — any NULL
     argument yields NULL — while Spark's SKIP nulls (greatest(1, NULL)
