@@ -1090,9 +1090,20 @@ def _rewrite_format_datetime(sql: str) -> str:
 # timestampdiff's complete-unit count — but on unit-TRUNCATED operands
 # the two coincide, so the lowering is
 #   timestampdiff(U, date_trunc('U', s), date_trunc('U', e))
-# (verified per-unit against hand traces; exact at any scale — pure
-# datetime arithmetic: on first-of-unit operands even Spark's
-# months_between-based MONTH counting is an exact integer). CH age()
+# (verified per-unit against hand traces; exact — on first-of-unit
+# operands even Spark's months_between-based MONTH counting is an
+# exact integer). TIMEZONE PRECONDITION (review finding, documented in
+# MIGRATION.md): the sub-day units count CIVIL wall-clock ordinals,
+# while ClickHouse's toRelativeHour/Minute/SecondNum count PHYSICAL
+# epoch ordinals — identical under UTC or any fixed-offset session
+# timezone (this repo's harness default), but ACROSS a DST transition
+# under a DST-observing session timezone the civil count includes the
+# shifted hour (spring-forward 01:30->03:30 is 2 civil hours, 1
+# physical). A physical lowering via unix_timestamp is NOT a fix:
+# Spark's unix_timestamp(TIMESTAMP_NTZ) ignores the session timezone
+# (measured: interprets UTC), so it is config-fragile rather than
+# exact. Run with spark.sql.session.timeZone=UTC for CH parity on
+# sub-day units. CH age()
 # counts COMPLETE elapsed units and maps to timestampdiff for the
 # FIXED-length units only (second/minute/hour/day/week — exact duration
 # arithmetic on both sides). age month/quarter/year REFUSE: Spark's
@@ -1161,6 +1172,17 @@ def _extract_group_index(pat: str) -> int:
     saw_capture = False
     for i, c in enumerate(pat):
         if in_class:
+            if c == "[":
+                # Java parses [a[b]c] as a nested-class UNION {a,b,c};
+                # RE2 treats the inner '[' as a literal — backslash-free
+                # text that still denotes different regexes (review
+                # finding); refuse like the (?...) arm
+                raise UnsupportedClickHouseSQL(
+                    "extract() pattern has '[' inside a character class "
+                    "— Java reads it as a nested class union, RE2 as a "
+                    "literal; rewrite the class or use Spark "
+                    "regexp_extract directly"
+                )
             if c == "]":
                 in_class = False
         elif c == "[":
@@ -1177,19 +1199,15 @@ def _extract_group_index(pat: str) -> int:
 
 
 def _has_toplevel_comma_call(masked: str, name: str) -> bool:
-    # depth-aware scan (regex lookaheads can't know bracket depth —
-    # the r10 lesson): does any `name(...)` call carry a depth-1 comma?
+    # does any `name(...)` call carry a top-level comma? Composed from
+    # the shared scanners (review finding: no third hand-rolled copy)
     for m in re.finditer(rf"\b{name}\s*\(", masked, re.I):
-        depth, i = 1, m.end()
-        while i < len(masked) and depth:
-            c = masked[i]
-            if c == "(":
-                depth += 1
-            elif c == ")":
-                depth -= 1
-            elif c == "," and depth == 1:
+        try:
+            i = _scan_to_close(masked, m.end())
+            if len(_split_top_level_args(masked[m.end() : i - 1])) > 1:
                 return True
-            i += 1
+        except UnsupportedClickHouseSQL:
+            continue  # unbalanced tail — not a well-formed call
     return False
 
 
@@ -2098,7 +2116,13 @@ def translate(ch_sql: str) -> str:
         )
     residual = _RESIDUALS.search(masked)
     if residual:
-        hint = "flatten the call or use the DataFrame API"
+        hint = (
+            "flatten the call, precompute nested expressions as "
+            "subquery/CTE columns (a NULL-guarded least/greatest "
+            "argument expands past the rewriter's nesting budget — "
+            "flattening alone will not help there), or use the "
+            "DataFrame API"
+        )
         if re.search(r"Or(Zero|Null|Default)\s*\($", residual.group(0)):
             hint = (
                 "use try_cast(x AS <type>) (NULL on failure) or "

@@ -2339,6 +2339,13 @@ def test_ch_dialect_least_greatest_null_propagation(spark):
     # (stage order: datetime diff first, guard after)
     both = translate("SELECT dateDiff('day', least(a, b), c) FROM t")
     assert "timestampdiff(DAY" in both and both.count("CASE WHEN") == 1
+    # a least/greatest argument inside an _ARG-based rewrite refuses
+    # AFTER the guard expands (r11 translated these with Spark's
+    # skip-NULL semantics — silently wrong; the refusal names the fix)
+    with _pytest.raises(UnsupportedClickHouseSQL, match="subquery/CTE"):
+        translate("SELECT sumIf(least(a, b), c > 0) FROM t")
+    with _pytest.raises(UnsupportedClickHouseSQL, match="subquery/CTE"):
+        translate("SELECT quantileExact(0.5)(least(a, b)) FROM t")
     # literals stay data; the quantile clamp's own greatest/least (a
     # LATER rewrite stage's output) is not wrapped
     lit = "SELECT 'least(a, b) here' AS s FROM t"
@@ -2410,6 +2417,8 @@ def test_ch_dialect_datetime_diff_semantics(spark):
         # 'A', Spark drops the backslash -> 'x41' (review finding)
         ("SELECT extract(s, '\\\\d+') FROM t", "backslash"),
         ("SELECT extract(s, 'v\\\\(x\\\\)') FROM t", "backslash"),
+        # '[' inside a class: Java nested-class union vs RE2 literal
+        ("SELECT extract(s, '[a[b]c]') FROM t", "nested class"),
         ("SELECT extract(s, p) FROM t", "ANSI datetime EXTRACT"),
         ("SELECT locate(h, n) FROM t", "version-dependent"),
     ):
