@@ -513,6 +513,15 @@ _REWRITES: list[tuple[re.Pattern[str], str]] = [
     (re.compile(r"\bhas\s*\(", re.I), "array_contains("),
     (re.compile(r"\bindexOf\s*\(", re.I), "array_position("),
     (re.compile(r"\barrayStringConcat\s*\(", re.I), "array_join("),
+    # CH length(String) counts BYTES; Spark's length counts CHARACTERS
+    # — identical on ASCII, silently different on multi-byte UTF-8 (the
+    # collision class). octet_length is Spark's byte counter. ORDER:
+    # this entry must precede lengthUTF8's, whose replacement emits the
+    # char-counting length( that later entries must not re-rewrite.
+    # (CH length(Array) = element count — that lowering would need the
+    # type; octet_length over an array fails Spark analysis loudly, and
+    # MIGRATION.md points array users at size().)
+    (re.compile(r"\blength\s*\(", re.I), "octet_length("),
     (re.compile(r"\blengthUTF8\s*\(", re.I), "length("),
     (re.compile(r"\barrayJoin\s*\(", re.I), "explode("),
     (re.compile(rf"\bnotEmpty\s*\(\s*{_ARG}\s*\)", re.I), r"(length(\1) > 0)"),

@@ -361,7 +361,8 @@ def test_ch_dialect_multiif_and_argmax_rewrites():
         "SELECT argMax(u, length(k)) AS a, argMin(u, k) AS b,"
         " arraySort(groupUniqArray(s)) AS c, groupArray(v) AS d FROM t"
     )
-    assert "max_by(u, length(k)) AS a" in out
+    # CH length = BYTES -> octet_length (r12; lengthUTF8 -> length)
+    assert "max_by(u, octet_length(k)) AS a" in out
     assert "min_by(u, k) AS b" in out
     assert "array_sort(collect_set(s)) AS c" in out
     assert "collect_list(v) AS d" in out
@@ -628,6 +629,12 @@ def test_ch_dialect_extended_rewrites():
         "SELECT array_join(tags, ' ') FROM t"
     )
     assert translate("SELECT lengthUTF8(s) FROM t") == "SELECT length(s) FROM t"
+    # CH length counts BYTES (Spark's counts chars — silent on UTF-8):
+    # bare length maps to octet_length, and the lengthUTF8 entry's
+    # emitted length( must never be re-rewritten (table order)
+    assert translate("SELECT length(s) FROM t") == (
+        "SELECT octet_length(s) FROM t"
+    )
     # hasAll must NOT be mangled by the has( rewrite — it survives verbatim
     assert "hasAll(tags, x)" in translate("SELECT hasAll(tags, x) FROM t")
 
