@@ -879,7 +879,15 @@ def _rewrite_least_greatest(sql: str, depth: int = 0) -> str:
     class. Each user-written call becomes
     `(CASE WHEN (a) IS NULL OR (b) IS NULL ... THEN NULL ELSE
     least((a), (b), ...) END)` — arguments are evaluated twice, both
-    row-local (CH users pass columns/arithmetic here). SAME-function
+    row-local (CH users pass columns/arithmetic here). ADVICE r12
+    caveat: double evaluation means a NONDETERMINISTIC nullable
+    argument (e.g. `if(rand() < 0.5, NULL, x)`) can disagree between
+    the IS NULL check and the ELSE call, yielding non-NULL where CH's
+    single evaluation would give NULL or vice versa — documented in
+    MIGRATION.md (precompute such arguments as a subquery/CTE column);
+    not refused, because a name scan for rand/uuid-class functions
+    would also refuse the overwhelmingly common deterministic uses of
+    those names inside UNRELATED argument positions. SAME-function
     nesting flattens first (identical CH semantics, kills the
     2^depth growth on idiomatic 2-arg chains); MIXED nesting recurses
     argument-first with an explicit cursor (the emitted ELSE call is
