@@ -1372,6 +1372,53 @@ def bpe_apply_merge(col, a: str, b: str):
     )
 
 
+def bpe_train(
+    spark: SparkSession,
+    docs: DataFrame,
+    steps: int,
+    timings: list | None = None,
+) -> list[tuple]:
+    """The trainer's round loop over a ``(doc_id, t: array<string>)``
+    frame — the exact path ``bpe_train_merges`` runs, factored out so
+    the ``CDR_BPE_SCALE`` gate (tests/test_bpe_scale.py, VERDICT r12
+    #5) can drive it at 200k docs and record PER-ROUND wall time and
+    the working-set shrink, not just end-to-end logic. When
+    ``timings`` is given, each round appends
+    ``(step, seconds, corpus_tokens_after)``."""
+    import time as _time
+
+    cur = docs
+    rows: list[tuple] = []
+    for step in range(1, steps + 1):
+        t_round = _time.perf_counter()
+        pairs = (
+            cur.filter(F.size("t") >= 2)
+            .select(
+                F.explode(F.sequence(F.lit(1), F.size("t") - 1)).alias("i"),
+                "t",
+            )
+            .select(
+                F.element_at("t", F.col("i")).alias("a"),
+                F.element_at("t", F.col("i") + 1).alias("b"),
+            )
+            .groupBy("a", "b")
+            .count()
+        )
+        top = pairs.orderBy(F.desc("count"), "a", "b").limit(1).collect()
+        if not top:  # pragma: no cover - callers feed non-empty corpora
+            break
+        a, b, n = top[0]["a"], top[0]["b"], top[0]["count"]
+        cur = cur.select("doc_id", bpe_apply_merge(F.col("t"), a, b).alias("t"))
+        # checkpoint the lineage between rounds: each round's plan
+        # otherwise nests the previous round's fold expression
+        cur = cur.localCheckpoint(eager=False)
+        after = cur.agg(F.sum(F.size("t")).alias("s")).collect()[0]["s"]
+        rows.append((step, a, b, int(n), int(after)))
+        if timings is not None:
+            timings.append((step, _time.perf_counter() - t_round, int(after)))
+    return rows
+
+
 @query("bpe_train_merges", _BPE_TRAIN_ORACLE)
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The BPE trainer loop (tokenizer induction over the corpus):
@@ -1393,31 +1440,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-round plan."""
     d = table(spark, sf_dir, "documents")
     cur = d.select("doc_id", tokens("text").alias("t"))
-    rows = []
-    for step in range(1, BPE_TRAIN_STEPS + 1):
-        pairs = (
-            cur.filter(F.size("t") >= 2)
-            .select(
-                F.explode(F.sequence(F.lit(1), F.size("t") - 1)).alias("i"),
-                "t",
-            )
-            .select(
-                F.element_at("t", F.col("i")).alias("a"),
-                F.element_at("t", F.col("i") + 1).alias("b"),
-            )
-            .groupBy("a", "b")
-            .count()
-        )
-        top = pairs.orderBy(F.desc("count"), "a", "b").limit(1).collect()
-        if not top:  # pragma: no cover - fixture always has pairs
-            break
-        a, b, n = top[0]["a"], top[0]["b"], top[0]["count"]
-        cur = cur.select("doc_id", bpe_apply_merge(F.col("t"), a, b).alias("t"))
-        # checkpoint the lineage between rounds: each round's plan
-        # otherwise nests the previous round's fold expression
-        cur = cur.localCheckpoint(eager=False)
-        after = cur.agg(F.sum(F.size("t")).alias("s")).collect()[0]["s"]
-        rows.append((step, a, b, int(n), int(after)))
+    rows = bpe_train(spark, cur, BPE_TRAIN_STEPS)
     return spark.createDataFrame(
         rows,
         "step int, a string, b string, n_occurrences bigint, "

@@ -11,6 +11,11 @@ ClickHouse          Spark SQL
 ==================  =========================================
 toUInt*/toInt*      CAST(x AS BIGINT)
 toFloat32/64        CAST(x AS DOUBLE)
+toInt*OrNull        try_cast(x AS <width-true type>)  (r13; NULL input
+toFloat*OrNull      propagates on both engines already)
+toInt*OrZero /      NULL-guarded coalesce(try_cast(x AS T), 0 | default)
+  OrDefault, Float*  — the guard keeps CH's NULL-in -> NULL-out rule;
+                    toUInt*Or* refuses (no unsigned domain in Spark)
 toString            CAST(x AS STRING)
 toDate/toDateTime   to_date(x) / to_timestamp(x)
 toStartOfDay/...    date_trunc('day'|'month'|'year', x)
@@ -23,7 +28,8 @@ uniqUpTo(N)(x)      LEAST(COUNT(DISTINCT x), N + 1)
 any/anyLast         any_value
 dateDiff/date_diff  timestampdiff over unit-TRUNCATED operands (CH
                     counts boundary crossings, not complete units)
-age                 timestampdiff (complete units — direct)
+age                 timestampdiff for fixed units; month/quarter/year
+                    as CH's exact tuple-borrow integer arithmetic (r13)
 extract(s, 're')    regexp_extract(s, 're', has_group ? 1 : 0) — the
                     ANSI EXTRACT(f FROM x) form passes through
 argMax/argMin       max_by / min_by (same tie nondeterminism)
@@ -658,14 +664,77 @@ _REWRITES: list[tuple[re.Pattern[str], str]] = [
     (re.compile(r"\bFORMAT\s+\w+\s*;?\s*$", re.I), ""),
 ]
 
+# ---- to{Int,Float}*Or{Null,Zero,Default} converter suffixes (r13,
+# VERDICT r12 #3 — refusal turned translation). ClickHouse semantics:
+# parse the STRING argument strictly; on parse failure OR out-of-range
+# return NULL (OrNull), the type default 0 (OrZero / 1-arg OrDefault),
+# or the given expression (2-arg OrDefault). NULL input propagates NULL
+# (they are ordinary functions), so OrZero/OrDefault wrap in an explicit
+# NULL guard — coalesce alone would turn a NULL input into the default,
+# which CH never does. Width-true Spark target types (Int8 -> TINYINT
+# ... Float64 -> DOUBLE) preserve the out-of-range -> default boundary:
+# try_cast('300' AS TINYINT) is NULL exactly where CH's range check
+# fails the parse; fractional strings are MEASURED-rejected by Spark's
+# integer try_cast too ('3.5' -> NULL, same as CH — note DuckDB's
+# TRY_CAST rounds it to 4, so oracles must not feed fractional
+# strings to integer targets). DOCUMENTED deviations (MIGRATION.md):
+# try_cast trims surrounding whitespace that CH's strict parser
+# rejects (' 42' succeeds here, default in CH), and the guard
+# evaluates the argument twice (row-local; nondeterministic
+# arguments carry the least/greatest caveat). toUInt*Or* REFUSES —
+# Spark has no unsigned domain, so toUInt8OrNull('200') = 200 in CH
+# has no width-true target (TINYINT would return NULL); toDate*/
+# toDecimal*/toDateTime* Or-forms refuse on date-parsing / scale
+# divergence (the residual check below owns the pointer).
+_OR_CONVERTER_TYPES: list[tuple[str, str]] = [
+    ("Int8", "TINYINT"),
+    ("Int16", "SMALLINT"),
+    ("Int32", "INT"),
+    ("Int64", "BIGINT"),
+    ("Float32", "FLOAT"),
+    ("Float64", "DOUBLE"),
+]
+for _ch_t, _spark_t in _OR_CONVERTER_TYPES:
+    _REWRITES.extend(
+        [
+            (
+                re.compile(rf"\bto{_ch_t}OrNull\s*\(\s*{_ARG}\s*\)", re.I),
+                rf"try_cast(\1 AS {_spark_t})",
+            ),
+            # 2-arg OrDefault BEFORE the 1-arg forms: _ARG never crosses
+            # a top-level comma, so a 2-arg call cannot mis-bind to the
+            # 1-arg pattern and vice versa, but the explicit order keeps
+            # the intent readable
+            (
+                re.compile(
+                    rf"\bto{_ch_t}OrDefault\s*\(\s*{_ARG}\s*,\s*{_ARG}\s*\)",
+                    re.I,
+                ),
+                rf"(CASE WHEN (\1) IS NULL THEN NULL "
+                rf"ELSE coalesce(try_cast(\1 AS {_spark_t}), (\2)) END)",
+            ),
+            (
+                re.compile(
+                    rf"\bto{_ch_t}Or(?:Zero|Default)\s*\(\s*{_ARG}\s*\)", re.I
+                ),
+                rf"(CASE WHEN (\1) IS NULL THEN NULL "
+                rf"ELSE coalesce(try_cast(\1 AS {_spark_t}), 0) END)",
+            ),
+        ]
+    )
+
 # any surviving ClickHouse-only name means a rewrite failed to match
 # (e.g. nested arguments) — refuse rather than ship wrong SQL
 _RESIDUALS = re.compile(
-    # \w* tails on the converter families: the OrZero/OrNull/OrDefault
-    # suffixes change failure semantics AND CH's strict string parsing
-    # differs from try_cast on padded/signed input — refuse with the
-    # pointer instead of an opaque unresolved-function error
-    r"\b(toU?Int\d+\w*|toFloat\d+\w*|toString|toStartOf\w+|toYYYYMM(DD)?|sumIf|avgIf"
+    # \w* tails on the converter families: the signed-Int/Float
+    # OrZero/OrNull/OrDefault suffixes TRANSLATE since r13 (width-true
+    # try_cast + NULL guard, entries above), so what reaches this check
+    # is the still-refused remainder — toUInt*Or* (no unsigned domain in
+    # Spark), toDate*/toDecimal* Or-forms (date-parsing/scale
+    # divergence), and Or-calls whose arguments nest too deep for _ARG —
+    # refuse with the pointer instead of an opaque unresolved-function
+    # error
+    r"\b(toU?Int\d+\w*|toFloat\d+\w*|toDate\w+|toString|toStartOf\w+|toYYYYMM(DD)?|sumIf|avgIf"
     r"|avgWeighted"
     r"|minIf|maxIf|uniqExact|arrayJoin|notEmpty|multiIf|intDiv|splitByChar"
     r"|arrayStringConcat|lengthUTF8|toHour|toMinute|toSecond|toDayOf\w+"
@@ -1122,8 +1191,11 @@ def _rewrite_format_datetime(sql: str) -> str:
 # exact. Run with spark.sql.session.timeZone=UTC for CH parity on
 # sub-day units. CH age()
 # counts COMPLETE elapsed units and maps to timestampdiff for the
-# FIXED-length units only (second/minute/hour/day/week — exact duration
-# arithmetic on both sides). age month/quarter/year REFUSE: Spark's
+# FIXED-length units (second/minute/hour/day/week — exact duration
+# arithmetic on both sides). age month/quarter/year TRANSLATE since r13
+# (VERDICT r12 #4) as the rule spelled directly in integer date
+# arithmetic — 12*(y2-y1) + (m2-m1) minus a (day, time-of-day) tuple
+# borrow, DIV 3/12 for quarter/year — because Spark's
 # timestampdiff(MONTH) floors months_between's (day2-day1)/31 fraction,
 # which at month-end edges (age('month', Jan31 23:59, Mar01) -> CH 1 via
 # its remainder-tuple rule, Spark 0) disagrees with ClickHouse's
@@ -1248,14 +1320,45 @@ def _rewrite_datetime_diff(sql: str) -> str:
         else:
             u = _DD_UNIT.get(unit)
         if is_age and u in ("MONTH", "QUARTER", "YEAR"):
-            raise UnsupportedClickHouseSQL(
-                f"age({unit!r}, ...) — Spark's timestampdiff floors a "
-                "months_between /31 fraction, which disagrees with "
-                "ClickHouse's complete-month rule at month-end edges "
-                "(Jan31 23:59 -> Mar01: CH 1, Spark 0); use "
-                "dateDiff('month', ...) (boundary counting, translated) "
-                "or spell the remainder-tuple rule explicitly"
+            # r13 (VERDICT r12 #4, refusal turned translation): CH's
+            # complete-month rule is EXACT integer date arithmetic —
+            # base = 12*(y2-y1) + (m2-m1), minus 1 when the
+            # (day, time-of-day) tuple of the LATER operand is
+            # lexicographically below the earlier one's (dateDiff.cpp's
+            # age arm compares components; NO month-end clamping:
+            # age('month', Jan31, Feb29) = 0 where Postgres/DuckDB
+            # clamp to 1 — pinned in the edge-matrix test). The r12
+            # refusal existed because Spark's timestampdiff(MONTH)
+            # floors months_between's (d2-d1)/31 FRACTION (Jan31 23:59
+            # -> Mar01: CH 1, timestampdiff 0); spelling the rule
+            # directly avoids months_between entirely. Sign-symmetric:
+            # for e < s the borrow flips to a carry (CH negates the
+            # swapped-operand result). quarter/year are the month count
+            # DIV 3 / DIV 12 (Spark DIV truncates toward zero, matching
+            # the complete-unit count in both directions). The operands
+            # splice several times — row-local double evaluation, the
+            # least/greatest caveat class; the seconds component keeps
+            # its microsecond fraction via extract(SECOND ...), which
+            # emits no comma-form extract (the CH-extract scan below
+            # only fires on top-level-comma calls).
+            mb = f"((year({e}) - year({s})) * 12 + (month({e}) - month({s})))"
+            te = (
+                f"struct(day({e}), hour({e}), minute({e}), "
+                f"extract(SECOND FROM {e}))"
             )
+            ts_ = (
+                f"struct(day({s}), hour({s}), minute({s}), "
+                f"extract(SECOND FROM {s}))"
+            )
+            months = (
+                f"(CASE WHEN ({e}) >= ({s}) THEN {mb} - "
+                f"(CASE WHEN {te} < {ts_} THEN 1 ELSE 0 END) "
+                f"ELSE {mb} + "
+                f"(CASE WHEN {te} > {ts_} THEN 1 ELSE 0 END) END)"
+            )
+            if u == "MONTH":
+                return months
+            return f"({months} DIV {3 if u == 'QUARTER' else 12})"
         if u is None:
             raise UnsupportedClickHouseSQL(
                 f"{fname} unit {unit!r} — year/quarter/month/day/hour/"
@@ -2142,10 +2245,16 @@ def translate(ch_sql: str) -> str:
         )
         if re.search(r"Or(Zero|Null|Default)\s*\($", residual.group(0)):
             hint = (
-                "use try_cast(x AS <type>) (NULL on failure) or "
-                "coalesce(try_cast(...), 0) — note ClickHouse's strict "
-                "string parsing rejects padded/fractional input that "
-                "try_cast accepts, so the two differ on malformed rows"
+                "signed to{Int,Float}*Or{Null,Zero,Default} translate "
+                "since r13 (flatten deep-nested arguments into a "
+                "subquery column if this one did not match); toUInt*Or* "
+                "refuses — Spark has no unsigned domain, so CH values in "
+                "[2^(w-1), 2^w) have no width-true target (a wider "
+                "signed try_cast would silently change the "
+                "out-of-range -> default boundary) — and toDate*/"
+                "toDecimal* Or-forms refuse on date-parsing/scale "
+                "divergence; spell those as try_cast(x AS <type>) "
+                "accepting its lenient parse"
             )
         raise UnsupportedClickHouseSQL(
             f"could not rewrite {residual.group(0)!r} (nested arguments?) "
@@ -4967,3 +5076,91 @@ def ch_dialect_limit_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed, unlike the textbook rank-window lowering whose
     unpartitioned window funnels the corpus through one task."""
     return ch_sql(spark, sf_dir, _CH_TIES_QUERY)
+
+
+# ---- Or{Null,Zero,Default} converters end-to-end (r13) ----
+# a clean round-trip parse (sum recovers the key sum), an
+# unparseable-string arm (o_orderstatus is 'O'/'F'/'P' — every parse
+# fails, so OrDefault's -1 counts rows and OrNull's count() is 0), and
+# a NULL-input arm (multiples of 3 are NULLed BEFORE the converter, so
+# OrZero must propagate NULL — a bare coalesce(try_cast, 0) spelling
+# would count them and hash-mismatch). Converter arguments are
+# precomputed subquery columns: strings only, no fractional forms
+# (DuckDB's TRY_CAST rounds '3.5' where Spark and CH reject it).
+_CH_CONVERTERS_QUERY = """
+    SELECT bucket,
+           toUInt32(count()) AS n,
+           sum(v_rt) AS sum_rt,
+           sum(v_bad) AS sum_bad,
+           toUInt32(count(v_parsed)) AS n_parsed,
+           sum(v_f) AS sum_f,
+           toUInt32(count(v_null)) AS n_nullprop
+    FROM (
+      SELECT bucket,
+             toInt64OrZero(s_key) AS v_rt,
+             toInt32OrDefault(status, -1) AS v_bad,
+             toInt16OrNull(status) AS v_parsed,
+             toFloat64OrZero(s_mod) AS v_f,
+             toInt32OrZero(s_null) AS v_null
+      FROM (
+        SELECT o_orderkey % 5 AS bucket,
+               toString(o_orderkey) AS s_key,
+               o_orderstatus AS status,
+               if(o_orderkey % 3 = 0, NULL, toString(o_orderkey % 7)) AS s_mod,
+               if(o_orderkey % 3 = 0, NULL, '9') AS s_null
+        FROM orders
+      )
+    )
+    GROUP BY bucket
+    ORDER BY bucket
+"""
+
+_CH_CONVERTERS_ORACLE = """
+    WITH b AS (
+      SELECT o_orderkey % 5 AS bucket,
+             CAST(o_orderkey AS VARCHAR) AS s_key,
+             o_orderstatus AS status,
+             CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                  ELSE CAST(o_orderkey % 7 AS VARCHAR) END AS s_mod,
+             CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE '9' END AS s_null
+      FROM orders)
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN s_key IS NULL THEN NULL
+                         ELSE coalesce(TRY_CAST(s_key AS BIGINT), 0) END)
+                AS BIGINT) AS sum_rt,
+           CAST(sum(CASE WHEN status IS NULL THEN NULL
+                         ELSE coalesce(TRY_CAST(status AS INTEGER), -1) END)
+                AS BIGINT) AS sum_bad,
+           CAST(count(TRY_CAST(status AS SMALLINT)) AS BIGINT) AS n_parsed,
+           sum(CASE WHEN s_mod IS NULL THEN NULL
+                    ELSE coalesce(TRY_CAST(s_mod AS DOUBLE), 0) END) AS sum_f,
+           CAST(count(CASE WHEN s_null IS NULL THEN NULL
+                           ELSE coalesce(TRY_CAST(s_null AS INTEGER), 0) END)
+                AS BIGINT) AS n_nullprop
+    FROM b GROUP BY bucket ORDER BY bucket
+"""
+
+
+@query("ch_dialect_converters", _CH_CONVERTERS_ORACLE)
+def ch_dialect_converters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """to{Int,Float}*Or{Null,Zero,Default} end-to-end (the r13 refusal
+    removal, VERDICT r12 #3): ClickHouse's fallible string converters
+    lower to width-true ``try_cast`` — bare for OrNull, NULL-guarded
+    ``coalesce(try_cast, default)`` for OrZero/OrDefault so a NULL
+    INPUT still propagates NULL (CH's ordinary-function rule) instead
+    of taking the default. The demo drives all three suffixes plus
+    both failure classes (unparseable text, NULL input) and the oracle
+    respells the semantics with DuckDB's independent TRY_CAST +
+    explicit CASE guards.
+
+    Scale: pure row-local expressions inside whole-stage codegen over
+    one grouped exchange — the translation adds no shuffle, no UDF, no
+    driver work; sums are integer-exact (the double column sums exact
+    small integers).
+
+    Reference parity: ClickHouse `toInt32OrZero` family
+    (parseOrZero/parseOrNull semantics, range-checked); refusal
+    boundary (toUInt*Or*, toDate*/toDecimal* Or-forms) documented in
+    MIGRATION.md."""
+    return ch_sql(spark, sf_dir, _CH_CONVERTERS_QUERY)

@@ -260,68 +260,134 @@ DRIVER_ORDER: list[str] = [
     # window_range_interval's range predicates (C8), with C5's outer
     # arm moving to stream_stream_left_join (in cover: a real LEFT
     # OUTER join with an unmatched-row null arm))
+    # (r13 rotation: twenty-two enter — the retrieval/index-maintenance
+    # six on the COVERAGE.md cadence now due (VERDICT r12 #1: bm25_topk,
+    # bm25_batch_topk, bm25_inverted_topk, bm25_index_admit,
+    # retrieval_snippets, hybrid_rrf_topk — last green r9/r10; the
+    # persisted-index machinery most exposed to environment drift;
+    # ivf_index_admit/_compact stay at the tier-2 head for r14, slots
+    # went to the never-green ledger), fifteen NEVER-green queries
+    # (VERDICT r12 #2/#7 — ledger 125 -> 110): the source/sink connector
+    # family (source_orc_roundtrip, source_json_roundtrip,
+    # source_text_roundtrip, source_binaryfile_scan,
+    # sink_partitioned_parquet, sink_python_datasource,
+    # stream_python_datasource — C1 had exactly ONE external row),
+    # three per-function scalar suites (string_funcs, math_funcs,
+    # datetime_funcs — C26/C27/C28's dedicated suites),
+    # the remaining state-merge trio (topk_state_merge, agg_state_merge,
+    # bitmap_state_merge — completes the mergeable-sketch family whose
+    # first three members went green r12), theta_set_ops (sketch set
+    # algebra — carries the set-op family row) and recursive_cte_chain
+    # (WITH RECURSIVE — C24's strictly-richer form), plus the
+    # brand-new ch_dialect_converters (VERDICT r12 #3, in-cover from
+    # birth like rank_rules).
+    # Twenty-two 2+-green veterans leave. Merge mapping (COVERAGE.md
+    # §r13): source_python_datasource -> sink_python_datasource +
+    # stream_python_datasource (same Python DataSource machinery, C1),
+    # ch_dialect_quantile -> ch_dialect_quantile_rank_rules (ExactHigh
+    # coincides with quantileExact by translate-equality; same
+    # let-bound sort + percentile lowering) + quantile_state_merge,
+    # ch_dialect_quantile_weighted -> ch_dialect_quantile_rank_rules
+    # (shared multi-slot crossing fold) + the CDR_WQ_SCALE gate,
+    # ch_dialect_topk -> ch_dialect_weighted_aggs (topKWeighted's exact
+    # frequency machinery) + topk_state_merge (in cover),
+    # ch_dialect_argmax -> upsert_latest_wins (max-version
+    # greatest-struct pick IS argMax(struct, version)),
+    # ch_dialect_array_join_zip -> array_funcs (zip_with/inline
+    # machinery) + semi_structured_suite's array lambdas,
+    # ch_dialect_with_fill_multi -> time_gap_fill (same FillingTransform
+    # gap-fill family, in cover), ch_dialect_limit_by_offset ->
+    # corpus_pipeline_e2e's per-key ROW_NUMBER window (C15/C20
+    # WindowGroupLimit plan), ch_dialect_limit_ties -> bm25_topk /
+    # hybrid_rrf_topk TakeOrdered cuts (C18/C19) + ch_dialect_dict_get's
+    # correlated scalar subqueries (C23), corpus_pipeline_e2e_keep_longest
+    # -> corpus_pipeline_e2e (min-id twin, same stages),
+    # bpe_train_merges -> the new CDR_BPE_SCALE empirical gate +
+    # corpus_curate_e2e's tokenize stages (bpe_merge_step stays
+    # registered), train_val_test_split -> corpus_curate_e2e's md5
+    # split + stratified_sample (in cover), dedup_clusters_cc ->
+    # corpus_pipeline_e2e's dedup window (C40) + tests/test_cc_scale.py,
+    # pack_token_shards -> corpus_curate_e2e's per-(source, split)
+    # token budgets (packing flagship stays registered + scale-gated),
+    # scalar_funcs_suite -> string_funcs + math_funcs + datetime_funcs
+    # (the per-family suites are strict supersets of C26-C28),
+    # bitwise_funcs -> math_funcs, zorder_clustering ->
+    # data_quality_checks (the layout-validation sibling, same module)
+    # + rebalance_pipeline's layout machinery, window_range_interval ->
+    # asof_join_forward (C8 range/inequality carry) +
+    # time_gap_fill/exponential_moving_avg frames (C16/C17),
+    # stream_watermark_counts -> stream_dedup_events (C51 watermark
+    # late-filter, in cover) + stream_sliding_equiv (C48: tumbling is
+    # degenerate sliding) + stream_session_equiv, stream_index_admit ->
+    # stream_ema_state + stream_session_timeout_state (the stateful
+    # state-maintenance C53/B5 arms) + bm25_index_admit (in cover: the
+    # batch index-admit machinery re-proven externally),
+    # except_all_rows -> theta_set_ops (the set-op family in its
+    # cardinality-algebra form; the relational EXCEPT ALL query stays
+    # registered + locally oracled, 11 green rounds banked),
+    # cte_query -> recursive_cte_chain (C24's WITH RECURSIVE superset))
     "rebalance_pipeline",
-    "source_python_datasource",
-    # ClickHouse dialect layer (r9 wave leads; r10-r12 additions: the
-    # weighted/rank-rule quantile family + DDL-resolved dictGet)
-    "ch_dialect_quantile",
-    "ch_dialect_topk",
-    "ch_dialect_quantile_weighted",
+    # C1 connector family (r13: the never-green source/sink block —
+    # file-format round-trips are what real users hit first)
+    "source_orc_roundtrip",
+    "source_json_roundtrip",
+    "source_text_roundtrip",
+    "source_binaryfile_scan",
+    "sink_partitioned_parquet",
+    "sink_python_datasource",
+    "stream_python_datasource",
+    # ClickHouse dialect layer (r12 keepers + the r13 converter wave)
     "ch_dialect_quantile_rank_rules",
     "ch_dialect_weighted_aggs",
     "ch_dialect_dict_get",
-    "ch_dialect_argmax",
     "ch_dialect_totals_expr",
-    "ch_dialect_array_join_zip",
-    "ch_dialect_with_fill_multi",
-    "ch_dialect_limit_by_offset",
-    "ch_dialect_limit_ties",
-    # LLM data-pipeline operators (the e2e family subsumes the stage
-    # bisection queries, which wait in tier 2 for red-row debugging)
+    "ch_dialect_converters",
+    # retrieval / index maintenance (VERDICT r12 #1 re-proving cadence)
+    "bm25_topk",
+    "bm25_batch_topk",
+    "bm25_inverted_topk",
+    "bm25_index_admit",
+    "retrieval_snippets",
+    "hybrid_rrf_topk",
+    # LLM data-pipeline operators
     "corpus_pipeline_e2e",
-    "corpus_pipeline_e2e_keep_longest",
     "corpus_curate_e2e",
-    "bpe_train_merges",
-    "train_val_test_split",
     "stratified_sample",
-    "dedup_clusters_cc",
-    "pack_token_shards",
     "upsert_latest_wins",
     "matryoshka_topk_recall",
     "multimodal_roundtrip",
-    # structured streaming + event-time windows (r12: the six
-    # never-externally-verified stream/batch equivalence queries)
+    # structured streaming + event-time windows (r12 entrants keep
+    # their slots at one green round each)
     "stream_sliding_equiv",
     "stream_session_equiv",
     "stream_static_enrich",
     "stream_stream_left_join",
     "stream_ema_state",
     "stream_session_timeout_state",
-    "stream_watermark_counts",
     "stream_dedup_events",
-    "stream_index_admit",
     "time_gap_fill",
-    # scalar function families
-    "scalar_funcs_suite",
+    # scalar function families (r13: per-family never-green suites)
+    "string_funcs",
+    "math_funcs",
+    "datetime_funcs",
     "semi_structured_suite",
     "array_funcs",
-    "bitwise_funcs",
     # ClickHouse engine analogs + layout/validation analytics
     "collapsing_sign_merge",
-    "zorder_clustering",
     "data_quality_checks",
-    # mergeable sketch states (the bounded-memory 100 TB quantile/CD/
-    # top-K paths) + running analytics
+    # mergeable sketch states (the bounded-memory 100 TB paths — r13
+    # completes the family's external proving)
     "quantile_state_merge",
     "uniq_state_merge",
+    "topk_state_merge",
+    "agg_state_merge",
+    "bitmap_state_merge",
     "heavy_hitters_weighted",
+    "theta_set_ops",
     "exponential_moving_avg",
-    # windows / frames + native as-of machinery
-    "window_range_interval",
+    # native as-of machinery + recursive CTE
     "asof_join_forward",
-    # set ops + subqueries + CTE
-    "except_all_rows",
-    "cte_query",
+    "recursive_cte_chain",
 ]
 
 
@@ -333,23 +399,41 @@ DRIVER_ORDER: list[str] = [
 # rounds, then the round-2 flagship operators, then the long tail of
 # per-function suite variants.
 DRIVER_ORDER_TIER2: list[str] = [
-    # next in line for driver rows: the retrieval/index-maintenance
-    # family leads (VERDICT r11 #6 — six green rows r9-r10 but none
-    # since; re-prove the admit/compact machinery every ~3 rounds so it
-    # never goes stale against Spark upgrades), then the veterans the
-    # r12 and r11 rotations moved out of the cover (every one
-    # 2+-green), then the r10 rotation's veterans (streaming-first by
-    # drift risk), then never-externally-verified members of the
-    # COVERAGE.md ledger (VERDICT r8 #5 — bias rotations toward queries
-    # with zero green driver rows).
-    "bm25_topk",
-    "bm25_batch_topk",
-    "bm25_inverted_topk",
-    "bm25_index_admit",
-    "retrieval_snippets",
-    "hybrid_rrf_topk",
+    # next in line for driver rows: the IVF admit/compact pair heads
+    # (the two members of the VERDICT r12 #1 re-proving cadence the r13
+    # rotation could not seat — slots went to the never-green ledger;
+    # they are due r14), then the veterans the r13/r12/r11 rotations
+    # moved out of the cover (every one 2+-green), then the r10
+    # rotation's veterans (streaming-first by drift risk), then
+    # never-externally-verified members of the COVERAGE.md ledger
+    # (VERDICT r8 #5 — bias rotations toward queries with zero green
+    # driver rows).
     "ivf_index_admit",
     "ivf_index_compact",
+    # rotated out of the 50-row cover in r13 (2+ green driver rounds
+    # each; merge mapping in the DRIVER_ORDER comment + COVERAGE.md)
+    "source_python_datasource",
+    "ch_dialect_quantile",
+    "ch_dialect_topk",
+    "ch_dialect_quantile_weighted",
+    "ch_dialect_argmax",
+    "ch_dialect_array_join_zip",
+    "ch_dialect_with_fill_multi",
+    "ch_dialect_limit_by_offset",
+    "ch_dialect_limit_ties",
+    "corpus_pipeline_e2e_keep_longest",
+    "bpe_train_merges",
+    "train_val_test_split",
+    "dedup_clusters_cc",
+    "pack_token_shards",
+    "scalar_funcs_suite",
+    "bitwise_funcs",
+    "zorder_clustering",
+    "window_range_interval",
+    "stream_watermark_counts",
+    "stream_index_admit",
+    "except_all_rows",
+    "cte_query",
     "gopher_rules_filter",
     "mixture_sample_weights",
     "pack_quality_curriculum",
@@ -395,13 +479,11 @@ DRIVER_ORDER_TIER2: list[str] = [
     "bucketed_join_noshuffle",
     "media_resize",
     "media_frame_sample",
-    "topk_state_merge",
     "window_funnel_levels",
     "embedding_pq",
     "ch_dialect_weekday",
     "interval_length_sum",
     "sequence_count_pattern",
-    "bitmap_state_merge",
     # TPC-H-shaped multi-join suite (r6 surface + r7 completions:
     # Q7/Q8/Q13/Q15/Q17/Q19 analogs — every TPC-H shape expressible
     # over the fixture's tables; Q2/Q9/Q11/Q16/Q20 need partsupp and
@@ -418,16 +500,12 @@ DRIVER_ORDER_TIER2: list[str] = [
     "small_qty_order_revenue",
     "disjunctive_predicate_revenue",
     # sketch-state family completions (new r6 surface)
-    "theta_set_ops",
     "uniq_sliding_window",
     "global_shuffle_shards",
     "retention_conditions",
     "line_dedup_ratio",
-    "stream_python_datasource",
-    "sink_python_datasource",
     "forecast_revenue_change",
     "join_lateral_topn",
-    "recursive_cte_chain",
     "sql_udf_inlined",
     "python_udtf_bigrams",
     "statestore_introspection",
@@ -511,7 +589,6 @@ DRIVER_ORDER_TIER2: list[str] = [
     "mixture_sample",
     "sample_k_per_group",
     "weighted_sample_es",
-    "agg_state_merge",
     "sequence_match_funnel3",
     "sum_map_props",
     "ttl_expiry",
@@ -529,8 +606,6 @@ DRIVER_ORDER_TIER2: list[str] = [
     "ngram_repetition_quality",
     "scd2_intervals",
     "embedding_quantize_int8",
-    "source_text_roundtrip",
-    "source_binaryfile_scan",
     "compaction_roundtrip",
     "heavy_hitters",
     "cohort_retention",

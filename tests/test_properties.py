@@ -1977,6 +1977,8 @@ _TRAP_LITERALS = st.sampled_from(
         "dictGet(d, a, k)",
         "plus(a, b) divide(c, d)",
         "position(h, n) arrayJoin(a)",
+        "toInt32OrZero(s) toFloat64OrDefault(x, 1)",
+        "toInt64OrNull(s) toUInt8OrZero(y)",
     ]
 )
 
@@ -2280,18 +2282,84 @@ def test_ch_dialect_rand_and_converter_suffixes():
     assert translate(lit) == lit
     with _pytest.raises(UnsupportedClickHouseSQL):
         translate("SELECT rand64() FROM t")
-    for bad in (
-        "SELECT toUInt32OrZero(x) FROM t",
-        "SELECT toInt64OrNull(x) FROM t",
-        "SELECT toFloat64OrDefault(x, 0.0) FROM t",
-    ):
-        with _pytest.raises(UnsupportedClickHouseSQL, match="try_cast"):
-            translate(bad)
+    # r13: the SIGNED Or-suffix converters now translate (see
+    # test_ch_dialect_or_converters); only the unsigned family keeps
+    # the refusal here
+    with _pytest.raises(UnsupportedClickHouseSQL, match="unsigned"):
+        translate("SELECT toUInt32OrZero(x) FROM t")
     # the plain converters still rewrite (the \w* residual tails must
     # not swallow them — rewrites run first)
     assert translate("SELECT toUInt32(count()) FROM t").strip() == (
         "SELECT CAST(count(*) AS BIGINT) FROM t"
     )
+
+
+def test_ch_dialect_or_converters(spark):
+    """r13 (VERDICT r12 #3): to{Int,Float}*Or{Null,Zero,Default}
+    translate to width-true try_cast — bare for OrNull, NULL-guarded
+    coalesce for OrZero/OrDefault so a NULL INPUT propagates NULL (CH's
+    ordinary-function rule) instead of taking the default. Executed
+    semantics pinned on Spark: parse-fail -> default, overflow ->
+    default (width-true range check), NULL -> NULL. toUInt*Or* and
+    toDate*/toDecimal* Or-forms keep pointered refusals."""
+    import pytest as _pytest
+
+    from clickhouse_data_rebalance_spark.plans.ch_dialect import (
+        UnsupportedClickHouseSQL,
+        translate,
+    )
+
+    # width-true type mapping, all three suffixes
+    assert translate("SELECT toInt32OrNull(s) FROM t").strip() == (
+        "SELECT try_cast(s AS INT) FROM t"
+    )
+    assert "try_cast(s AS TINYINT)" in translate("SELECT toInt8OrNull(s) FROM t")
+    assert "try_cast(s AS SMALLINT)" in translate("SELECT toInt16OrNull(s) FROM t")
+    assert "try_cast(s AS FLOAT)" in translate("SELECT toFloat32OrNull(s) FROM t")
+    out = translate("SELECT toInt64OrZero(s) FROM t")
+    assert out.strip() == (
+        "SELECT (CASE WHEN (s) IS NULL THEN NULL "
+        "ELSE coalesce(try_cast(s AS BIGINT), 0) END) FROM t"
+    )
+    # 2-arg OrDefault splices the default expression; 1-arg = type default
+    assert "coalesce(try_cast(s AS TINYINT), (-1))" in translate(
+        "SELECT toInt8OrDefault(s, -1) FROM t"
+    )
+    assert "coalesce(try_cast(s AS DOUBLE), 0)" in translate(
+        "SELECT toFloat64OrDefault(s) FROM t"
+    )
+    # arguments already rewritten by earlier table entries still match
+    assert "try_cast(CAST(x AS STRING) AS BIGINT)" in translate(
+        "SELECT toInt64OrNull(toString(x)) FROM t"
+    )
+    # refusal boundary: unsigned widths, date/decimal targets
+    for bad, why in (
+        ("SELECT toUInt8OrNull(x) FROM t", "unsigned"),
+        ("SELECT toUInt64OrDefault(x, 0) FROM t", "unsigned"),
+        ("SELECT toDateOrNull(x) FROM t", "Or"),
+        ("SELECT toDateTimeOrZero(x) FROM t", "Or"),
+        ("SELECT toDecimal64OrNull(x, 3) FROM t", "Or"),
+    ):
+        with _pytest.raises(UnsupportedClickHouseSQL, match=why):
+            translate(bad)
+    # literal masking: trigger text inside a string survives untouched
+    lit = "SELECT 'toInt32OrZero(x)' AS s FROM t"
+    assert translate(lit) == lit
+    # executed semantics: parse-fail, overflow, and NULL-input arms
+    rows = spark.sql(
+        translate(
+            "SELECT toInt32OrZero(s) z, toInt32OrNull(s) n, "
+            "toInt32OrDefault(s, -7) d, toInt16OrNull(s) w "
+            "FROM VALUES ('42'), ('abc'), (NULL), ('90000') AS t(s) "
+            "ORDER BY s NULLS FIRST"
+        )
+    ).collect()
+    # NULL input -> NULL through ALL suffixes (never the default)
+    assert tuple(rows[0]) == (None, None, None, None)
+    assert tuple(rows[1]) == (42, 42, 42, 42)
+    # '90000' fits Int32 but overflows Int16 -> width-true boundary
+    assert tuple(rows[2]) == (90000, 90000, 90000, None)
+    assert tuple(rows[3]) == (0, None, -7, None)  # 'abc' parse-fail
 
 
 def test_ch_dialect_least_greatest_null_propagation(spark):
@@ -2413,12 +2481,8 @@ def test_ch_dialect_datetime_diff_semantics(spark):
         ("SELECT dateDiff('week', a, b) FROM t", "Sunday-based"),
         ("SELECT dateDiff('millisecond', a, b) FROM t", "unit"),
         ("SELECT dateDiff('day', a, b, 'UTC') FROM t", "timezone"),
-        # Spark timestampdiff(MONTH) floors months_between's /31
-        # fraction — diverges from CH's complete-month rule at
-        # month-end edges (measured: Jan31 23:59 -> Mar01 gives CH 1,
-        # Spark 0) — so age's variable-length units refuse
-        ("SELECT age('month', a, b) FROM t2", "month-end"),
-        ("SELECT age('year', a, b) FROM t2", "month-end"),
+        # (age month/quarter/year TRANSLATE since r13 — see
+        # test_ch_dialect_age_month_rule for the edge matrix)
         ("SELECT extract(s, '(?i)abc') FROM t", "RE2"),
         # escape dialects diverge BEFORE the regex engine: CH \x41 ->
         # 'A', Spark drops the backslash -> 'x41' (review finding)
@@ -2492,6 +2556,91 @@ def test_ch_dialect_datetime_diff_semantics(spark):
         compare(
             spark.sql(translate(ch_q)), con, duck_q, name="datetime_diff"
         )
+    finally:
+        con.close()
+
+
+def test_ch_dialect_age_month_rule(spark):
+    """r13 (VERDICT r12 #4, refusal turned translation): CH
+    age('month'/'quarter'/'year') is EXACT integer date arithmetic —
+    12*(y2-y1) + (m2-m1) minus a (day, time-of-day) tuple borrow, with
+    NO month-end clamping (dateDiff.cpp's age arm compares raw
+    components: age('month', Jan31, Feb29) = 0 where Postgres/DuckDB's
+    interval arithmetic clamps Jan31+1mo to Feb29 and says 1) —
+    quarter/year are the month count DIV 3 / DIV 12, truncating toward
+    zero in both directions. Hand-traced edge matrix including the
+    VERDICT r12 Jan31 23:59 -> Mar01 edge, then a DuckDB differential:
+    date_sub is the independent complete-month twin exactly where
+    day(start) <= 28 makes clamping impossible."""
+    from clickhouse_data_rebalance_spark.plans.ch_dialect import translate
+    from .oracle_harness import compare, duck_connection
+
+    # the translation is pure integer arithmetic — no months_between,
+    # whose /31 fraction was the refusal's reason
+    out = translate("SELECT age('month', s, e) FROM t")
+    assert "months_between" not in out and "timestampdiff" not in out
+    assert "DIV 3" in translate("SELECT age('quarter', s, e) FROM t")
+    assert "DIV 12" in translate("SELECT age('year', s, e) FROM t")
+
+    cases = [
+        # (start, end, months, quarters, years) — CH tuple rule
+        ("2024-01-31 23:59:00", "2024-03-01 00:00:00", 1, 0, 0),
+        ("2024-01-31 00:00:00", "2024-02-29 00:00:00", 0, 0, 0),  # no clamp
+        ("2021-12-29 00:00:00", "2022-01-01 00:00:00", 0, 0, 0),  # CH doc
+        ("2020-03-15 10:00:00", "2021-03-15 09:59:59", 11, 3, 0),
+        ("2020-03-15 10:00:00", "2021-03-15 10:00:00", 12, 4, 1),
+        # microsecond fraction participates in the tuple compare
+        ("2020-03-15 10:00:00.500", "2021-03-15 10:00:00.400", 11, 3, 0),
+        ("2020-03-15 10:00:00.400", "2021-03-15 10:00:00.500", 12, 4, 1),
+        # negative direction: borrow flips to carry, DIV truncates
+        # toward zero (-2 months is 0 complete quarters, not -1)
+        ("2020-03-20 00:00:00", "2020-03-10 00:00:00", 0, 0, 0),
+        ("2020-05-20 00:00:00", "2020-02-10 00:00:00", -3, -1, 0),
+        ("2020-05-20 00:00:00", "2020-02-25 00:00:00", -2, 0, 0),
+        ("2021-05-20 00:00:00", "2020-04-25 00:00:00", -12, -4, -1),
+    ]
+    values = ", ".join(
+        f"(TIMESTAMP_NTZ '{s}', TIMESTAMP_NTZ '{e}', {mo}, {q}, {y})"
+        for s, e, mo, q, y in cases
+    )
+    spark.sql(
+        f"SELECT * FROM VALUES {values} AS t(s, e, emo, eq, ey)"
+    ).createOrReplaceTempView("age_edges")
+    rows = spark.sql(
+        translate(
+            "SELECT age('month', s, e) AS mo, age('quarter', s, e) AS q, "
+            "age('year', s, e) AS y, emo, eq, ey FROM age_edges"
+        )
+    ).collect()
+    for r in rows:
+        assert (r["mo"], r["q"], r["y"]) == (r["emo"], r["eq"], r["ey"]), r
+
+    # fixture differential: DuckDB date_sub agrees with the CH rule on
+    # every pair whose START day-of-month <= 28 (no clamp window), and
+    # the events fixture is compared on exactly that subset — an
+    # INDEPENDENT interval-arithmetic derivation, not a respelling
+    inner = (
+        "(SELECT user_id, ts, min(ts) OVER (PARTITION BY user_id) AS t0 "
+        "FROM events) x WHERE day(t0) <= 28"
+    )
+    ch_q = (
+        "SELECT user_id, sum(age('month', t0, ts)) AS a_month, "
+        "sum(age('quarter', t0, ts)) AS a_quarter, "
+        "sum(age('year', t0, ts)) AS a_year "
+        f"FROM {inner} GROUP BY user_id ORDER BY user_id"
+    )
+    duck_q = (
+        "SELECT user_id, sum(date_sub('month', t0, ts)) AS a_month, "
+        "sum(date_sub('quarter', t0, ts)) AS a_quarter, "
+        "sum(date_sub('year', t0, ts)) AS a_year "
+        f"FROM {inner} GROUP BY user_id ORDER BY user_id"
+    )
+    from clickhouse_data_rebalance_spark.tables import load_tables
+
+    load_tables(spark, SF_SMALL)["events"].createOrReplaceTempView("events")
+    con = duck_connection(SF_SMALL)
+    try:
+        compare(spark.sql(translate(ch_q)), con, duck_q, name="age_months")
     finally:
         con.close()
 
