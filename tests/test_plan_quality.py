@@ -1288,3 +1288,42 @@ def test_rank_rules_single_collect(spark):
     assert finals[0].count("collect_list") == 1, finals[0]
     assert finals[0].count("percentile") == 1, finals[0]
     assert plan.count("Exchange (") == 2, plan
+
+
+def test_converters_demo_stays_narrow(spark):
+    """The r13 converter translation is pure row-local expression work:
+    the demo's ONLY exchange is its own groupBy (plus the presentation
+    sort) — no Python UDFs, no extra shuffle, no join; try_cast and the
+    NULL-guard CASE run inside whole-stage codegen on the scan side."""
+    plan = plan_of(spark, "ch_dialect_converters")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange (") == 2, plan  # groupBy + final sort
+    # the converters landed as projection expressions feeding a plain
+    # hash aggregate — no Generate/Window/Join in the whole plan
+    assert "HashAggregate" in plan
+    for wide in ("Join", "Window", "Generate"):
+        assert wide not in plan, plan
+
+
+def test_age_month_rule_stays_rowlocal(spark):
+    """age('month'/'quarter'/'year') lowers to integer date arithmetic
+    in the projection — no months_between, no UDF, no added exchange
+    over the bare scan + aggregation."""
+    from clickhouse_data_rebalance_spark.plans.ch_dialect import translate
+    from clickhouse_data_rebalance_spark.tables import load_tables
+
+    load_tables(spark, SF_SMALL)["orders"].createOrReplaceTempView("orders")
+    df = spark.sql(
+        translate(
+            "SELECT o_orderstatus, sum(age('month', o_orderdate, "
+            "toDate('1998-01-01'))) AS m FROM orders GROUP BY o_orderstatus"
+        )
+    )
+    plan = df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "months_between" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange (") == 1, plan  # the groupBy only
