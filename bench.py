@@ -126,6 +126,10 @@ EXTENDED = [
     "quantile_state_merge",
     "uniq_state_merge",
     "heavy_hitters_weighted",
+    # round 13: the converter-suffix demo and the second-fourth dialect
+    # waves' string/bit/week demo (both tracked from birth)
+    "ch_dialect_converters",
+    "ch_dialect_strings",
 ]
 
 HEADLINE = CORE + EXTENDED

@@ -18,7 +18,11 @@ toInt*OrZero /      NULL-guarded coalesce(try_cast(x AS T), 0 | default)
                     toUInt*Or* refuses (no unsigned domain in Spark)
 toString            CAST(x AS STRING)
 toDate/toDateTime   to_date(x) / to_timestamp(x)
-toStartOfDay/...    date_trunc('day'|'month'|'year', x)
+toStartOfDay/...    date_trunc('day'|'month'|'quarter'|'year'|'minute', x)
+toStartOfWeek       date_sub(CAST(x AS DATE), dayofweek(x) - 1) — CH's
+                    default mode 0 is SUNDAY-first (r13; literal odd
+                    modes -> Monday date_trunc('week'); non-literal
+                    modes + timezone form refuse)
 toYYYYMM            date_format(x, 'yyyyMM') as int
 countIf             count_if (native)
 sumIf/avgIf/...     agg(x) FILTER (WHERE c)
@@ -61,7 +65,19 @@ numbers(n)          (SELECT id AS number FROM range(n))
 toYear/Quarter/...  year / quarter / month / weekofyear (toISOWeek)
 now()               current_timestamp()
 match(h, p)         (h RLIKE p)
-position(h, n)      locate(n, h) — argument order swaps, both 1-based
+position(h, n)      BYTE offset via octet_length of the char prefix
+                    before locate's match (r13 — CH position counts
+                    BYTES; the bare locate swap was silently char-based
+                    on multi-byte text); positionUTF8 -> locate(n, h)
+has(a, x)           exists(a, e -> e <=> x) — CH's NULL-is-a-value rule
+indexOf(a, x)       array_position over a <=> boolean transform (same)
+substringIndex      substring_index (delimiter-based, byte/char
+                    agnostic); reverseUTF8 -> reverse; bare reverse
+                    REFUSES (CH reverses STRING BYTES — no Spark twin)
+splitByChar/String  split(s, concat('\\Q', sep, '\\E')) — CH splits
+                    LITERALLY, Spark's split is regex (r13 fix: the
+                    bare swap made '.' split every char); one-byte
+                    literal contract enforced, splitByString('') refuses
 replaceAll          replace; replaceRegexpAll -> regexp_replace for
                     LITERAL replacements without \ or $ (backreference
                     dialects differ: CH \1 vs Java $1 — those refuse)
@@ -81,6 +97,27 @@ trimLeft/Right/Both ltrim / rtrim / trim
 toDecimalN(x, S)    CAST(x AS DECIMAL(9|18|38, S))
 arrayConcat/Min/Max concat / array_min / array_max
 arrayUniq           size(array_distinct(x))
+arrayCompact        NULL-safe consecutive-dedup index lambda (r13)
+substring/substr/   CAST(substring(CAST(s AS BINARY), o[, l]) AS STRING)
+  mid               — CH slices BYTES (r13, the length() class; scanner
+                    pass, any nesting; literal offset 0 refuses)
+substringUTF8       substring (Spark's is the character slicer)
+bitAnd/Or/Xor/Not   & | ^ ~ (width-independent two's complement;
+                    bitShift*/bitRotate*/bitCount/bitTest* REFUSE —
+                    width-dependent: Spark masks shift counts, and
+                    bit_count sign-extends narrow negatives)
+multiSearchAny      exists(needles, n -> contains(h, n))
+lower/upper         translate(s, 'A..Z', 'a..z') — CH's bare forms fold
+                    ASCII ONLY (r13, the length()/substring class);
+                    lowerUTF8/upperUTF8 -> Spark's Unicode lower/upper
+hasAll/hasAny       forall/exists with <=> lambdas — CH treats NULL as
+                    a VALUE (hasAny([NULL],[NULL]) = 1), arrays_overlap
+                    would return NULL there
+countEqual          size(filter(a, x -> x <=> v))
+arrayElement(a, i)  try_element_at — same lowering + documented
+                    out-of-range NULL deviation as the a[i] bracket
+                    rewrite; arrayFirst/arrayLast REFUSE (CH returns
+                    the element type's DEFAULT on no match)
 SETTINGS tail       stripped (session confs own execution advice)
 FORMAT <fmt> tail   stripped (sinks are explicit in Spark)
 ==================  =========================================
@@ -266,12 +303,64 @@ _REFUSALS: list[tuple[re.Pattern[str], str]] = [
         re.compile(r"\buniqTheta\s*\(", re.I),
         "use theta_set_ops / approx_count_distinct",
     ),
-    # arrayReduce's agg name is a runtime string; arraySum/Avg preserve
-    # CH integer-sum typing a lambda rewrite would silently widen;
-    # arrayCompact (consecutive dedup) has no Spark builtin
+    # arrayReduce's agg name is a runtime string; arraySum/Avg/CumSum
+    # preserve CH integer-sum typing a lambda rewrite would silently
+    # widen (arrayCompact carries no typing hazard and TRANSLATES since
+    # r13 — consecutive dedup via an index-lambda filter, entry below)
     (
-        re.compile(r"\b(arrayReduce|arraySum|arrayAvg|arrayCumSum|arrayCompact)\s*\(", re.I),
+        re.compile(r"\b(arrayReduce|arraySum|arrayAvg|arrayCumSum)\s*\(", re.I),
         "use an aggregate()/filter() lambda (C29 array_lambda_funcs)",
+    ),
+    # bit shifts/rotates: Java (and therefore Spark) masks the shift
+    # count modulo the value's bit width — 1 << 65 = 2, MEASURED — so a
+    # count at or beyond the width silently wraps instead of shifting
+    # out; no textual rewrite can know the value's width to guard it
+    (
+        re.compile(r"\bbit(Shift|Rotate)(Left|Right)\s*\(", re.I),
+        "Spark masks shift counts modulo the value's bit width "
+        "(1 << 65 = 2, measured) — bound the count yourself and use "
+        "the << / >> operators",
+    ),
+    # bitCount: Spark's bit_count counts the SIGN-EXTENDED 64-bit
+    # pattern for narrow negative inputs (bit_count(CAST(-1 AS
+    # TINYINT)) = 64, measured), so popcounts of negative narrow ints
+    # are width-dependent between engines; non-negative domains agree
+    (
+        re.compile(r"\bbitCount\s*\(", re.I),
+        "negative narrow-int popcounts are width-dependent between "
+        "engines (Spark's bit_count sign-extends to 64 bits, measured) "
+        "— use bit_count directly when the value domain is non-negative",
+    ),
+    (
+        re.compile(r"\bbitTest\w*\s*\(", re.I),
+        "use shifts and masks (& >> <<) with the bit index bounded to "
+        "the value's width",
+    ),
+    # bare reverse(): ClickHouse reverses BYTES of a String (reverseUTF8
+    # is its code-point form) while Spark's reverse reverses code points
+    # even over BINARY input (MEASURED: reverse(CAST('aпb' AS BINARY))
+    # round-trips to 'bпa', not the byte-reversed invalid-UTF-8 run CH
+    # produces) — no Spark spelling is byte-true, and the same name also
+    # reverses ARRAYS in both engines, so the intent is ambiguous
+    # textually. reverseUTF8 -> reverse translates (exact); arrayReverse
+    # -> reverse translates (exact).
+    (
+        re.compile(r"\breverse\s*\(", re.I),
+        "ClickHouse reverse reverses STRING BYTES (Spark's reverses "
+        "code points, measured even over BINARY) — use reverseUTF8 "
+        "(translated) for code-point reversal or arrayReverse "
+        "(translated) for arrays",
+    ),
+    # arrayFirst/arrayLast (+Index variants): when nothing matches, CH
+    # returns the element type's DEFAULT (0 / '' / ...), which the SQL
+    # text cannot know — a filter(...)[1] lowering would yield NULL
+    # there, silently different rows
+    (
+        re.compile(r"\barray(First|Last)(Index)?\s*\(", re.I),
+        "ClickHouse returns the element type's DEFAULT when no element "
+        "matches — unknowable textually; use "
+        "element_at(filter(arr, f), 1|-1) / array_position accepting "
+        "NULL, or coalesce(...) with your default",
     ),
     # client-side file sink clause — Spark sinks are explicit
     (
@@ -320,6 +409,38 @@ _REFUSALS: list[tuple[re.Pattern[str], str]] = [
 # match; deeper nesting falls through to the residual check, which raises
 _ATOM = r"(?:'[^']*'|[^'(),])"
 _ARG = rf"({_ATOM}*(?:\([^()]*\){_ATOM}*)*)"
+
+
+def _split_sep_repl(m: "re.Match[str]", raw: str, *, by_string: bool) -> str:
+    """splitByChar/splitByString replacement: ClickHouse splits on the
+    LITERAL separator while Spark's split takes a Java REGEX, so the
+    separator is \\Q...\\E-quoted at runtime via concat (Catalyst
+    constant-folds it for literal separators). Literal-argument guards
+    enforce the CH contracts the text makes checkable: splitByChar's
+    separator is exactly one byte; splitByString('') refuses (Spark's
+    empty pattern keeps a trailing empty element CH's per-character
+    split does not — measured)."""
+    name = "splitByString" if by_string else "splitByChar"
+    sep = raw[slice(*m.span(1))].strip()
+    s = raw[slice(*m.span(2))].strip()
+    lit = re.fullmatch(r"'([^']*)'", sep)
+    if lit is not None:
+        content = lit.group(1)
+        if not by_string and len(content.encode("utf-8")) != 1:
+            raise UnsupportedClickHouseSQL(
+                f"{name} separator must be exactly one byte (the "
+                "ClickHouse contract) — use splitByString for longer "
+                "separators"
+            )
+        if by_string and content == "":
+            raise UnsupportedClickHouseSQL(
+                "splitByString('') per-character split: Spark's empty "
+                "pattern keeps a trailing empty element ClickHouse does "
+                "not — split to characters with a substring/sequence "
+                "spelling instead"
+            )
+    return f"split({s}, concat('\\\\Q', {sep}, '\\\\E'))"
+
 
 _REWRITES: list[tuple[re.Pattern[str], str]] = [
     # argless count() is ClickHouse-legal; Spark wants count(*)
@@ -370,6 +491,38 @@ _REWRITES: list[tuple[re.Pattern[str], str]] = [
         r"CAST(date_trunc('year', \1) AS DATE)",
     ),
     (
+        re.compile(rf"\btoStartOfQuarter\s*\(\s*{_ARG}\s*\)", re.I),
+        r"CAST(date_trunc('quarter', \1) AS DATE)",
+    ),
+    (
+        re.compile(rf"\btoStartOfMinute\s*\(\s*{_ARG}\s*\)", re.I),
+        r"date_trunc('minute', \1)",
+    ),
+    # toStartOfWeek(x[, mode]): ClickHouse's week START depends only on
+    # the mode's parity (toWeek modes 0-9: even -> Sunday-first, odd ->
+    # Monday-first; the even/odd numbering split affects only week
+    # NUMBERS, not the start day). The default (mode 0) is SUNDAY —
+    # which is why toStartOfWeek must NOT lower to date_trunc('week')
+    # like toMonday does (Spark weeks start Monday; a bare swap would
+    # move every Sunday row into the previous week, the silent-collision
+    # class). Sunday form: most recent Sunday <= x via dayofweek
+    # (Sunday=1 in Spark), returning DATE as CH does. The argument
+    # splices twice (row-local double evaluation — the least/greatest
+    # caveat class). Non-literal modes and the 3-arg timezone form fall
+    # to the toStartOf\w+ residual and refuse.
+    (
+        re.compile(rf"\btoStartOfWeek\s*\(\s*{_ARG}\s*\)", re.I),
+        r"date_sub(CAST(\1 AS DATE), dayofweek(\1) - 1)",
+    ),
+    (
+        re.compile(rf"\btoStartOfWeek\s*\(\s*{_ARG}\s*,\s*[02468]\s*\)", re.I),
+        r"date_sub(CAST(\1 AS DATE), dayofweek(\1) - 1)",
+    ),
+    (
+        re.compile(rf"\btoStartOfWeek\s*\(\s*{_ARG}\s*,\s*[13579]\s*\)", re.I),
+        r"CAST(date_trunc('week', \1) AS DATE)",
+    ),
+    (
         re.compile(rf"\btoYYYYMMDD\s*\(\s*{_ARG}\s*\)", re.I),
         r"CAST(date_format(\1, 'yyyyMMdd') AS BIGINT)",
     ),
@@ -411,15 +564,41 @@ _REWRITES: list[tuple[re.Pattern[str], str]] = [
         re.compile(rf"\bmatch\s*\(\s*{_ARG}\s*,\s*{_ARG}\s*\)", re.I),
         r"(\1 RLIKE \2)",
     ),
-    # CH position(haystack, needle) is 1-based; Spark locate takes the
-    # arguments SWAPPED (locate(substr, str)) and is also 1-based.
-    # Spark ALSO has a position(substr, str[, pos]) builtin with the
-    # REVERSE argument order of ClickHouse's, so an unrewritten call
-    # would run and silently return wrong numbers — `position` is in
-    # _RESIDUALS so the 3-arg and nested forms REFUSE instead.
+    # CH position(haystack, needle) returns the 1-based BYTE offset
+    # (positionUTF8 is the code-point form) — Spark's locate counts
+    # CHARACTERS and takes the arguments SWAPPED, and Spark ALSO has a
+    # position(substr, str[, pos]) builtin with the REVERSE argument
+    # order of ClickHouse's, so an unrewritten call would run and
+    # silently return wrong numbers — `position\w*` is in _RESIDUALS so
+    # 3-arg, CaseInsensitive and nested forms REFUSE instead.
+    # Byte-true lowering (r13, the length()/substring class — the r9
+    # locate() swap was silently char-based on multi-byte text): the
+    # char position from locate converts to a byte position as
+    # octet_length of the CHARACTER prefix before the match + 1 — exact
+    # for valid UTF-8, where a needle can only match at code-point
+    # boundaries (UTF-8 is self-synchronizing). Not-found keeps CH's 0;
+    # NULL operands propagate NULL through the CASE (NULL = 0 is
+    # false, and the ELSE arms carry the NULL). The operands splice
+    # multiple times (row-local, the least/greatest caveat class).
+    (
+        re.compile(rf"\bpositionUTF8\s*\(\s*{_ARG}\s*,\s*{_ARG}\s*\)", re.I),
+        r"locate(\2, \1)",
+    ),
     (
         re.compile(rf"\bposition\s*\(\s*{_ARG}\s*,\s*{_ARG}\s*\)", re.I),
-        r"locate(\2, \1)",
+        r"(CASE WHEN locate(\2, \1) = 0 THEN 0"
+        r" ELSE octet_length(substring(\1, 1, locate(\2, \1) - 1)) + 1 END)",
+    ),
+    # multiSearchAny(haystack, [needles]): 1 if ANY needle is a
+    # substring. exists + contains evaluates each operand ONCE; CH's
+    # UInt8 0/1 becomes a boolean exactly like match -> RLIKE. Bracket
+    # needle literals are already array(...) calls here (the bracket
+    # pass runs before the table), so _ARG binds them; other multiSearch
+    # variants (FirstPosition/FirstIndex/CaseInsensitive/...) fall to
+    # the residual and refuse.
+    (
+        re.compile(rf"\bmultiSearchAny\s*\(\s*{_ARG}\s*,\s*{_ARG}\s*\)", re.I),
+        r"exists(\2, cdr_ms_ -> contains(\1, cdr_ms_))",
     ),
     (re.compile(r"\breplaceAll\s*\(", re.I), "replace("),
     # replaceRegexpAll is handled by _rewrite_replace_regexp (the
@@ -459,6 +638,20 @@ _REWRITES: list[tuple[re.Pattern[str], str]] = [
     (
         re.compile(rf"\barrayUniq\s*\(\s*{_ARG}\s*\)", re.I),
         r"size(array_distinct(\1))",
+    ),
+    # arrayCompact = CONSECUTIVE dedup (keep each run's first element,
+    # element type preserved — no typing hazard, unlike arraySum's
+    # family above). Index lambda: keep i=0, else compare to the
+    # previous element NULL-safely (<=> dedupes NULL runs exactly as CH
+    # does: [1,NULL,NULL,2] -> [1,NULL,2], measured). greatest(i, 1)
+    # keeps element_at's 1-based index legal when the i=0 arm already
+    # decided (ANSI element_at(arr, 0) errors even unselected arms of
+    # an OR in some eval orders). The array argument splices twice
+    # (row-local double evaluation, the least/greatest caveat class).
+    (
+        re.compile(rf"\barrayCompact\s*\(\s*{_ARG}\s*\)", re.I),
+        r"filter(\1, (cdr_v_, cdr_i_) -> cdr_i_ = 0 OR "
+        r"NOT (cdr_v_ <=> element_at(\1, greatest(cdr_i_, 1))))",
     ),
     # ---- JSON extraction (literal key -> JSONPath) ----
     (
@@ -512,12 +705,96 @@ _REWRITES: list[tuple[re.Pattern[str], str]] = [
         re.compile(rf"\bintDiv\s*\(\s*{_ARG}\s*,\s*{_ARG}\s*\)", re.I),
         r"(\1 div \2)",
     ),
+    # has/indexOf (r13 upgrade from the name-only array_contains /
+    # array_position maps): ClickHouse processes NULL AS A VALUE here
+    # too — has([NULL], NULL) = 1 and has([NULL, 1], 2) = 0 where
+    # Spark's array_contains returns NULL in both (NULL value; NULL
+    # element present but value absent); indexOf([1, NULL, 2], NULL) =
+    # 2 where array_position(a, NULL) is NULL. The <=> lambdas spell
+    # CH's rule; the boolean-array array_position keeps CH's not-found
+    # 0 (measured: Spark array_position returns 0 when absent).
+    # ORDER: these binder entries run BEFORE splitByChar/splitByString,
+    # whose regex-quoted emission is two paren levels deep — the demo
+    # idiom `ARRAY JOIN splitByChar(' ', text) AS tok` binds here first
+    # (the split call is one level), then the split entry rewrites
+    # inside the emitted text. (has/indexOf are SCANNER passes —
+    # _rewrite_membership — for the same reason at any depth.)
+    # ARRAY JOIN as a CLAUSE (ClickHouse's signature flatten): the
+    # expression form `FROM t ARRAY JOIN <expr> AS x` becomes a lateral
+    # explode; LEFT ARRAY JOIN keeps empty-array rows via explode_outer
+    (
+        re.compile(
+            rf"\bLEFT\s+ARRAY\s+JOIN\s+{_ARG}\s+AS\s+([A-Za-z_]\w*)", re.I
+        ),
+        r"LATERAL VIEW OUTER explode(\1) AS \2",
+    ),
+    (
+        re.compile(
+            rf"\bARRAY\s+JOIN\s+{_ARG}\s+AS\s+([A-Za-z_]\w*)", re.I
+        ),
+        r"LATERAL VIEW explode(\1) AS \2",
+    ),
+    # hasAll/hasAny/countEqual (r13): ClickHouse processes NULL AS A
+    # VALUE in these ("hasAny([NULL], [NULL]) = 1", CH docs) — Spark's
+    # arrays_overlap returns NULL in exactly that case, so the
+    # name-adjacent builtin would silently diverge; the <=> lambdas
+    # spell CH's rule exactly (empty needle set: hasAll -> 1,
+    # hasAny -> 0 — forall/exists over empty agree). Row-local
+    # O(|a|*|b|), each operand evaluated once.
+    (
+        re.compile(rf"\bhasAll\s*\(\s*{_ARG}\s*,\s*{_ARG}\s*\)", re.I),
+        r"forall(\2, cdr_he_ -> exists(\1, cdr_hv_ -> cdr_he_ <=> cdr_hv_))",
+    ),
+    (
+        re.compile(rf"\bhasAny\s*\(\s*{_ARG}\s*,\s*{_ARG}\s*\)", re.I),
+        r"exists(\2, cdr_he_ -> exists(\1, cdr_hv_ -> cdr_he_ <=> cdr_hv_))",
+    ),
+    (
+        re.compile(rf"\bcountEqual\s*\(\s*{_ARG}\s*,\s*{_ARG}\s*\)", re.I),
+        r"size(filter(\1, cdr_ce_ -> cdr_ce_ <=> (\2)))",
+    ),
+    # arrayElement(a, i) = CH's a[i] spelled as a function — the same
+    # lowering as the bracket-index rewrite (1-based, negative from the
+    # end in BOTH engines) with the same documented deviation:
+    # out-of-range yields NULL here where CH yields the element type's
+    # DEFAULT (unknowable textually)
+    (
+        re.compile(rf"\barrayElement\s*\(\s*{_ARG}\s*,\s*{_ARG}\s*\)", re.I),
+        r"try_element_at(\1, \2)",
+    ),
+    # substringIndex (MySQL-style segment slice — identical semantics
+    # incl. negative counts-from-the-end): Spark's snake_case twin; the
+    # camelCase spelling would otherwise die on an unresolved-function
+    # error (Spark's name matching is case-insensitive, not
+    # camelCase-aware). Delimiter-count semantics are byte/char
+    # agnostic, so no BINARY round-trip is needed.
+    (re.compile(r"\bsubstringIndex\s*\(", re.I), "substring_index("),
+    # reverseUTF8 = code-point reversal = Spark's reverse on strings
+    # (bare reverse REFUSES above — CH's is byte-level)
+    (re.compile(r"\breverseUTF8\s*\(", re.I), "reverse("),
+    # splitByChar/splitByString (r13 FIX of a silent mistranslation:
+    # ClickHouse splits on the LITERAL separator, but Spark's split
+    # takes a Java REGEX — the old bare `split(s, sep)` swap turned
+    # splitByChar('.', s) into a split on EVERY character, measured).
+    # The separator is \Q...\E-quoted at RUNTIME via concat (constant-
+    # folded by Catalyst), so metacharacters and backslashes in the
+    # separator VALUE are literal with no escape-dialect reasoning;
+    # Spark's split keeps trailing empty fields exactly as CH does
+    # (measured: 'a,b,' -> ['a','b','']). Literal guards: splitByChar's
+    # separator must be ONE byte (the CH contract — longer literals
+    # refuse); splitByString('') refuses (CH's per-character split has
+    # no trailing empty element, Spark's empty pattern emits one —
+    # measured). A separator VALUE containing the two characters \E is
+    # outside splitByChar's 1-byte domain and splitByString's quoting
+    # breaks there (documented in MIGRATION.md).
     (
         re.compile(rf"\bsplitByChar\s*\(\s*{_ARG}\s*,\s*{_ARG}\s*\)", re.I),
-        r"split(\2, \1)",  # ClickHouse takes (sep, s); Spark takes (s, sep)
+        lambda m, raw: _split_sep_repl(m, raw, by_string=False),
     ),
-    (re.compile(r"\bhas\s*\(", re.I), "array_contains("),
-    (re.compile(r"\bindexOf\s*\(", re.I), "array_position("),
+    (
+        re.compile(rf"\bsplitByString\s*\(\s*{_ARG}\s*,\s*{_ARG}\s*\)", re.I),
+        lambda m, raw: _split_sep_repl(m, raw, by_string=True),
+    ),
     (re.compile(r"\barrayStringConcat\s*\(", re.I), "array_join("),
     # CH length(String) counts BYTES; Spark's length counts CHARACTERS
     # — identical on ASCII, silently different on multi-byte UTF-8 (the
@@ -533,6 +810,24 @@ _REWRITES: list[tuple[re.Pattern[str], str]] = [
     (re.compile(rf"\bnotEmpty\s*\(\s*{_ARG}\s*\)", re.I), r"(length(\1) > 0)"),
     (re.compile(rf"\bempty\s*\(\s*{_ARG}\s*\)", re.I), r"(length(\1) = 0)"),
     (re.compile(r"\bmodulo\s*\(", re.I), "mod("),
+    # scalar bitwise ops: two's-complement AND/OR/XOR/NOT are
+    # width-independent (both engines promote to a common integer type
+    # and the bit patterns agree), so the operator spellings are exact.
+    # bitShift*/bitRotate*/bitCount/bitTest* REFUSE above — shift-count
+    # masking and sign-extension make those width-dependent.
+    (
+        re.compile(rf"\bbitAnd\s*\(\s*{_ARG}\s*,\s*{_ARG}\s*\)", re.I),
+        r"((\1) & (\2))",
+    ),
+    (
+        re.compile(rf"\bbitOr\s*\(\s*{_ARG}\s*,\s*{_ARG}\s*\)", re.I),
+        r"((\1) | (\2))",
+    ),
+    (
+        re.compile(rf"\bbitXor\s*\(\s*{_ARG}\s*,\s*{_ARG}\s*\)", re.I),
+        r"((\1) ^ (\2))",
+    ),
+    (re.compile(rf"\bbitNot\s*\(\s*{_ARG}\s*\)", re.I), r"(~(\1))"),
     # arithmetic function spellings: CH exposes operators as functions
     (re.compile(rf"\bplus\s*\(\s*{_ARG}\s*,\s*{_ARG}\s*\)", re.I), r"(\1 + \2)"),
     (re.compile(rf"\bminus\s*\(\s*{_ARG}\s*,\s*{_ARG}\s*\)", re.I), r"(\1 - \2)"),
@@ -618,21 +913,9 @@ _REWRITES: list[tuple[re.Pattern[str], str]] = [
         ),
         "",
     ),
-    # ARRAY JOIN as a CLAUSE (ClickHouse's signature flatten): the
-    # expression form `FROM t ARRAY JOIN <expr> AS x` becomes a lateral
-    # explode; LEFT ARRAY JOIN keeps empty-array rows via explode_outer
-    (
-        re.compile(
-            rf"\bLEFT\s+ARRAY\s+JOIN\s+{_ARG}\s+AS\s+([A-Za-z_]\w*)", re.I
-        ),
-        r"LATERAL VIEW OUTER explode(\1) AS \2",
-    ),
-    (
-        re.compile(
-            rf"\bARRAY\s+JOIN\s+{_ARG}\s+AS\s+([A-Za-z_]\w*)", re.I
-        ),
-        r"LATERAL VIEW explode(\1) AS \2",
-    ),
+    # (the ARRAY JOIN clause entries moved BEFORE the r13 binder group —
+    # their one-level _ARG must bind `ARRAY JOIN splitByChar(...) AS x`
+    # before the split expansion makes the operand two levels deep)
     # (GROUP BY ... WITH TOTALS — bare columns AND expression keys — is
     # rewritten by _rewrite_totals, which owns the paren-aware key-list
     # split; the residual \bWITH TOTALS\b check backstops what it
@@ -736,16 +1019,22 @@ _RESIDUALS = re.compile(
     # error
     r"\b(toU?Int\d+\w*|toFloat\d+\w*|toDate\w+|toString|toStartOf\w+|toYYYYMM(DD)?|sumIf|avgIf"
     r"|avgWeighted"
-    r"|minIf|maxIf|uniqExact|arrayJoin|notEmpty|multiIf|intDiv|splitByChar"
+    r"|minIf|maxIf|uniqExact|arrayJoin|notEmpty|multiIf|intDiv"
+    r"|splitByChar|splitByString"
     r"|arrayStringConcat|lengthUTF8|toHour|toMinute|toSecond|toDayOf\w+"
     r"|toMonday|toUnixTimestamp|arrayMap|arrayFilter|arrayExists|arrayAll"
     r"|arrayDistinct|arraySort|arrayReverse|arrayFlatten|arraySlice"
     r"|toYear|toQuarter|toMonth|toISOWeek|replaceAll|replaceRegexpAll"
-    r"|formatDateTime|match|position|uniqUpTo"
+    r"|formatDateTime|match|position\w*|uniqUpTo|has|indexOf"
     r"|plus|minus|multiply|divide|assumeNotNull|arrayEnumerate"
     r"|leftPad|rightPad|numbers|trimLeft|trimRight|trimBoth"
     r"|toDecimal\d+\w*|rand64|arrayConcat|arrayMin|arrayMax|arrayUniq"
     r"|groupBit(And|Or|Xor)|stddev(Pop|Samp)|var(Pop|Samp)|covar(Pop|Samp)"
+    # r13 second wave: the rewrites emit exists/filter/operators, never
+    # these names, so a surviving spelling is always an unbound form
+    # (deep nesting, wrong arity, non-literal toStartOfWeek mode)
+    r"|multiSearch\w*|bit(And|Or|Xor|Not)|arrayCompact"
+    r"|hasAll|hasAny|countEqual|arrayElement"
     r"|JSONExtract\w+|quantiles?\w*|median\w*|topK\w*)\s*\(",
     re.I,
 )
@@ -1008,6 +1297,208 @@ def _rewrite_least_greatest(sql: str, depth: int = 0) -> str:
             out.append(f"(CASE WHEN {checks} THEN NULL ELSE {call} END)")
         pos = i
         m = _LG_HEAD.search(masked, i)
+    out.append(sql[pos:])
+    return "".join(out)
+
+
+_SUBSTR_HEAD = re.compile(r"\b(substringUTF8|substring|substr|mid)\s*\(", re.I)
+
+
+def _rewrite_substring_family(sql: str, depth: int = 0) -> str:
+    """Byte-vs-char closure for the substring family (r13 — the
+    length()/octet_length() silent-divergence class). ClickHouse's
+    substring/substr/mid slice BYTES of a String (substringUTF8 is its
+    character slicer); Spark's substring slices CHARACTERS — identical
+    on ASCII, silently different rows on multi-byte UTF-8. The
+    byte-true lowering routes through BINARY:
+    ``CAST(substring(CAST(s AS BINARY), o[, l]) AS STRING)`` —
+    MEASURED byte-exact in Spark for positive offsets, NEGATIVE offsets
+    (counted from the end in bytes: substring('привет', -4, 4) = 'ет'),
+    the 2-arg form, and NULL propagation; a slice landing mid-codepoint
+    yields the same invalid-UTF-8 byte run CH produces (Spark's
+    binary->string cast keeps bytes as-is). substringUTF8 lowers to
+    Spark's own (character) substring.
+
+    Scanner-based like _rewrite_least_greatest — matches found on the
+    literal-masked copy, args spliced from RAW text, any nesting depth,
+    argument-first recursion with an explicit cursor so the emitted
+    ``substring(`` is never re-matched — because a regex-table entry's
+    one-level _ARG would let deep-nested calls FALL THROUGH and run
+    silently char-based, the exact divergence this pass closes.
+
+    Refusals: wrong arity; a LITERAL offset 0 — Spark treats 0 as
+    position 1 (measured) while MySQL-family engines return '' there,
+    an engine-divergent edge no rewrite can make faithful (a runtime 0
+    from an expression is undetectable textually — MIGRATION.md
+    documents the >= 1 / negative-from-end operand domain)."""
+    if depth > 32:
+        raise UnsupportedClickHouseSQL(
+            "substring calls nested more than 32 levels deep — "
+            "precompute inner slices as subquery/CTE columns"
+        )
+    masked = _mask_literals(sql)
+    m = _SUBSTR_HEAD.search(masked)
+    if not m:
+        return sql
+    out: list[str] = []
+    pos = 0
+    while m:
+        name = m.group(1).lower()
+        try:
+            i = _scan_to_close(masked, m.end())
+        except UnsupportedClickHouseSQL:
+            raise UnsupportedClickHouseSQL(
+                f"unbalanced parentheses in {name}()"
+            ) from None
+        raw_args = [
+            a.strip() for a in _split_top_level_args(sql[m.end() : i - 1])
+        ]
+        if len(raw_args) not in (2, 3):
+            raise UnsupportedClickHouseSQL(
+                f"{name}() takes (string, offset[, length]) — got "
+                f"{len(raw_args)} argument(s)"
+            )
+        args = [_rewrite_substring_family(a, depth + 1) for a in raw_args]
+        if re.fullmatch(r"[+-]?0+", args[1]):
+            raise UnsupportedClickHouseSQL(
+                "substring offset 0 is an engine-divergent edge (Spark "
+                "treats 0 as position 1, measured; MySQL-family engines "
+                "return '') — offsets are 1-based, negatives count from "
+                "the end"
+            )
+        out.append(sql[pos : m.start()])
+        if name == "substringutf8":
+            out.append(f"substring({', '.join(args)})")
+        else:
+            tail = f", {args[2]}" if len(args) == 3 else ""
+            out.append(
+                f"CAST(substring(CAST({args[0]} AS BINARY), "
+                f"{args[1]}{tail}) AS STRING)"
+            )
+        pos = i
+        m = _SUBSTR_HEAD.search(masked, i)
+    out.append(sql[pos:])
+    return "".join(out)
+
+
+_CASE_HEAD = re.compile(r"\b(lowerUTF8|upperUTF8|lower|upper)\s*\(", re.I)
+_ASCII_UP = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_ASCII_LO = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _rewrite_case_family(sql: str, depth: int = 0) -> str:
+    """ASCII-vs-Unicode closure for the case-folding family (r13, the
+    substring/length class): ClickHouse's bare lower/upper convert
+    ASCII LATIN symbols ONLY (documented CH behavior — lower('ÄBC')
+    keeps the Ä) while Spark's lower/upper fold full Unicode — same
+    name, silently different rows on non-ASCII text. Bare spellings
+    lower to the exact ASCII fold ``translate(s, 'A..Z', 'a..z')``;
+    lowerUTF8/upperUTF8 (CH's Unicode folders) lower to Spark's own
+    lower/upper — documented caveat: both engines apply per-codepoint
+    case mapping but exotic codepoints with locale/1:N mappings
+    (dotted İ, ligatures) may differ; MIGRATION.md records it.
+
+    Scanner-based with an explicit cursor (argument-first recursion)
+    for the same reason as the substring pass: a one-level regex would
+    let nested calls fall through and run silently Unicode-folding, and
+    the lowerUTF8 -> lower emission must never be re-matched."""
+    if depth > 32:
+        raise UnsupportedClickHouseSQL(
+            "case-folding calls nested more than 32 levels deep — "
+            "precompute inner folds as subquery/CTE columns"
+        )
+    masked = _mask_literals(sql)
+    m = _CASE_HEAD.search(masked)
+    if not m:
+        return sql
+    out: list[str] = []
+    pos = 0
+    while m:
+        name = m.group(1).lower()
+        try:
+            i = _scan_to_close(masked, m.end())
+        except UnsupportedClickHouseSQL:
+            raise UnsupportedClickHouseSQL(
+                f"unbalanced parentheses in {name}()"
+            ) from None
+        raw_args = [
+            a.strip() for a in _split_top_level_args(sql[m.end() : i - 1])
+        ]
+        if len(raw_args) != 1:
+            raise UnsupportedClickHouseSQL(
+                f"{name}() takes exactly one argument — got {len(raw_args)}"
+            )
+        arg = _rewrite_case_family(raw_args[0], depth + 1)
+        out.append(sql[pos : m.start()])
+        if name == "lower":
+            out.append(f"translate({arg}, '{_ASCII_UP}', '{_ASCII_LO}')")
+        elif name == "upper":
+            out.append(f"translate({arg}, '{_ASCII_LO}', '{_ASCII_UP}')")
+        elif name == "lowerutf8":
+            out.append(f"lower({arg})")
+        else:
+            out.append(f"upper({arg})")
+        pos = i
+        m = _CASE_HEAD.search(masked, i)
+    out.append(sql[pos:])
+    return "".join(out)
+
+
+_MEMBERSHIP_HEAD = re.compile(r"\b(has|indexOf)\s*\(", re.I)
+
+
+def _rewrite_membership(sql: str, depth: int = 0) -> str:
+    """NULL-as-a-value upgrade for has/indexOf (r13 wave 4, from the
+    name-only array_contains/array_position maps): ClickHouse processes
+    NULL AS A VALUE — has([NULL], NULL) = 1 and has([NULL, 1], 2) = 0
+    where Spark's array_contains returns NULL in BOTH (NULL value; NULL
+    element present but value absent); indexOf([1, NULL, 2], NULL) = 2
+    where array_position(a, NULL) is NULL. The <=> lambdas spell CH's
+    rule; the boolean-array array_position keeps CH's not-found 0
+    (measured). Scanner-based like the substring/case passes: the old
+    name-only rewrites matched at ANY nesting depth (has(arrayMap(...),
+    x) is an established composition), so the upgrade must too — a
+    one-level regex would refuse compositions that used to translate.
+    Runs BEFORE the rewrite table: the spliced argument text (arrayMap,
+    splitByChar, bracket arrays already lowered) is rewritten there."""
+    if depth > 32:
+        raise UnsupportedClickHouseSQL(
+            "has/indexOf calls nested more than 32 levels deep — "
+            "precompute inner lookups as subquery/CTE columns"
+        )
+    masked = _mask_literals(sql)
+    m = _MEMBERSHIP_HEAD.search(masked)
+    if not m:
+        return sql
+    out: list[str] = []
+    pos = 0
+    while m:
+        name = m.group(1).lower()
+        try:
+            i = _scan_to_close(masked, m.end())
+        except UnsupportedClickHouseSQL:
+            raise UnsupportedClickHouseSQL(
+                f"unbalanced parentheses in {name}()"
+            ) from None
+        raw_args = [
+            a.strip() for a in _split_top_level_args(sql[m.end() : i - 1])
+        ]
+        if len(raw_args) != 2:
+            raise UnsupportedClickHouseSQL(
+                f"{name}() takes (array, value) — got {len(raw_args)} "
+                "argument(s)"
+            )
+        args = [_rewrite_membership(a, depth + 1) for a in raw_args]
+        out.append(sql[pos : m.start()])
+        if name == "has":
+            out.append(f"exists({args[0]}, cdr_h_ -> cdr_h_ <=> ({args[1]}))")
+        else:
+            out.append(
+                f"array_position(transform({args[0]}, "
+                f"cdr_ix_ -> cdr_ix_ <=> ({args[1]})), true)"
+            )
+        pos = i
+        m = _MEMBERSHIP_HEAD.search(masked, i)
     out.append(sql[pos:])
     return "".join(out)
 
@@ -2203,6 +2694,14 @@ def translate(ch_sql: str) -> str:
     out = _rewrite_quantile_family(out)
     out = _rewrite_totals(out)
     out = _rewrite_array_join_zip(out)
+    # LAST function pass: earlier stages re-emit user argument text
+    # (multiIf arms, totals keys, least/greatest guards) that may carry
+    # substring calls — running after them guarantees every spelling is
+    # seen exactly once; the emitted byte-form text triggers nothing in
+    # the table below
+    out = _rewrite_substring_family(out)
+    out = _rewrite_case_family(out)
+    out = _rewrite_membership(out)
     for pat, repl in _REWRITES:
         out = _sub_outside_literals(pat, repl, out)
     masked = _mask_literals(out)
@@ -5164,3 +5663,83 @@ def ch_dialect_converters(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary (toUInt*Or*, toDate*/toDecimal* Or-forms) documented in
     MIGRATION.md."""
     return ch_sql(spark, sf_dir, _CH_CONVERTERS_QUERY)
+
+
+# r13 second/third dialect waves end-to-end: byte-true substring,
+# ASCII-true case folding, Sunday-first toStartOfWeek, scalar bit ops,
+# multiSearchAny and NULL-as-a-value hasAny — every construct here was
+# previously a refusal or a silent byte/char divergence
+_CH_STRINGS_QUERY = """
+    SELECT wk, pre,
+           toUInt32(count()) AS n,
+           toUInt32(countIf(hit)) AS n_hit,
+           toUInt32(countIf(ce)) AS n_ce,
+           toUInt32(sum(lb)) AS low_bits,
+           toUInt32(uniqExact(ut)) AS n_types,
+           toUInt32(sum(pos_i)) AS sum_pos,
+           toUInt32(sum(seg_p)) AS sum_seg
+    FROM (
+      SELECT toStartOfWeek(ts) AS wk,
+             upper(substring(event_type, 1, 2)) AS pre,
+             multiSearchAny(event_type, ['ck', 'err']) AS hit,
+             hasAny([event_type], ['click', 'error']) AS ce,
+             bitAnd(event_id, 7) AS lb,
+             upper(event_type) AS ut,
+             position(event_type, 'i') AS pos_i,
+             indexOf(splitByChar('u', event_type), 'p') AS seg_p
+      FROM events
+      WHERE event_id % 3 = 0
+    )
+    GROUP BY wk, pre
+    ORDER BY wk, pre
+"""
+
+_CH_STRINGS_ORACLE = """
+    SELECT CAST(ts AS DATE) - CAST(dayofweek(ts) AS INTEGER) AS wk,
+           upper(substring(event_type, 1, 2)) AS pre,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) FILTER (WHERE event_type LIKE '%ck%'
+                                    OR event_type LIKE '%err%')
+                AS BIGINT) AS n_hit,
+           CAST(count(*) FILTER (WHERE event_type IN ('click', 'error'))
+                AS BIGINT) AS n_ce,
+           CAST(sum(event_id & 7) AS BIGINT) AS low_bits,
+           CAST(count(DISTINCT upper(event_type)) AS BIGINT) AS n_types,
+           CAST(sum(strpos(event_type, 'i')) AS BIGINT) AS sum_pos,
+           CAST(sum(coalesce(list_position(string_split(event_type, 'u'),
+                                           'p'), 0)) AS BIGINT) AS sum_seg
+    FROM events
+    WHERE event_id % 3 = 0
+    GROUP BY 1, 2
+    ORDER BY wk, pre
+"""
+
+
+@query("ch_dialect_strings", _CH_STRINGS_ORACLE)
+def ch_dialect_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13 second-fourth dialect waves end-to-end over one grouped scan:
+    byte-true ``substring`` (lowered through BINARY — CH slices bytes,
+    the length()/octet_length class; byte == char on this ASCII
+    fixture, which is exactly what lets DuckDB's char substring be the
+    independent oracle), ASCII-true ``upper`` (CH's bare case fold
+    touches ASCII Latin only — translate()-fold here, plain upper in
+    DuckDB agrees on ASCII), Sunday-first ``toStartOfWeek`` (CH default
+    mode 0; the oracle derives the same Sunday via DuckDB's
+    dayofweek-subtraction, NOT date_trunc('week') which is
+    Monday-first there too), ``bitAnd`` as the width-independent ``&``,
+    ``multiSearchAny`` as exists+contains vs the oracle's independent
+    LIKE disjunction, ``hasAny``'s NULL-as-a-value lambda vs the
+    oracle's IN list, byte-true ``position`` (vs DuckDB strpos — char
+    == byte on ASCII), and ``indexOf`` over a LITERAL ``splitByChar``
+    (the \\Q\\E-quoted regex fix) vs the oracle's independent
+    string_split + list_position with CH's not-found-0 coalesce. Every
+    construct in this query refused or silently diverged before the
+    r13 waves.
+
+    Scale: pure row-local expressions inside whole-stage codegen, one
+    grouped exchange, no UDFs, no driver work — the translation layer
+    adds nothing to the plan (pinned in test_plan_quality).
+
+    Reference parity: ClickHouse substring/upper/toStartOfWeek/bitAnd/
+    multiSearchAny/hasAny semantics per MIGRATION.md's r13 wave rows."""
+    return ch_sql(spark, sf_dir, _CH_STRINGS_QUERY)

@@ -384,7 +384,15 @@ DRIVER_ORDER: list[str] = [
     "bitmap_state_merge",
     "heavy_hitters_weighted",
     "theta_set_ops",
-    "exponential_moving_avg",
+    # mid-r13 swap: exponential_moving_avg (green r11+r12) moves to the
+    # tier-2 head so the brand-new ch_dialect_strings (the r13
+    # second-fourth dialect waves' end-to-end demo — byte-true
+    # substring, ASCII-true case fold, Sunday-first toStartOfWeek,
+    # bitAnd, multiSearchAny, hasAny) is in-cover from birth like
+    # converters/rank_rules. Merge mapping: C16 analytic windows keep
+    # time_gap_fill's carry-forward fills (in cover) and the EMA
+    # recurrence itself keeps stream_ema_state (in cover, green r12).
+    "ch_dialect_strings",
     # native as-of machinery + recursive CTE
     "asof_join_forward",
     "recursive_cte_chain",
@@ -410,6 +418,10 @@ DRIVER_ORDER_TIER2: list[str] = [
     # driver rows).
     "ivf_index_admit",
     "ivf_index_compact",
+    # mid-r13 swap-out for ch_dialect_strings (merge mapping in the
+    # DRIVER_ORDER comment): green r11+r12, C16 keeps in-cover
+    # representatives
+    "exponential_moving_avg",
     # rotated out of the 50-row cover in r13 (2+ green driver rounds
     # each; merge mapping in the DRIVER_ORDER comment + COVERAGE.md)
     "source_python_datasource",

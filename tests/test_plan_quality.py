@@ -1305,6 +1305,25 @@ def test_converters_demo_stays_narrow(spark):
         assert wide not in plan, plan
 
 
+def test_strings_demo_stays_narrow(spark):
+    """The r13 second/third dialect waves are pure row-local expression
+    work: ch_dialect_strings' only exchanges are its own groupBy and
+    the presentation sort — the byte-true substring (BINARY round-trip),
+    ASCII translate() fold, Sunday week arithmetic, bit ops, and the
+    exists/contains lambdas all run inside whole-stage codegen on the
+    scan side; no Python eval, no join/window/generate."""
+    plan = plan_of(spark, "ch_dialect_strings")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # 3 exchanges: the mixed COUNT(DISTINCT upper(..)) + plain aggs
+    # force Spark's two-phase distinct plan (partial on (wk, pre, ut),
+    # re-group on (wk, pre)) plus the presentation sort — inherent to
+    # any mixed distinct aggregate, NOT translation overhead
+    assert plan.count("Exchange (") == 3, plan
+    assert "HashAggregate" in plan
+    for wide in ("Join", "Window", "Generate"):
+        assert wide not in plan, plan
+
+
 def test_age_month_rule_stays_rowlocal(spark):
     """age('month'/'quarter'/'year') lowers to integer date arithmetic
     in the projection — no months_between, no UDF, no added exchange

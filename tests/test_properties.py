@@ -217,8 +217,11 @@ def test_ch_dialect_translate_rewrites():
         translate("SELECT toUInt32(count()) FROM t")
         == "SELECT CAST(count(*) AS BIGINT) FROM t"
     )
+    # bare lower() is CH's ASCII-only fold since the r13 case wave
     assert translate("SELECT uniqExact(lower(x)) FROM t") == (
-        "SELECT COUNT(DISTINCT lower(x)) FROM t"
+        "SELECT COUNT(DISTINCT translate(x, "
+        "'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) "
+        "FROM t"
     )
     assert translate("SELECT x FROM t PREWHERE x > 0") == (
         "SELECT x FROM t WHERE x > 0"
@@ -618,12 +621,20 @@ def test_ch_dialect_extended_rewrites():
         "SELECT CAST(date_format(ts, 'yyyyMMdd') AS BIGINT) FROM t"
     )
     assert translate("SELECT intDiv(a, b) FROM t") == "SELECT (a div b) FROM t"
-    # ClickHouse splitByChar takes (sep, s); Spark split takes (s, sep)
+    # ClickHouse splitByChar takes (sep, s) and splits LITERALLY; Spark
+    # split takes (s, regex) — the separator is \Q\E-quoted (r13 fix:
+    # the bare swap turned splitByChar('.', s) into a split on EVERY
+    # character, Spark's split being regex-based)
     assert translate("SELECT splitByChar(',', s) FROM t") == (
-        "SELECT split(s, ',') FROM t"
+        "SELECT split(s, concat('\\\\Q', ',', '\\\\E')) FROM t"
     )
+    # r13 wave 4: has/indexOf carry CH's NULL-as-a-value rule via <=>
+    # lambdas (array_contains/array_position return NULL where CH says
+    # 1 / 0 / the NULL's index)
     assert translate("SELECT has(tags, 'x'), indexOf(tags, 'x') FROM t") == (
-        "SELECT array_contains(tags, 'x'), array_position(tags, 'x') FROM t"
+        "SELECT exists(tags, cdr_h_ -> cdr_h_ <=> ('x')), "
+        "array_position(transform(tags, cdr_ix_ -> cdr_ix_ <=> ('x')), "
+        "true) FROM t"
     )
     assert translate("SELECT arrayStringConcat(tags, ' ') FROM t") == (
         "SELECT array_join(tags, ' ') FROM t"
@@ -635,8 +646,14 @@ def test_ch_dialect_extended_rewrites():
     assert translate("SELECT length(s) FROM t") == (
         "SELECT octet_length(s) FROM t"
     )
-    # hasAll must NOT be mangled by the has( rewrite — it survives verbatim
-    assert "hasAll(tags, x)" in translate("SELECT hasAll(tags, x) FROM t")
+    # hasAll must NOT be mangled by the has( rewrite — since the r13
+    # third wave it translates WHOLE to the NULL-as-a-value lambda
+    out = translate("SELECT hasAll(tags, x) FROM t")
+    assert "array_contains" not in out
+    assert out == (
+        "SELECT forall(x, cdr_he_ -> "
+        "exists(tags, cdr_hv_ -> cdr_he_ <=> cdr_hv_)) FROM t"
+    )
 
 
 @settings(max_examples=200, deadline=None)
@@ -1196,8 +1213,9 @@ def test_ch_dialect_array_join_clause():
     assert translate("SELECT a, x FROM t LEFT ARRAY JOIN xs AS x") == (
         "SELECT a, x FROM t LATERAL VIEW OUTER explode(xs) AS x"
     )
-    # expression form (inner call translated too)
-    assert "LATERAL VIEW explode(split(s, ','))" in translate(
+    # expression form (inner call translated too — since the r13 split
+    # fix the separator is \Q\E-quoted, Spark's split being regex-based)
+    assert "LATERAL VIEW explode(split(s, concat(" in translate(
         "SELECT x FROM t ARRAY JOIN splitByChar(',', s) AS x"
     )
     # multi-array zip form: ONE lateral inline over zip_with (r10 —
@@ -1565,8 +1583,9 @@ def test_ch_dialect_bracket_rewrites():
     assert translate("SELECT [1,2,3] AS xs FROM t") == (
         "SELECT array(1,2,3) AS xs FROM t"
     )
+    # r13 wave 4: has carries CH's NULL-as-a-value rule via a <=> lambda
     assert translate("SELECT has([1,2], x) FROM t") == (
-        "SELECT array_contains(array(1,2), x) FROM t"
+        "SELECT exists(array(1,2), cdr_h_ -> cdr_h_ <=> (x)) FROM t"
     )
     assert translate("SELECT 'a[1]' AS s FROM t") == (
         "SELECT 'a[1]' AS s FROM t"
@@ -1597,7 +1616,14 @@ def test_ch_dialect_datetime_and_string_rewrites():
     assert translate("SELECT match(s, '^ab.*') AS m FROM t") == (
         "SELECT (s RLIKE '^ab.*') AS m FROM t"
     )
+    # r13 wave 4: CH position returns BYTE offsets — the lowering
+    # converts locate's char position via the prefix's octet_length
     assert translate("SELECT position(s, 'x') AS p FROM t") == (
+        "SELECT (CASE WHEN locate('x', s) = 0 THEN 0 ELSE "
+        "octet_length(substring(s, 1, locate('x', s) - 1)) + 1 END) "
+        "AS p FROM t"
+    )
+    assert translate("SELECT positionUTF8(s, 'x') AS p FROM t") == (
         "SELECT locate('x', s) AS p FROM t"
     )
     assert translate("SELECT replaceAll(s, 'a', 'b') FROM t") == (
@@ -1938,6 +1964,15 @@ def test_ch_dialect_translations_all_parse_in_spark(spark, sf_dir):
         "SELECT event_id FROM events ORDER BY event_id LIMIT 5, 10",
         "SELECT event_id FROM events SETTINGS max_threads = 4",
         "SELECT uniqUpTo(3)(event_type) FROM events",
+        # r13 second wave: substring byte family, week/quarter/minute
+        # rounding, scalar bit ops, multiSearchAny, arrayCompact
+        "SELECT substring(event_type, 2, 3), substr(event_type, 2), mid(event_type, 1, 4), substringUTF8(event_type, 1, 2) FROM events",
+        "SELECT toStartOfWeek(ts), toStartOfWeek(ts, 1), toStartOfQuarter(ts), toStartOfMinute(ts) FROM events",
+        "SELECT bitAnd(event_id, 255), bitOr(event_id, 1), bitXor(event_id, 7), bitNot(event_id) FROM events",
+        "SELECT multiSearchAny(event_type, ['cl', 'vi']), arrayCompact([1, 1, 2]) FROM events",
+        "SELECT lower(event_type), upper(event_type), lowerUTF8(event_type), upperUTF8(event_type) FROM events",
+        "SELECT hasAll([1, 2], [1]), hasAny([1], [2]), countEqual([1, 1], 1), arrayElement([1, 2], 1) FROM events",
+        "SELECT positionUTF8(event_type, 'c'), substringIndex(event_type, 'i', 1), reverseUTF8(event_type) FROM events",
         "SELECT event_type, count() FROM events GROUP BY event_type WITH ROLLUP",
         "SELECT event_type, value, count() FROM events GROUP BY event_type, value WITH CUBE",
     ]
@@ -1979,6 +2014,15 @@ _TRAP_LITERALS = st.sampled_from(
         "position(h, n) arrayJoin(a)",
         "toInt32OrZero(s) toFloat64OrDefault(x, 1)",
         "toInt64OrNull(s) toUInt8OrZero(y)",
+        "substring(s, 0, 1) mid(s, 1)",
+        "bitAnd(a, b) bitShiftLeft(a, 2) bitCount(x)",
+        "toStartOfWeek(d, 1) arrayCompact(a)",
+        "multiSearchAny(h, ['x']) toStartOfMinute(t)",
+        "lower(s) upperUTF8(s) arrayFirst(f, a)",
+        "hasAll(a, b) countEqual(a, x) arrayElement(a, 1)",
+        "reverse(s) positionUTF8(h, n) substringIndex(s, d, 2)",
+        "has(a, x) indexOf(a, x) reverseUTF8(s)",
+        "splitByChar('.', s) splitByString('', x)",
     ]
 )
 
@@ -2643,6 +2687,370 @@ def test_ch_dialect_age_month_rule(spark):
         compare(spark.sql(translate(ch_q)), con, duck_q, name="age_months")
     finally:
         con.close()
+
+
+def test_ch_dialect_substring_byte_semantics(spark):
+    """r13 second wave — the length()/octet_length() silent-divergence
+    class closed for the substring family: CH substring/substr/mid
+    slice BYTES (substringUTF8 slices characters); Spark's substring
+    slices characters. Bare spellings lower through BINARY (measured
+    byte-exact including negative from-the-end offsets and the 2-arg
+    form); substringUTF8 lowers to Spark's own substring. Scanner-based
+    (any nesting depth) so no spelling can fall through and run
+    silently char-based."""
+    from clickhouse_data_rebalance_spark.plans.ch_dialect import (
+        UnsupportedClickHouseSQL,
+        translate,
+    )
+
+    out = translate("SELECT substring(s, 1, 2) FROM t")
+    assert "AS BINARY" in out, out
+    # substringUTF8 is the character slicer — no binary round-trip
+    assert "BINARY" not in translate("SELECT substringUTF8(s, 1, 2) FROM t")
+
+    # hand-traced multi-byte rows: 'привет' is 12 bytes / 6 chars
+    rows = spark.sql(
+        translate(
+            "SELECT substring('привет', 1, 2) AS b2, "
+            "substring('привет', -4, 4) AS tail_b, "
+            "substring('привет', 3) AS from3, "
+            "substringUTF8('привет', 1, 2) AS c2, "
+            "substr('hello', 2, 3) AS al1, "
+            "mid('hello', -3, 2) AS al2, "
+            "substring(CAST(NULL AS STRING), 1, 2) AS nul, "
+            "octet_length(substring('привет', 1, 3)) AS midrun"
+        )
+    ).collect()[0]
+    assert rows["b2"] == "п"            # first 2 BYTES = 1 char
+    assert rows["tail_b"] == "ет"       # last 4 bytes = 2 chars
+    assert rows["from3"] == "ривет"     # 2-arg: from byte 3 to end
+    assert rows["c2"] == "пр"           # UTF8 form: first 2 CHARS
+    assert rows["al1"] == "ell" and rows["al2"] == "ll"
+    assert rows["nul"] is None
+    assert rows["midrun"] == 3          # mid-codepoint slice keeps bytes
+
+    # nesting: outer slices the BYTES of the inner result (CH order)
+    nested = spark.sql(
+        translate("SELECT substring(substring('привет', 1, 4), 3, 2) AS v")
+    ).collect()[0]["v"]
+    assert nested == "р"
+    # deep nesting a one-level regex would drop — scanner still fires
+    deep = translate("SELECT substring(upper(concat(a, b, c)), 1, 2) FROM t")
+    assert "AS BINARY" in deep
+
+    # ASCII differential vs DuckDB (char == byte there): positive
+    # offsets only — DuckDB follows Postgres negative-start semantics,
+    # which differ from CH/Spark's from-the-end rule by design
+    from clickhouse_data_rebalance_spark.tables import load_tables
+    from .oracle_harness import compare, duck_connection
+
+    load_tables(spark, SF_SMALL)["events"].createOrReplaceTempView("events")
+    ch_q = (
+        "SELECT substring(event_type, 2, 3) AS a, "
+        "substring(event_type, 4) AS b, count() AS n "
+        "FROM events GROUP BY substring(event_type, 2, 3), "
+        "substring(event_type, 4) ORDER BY a, b"
+    )
+    duck_q = (
+        "SELECT substring(event_type, 2, 3) AS a, "
+        "substring(event_type, 4) AS b, CAST(count(*) AS BIGINT) AS n "
+        "FROM events GROUP BY 1, 2 ORDER BY a, b"
+    )
+    con = duck_connection(SF_SMALL)
+    try:
+        compare(spark.sql(translate(ch_q)), con, duck_q, name="substr_ascii")
+    finally:
+        con.close()
+
+    # refusal arms: literal offset 0 (engine-divergent edge), arity
+    for bad in (
+        "SELECT substring(s, 0, 2) FROM t",
+        "SELECT substr(s, 0) FROM t",
+        "SELECT substring(s) FROM t",
+        "SELECT substring(s, 1, 2, 3) FROM t",
+    ):
+        try:
+            translate(bad)
+            raise AssertionError(f"should have refused: {bad}")
+        except UnsupportedClickHouseSQL:
+            pass
+    # a literal is data: the trap text survives, the real call rewrites
+    keep = translate("SELECT 'substring(s, 0, 1)' AS t1, substring(s, 1, 1) FROM t")
+    assert "'substring(s, 0, 1)'" in keep and "AS BINARY" in keep
+
+
+def test_ch_dialect_week_quarter_minute_rounding(spark):
+    """toStartOfWeek's default mode 0 starts weeks on SUNDAY — the
+    reason it must not lower to date_trunc('week') (Spark weeks start
+    Monday; a bare swap would move every Sunday row into the previous
+    week). Even modes -> Sunday arithmetic, odd modes -> Monday
+    truncation; non-literal modes and the timezone form refuse.
+    toStartOfQuarter/toStartOfMinute are clean date_trunc maps."""
+    from clickhouse_data_rebalance_spark.plans.ch_dialect import (
+        UnsupportedClickHouseSQL,
+        translate,
+    )
+    import datetime as dt
+
+    rows = spark.sql(
+        translate(
+            # 2024-05-19 is a Sunday; 2024-05-17 a Friday
+            "SELECT toStartOfWeek(TIMESTAMP_NTZ '2024-05-19 10:00:00') AS sun_self, "
+            "toStartOfWeek(TIMESTAMP_NTZ '2024-05-17 10:00:00') AS fri_sun, "
+            "toStartOfWeek(TIMESTAMP_NTZ '2024-05-17 10:00:00', 2) AS fri_sun2, "
+            "toStartOfWeek(TIMESTAMP_NTZ '2024-05-19 10:00:00', 1) AS sun_mon, "
+            "toStartOfWeek(TIMESTAMP_NTZ '2024-05-17 10:00:00', 3) AS fri_mon, "
+            "toStartOfQuarter(DATE '2024-05-17') AS q, "
+            "toStartOfMinute(TIMESTAMP_NTZ '2024-05-17 10:23:45') AS mi"
+        )
+    ).collect()[0]
+    assert rows["sun_self"] == dt.date(2024, 5, 19)   # Sunday stays
+    assert rows["fri_sun"] == dt.date(2024, 5, 12)    # back to Sunday
+    assert rows["fri_sun2"] == dt.date(2024, 5, 12)   # mode 2 = Sunday
+    assert rows["sun_mon"] == dt.date(2024, 5, 13)    # Monday-first
+    assert rows["fri_mon"] == dt.date(2024, 5, 13)
+    assert rows["q"] == dt.date(2024, 4, 1)
+    assert rows["mi"] == dt.datetime(2024, 5, 17, 10, 23, 0)
+
+    for bad in (
+        "SELECT toStartOfWeek(ts, m) FROM t",        # non-literal mode
+        "SELECT toStartOfWeek(ts, 1, 'UTC') FROM t",  # timezone form
+        "SELECT toStartOfFiveMinutes(ts) FROM t",
+    ):
+        try:
+            translate(bad)
+            raise AssertionError(f"should have refused: {bad}")
+        except UnsupportedClickHouseSQL:
+            pass
+
+
+def test_ch_dialect_bitops_multisearch_compact(spark):
+    """Width-independent two's-complement bit ops translate to operator
+    spellings; width-DEPENDENT forms refuse (Spark masks shift counts
+    modulo the width — 1 << 65 = 2 measured; bit_count sign-extends
+    narrow negatives to 64 bits measured). multiSearchAny lowers to
+    exists+contains (each operand evaluated once); arrayCompact to the
+    NULL-safe consecutive-dedup index lambda."""
+    from clickhouse_data_rebalance_spark.plans.ch_dialect import (
+        UnsupportedClickHouseSQL,
+        translate,
+    )
+
+    rows = spark.sql(
+        translate(
+            "SELECT bitAnd(12, 10) AS a, bitOr(12, 10) AS o, "
+            "bitXor(12, 10) AS x, bitNot(5) AS n, "
+            "bitAnd(-1, 255) AS neg, "
+            "multiSearchAny('zabz', ['ab', 'xy']) AS ms1, "
+            "multiSearchAny('zabz', ['no', 'xy']) AS ms0, "
+            "multiSearchAny(CAST(NULL AS STRING), ['a']) AS msn, "
+            "arrayCompact([1, 1, 2, 2, 1]) AS ac, "
+            "arrayCompact([1, NULL, NULL, 2]) AS acn, "
+            "size(arrayCompact([])) AS ace"
+        )
+    ).collect()[0]
+    assert (rows["a"], rows["o"], rows["x"], rows["n"]) == (8, 14, 6, -6)
+    assert rows["neg"] == 255                      # two's complement
+    assert rows["ms1"] is True and rows["ms0"] is False and rows["msn"] is None
+    assert rows["ac"] == [1, 2, 1]                 # consecutive, not global
+    assert rows["acn"] == [1, None, 2]             # NULL runs dedupe (CH)
+    assert rows["ace"] == 0                        # empty stays empty
+
+    for bad in (
+        "SELECT bitShiftLeft(a, 2) FROM t",
+        "SELECT bitRotateRight(a, 2) FROM t",
+        "SELECT bitCount(a) FROM t",
+        "SELECT bitTest(a, 3) FROM t",
+        "SELECT multiSearchFirstPosition(s, ['a']) FROM t",
+        "SELECT multiSearchAnyCaseInsensitive(s, ['a']) FROM t",
+        "SELECT bitAnd(f(g(h(x))), y) FROM t",     # past _ARG's budget
+    ):
+        try:
+            translate(bad)
+            raise AssertionError(f"should have refused: {bad}")
+        except UnsupportedClickHouseSQL:
+            pass
+
+
+def test_ch_dialect_case_fold_and_null_safe_arrays(spark):
+    """r13 third wave. Case folding is the substring/length class:
+    ClickHouse's bare lower/upper fold ASCII LATIN ONLY (documented CH
+    behavior) while Spark's same-named functions fold full Unicode —
+    bare spellings lower to the exact ASCII translate() fold,
+    lowerUTF8/upperUTF8 to Spark's lower/upper (scanner pass, any
+    nesting, compositional). hasAll/hasAny/countEqual: CH processes
+    NULL AS A VALUE (hasAny([NULL],[NULL]) = 1) where Spark's
+    arrays_overlap would return NULL — the <=> lambdas spell CH's rule;
+    arrayElement shares the bracket-index lowering (try_element_at,
+    negative-from-end, NULL on out-of-range vs CH's unknowable type
+    default — documented); arrayFirst/arrayLast refuse on the same
+    type-default ground."""
+    from clickhouse_data_rebalance_spark.plans.ch_dialect import (
+        UnsupportedClickHouseSQL,
+        translate,
+    )
+
+    rows = spark.sql(
+        translate(
+            "SELECT lower('ÄBc-Σ') AS lo, upper('äbC-σ') AS up, "
+            "lowerUTF8('ÄBC') AS lou, upperUTF8('äbc') AS upu, "
+            "lower(upper(lowerUTF8('ÄbC'))) AS comp, "
+            "hasAll([1, NULL, 3], [NULL, 1]) AS ha1, "
+            "hasAll([1, 2], [1, 4]) AS ha0, "
+            "hasAny([NULL], [NULL]) AS hn1, hasAny([1, 2], [3]) AS hn0, "
+            "hasAny([1, 2], []) AS hne, hasAll([1, 2], []) AS hae, "
+            "countEqual([1, NULL, 1], 1) AS ce, "
+            "countEqual([1, NULL], NULL) AS cen, "
+            "arrayElement([10, 20], -1) AS ael, "
+            "arrayElement([10, 20], 5) AS aeo"
+        )
+    ).collect()[0]
+    # ASCII-only: Ä and Σ survive the bare fold, ASCII letters flip
+    assert rows["lo"] == "Äbc-Σ" and rows["up"] == "äBC-σ"
+    # the UTF8 forms are the Unicode folders
+    assert rows["lou"] == "äbc" and rows["upu"] == "ÄBC"
+    # compositional: UTF8-lower, then ASCII-upper, then ASCII-lower
+    assert rows["comp"] == "äbc"
+    assert rows["ha1"] is True and rows["ha0"] is False
+    assert rows["hn1"] is True and rows["hn0"] is False   # NULL is a value
+    assert rows["hne"] is False and rows["hae"] is True   # empty needles
+    assert rows["ce"] == 2 and rows["cen"] == 1           # NULL counted
+    assert rows["ael"] == 20 and rows["aeo"] is None      # -1 = last; OOB
+
+    for bad in (
+        "SELECT arrayFirst(x -> x > 1, a) FROM t",
+        "SELECT arrayLastIndex(x -> x > 1, a) FROM t",
+        "SELECT lower(s, 'tr') FROM t",                    # arity
+        "SELECT hasAll(f(g(h(a))), b) FROM t",             # past _ARG
+    ):
+        try:
+            translate(bad)
+            raise AssertionError(f"should have refused: {bad}")
+        except UnsupportedClickHouseSQL:
+            pass
+    # literals are data; the real call still rewrites
+    keep = translate("SELECT 'lower(s)' AS lit, lower(x) FROM t")
+    assert "'lower(s)'" in keep and "translate(x" in keep
+
+
+def test_ch_dialect_byte_position_and_null_value_lookups(spark):
+    """r13 fourth wave. CH position(haystack, needle) returns a BYTE
+    offset (positionUTF8 is the code-point form) — the r9 locate() swap
+    was silently char-based on multi-byte text, the length()/substring
+    class; the upgrade converts locate's char position to bytes via the
+    character prefix's octet_length (exact for valid UTF-8 — needles
+    match only at code-point boundaries). has/indexOf upgrade to CH's
+    NULL-as-a-value rule. reverse REFUSES (CH reverses bytes; Spark's
+    reverse is code-point even over BINARY, measured); reverseUTF8 and
+    substringIndex translate."""
+    from clickhouse_data_rebalance_spark.plans.ch_dialect import (
+        UnsupportedClickHouseSQL,
+        translate,
+    )
+
+    rows = spark.sql(
+        translate(
+            # 'привет': п=2 bytes, р=2, и=2 -> 'в' begins at byte 7
+            "SELECT position('привет', 'в') AS pb, "
+            "positionUTF8('привет', 'в') AS pc, "
+            "position('привет', 'zz') AS p0, "
+            "position('hello', 'll') AS pa, "
+            "position('привет', '') AS pe, "
+            "position(CAST(NULL AS STRING), 'x') AS pn, "
+            "has([1, NULL, 3], NULL) AS hnull, "
+            "has([NULL, 1], 2) AS habs, "
+            "has([1, 2], 2) AS hyes, "
+            "indexOf([1, NULL, 2], NULL) AS inull, "
+            "indexOf([1, 2], 3) AS iabs, "
+            "substringIndex('a.b.c', '.', 2) AS si, "
+            "substringIndex('a.b.c', '.', -1) AS sin, "
+            "reverseUTF8('пр-ab') AS rev"
+        )
+    ).collect()[0]
+    assert rows["pb"] == 7 and rows["pc"] == 4   # bytes vs code points
+    assert rows["p0"] == 0 and rows["pa"] == 3   # not-found 0; ASCII same
+    assert rows["pe"] == 1                        # empty needle: CH gives 1
+    assert rows["pn"] is None                     # NULL propagates
+    assert rows["hnull"] is True                  # NULL is a value
+    assert rows["habs"] is False                  # not NULL (array_contains
+    assert rows["hyes"] is True                   # would say NULL for habs)
+    assert rows["inull"] == 2 and rows["iabs"] == 0
+    assert rows["si"] == "a.b" and rows["sin"] == "c"
+    assert rows["rev"] == "ba-рп"                 # code-point reversal
+
+    for bad in (
+        "SELECT reverse(s) FROM t",
+        "SELECT positionCaseInsensitive(s, 'x') FROM t",
+        "SELECT position(s, 'x', 3) FROM t",      # 3-arg form
+        "SELECT has(a) FROM t",                   # arity (scanner raises)
+        "SELECT indexOf(a, x, y) FROM t",
+    ):
+        try:
+            translate(bad)
+            raise AssertionError(f"should have refused: {bad}")
+        except UnsupportedClickHouseSQL:
+            pass
+    # has/indexOf are SCANNER passes (the pre-upgrade name-only rewrites
+    # matched at any depth, so the upgrade must too): deep nesting
+    # translates instead of refusing
+    deep = translate("SELECT has(f(g(h(a))), x) FROM t")
+    assert deep == (
+        "SELECT exists(f(g(h(a))), cdr_h_ -> cdr_h_ <=> (x)) FROM t"
+    )
+    assert "array_position(transform(f(g(h(a)))" in translate(
+        "SELECT indexOf(f(g(h(a))), x) FROM t"
+    )
+    # arrayReverse still translates (bare-reverse refusal is input-only,
+    # emitted reverse( is never re-checked)
+    assert translate("SELECT arrayReverse([1, 2]) FROM t") == (
+        "SELECT reverse(array(1, 2)) FROM t"
+    )
+
+
+def test_ch_dialect_split_literal_separator(spark):
+    """r13 fix of a silent mistranslation: CH splitByChar/splitByString
+    split on the LITERAL separator; Spark's split takes a Java REGEX,
+    so the old bare swap turned splitByChar('.', s) into a split on
+    EVERY character. The separator is \\Q\\E-quoted at runtime (concat,
+    constant-folded); trailing empty fields are kept exactly as CH
+    keeps them; literal guards enforce splitByChar's one-byte contract
+    and refuse splitByString('')."""
+    from clickhouse_data_rebalance_spark.plans.ch_dialect import (
+        UnsupportedClickHouseSQL,
+        translate,
+    )
+
+    rows = spark.sql(
+        translate(
+            "SELECT splitByChar('.', 'a.b.c') AS dots, "
+            "splitByChar('|', 'a|b') AS pipe, "
+            "splitByChar(',', 'a,b,') AS trail, "
+            "splitByString('XY', 'aXYbXYc') AS multi, "
+            "splitByChar('.', 'пр.ив') AS mb, "
+            "splitByChar('.', CAST(NULL AS STRING)) AS nul"
+        )
+    ).collect()[0]
+    assert rows["dots"] == ["a", "b", "c"]        # NOT 6 empty strings
+    assert rows["pipe"] == ["a", "b"]             # regex alternation inert
+    assert rows["trail"] == ["a", "b", ""]        # CH keeps trailing empty
+    assert rows["multi"] == ["a", "b", "c"]
+    assert rows["mb"] == ["пр", "ив"]
+    assert rows["nul"] is None
+
+    # the demo idiom: membership binders run before the split expansion
+    out = translate("SELECT has(splitByChar('-', p), 'HIGH') FROM orders")
+    assert "exists(split(p" in out and "\\Q" in out
+
+    for bad in (
+        "SELECT splitByChar('ab', s) FROM t",   # >1 byte literal
+        "SELECT splitByChar('ä', s) FROM t",    # 2-byte char
+        "SELECT splitByString('', s) FROM t",   # empty pattern diverges
+    ):
+        try:
+            translate(bad)
+            raise AssertionError(f"should have refused: {bad}")
+        except UnsupportedClickHouseSQL:
+            pass
 
 
 def test_with_fill_restart_semantics(spark):
