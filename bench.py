@@ -126,7 +126,7 @@ EXTENDED = [
     "quantile_state_merge",
     "uniq_state_merge",
     "heavy_hitters_weighted",
-    # round 13: the converter-suffix demo and the second-fourth dialect
+    # round 13: the converter-suffix demo and the second-fifth dialect
     # waves' string/bit/week demo (both tracked from birth)
     "ch_dialect_converters",
     "ch_dialect_strings",

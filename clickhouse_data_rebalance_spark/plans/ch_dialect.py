@@ -78,6 +78,14 @@ splitByChar/String  split(s, concat('\\Q', sep, '\\E')) — CH splits
                     LITERALLY, Spark's split is regex (r13 fix: the
                     bare swap made '.' split every char); one-byte
                     literal contract enforced, splitByString('') refuses
+left/right(s, N)    BYTE slices through BINARY for literal nonneg N
+                    (CH slices bytes; Spark's same names slice chars);
+                    expression/negative lengths refuse; leftUTF8/
+                    rightUTF8 -> char substring spellings
+leftPad/rightPad    byte-true lpad/rpad over BINARY with the space pad
+                    made explicit (binary default pad is 0x00);
+                    leftPadUTF8/rightPadUTF8 -> char lpad/rpad
+countSubstrings     non-overlapping count via replace()'s byte delta
 replaceAll          replace; replaceRegexpAll -> regexp_replace for
                     LITERAL replacements without \ or $ (backreference
                     dialects differ: CH \1 vs Java $1 — those refuse)
@@ -440,6 +448,26 @@ def _split_sep_repl(m: "re.Match[str]", raw: str, *, by_string: bool) -> str:
                 "spelling instead"
             )
     return f"split({s}, concat('\\\\Q', {sep}, '\\\\E'))"
+
+
+def _count_substrings_repl(m: "re.Match[str]", raw: str) -> str:
+    """countSubstrings replacement: non-overlapping occurrence count as
+    the byte-length delta of replace() over the needle's byte length —
+    replace removes exactly CH's left-to-right non-overlapping matches.
+    A LITERAL empty needle refuses (CH's empty-needle behavior is
+    unverifiable here and the arithmetic would divide by zero); a
+    runtime-empty needle yields NULL via the nullif divisor."""
+    h = raw[slice(*m.span(1))].strip()
+    n = raw[slice(*m.span(2))].strip()
+    if re.fullmatch(r"''", n):
+        raise UnsupportedClickHouseSQL(
+            "countSubstrings with an empty needle — count characters "
+            "with length()/lengthUTF8() instead"
+        )
+    return (
+        f"CAST((octet_length({h}) - octet_length(replace({h}, {n}, ''))) "
+        f"div nullif(octet_length({n}), 0) AS BIGINT)"
+    )
 
 
 _REWRITES: list[tuple[re.Pattern[str], str]] = [
@@ -806,6 +834,48 @@ _REWRITES: list[tuple[re.Pattern[str], str]] = [
     # MIGRATION.md points array users at size().)
     (re.compile(r"\blength\s*\(", re.I), "octet_length("),
     (re.compile(r"\blengthUTF8\s*\(", re.I), "length("),
+    # left/right (r13 wave 5 — the length()/substring byte class): CH
+    # left/right slice BYTES while Spark's SAME-NAMED functions slice
+    # characters, so an untranslated call runs silently char-based.
+    # NONNEGATIVE INTEGER LITERAL lengths translate (byte-true through
+    # BINARY; right's greatest-guard keeps the 1-based start legal for
+    # n = 0 and n > length — both measured); negative literals (CH's
+    # "all but the last/first |n|" rule) and expression lengths fall to
+    # the residual and refuse. leftUTF8/rightUTF8 (CH's char forms)
+    # spell as substring so the emitted text never re-enters the
+    # left/right residual; rightUTF8's emitted length( is safe because
+    # the bare-length entry above has already run (the lengthUTF8
+    # ordering rule).
+    (
+        re.compile(rf"\bleft\s*\(\s*{_ARG}\s*,\s*(\d+)\s*\)", re.I),
+        r"CAST(substring(CAST(\1 AS BINARY), 1, \2) AS STRING)",
+    ),
+    (
+        re.compile(rf"\bright\s*\(\s*{_ARG}\s*,\s*(\d+)\s*\)", re.I),
+        r"CAST(substring(CAST(\1 AS BINARY), "
+        r"greatest(octet_length(\1) - \2 + 1, 1), \2) AS STRING)",
+    ),
+    (
+        re.compile(rf"\bleftUTF8\s*\(\s*{_ARG}\s*,\s*(\d+)\s*\)", re.I),
+        r"substring(\1, 1, \2)",
+    ),
+    (
+        re.compile(rf"\brightUTF8\s*\(\s*{_ARG}\s*,\s*(\d+)\s*\)", re.I),
+        r"substring(\1, greatest(length(\1) - \2 + 1, 1), \2)",
+    ),
+    # countSubstrings (r13 wave 5): CH counts NON-OVERLAPPING
+    # occurrences left-to-right — exactly what replace() removes, so
+    # the count is the byte-length delta over the needle's byte length
+    # (byte == occurrence count for well-formed needles; measured on
+    # multibyte). NULL operands propagate; a runtime-empty needle gives
+    # NULL via the nullif divisor (documented); a LITERAL empty needle
+    # refuses in the replacement callable.
+    (
+        re.compile(
+            rf"\bcountSubstrings\s*\(\s*{_ARG}\s*,\s*{_ARG}\s*\)", re.I
+        ),
+        lambda m, raw: _count_substrings_repl(m, raw),
+    ),
     (re.compile(r"\barrayJoin\s*\(", re.I), "explode("),
     (re.compile(rf"\bnotEmpty\s*\(\s*{_ARG}\s*\)", re.I), r"(length(\1) > 0)"),
     (re.compile(rf"\bempty\s*\(\s*{_ARG}\s*\)", re.I), r"(length(\1) = 0)"),
@@ -867,8 +937,34 @@ _REWRITES: list[tuple[re.Pattern[str], str]] = [
         re.compile(rf"\barrayEnumerate\s*\(\s*{_ARG}\s*\)", re.I),
         r"transform(\1, (cdr_x_, cdr_i_) -> cdr_i_ + 1)",
     ),
-    (re.compile(r"\bleftPad\s*\(", re.I), "lpad("),
-    (re.compile(r"\brightPad\s*\(", re.I), "rpad("),
+    # leftPad/rightPad (r13 wave 5 upgrade from the bare lpad/rpad
+    # name maps, which were silently char-based): CH pads and truncates
+    # in BYTES (leftPadUTF8/rightPadUTF8 are the char forms) — Spark's
+    # lpad/rpad over BINARY pad and truncate bytes (measured), with the
+    # pad operand made explicit because binary lpad's DEFAULT pad is a
+    # 0x00 byte where CH's is a space.
+    (re.compile(r"\bleftPadUTF8\s*\(", re.I), "lpad("),
+    (re.compile(r"\brightPadUTF8\s*\(", re.I), "rpad("),
+    (
+        re.compile(
+            rf"\bleftPad\s*\(\s*{_ARG}\s*,\s*{_ARG}\s*,\s*{_ARG}\s*\)", re.I
+        ),
+        r"CAST(lpad(CAST(\1 AS BINARY), \2, CAST(\3 AS BINARY)) AS STRING)",
+    ),
+    (
+        re.compile(rf"\bleftPad\s*\(\s*{_ARG}\s*,\s*{_ARG}\s*\)", re.I),
+        r"CAST(lpad(CAST(\1 AS BINARY), \2, CAST(' ' AS BINARY)) AS STRING)",
+    ),
+    (
+        re.compile(
+            rf"\brightPad\s*\(\s*{_ARG}\s*,\s*{_ARG}\s*,\s*{_ARG}\s*\)", re.I
+        ),
+        r"CAST(rpad(CAST(\1 AS BINARY), \2, CAST(\3 AS BINARY)) AS STRING)",
+    ),
+    (
+        re.compile(rf"\brightPad\s*\(\s*{_ARG}\s*,\s*{_ARG}\s*\)", re.I),
+        r"CAST(rpad(CAST(\1 AS BINARY), \2, CAST(' ' AS BINARY)) AS STRING)",
+    ),
     # 1-ARG forms only: ClickHouse's 2-arg trims take (string, chars)
     # while Spark's take (chars, string) — a name-only swap of the
     # 2-arg form runs fine and returns wrong data (the classic silent
@@ -977,12 +1073,36 @@ _OR_CONVERTER_TYPES: list[tuple[str, str]] = [
     ("Float32", "FLOAT"),
     ("Float64", "DOUBLE"),
 ]
+def _try_cast_expr(arg: str, spark_t: str) -> str:
+    """Width-true fallible parse. INTEGER targets guard the try_cast
+    behind an exception-free DOUBLE pre-parse (r13 perf fix, MEASURED:
+    Spark's string->integer try_cast fails through a thrown-and-caught
+    NumberFormatException at ~10 us/row — 3.1x slower on all-garbage
+    columns, which is exactly the dirty-data domain these converters
+    exist for — while the string->double parse fails without throwing).
+    Value-identical by grammar containment: every string Spark's
+    integer parse accepts (trimAll whitespace, sign, digits) is also
+    accepted by its double parse, so a double-parse NULL implies an
+    integer-parse NULL — verified over a 22-case battery (whitespace
+    forms, '3.5', '1e3', 'NaN', 'Infinity', hex, overflow, bare signs)
+    in test_ch_dialect_or_converters. Only numeric-looking non-integers
+    ('3.5', '1e3') still pay the exception path. Float targets parse
+    exception-free already and stay bare."""
+    if spark_t in ("FLOAT", "DOUBLE"):
+        return f"try_cast({arg} AS {spark_t})"
+    return (
+        f"(CASE WHEN try_cast({arg} AS DOUBLE) IS NOT NULL "
+        f"THEN try_cast({arg} AS {spark_t}) END)"
+    )
+
+
 for _ch_t, _spark_t in _OR_CONVERTER_TYPES:
+    _tc = _try_cast_expr("\\1", _spark_t)
     _REWRITES.extend(
         [
             (
                 re.compile(rf"\bto{_ch_t}OrNull\s*\(\s*{_ARG}\s*\)", re.I),
-                rf"try_cast(\1 AS {_spark_t})",
+                _tc,
             ),
             # 2-arg OrDefault BEFORE the 1-arg forms: _ARG never crosses
             # a top-level comma, so a 2-arg call cannot mis-bind to the
@@ -993,15 +1113,15 @@ for _ch_t, _spark_t in _OR_CONVERTER_TYPES:
                     rf"\bto{_ch_t}OrDefault\s*\(\s*{_ARG}\s*,\s*{_ARG}\s*\)",
                     re.I,
                 ),
-                rf"(CASE WHEN (\1) IS NULL THEN NULL "
-                rf"ELSE coalesce(try_cast(\1 AS {_spark_t}), (\2)) END)",
+                r"(CASE WHEN (\1) IS NULL THEN NULL "
+                r"ELSE coalesce(" + _tc + r", (\2)) END)",
             ),
             (
                 re.compile(
                     rf"\bto{_ch_t}Or(?:Zero|Default)\s*\(\s*{_ARG}\s*\)", re.I
                 ),
-                rf"(CASE WHEN (\1) IS NULL THEN NULL "
-                rf"ELSE coalesce(try_cast(\1 AS {_spark_t}), 0) END)",
+                r"(CASE WHEN (\1) IS NULL THEN NULL "
+                r"ELSE coalesce(" + _tc + r", 0) END)",
             ),
         ]
     )
@@ -1035,6 +1155,12 @@ _RESIDUALS = re.compile(
     # (deep nesting, wrong arity, non-literal toStartOfWeek mode)
     r"|multiSearch\w*|bit(And|Or|Xor|Not)|arrayCompact"
     r"|hasAll|hasAny|countEqual|arrayElement"
+    # r13 wave 5: CH left/right slice BYTES and Spark's same-named
+    # functions slice chars, so NON-literal-length spellings must refuse
+    # rather than run silently char-based (the rewrites above emit
+    # substring/octet_length, never these names); countSubstrings'
+    # CaseInsensitive/UTF8 variants and deep-nested forms land here too
+    r"|left|right|countSubstrings\w*|leftUTF8|rightUTF8"
     r"|JSONExtract\w+|quantiles?\w*|median\w*|topK\w*)\s*\(",
     re.I,
 )
@@ -5717,7 +5843,7 @@ _CH_STRINGS_ORACLE = """
 
 @query("ch_dialect_strings", _CH_STRINGS_ORACLE)
 def ch_dialect_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """r13 second-fourth dialect waves end-to-end over one grouped scan:
+    """r13 second-fifth dialect waves end-to-end over one grouped scan:
     byte-true ``substring`` (lowered through BINARY — CH slices bytes,
     the length()/octet_length class; byte == char on this ASCII
     fixture, which is exactly what lets DuckDB's char substring be the

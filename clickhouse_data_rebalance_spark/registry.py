@@ -386,7 +386,7 @@ DRIVER_ORDER: list[str] = [
     "theta_set_ops",
     # mid-r13 swap: exponential_moving_avg (green r11+r12) moves to the
     # tier-2 head so the brand-new ch_dialect_strings (the r13
-    # second-fourth dialect waves' end-to-end demo — byte-true
+    # second-fifth dialect waves' end-to-end demo — byte-true
     # substring, ASCII-true case fold, Sunday-first toStartOfWeek,
     # bitAnd, multiSearchAny, hasAny) is in-cover from birth like
     # converters/rank_rules. Merge mapping: C16 analytic windows keep

@@ -1241,9 +1241,14 @@ def test_ch_dialect_array_join_clause():
     )
     assert "zip_with(xs, whereabouts," in out and "GROUP BY x" in out
     # review-2 r10: keyword classification needs syntactic context —
-    # left( is the string FUNCTION, not a join modifier
+    # left( is the string FUNCTION, not a join modifier (since the r13
+    # byte wave the function itself then lowers to the BINARY slice —
+    # the zip operand position is what this case pins)
     out = translate("SELECT a FROM t ARRAY JOIN left(xs, 2) AS a, ys AS b")
-    assert "zip_with(left(xs, 2), ys," in out
+    assert (
+        "zip_with(CAST(substring(CAST(xs AS BINARY), 1, 2) AS STRING), ys,"
+        in out
+    )
     # ... a stop keyword right after AS is an ALIAS
     out = translate("SELECT x FROM t ARRAY JOIN xs AS x, ys AS any")
     assert "AS any))" in out and out.count("LATERAL VIEW") == 1
@@ -1973,6 +1978,8 @@ def test_ch_dialect_translations_all_parse_in_spark(spark, sf_dir):
         "SELECT lower(event_type), upper(event_type), lowerUTF8(event_type), upperUTF8(event_type) FROM events",
         "SELECT hasAll([1, 2], [1]), hasAny([1], [2]), countEqual([1, 1], 1), arrayElement([1, 2], 1) FROM events",
         "SELECT positionUTF8(event_type, 'c'), substringIndex(event_type, 'i', 1), reverseUTF8(event_type) FROM events",
+        "SELECT left(event_type, 2), right(event_type, 2), leftUTF8(event_type, 2), rightUTF8(event_type, 2), countSubstrings(event_type, 'c') FROM events",
+        "SELECT leftPadUTF8(event_type, 9, '*'), rightPadUTF8(event_type, 9, '*') FROM events",
         "SELECT event_type, count() FROM events GROUP BY event_type WITH ROLLUP",
         "SELECT event_type, value, count() FROM events GROUP BY event_type, value WITH CUBE",
     ]
@@ -2023,6 +2030,8 @@ _TRAP_LITERALS = st.sampled_from(
         "reverse(s) positionUTF8(h, n) substringIndex(s, d, 2)",
         "has(a, x) indexOf(a, x) reverseUTF8(s)",
         "splitByChar('.', s) splitByString('', x)",
+        "left(s, 3) right(s, n) countSubstrings(h, '')",
+        "leftPad(s, 8) rightPadUTF8(s, 8, '*')",
     ]
 )
 
@@ -2354,21 +2363,30 @@ def test_ch_dialect_or_converters(spark):
     )
 
     # width-true type mapping, all three suffixes
+    # integer targets guard the try_cast behind an exception-free DOUBLE
+    # pre-parse (r13 perf fix — Spark's string->int try_cast fails via a
+    # thrown NumberFormatException, ~3x slower on all-garbage columns;
+    # the double grammar contains the integer grammar, so the guard is
+    # value-identical — see the battery below)
     assert translate("SELECT toInt32OrNull(s) FROM t").strip() == (
-        "SELECT try_cast(s AS INT) FROM t"
+        "SELECT (CASE WHEN try_cast(s AS DOUBLE) IS NOT NULL "
+        "THEN try_cast(s AS INT) END) FROM t"
     )
     assert "try_cast(s AS TINYINT)" in translate("SELECT toInt8OrNull(s) FROM t")
     assert "try_cast(s AS SMALLINT)" in translate("SELECT toInt16OrNull(s) FROM t")
-    assert "try_cast(s AS FLOAT)" in translate("SELECT toFloat32OrNull(s) FROM t")
+    # float targets parse exception-free already and stay bare
+    assert translate("SELECT toFloat32OrNull(s) FROM t").strip() == (
+        "SELECT try_cast(s AS FLOAT) FROM t"
+    )
     out = translate("SELECT toInt64OrZero(s) FROM t")
     assert out.strip() == (
         "SELECT (CASE WHEN (s) IS NULL THEN NULL "
-        "ELSE coalesce(try_cast(s AS BIGINT), 0) END) FROM t"
+        "ELSE coalesce((CASE WHEN try_cast(s AS DOUBLE) IS NOT NULL "
+        "THEN try_cast(s AS BIGINT) END), 0) END) FROM t"
     )
     # 2-arg OrDefault splices the default expression; 1-arg = type default
-    assert "coalesce(try_cast(s AS TINYINT), (-1))" in translate(
-        "SELECT toInt8OrDefault(s, -1) FROM t"
-    )
+    out8 = translate("SELECT toInt8OrDefault(s, -1) FROM t")
+    assert "try_cast(s AS TINYINT) END), (-1))" in out8
     assert "coalesce(try_cast(s AS DOUBLE), 0)" in translate(
         "SELECT toFloat64OrDefault(s) FROM t"
     )
@@ -2404,6 +2422,27 @@ def test_ch_dialect_or_converters(spark):
     # '90000' fits Int32 but overflows Int16 -> width-true boundary
     assert tuple(rows[2]) == (90000, 90000, 90000, None)
     assert tuple(rows[3]) == (0, None, -7, None)  # 'abc' parse-fail
+
+    # double-guard equivalence battery (the r13 perf fix must be
+    # value-invisible): the guarded form agrees with bare try_cast on
+    # every string class — whitespace forms, fraction/exponent text the
+    # double grammar accepts but the int parse rejects, NaN/Infinity,
+    # hex, bare signs, empty, and digits overflowing every width
+    battery = spark.sql(
+        "SELECT s, try_cast(s AS SMALLINT) AS bare, "
+        "CASE WHEN try_cast(s AS DOUBLE) IS NOT NULL "
+        "THEN try_cast(s AS SMALLINT) END AS guarded "
+        "FROM VALUES (' 42'), ('42'), ('-0'), ('0042'), ('3.5'), ('1e3'), "
+        "('40000'), (''), ('+'), ('-'), ('abc'), ('NaN'), ('Infinity'), "
+        "('inf'), ('99999999999999999999'), ('0x1A'), ('\\t7\\n'), ('+8'), "
+        "(' '), ('7.'), ('.5'), (NULL) AS t(s)"
+    ).collect()
+    mismatch = [
+        (r["s"], r["bare"], r["guarded"])
+        for r in battery
+        if r["bare"] != r["guarded"]
+    ]
+    assert not mismatch, mismatch
 
 
 def test_ch_dialect_least_greatest_null_propagation(spark):
@@ -3045,6 +3084,62 @@ def test_ch_dialect_split_literal_separator(spark):
         "SELECT splitByChar('ab', s) FROM t",   # >1 byte literal
         "SELECT splitByChar('ä', s) FROM t",    # 2-byte char
         "SELECT splitByString('', s) FROM t",   # empty pattern diverges
+    ):
+        try:
+            translate(bad)
+            raise AssertionError(f"should have refused: {bad}")
+        except UnsupportedClickHouseSQL:
+            pass
+
+
+def test_ch_dialect_left_right_pad_count(spark):
+    """r13 fifth wave — the byte class closed for the slice/pad tail:
+    CH left/right slice BYTES (Spark's same-named functions slice
+    chars) — literal nonnegative lengths translate through BINARY,
+    everything else refuses rather than running silently char-based;
+    leftPad/rightPad pad AND truncate in BYTES (binary lpad/rpad, with
+    the space pad made explicit — binary lpad's default is 0x00);
+    countSubstrings counts non-overlapping occurrences via the
+    replace() byte-delta."""
+    from clickhouse_data_rebalance_spark.plans.ch_dialect import (
+        UnsupportedClickHouseSQL,
+        translate,
+    )
+
+    rows = spark.sql(
+        translate(
+            # 'привет' is 12 bytes / 6 chars
+            "SELECT left('привет', 4) AS lb, right('привет', 4) AS rb, "
+            "leftUTF8('привет', 2) AS lc, rightUTF8('привет', 2) AS rc, "
+            "right('hi', 0) AS r0, right('hi', 9) AS rover, "
+            "leftPad('пр', 6, '.') AS lp, "
+            "octet_length(leftPad('пр', 3, '.')) AS lptr, "
+            "rightPad('ab', 4, 'xy') AS rp, leftPad('ab', 4) AS lpsp, "
+            "leftPadUTF8('пр', 3, '.') AS lpc, "
+            "countSubstrings('aaaa', 'aa') AS c1, "
+            "countSubstrings('zabzab', 'ab') AS c2, "
+            "countSubstrings('привет', 'и') AS c3, "
+            "countSubstrings('xyz', 'q') AS c0, "
+            "countSubstrings(CAST(NULL AS STRING), 'a') AS cn"
+        )
+    ).collect()[0]
+    assert rows["lb"] == "пр" and rows["rb"] == "ет"     # 4 BYTES = 2 chars
+    assert rows["lc"] == "пр" and rows["rc"] == "ет"     # 2 CHARS each
+    assert rows["r0"] == "" and rows["rover"] == "hi"    # n=0 / n>len edges
+    assert rows["lp"] == "..пр"                           # pad to 6 BYTES
+    assert rows["lptr"] == 3                              # TRUNCATE to 3 bytes
+    assert rows["rp"] == "abxy" and rows["lpsp"] == "  ab"  # space default
+    assert rows["lpc"] == ".пр"                           # char pad form
+    assert rows["c1"] == 2                                # non-overlapping
+    assert rows["c2"] == 2 and rows["c3"] == 1 and rows["c0"] == 0
+    assert rows["cn"] is None
+
+    for bad in (
+        "SELECT left(s, n) FROM t",          # expression length
+        "SELECT right(s, -2) FROM t",        # CH negative-length rule
+        "SELECT leftUTF8(s, m) FROM t",
+        "SELECT countSubstrings(s, '') FROM t",
+        "SELECT countSubstringsCaseInsensitive(s, 'a') FROM t",
     ):
         try:
             translate(bad)
