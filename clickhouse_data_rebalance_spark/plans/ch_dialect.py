@@ -359,6 +359,38 @@ _REFUSALS: list[tuple[re.Pattern[str], str]] = [
         "(translated) for code-point reversal or arrayReverse "
         "(translated) for arrays",
     ),
+    # URL extractors: ClickHouse's URL parser accepts scheme-less and
+    # otherwise-lenient URLs ('ex.com/a' has a domain there) while
+    # Spark's parse_url returns NULL for them (MEASURED:
+    # parse_url('ex.com/a/b', 'HOST') is NULL) — a textual map would
+    # silently NULL every scheme-less row, common in logs; the pointer
+    # names the exact parse_url part for well-formed absolute URLs
+    (
+        re.compile(
+            r"\b(domain|domainWithoutWWW|topLevelDomain|protocol|path"
+            r"|pathFull|queryString|fragment|netloc"
+            r"|extractURLParameter(Names|s)?|cutQueryString\w*"
+            r"|cutFragment|cutWWW|decodeURLComponent)\s*\(",
+            re.I,
+        ),
+        "ClickHouse's URL parser accepts scheme-less/lenient URLs where "
+        "Spark's parse_url returns NULL (measured) — for well-formed "
+        "absolute URLs use parse_url(url, 'HOST'|'PROTOCOL'|'PATH'|"
+        "'QUERY'|'REF'[, key]) directly",
+    ),
+    # regex/class-based splitters: pattern dialects (RE2 vs Java) and
+    # engine-defined whitespace/alpha classes make a textual map
+    # silently divergent — Spark's split already takes a Java pattern
+    (
+        re.compile(
+            r"\b(splitByRegexp|splitByWhitespace|splitByNonAlpha"
+            r"|alphaTokens)\s*\(",
+            re.I,
+        ),
+        "pattern/class dialects diverge between engines (RE2 vs Java; "
+        "engine-defined whitespace/alpha sets) — use Spark split(s, "
+        "'<java pattern>') directly",
+    ),
     # arrayFirst/arrayLast (+Index variants): when nothing matches, CH
     # returns the element type's DEFAULT (0 / '' / ...), which the SQL
     # text cannot know — a filter(...)[1] lowering would yield NULL

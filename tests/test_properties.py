@@ -3148,6 +3148,37 @@ def test_ch_dialect_left_right_pad_count(spark):
             pass
 
 
+def test_ch_dialect_url_and_splitter_refusals():
+    """r13: the URL extractor family refuses with a parse_url pointer
+    (ClickHouse's URL parser accepts scheme-less URLs where Spark's
+    parse_url returns NULL — measured — so a textual map would silently
+    NULL common log data), and the regex/class splitters refuse on
+    pattern-dialect divergence (RE2 vs Java). Previously all of these
+    died as opaque unresolved-function errors."""
+    from clickhouse_data_rebalance_spark.plans.ch_dialect import (
+        UnsupportedClickHouseSQL,
+        translate,
+    )
+
+    for bad, hint in (
+        ("SELECT domain(url) FROM t", "parse_url"),
+        ("SELECT protocol(url), path(url) FROM t", "parse_url"),
+        ("SELECT extractURLParameter(url, 'k') FROM t", "parse_url"),
+        ("SELECT cutQueryString(url) FROM t", "parse_url"),
+        ("SELECT splitByRegexp('\\\\d+', s) FROM t", "Java"),
+        ("SELECT splitByWhitespace(s) FROM t", "Java"),
+        ("SELECT alphaTokens(s) FROM t", "Java"),
+    ):
+        try:
+            translate(bad)
+            raise AssertionError(f"should have refused: {bad}")
+        except UnsupportedClickHouseSQL as e:
+            assert hint in str(e), (bad, str(e))
+    # literal masking still applies: the names inside strings are data
+    lit = "SELECT 'domain(url) splitByRegexp(p, s)' AS s FROM t"
+    assert translate(lit) == lit
+
+
 def test_with_fill_restart_semantics(spark):
     """CH's FillingTransform restarts the STEP sequence AT EACH existing
     value: data {1, 4, 8} STEP 2 fills 3 (from 1) and 6 (from 4) — a
