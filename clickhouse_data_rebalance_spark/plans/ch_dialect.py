@@ -378,6 +378,26 @@ _REFUSALS: list[tuple[re.Pattern[str], str]] = [
         "absolute URLs use parse_url(url, 'HOST'|'PROTOCOL'|'PATH'|"
         "'QUERY'|'REF'[, key]) directly",
     ),
+    # concatWithSeparator: Spark's concat_ws SKIPS NULL arguments where
+    # ClickHouse's returns NULL for any NULL argument (the
+    # least/greatest class, but variadic with a separator) — the
+    # pointer names the divergence instead of silently changing rows
+    (
+        re.compile(r"\bconcatWithSeparator\w*\s*\(", re.I),
+        "Spark's concat_ws SKIPS NULL arguments where ClickHouse "
+        "returns NULL — use concat_ws directly if skip-NULL is "
+        "acceptable, or guard with an explicit CASE over the arguments",
+    ),
+    (
+        re.compile(r"\btoFixedString\s*\(", re.I),
+        "Spark has no fixed-width string type — use rpad/CAST(x AS "
+        "STRING) (byte-true padding via the leftPad/rightPad lowering)",
+    ),
+    (
+        re.compile(r"\btupleElement\s*\(", re.I),
+        "positional tuple access has no Spark spelling — use named "
+        "struct fields (named_struct / col.field)",
+    ),
     # regex/class-based splitters: pattern dialects (RE2 vs Java) and
     # engine-defined whitespace/alpha classes make a textual map
     # silently divergent — Spark's split already takes a Java pattern
@@ -856,6 +876,12 @@ _REWRITES: list[tuple[re.Pattern[str], str]] = [
         lambda m, raw: _split_sep_repl(m, raw, by_string=True),
     ),
     (re.compile(r"\barrayStringConcat\s*\(", re.I), "array_join("),
+    # map accessors (r13): identical semantics, snake_case names —
+    # previously opaque unresolved-function errors
+    (re.compile(r"\bmapKeys\s*\(", re.I), "map_keys("),
+    (re.compile(r"\bmapValues\s*\(", re.I), "map_values("),
+    (re.compile(r"\bmapContains\s*\(", re.I), "map_contains_key("),
+    (re.compile(r"\bmapFromArrays\s*\(", re.I), "map_from_arrays("),
     # CH length(String) counts BYTES; Spark's length counts CHARACTERS
     # — identical on ASCII, silently different on multi-byte UTF-8 (the
     # collision class). octet_length is Spark's byte counter. ORDER:

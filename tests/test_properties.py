@@ -1980,6 +1980,7 @@ def test_ch_dialect_translations_all_parse_in_spark(spark, sf_dir):
         "SELECT positionUTF8(event_type, 'c'), substringIndex(event_type, 'i', 1), reverseUTF8(event_type) FROM events",
         "SELECT left(event_type, 2), right(event_type, 2), leftUTF8(event_type, 2), rightUTF8(event_type, 2), countSubstrings(event_type, 'c') FROM events",
         "SELECT leftPadUTF8(event_type, 9, '*'), rightPadUTF8(event_type, 9, '*') FROM events",
+        "SELECT mapKeys(map('a', 1)), mapValues(map('a', 1)), mapContains(map('a', 1), 'a'), mapFromArrays(['k'], [1]) FROM events",
         "SELECT event_type, count() FROM events GROUP BY event_type WITH ROLLUP",
         "SELECT event_type, value, count() FROM events GROUP BY event_type, value WITH CUBE",
     ]
@@ -3177,6 +3178,26 @@ def test_ch_dialect_url_and_splitter_refusals():
     # literal masking still applies: the names inside strings are data
     lit = "SELECT 'domain(url) splitByRegexp(p, s)' AS s FROM t"
     assert translate(lit) == lit
+    # map accessors translate (snake_case twins, identical semantics);
+    # concatWithSeparator/toFixedString/tupleElement refuse with pointers
+    out = translate(
+        "SELECT mapKeys(m), mapValues(m), mapContains(m, 'k'), "
+        "mapFromArrays(a, b) FROM t"
+    )
+    assert out == (
+        "SELECT map_keys(m), map_values(m), map_contains_key(m, 'k'), "
+        "map_from_arrays(a, b) FROM t"
+    )
+    for bad, hint in (
+        ("SELECT concatWithSeparator('-', a, b) FROM t", "concat_ws"),
+        ("SELECT toFixedString(s, 8) FROM t", "rpad"),
+        ("SELECT tupleElement(t2, 1) FROM t", "named"),
+    ):
+        try:
+            translate(bad)
+            raise AssertionError(f"should have refused: {bad}")
+        except UnsupportedClickHouseSQL as e:
+            assert hint in str(e), (bad, str(e))
 
 
 def test_with_fill_restart_semantics(spark):
