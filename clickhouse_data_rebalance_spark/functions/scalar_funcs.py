@@ -103,7 +103,7 @@ def datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(LN(l_extendedprice), 9) AS lnp,
            ROUND(LOG10(l_extendedprice), 9) AS log10p,
            ((CAST(l_orderkey AS BIGINT) % 7) + 7) % 7 AS pm7,
-           SIGN(l_discount - 0.05) AS sgn,
+           CAST(SIGN(l_discount - 0.05) AS DOUBLE) AS sgn,
            GREATEST(l_quantity, 25.0) AS gq,
            LEAST(l_quantity, 25.0) AS lq
     FROM lineitem ORDER BY l_orderkey, l_linenumber
