@@ -378,16 +378,6 @@ _REFUSALS: list[tuple[re.Pattern[str], str]] = [
         "absolute URLs use parse_url(url, 'HOST'|'PROTOCOL'|'PATH'|"
         "'QUERY'|'REF'[, key]) directly",
     ),
-    # concatWithSeparator: Spark's concat_ws SKIPS NULL arguments where
-    # ClickHouse's returns NULL for any NULL argument (the
-    # least/greatest class, but variadic with a separator) — the
-    # pointer names the divergence instead of silently changing rows
-    (
-        re.compile(r"\bconcatWithSeparator\w*\s*\(", re.I),
-        "Spark's concat_ws SKIPS NULL arguments where ClickHouse "
-        "returns NULL — use concat_ws directly if skip-NULL is "
-        "acceptable, or guard with an explicit CASE over the arguments",
-    ),
     (
         re.compile(r"\btoFixedString\s*\(", re.I),
         "Spark has no fixed-width string type — use rpad/CAST(x AS "
@@ -471,6 +461,50 @@ _ATOM = r"(?:'[^']*'|[^'(),])"
 _ARG = rf"({_ATOM}*(?:\([^()]*\){_ATOM}*)*)"
 
 
+# escape sequences BOTH literal parsers decode to the same byte:
+# ClickHouse's C-style set intersected with Spark's unescapeSQLString
+# (unknown escapes drop the backslash in both engines, so those agree
+# too and need no entry)
+_AGREED_ESCAPES = {
+    "t": "\t", "n": "\n", "r": "\r", "b": "\b", "0": "\0",
+    "\\": "\\", "'": "'", '"': '"',
+}
+# escapes the two parsers decode DIFFERENTLY: \xHH / octal / \a \v \f
+# are bytes in ClickHouse but literal 'x41'/'a'/'v'/'f' text in Spark
+# (measured on unescapeSQLString); \u is 4-hex unicode in Spark only;
+# \0 followed by a digit parses as OCTAL in Spark ('\012' -> \n,
+# measured) but as NUL + text in CH.
+# Re-emitting the raw literal would silently change the separator VALUE.
+_DIVERGENT_ESCAPE = re.compile(r"\\[xafvu1-9]|\\0[0-9]")
+
+
+def _decode_sep_literal(content: str, name: str) -> str:
+    """Decode a separator literal's escapes the way BOTH engines will
+    (ADVICE r13: the one-byte guard must measure the decoded value, not
+    the raw SQL text — '\\t' is a genuine one-byte separator). Refuses
+    escapes whose decoding diverges between the parsers, because the
+    raw text is re-emitted into Spark SQL verbatim."""
+    if _DIVERGENT_ESCAPE.search(content):
+        raise UnsupportedClickHouseSQL(
+            f"{name} separator uses an escape ClickHouse and Spark "
+            "decode differently (\\xHH/octal/\\a/\\v/\\f are bytes in "
+            "CH, literal text in Spark; \\u is Spark-only) — spell the "
+            "byte directly or via an agreed escape (\\t \\n \\r \\b \\0)"
+        )
+    out: list[str] = []
+    i = 0
+    while i < len(content):
+        c = content[i]
+        if c == "\\" and i + 1 < len(content):
+            nxt = content[i + 1]
+            out.append(_AGREED_ESCAPES.get(nxt, nxt))
+            i += 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
 def _split_sep_repl(m: "re.Match[str]", raw: str, *, by_string: bool) -> str:
     """splitByChar/splitByString replacement: ClickHouse splits on the
     LITERAL separator while Spark's split takes a Java REGEX, so the
@@ -485,7 +519,9 @@ def _split_sep_repl(m: "re.Match[str]", raw: str, *, by_string: bool) -> str:
     s = raw[slice(*m.span(2))].strip()
     lit = re.fullmatch(r"'([^']*)'", sep)
     if lit is not None:
-        content = lit.group(1)
+        # measure the DECODED value (ADVICE r13: '\t' is one byte, the
+        # raw-text measurement falsely refused tab/backslash separators)
+        content = _decode_sep_literal(lit.group(1), name)
         if not by_string and len(content.encode("utf-8")) != 1:
             raise UnsupportedClickHouseSQL(
                 f"{name} separator must be exactly one byte (the "
@@ -1219,6 +1255,9 @@ _RESIDUALS = re.compile(
     # substring/octet_length, never these names); countSubstrings'
     # CaseInsensitive/UTF8 variants and deep-nested forms land here too
     r"|left|right|countSubstrings\w*|leftUTF8|rightUTF8"
+    # r14: the concatWithSeparator scanner rewrites every nesting level,
+    # so a surviving spelling is a typo'd suffix — refuse it loudly
+    r"|concatWithSeparator\w*"
     r"|JSONExtract\w+|quantiles?\w*|median\w*|topK\w*)\s*\(",
     re.I,
 )
@@ -1481,6 +1520,69 @@ def _rewrite_least_greatest(sql: str, depth: int = 0) -> str:
             out.append(f"(CASE WHEN {checks} THEN NULL ELSE {call} END)")
         pos = i
         m = _LG_HEAD.search(masked, i)
+    out.append(sql[pos:])
+    return "".join(out)
+
+
+_CWS_HEAD = re.compile(
+    r"\bconcatWithSeparator(AssumeInjective)?\s*\(", re.I
+)
+
+
+def _rewrite_concat_with_separator(sql: str, depth: int = 0) -> str:
+    """NULL-propagation guard for concatWithSeparator (r14 — VERDICT
+    r13 #4, the refusal-turned-translation). ClickHouse's
+    ``concatWithSeparator(sep, a, b, ...)`` returns NULL when ANY
+    argument (separator included) is NULL; Spark's ``concat_ws`` SKIPS
+    NULL arguments and returns '' for an all-NULL tail — same shape,
+    silently different rows: the least/greatest class (r12, c484d7e),
+    variadic with a separator. Each user-written call becomes
+    ``(CASE WHEN (sep) IS NULL OR (a) IS NULL ... THEN NULL ELSE
+    concat_ws((sep), (a), ...) END)``. Arguments are evaluated twice,
+    both row-local — the documented least/greatest caveat
+    (nondeterministic nullable arguments belong in a subquery column,
+    MIGRATION.md). ``AssumeInjective`` is CH's GROUP-BY-elimination
+    hint, semantics identical — translated the same. Scanner-based
+    (masked match, raw splice, argument-first recursion, cursor past
+    the emission) so nesting cannot fall through half-rewritten; the
+    emitted ``concat_ws(`` never re-matches the head."""
+    if depth > 16:
+        raise UnsupportedClickHouseSQL(
+            "concatWithSeparator nested more than 16 levels deep — "
+            "precompute inner concatenations as subquery/CTE columns"
+        )
+    masked = _mask_literals(sql)
+    m = _CWS_HEAD.search(masked)
+    if not m:
+        return sql
+    out: list[str] = []
+    pos = 0
+    while m:
+        try:
+            i = _scan_to_close(masked, m.end())
+        except UnsupportedClickHouseSQL:
+            raise UnsupportedClickHouseSQL(
+                "unbalanced parentheses in concatWithSeparator()"
+            ) from None
+        raw_args = [
+            a.strip() for a in _split_top_level_args(sql[m.end() : i - 1])
+        ]
+        if len(raw_args) < 2:
+            # CH itself requires a separator plus at least one piece;
+            # refuse loudly rather than legalize an arity CH rejects
+            raise UnsupportedClickHouseSQL(
+                "concatWithSeparator needs a separator and at least "
+                "one argument"
+            )
+        args = [
+            _rewrite_concat_with_separator(a, depth + 1) for a in raw_args
+        ]
+        checks = " OR ".join(f"({a}) IS NULL" for a in args)
+        call = f"concat_ws({', '.join(f'({a})' for a in args)})"
+        out.append(sql[pos : m.start()])
+        out.append(f"(CASE WHEN {checks} THEN NULL ELSE {call} END)")
+        pos = i
+        m = _CWS_HEAD.search(masked, i)
     out.append(sql[pos:])
     return "".join(out)
 
@@ -2874,6 +2976,11 @@ def translate(ch_sql: str) -> str:
     # past _ARG's one paren level and falsely refuse a flat user call;
     # neither stage emits the other's trigger tokens in this order
     out = _rewrite_least_greatest(out)
+    # after least/greatest: the guard may duplicate concatWithSeparator
+    # spellings into both CASE arms, and each duplicate must still be
+    # rewritten — this scanner sees the whole text, so order only needs
+    # the emitted concat_ws() to trigger nothing upstream (it doesn't)
+    out = _rewrite_concat_with_separator(out)
     out = _rewrite_replace_regexp(out)
     out = _rewrite_quantile_family(out)
     out = _rewrite_totals(out)
@@ -5927,3 +6034,55 @@ def ch_dialect_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: ClickHouse substring/upper/toStartOfWeek/bitAnd/
     multiSearchAny/hasAny semantics per MIGRATION.md's r13 wave rows."""
     return ch_sql(spark, sf_dir, _CH_STRINGS_QUERY)
+
+
+# r14: concatWithSeparator (refusal-turned-translation, VERDICT r13
+# #4) + the escape-decoded one-byte splitByChar separator (ADVICE r13)
+# end-to-end: a tab-joined composite is split back apart, and the
+# NULL-propagation guard's arm is counted against an INDEPENDENT
+# oracle derivation
+_CH_CONCAT_SPLIT_QUERY = """
+    SELECT seg, toUInt32(count()) AS n, toUInt32(countIf(tag IS NULL)) AS n_null
+    FROM (
+      SELECT element_at(splitByChar('\\t', joined), 2) AS seg, tag FROM (
+        SELECT concatWithSeparator('\\t', c_mktsegment,
+                                   toString(c_nationkey)) AS joined,
+               concatWithSeparator('|', c_mktsegment,
+                                   nullIf(toString(c_nationkey % 5), '0')
+                                   ) AS tag
+        FROM customer))
+    GROUP BY seg ORDER BY seg
+"""
+
+_CH_CONCAT_SPLIT_ORACLE = """
+    SELECT CAST(c_nationkey AS VARCHAR) AS seg,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) FILTER (WHERE c_nationkey % 5 = 0)
+                AS BIGINT) AS n_null
+    FROM customer
+    GROUP BY 1
+    ORDER BY seg
+"""
+
+
+@query("ch_dialect_concat_split", _CH_CONCAT_SPLIT_ORACLE)
+def ch_dialect_concat_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r14 dialect wave end-to-end: ``concatWithSeparator`` (refusal
+    turned translation — CH returns NULL when ANY argument is NULL
+    where Spark's bare ``concat_ws`` skips them; the NULL-propagation
+    CASE guard closes it, the least/greatest precedent) joins
+    mktsegment and nationkey with a TAB, ``splitByChar('\\t', ...)``
+    (the ADVICE r13 escape-decode fix — the one-byte guard now
+    measures the DECODED separator, so tab is a legal one-byte
+    separator) splits it back, and the guard's NULL arm
+    (``nullIf(..., '0')`` firing on nationkey % 5 = 0) is counted.
+    The DuckDB oracle derives seg/n_null INDEPENDENTLY from
+    c_nationkey — it never runs a split or a guarded concat, so the
+    round-trip itself is what's checked.
+
+    Scale: row-local string expressions inside whole-stage codegen,
+    one grouped exchange, no UDFs.
+
+    Reference parity: ClickHouse concatWithSeparator / splitByChar
+    per MIGRATION.md's r14 row."""
+    return ch_sql(spark, sf_dir, _CH_CONCAT_SPLIT_QUERY)

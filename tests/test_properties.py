@@ -3189,7 +3189,6 @@ def test_ch_dialect_url_and_splitter_refusals():
         "map_from_arrays(a, b) FROM t"
     )
     for bad, hint in (
-        ("SELECT concatWithSeparator('-', a, b) FROM t", "concat_ws"),
         ("SELECT toFixedString(s, 8) FROM t", "rpad"),
         ("SELECT tupleElement(t2, 1) FROM t", "named"),
     ):
@@ -3198,6 +3197,112 @@ def test_ch_dialect_url_and_splitter_refusals():
             raise AssertionError(f"should have refused: {bad}")
         except UnsupportedClickHouseSQL as e:
             assert hint in str(e), (bad, str(e))
+
+
+def test_split_sep_escape_decoding(spark):
+    """ADVICE r13: the one-byte guard must measure the DECODED literal
+    ('\\t' is a genuine one-byte tab separator in both engines' literal
+    syntax), while engine-DIVERGENT escapes (\\xHH octal \\a \\v \\f)
+    refuse — the raw text is re-emitted into Spark SQL, so those would
+    silently change the separator's value."""
+    from clickhouse_data_rebalance_spark.plans.ch_dialect import (
+        UnsupportedClickHouseSQL,
+        translate,
+    )
+
+    # tab and backslash are one byte after decoding — they translate
+    # and split correctly end-to-end
+    got = spark.sql(
+        translate("SELECT splitByChar('\\t', 'a\\tb\\tc') AS parts")
+    ).collect()[0][0]
+    assert got == ["a", "b", "c"]
+    got = spark.sql(
+        translate("SELECT splitByChar('\\\\', 'a\\\\b') AS parts")
+    ).collect()[0][0]
+    assert got == ["a", "b"]
+    # multi-byte decoded values still refuse
+    for bad in (
+        "SELECT splitByChar('ab', s) FROM t",
+        "SELECT splitByChar('\\t\\t', s) FROM t",
+    ):
+        try:
+            translate(bad)
+            raise AssertionError(f"should refuse >1 byte: {bad}")
+        except UnsupportedClickHouseSQL as e:
+            assert "one byte" in str(e)
+    # divergent escapes refuse for BOTH splitters (value, not length):
+    # \xHH is a byte in CH but 'xHH' text in Spark; '\012' is octal in
+    # Spark but NUL+digits in CH
+    for bad in (
+        "SELECT splitByChar('\\x09', s) FROM t",
+        "SELECT splitByString('\\f', s) FROM t",
+        "SELECT splitByChar('\\012', s) FROM t",
+    ):
+        try:
+            translate(bad)
+            raise AssertionError(f"should refuse divergent escape: {bad}")
+        except UnsupportedClickHouseSQL as e:
+            assert "decode differently" in str(e)
+
+
+def test_ch_dialect_concat_with_separator(spark):
+    """r14 (VERDICT r13 #4): concatWithSeparator is a refusal-turned-
+    translation. CH returns NULL when ANY argument (separator included)
+    is NULL; Spark's concat_ws SKIPS NULLs — the guard closes the gap
+    with the least/greatest NULL-propagation CASE."""
+    from clickhouse_data_rebalance_spark.plans.ch_dialect import (
+        UnsupportedClickHouseSQL,
+        translate,
+    )
+
+    out = translate("SELECT concatWithSeparator('-', a, b) FROM t")
+    assert out == (
+        "SELECT (CASE WHEN ('-') IS NULL OR (a) IS NULL OR (b) IS NULL "
+        "THEN NULL ELSE concat_ws(('-'), (a), (b)) END) FROM t"
+    )
+    # AssumeInjective: CH's GROUP-BY-elimination hint, same semantics
+    assert "concat_ws" in translate(
+        "SELECT concatWithSeparatorAssumeInjective('-', a, b) FROM t"
+    )
+    # executed NULL-arm semantics: any NULL argument -> NULL (CH), where
+    # bare concat_ws would skip ('a' / 'a-b' / '')
+    spark.createDataFrame(
+        [("a", None), ("a", "b"), (None, None)], "x string, y string"
+    ).createOrReplaceTempView("cws_t")
+    got = [
+        r[0]
+        for r in spark.sql(
+            translate(
+                "SELECT concatWithSeparator('-', x, y) AS c FROM cws_t "
+                "ORDER BY x NULLS LAST, y NULLS LAST"
+            )
+        ).collect()
+    ]
+    assert got == ["a-b", None, None]
+    # NULL separator -> NULL even with non-null pieces
+    assert spark.sql(
+        translate(
+            "SELECT concatWithSeparator(CAST(NULL AS STRING), 'a', 'b') AS c"
+        )
+    ).collect()[0][0] is None
+    # nesting rewrites every level; literal masking keeps names-in-data
+    nested = translate(
+        "SELECT concatWithSeparator('-', concatWithSeparator(':', a, b), c) "
+        "FROM t"
+    )
+    # inner call is duplicated into the outer guard's IS NULL check and
+    # its ELSE call (the documented row-local double evaluation) -> the
+    # rewritten inner appears twice plus the outer once
+    assert "concatWithSeparator" not in nested
+    assert nested.count("concat_ws") == 3
+    lit = "SELECT 'concatWithSeparator(x)' AS s FROM t"
+    assert translate(lit) == lit
+    # arity CH itself rejects refuses loudly
+    try:
+        translate("SELECT concatWithSeparator('-') FROM t")
+        raise AssertionError("1-arg should refuse")
+    except UnsupportedClickHouseSQL as e:
+        assert "separator" in str(e)
 
 
 def test_with_fill_restart_semantics(spark):
@@ -3769,12 +3874,15 @@ def test_asof_rewrite_refusals(spark):
             raise AssertionError(f"should have refused: {bad}")
         except UnsupportedClickHouseSQL:
             pass
-    # right alias colliding with a left COLUMN (the struct would shadow)
+    # right alias colliding with a left COLUMN (the struct would shadow);
+    # both sides stay the registered asof_*2 views so the check is
+    # reachable standalone (the old .replace("r2", "r") also rewrote the
+    # right TABLE to asof_r, which only exists when the whole module runs)
     try:
         _apply_asof_join(
             spark,
-            "SELECT * FROM asof_l2 l ASOF JOIN asof_r2 r2 "
-            "ON l.k = r2.k AND l.t > r2.t".replace("r2", "r"),
+            "SELECT * FROM asof_l2 l ASOF JOIN asof_r2 r "
+            "ON l.k = r.k AND l.t > r.t",
         )
         raise AssertionError("alias collision should refuse")
     except UnsupportedClickHouseSQL as e:
