@@ -505,37 +505,93 @@ def _decode_sep_literal(content: str, name: str) -> str:
     return "".join(out)
 
 
-def _split_sep_repl(m: "re.Match[str]", raw: str, *, by_string: bool) -> str:
-    """splitByChar/splitByString replacement: ClickHouse splits on the
-    LITERAL separator while Spark's split takes a Java REGEX, so the
-    separator is \\Q...\\E-quoted at runtime via concat (Catalyst
-    constant-folds it for literal separators). Literal-argument guards
-    enforce the CH contracts the text makes checkable: splitByChar's
-    separator is exactly one byte; splitByString('') refuses (Spark's
-    empty pattern keeps a trailing empty element CH's per-character
-    split does not — measured)."""
-    name = "splitByString" if by_string else "splitByChar"
-    sep = raw[slice(*m.span(1))].strip()
-    s = raw[slice(*m.span(2))].strip()
+def _check_split_sep_literal(sep: str, *, by_string: bool, name: str) -> None:
+    """Literal-argument guards for the split family: the CH contracts
+    the text makes checkable. splitByChar's separator is exactly one
+    byte — measured on the DECODED value (ADVICE r13: '\\t' is one
+    byte; the raw-text measurement falsely refused tab/backslash
+    separators); splitByString('') refuses (Spark's empty pattern keeps
+    a trailing empty element CH's per-character split does not —
+    measured)."""
     lit = re.fullmatch(r"'([^']*)'", sep)
-    if lit is not None:
-        # measure the DECODED value (ADVICE r13: '\t' is one byte, the
-        # raw-text measurement falsely refused tab/backslash separators)
-        content = _decode_sep_literal(lit.group(1), name)
-        if not by_string and len(content.encode("utf-8")) != 1:
+    if lit is None:
+        return
+    content = _decode_sep_literal(lit.group(1), name)
+    if not by_string and len(content.encode("utf-8")) != 1:
+        raise UnsupportedClickHouseSQL(
+            f"{name} separator must be exactly one byte (the "
+            "ClickHouse contract) — use splitByString for longer "
+            "separators"
+        )
+    if by_string and content == "":
+        raise UnsupportedClickHouseSQL(
+            "splitByString('') per-character split: Spark's empty "
+            "pattern keeps a trailing empty element ClickHouse does "
+            "not — split to characters with a substring/sequence "
+            "spelling instead"
+        )
+
+
+_SPLIT_HEAD = re.compile(r"\b(splitByChar|splitByString)\s*\(", re.I)
+
+
+def _rewrite_split_family(sql: str, depth: int = 0) -> str:
+    """splitByChar/splitByString lowering (r14 scanner upgrade of the
+    r13 table entry): ClickHouse splits on the LITERAL separator while
+    Spark's split takes a Java REGEX, so the separator is
+    \\Q...\\E-quoted at runtime via concat (Catalyst constant-folds it
+    for literal separators). The r13 form was a one-level _ARG table
+    entry, so any nested argument — splitByChar(',',
+    concatWithSeparator(...)), a guarded least() separator — fell
+    through to the residual REFUSAL; scanner-based (masked match, raw
+    splice, argument-first recursion, cursor past the emission) every
+    nesting depth now translates. Runs AFTER the _REWRITES table so
+    the ARRAY JOIN clause and the has/indexOf binder entries still see
+    the COMPACT splitBy* text their one-level _ARG can bind (the r13
+    ordering constraint, preserved by pass position instead of table
+    position); the emitted split()/concat() triggers nothing
+    downstream. The max_substrings 3-arg form refuses: its
+    truncation-vs-remainder semantics changed across ClickHouse
+    versions, so no single lowering is faithful."""
+    if depth > 32:
+        raise UnsupportedClickHouseSQL(
+            "splitBy* calls nested more than 32 levels deep — "
+            "precompute inner splits as subquery/CTE columns"
+        )
+    masked = _mask_literals(sql)
+    m = _SPLIT_HEAD.search(masked)
+    if not m:
+        return sql
+    out: list[str] = []
+    pos = 0
+    while m:
+        name = m.group(1)
+        by_string = name.lower() == "splitbystring"
+        try:
+            i = _scan_to_close(masked, m.end())
+        except UnsupportedClickHouseSQL:
             raise UnsupportedClickHouseSQL(
-                f"{name} separator must be exactly one byte (the "
-                "ClickHouse contract) — use splitByString for longer "
-                "separators"
-            )
-        if by_string and content == "":
+                f"unbalanced parentheses in {name}()"
+            ) from None
+        raw_args = [
+            a.strip() for a in _split_top_level_args(sql[m.end() : i - 1])
+        ]
+        if len(raw_args) != 2:
             raise UnsupportedClickHouseSQL(
-                "splitByString('') per-character split: Spark's empty "
-                "pattern keeps a trailing empty element ClickHouse does "
-                "not — split to characters with a substring/sequence "
-                "spelling instead"
+                f"{name} with {len(raw_args)} argument(s) — the "
+                "max_substrings form has version-divergent truncation "
+                "semantics in ClickHouse; take the 2-arg split and "
+                "slice(...) the result"
             )
-    return f"split({s}, concat('\\\\Q', {sep}, '\\\\E'))"
+        sep = _rewrite_split_family(raw_args[0], depth + 1)
+        s = _rewrite_split_family(raw_args[1], depth + 1)
+        _check_split_sep_literal(sep, by_string=by_string, name=name)
+        out.append(sql[pos : m.start()])
+        out.append(f"split({s}, concat('\\\\Q', {sep}, '\\\\E'))")
+        pos = i
+        m = _SPLIT_HEAD.search(masked, i)
+    out.append(sql[pos:])
+    return "".join(out)
 
 
 def _count_substrings_repl(m: "re.Match[str]", raw: str) -> str:
@@ -888,29 +944,15 @@ _REWRITES: list[tuple[re.Pattern[str], str]] = [
     # reverseUTF8 = code-point reversal = Spark's reverse on strings
     # (bare reverse REFUSES above — CH's is byte-level)
     (re.compile(r"\breverseUTF8\s*\(", re.I), "reverse("),
-    # splitByChar/splitByString (r13 FIX of a silent mistranslation:
-    # ClickHouse splits on the LITERAL separator, but Spark's split
-    # takes a Java REGEX — the old bare `split(s, sep)` swap turned
-    # splitByChar('.', s) into a split on EVERY character, measured).
-    # The separator is \Q...\E-quoted at RUNTIME via concat (constant-
-    # folded by Catalyst), so metacharacters and backslashes in the
-    # separator VALUE are literal with no escape-dialect reasoning;
-    # Spark's split keeps trailing empty fields exactly as CH does
-    # (measured: 'a,b,' -> ['a','b','']). Literal guards: splitByChar's
-    # separator must be ONE byte (the CH contract — longer literals
-    # refuse); splitByString('') refuses (CH's per-character split has
-    # no trailing empty element, Spark's empty pattern emits one —
-    # measured). A separator VALUE containing the two characters \E is
-    # outside splitByChar's 1-byte domain and splitByString's quoting
-    # breaks there (documented in MIGRATION.md).
-    (
-        re.compile(rf"\bsplitByChar\s*\(\s*{_ARG}\s*,\s*{_ARG}\s*\)", re.I),
-        lambda m, raw: _split_sep_repl(m, raw, by_string=False),
-    ),
-    (
-        re.compile(rf"\bsplitByString\s*\(\s*{_ARG}\s*,\s*{_ARG}\s*\)", re.I),
-        lambda m, raw: _split_sep_repl(m, raw, by_string=True),
-    ),
+    # splitByChar/splitByString moved to the _rewrite_split_family
+    # SCANNER pass (r14), which runs AFTER this table so the ARRAY JOIN
+    # clause and the has/indexOf binder entries still bind the compact
+    # splitBy* text (the r13 ordering constraint). Semantics unchanged:
+    # \Q...\E runtime quoting (metacharacters literal, trailing empty
+    # fields kept as CH keeps them — measured), decoded one-byte
+    # splitByChar guard, splitByString('') refusal. A separator VALUE
+    # containing the two characters \E is outside splitByChar's 1-byte
+    # domain and splitByString's quoting breaks there (MIGRATION.md).
     (re.compile(r"\barrayStringConcat\s*\(", re.I), "array_join("),
     # map accessors (r13): identical semantics, snake_case names —
     # previously opaque unresolved-function errors
@@ -2995,6 +3037,11 @@ def translate(ch_sql: str) -> str:
     out = _rewrite_membership(out)
     for pat, repl in _REWRITES:
         out = _sub_outside_literals(pat, repl, out)
+    # AFTER the table: the ARRAY JOIN / has / indexOf entries above
+    # bind the COMPACT splitBy* text; the scanner then expands every
+    # remaining spelling at any nesting depth (r14 — the one-level
+    # table entry refused nested arguments)
+    out = _rewrite_split_family(out)
     masked = _mask_literals(out)
     if re.search(r"\bWITH\s+TOTALS\b", masked, re.I):
         raise UnsupportedClickHouseSQL(

@@ -1324,6 +1324,22 @@ def test_strings_demo_stays_narrow(spark):
         assert wide not in plan, plan
 
 
+def test_concat_split_demo_stays_narrow(spark):
+    """The r14 concatWithSeparator guard + \\Q\\E-quoted split are pure
+    row-local expression work: the demo's only exchanges are its own
+    groupBy and the presentation sort; the scan reads exactly the two
+    referenced customer columns, and Catalyst CSEs the guard's doubled
+    argument (visible as _common_expr in the projection) — the
+    double-evaluation caveat costs no extra pass here."""
+    plan = plan_of(spark, "ch_dialect_concat_split")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange (") == 2, plan  # groupBy + final sort
+    assert "HashAggregate" in plan
+    for wide in ("Join", "Window", "Generate"):
+        assert wide not in plan, plan
+    assert "ReadSchema: struct<c_nationkey:int,c_mktsegment:string>" in plan
+
+
 def test_age_month_rule_stays_rowlocal(spark):
     """age('month'/'quarter'/'year') lowers to integer date arithmetic
     in the projection — no months_between, no UDF, no added exchange

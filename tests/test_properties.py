@@ -3245,6 +3245,41 @@ def test_split_sep_escape_decoding(spark):
             assert "decode differently" in str(e)
 
 
+def test_split_family_scanner_nesting(spark):
+    """r14: splitByChar/splitByString upgraded from a one-level _ARG
+    table entry to a scanner pass — nested arguments that previously
+    fell through to the residual REFUSAL now translate; the pass runs
+    AFTER the rewrite table so the ARRAY JOIN / has / indexOf binders
+    still see the compact splitBy* text (the r13 ordering constraint)."""
+    from clickhouse_data_rebalance_spark.plans.ch_dialect import (
+        UnsupportedClickHouseSQL,
+        translate,
+    )
+
+    # deep nesting translates and EXECUTES correctly end-to-end
+    got = spark.sql(
+        translate(
+            "SELECT splitByString('XY', element_at("
+            "splitByChar('.', 'aXYb.cXYd'), 2)) AS parts"
+        )
+    ).collect()[0][0]
+    assert got == ["c", "d"]
+    # a guarded concat as the split operand (two r14 passes composing)
+    out = translate(
+        "SELECT splitByChar(',', concatWithSeparator(',', a, b)) FROM t"
+    )
+    assert "splitByChar" not in out and "concat_ws" in out and "\\Q" in out
+    # binder ordering preserved: has() binds the compact text first
+    out = translate("SELECT has(splitByChar('-', p), 'HIGH') FROM orders")
+    assert "exists(split(p" in out and "\\Q" in out
+    # max_substrings refuses (version-divergent CH truncation semantics)
+    try:
+        translate("SELECT splitByChar(',', s, 3) FROM t")
+        raise AssertionError("3-arg should refuse")
+    except UnsupportedClickHouseSQL as e:
+        assert "max_substrings" in str(e)
+
+
 def test_ch_dialect_concat_with_separator(spark):
     """r14 (VERDICT r13 #4): concatWithSeparator is a refusal-turned-
     translation. CH returns NULL when ANY argument (separator included)
