@@ -388,6 +388,74 @@ _REFUSALS: list[tuple[re.Pattern[str], str]] = [
         "positional tuple access has no Spark spelling — use named "
         "struct fields (named_struct / col.field)",
     ),
+    # ---- r14 wave 2: pointered refusals for previously-OPAQUE
+    # unresolved-function errors (the wave-5-tail precedent) ----
+    (
+        re.compile(r"\bparseDateTimeBestEffort\w*\s*\(", re.I),
+        "Spark has no lenient datetime parser — try_cast(x AS "
+        "TIMESTAMP) accepts ISO-ish forms, or parseDateTime(x, "
+        "'<format>') translates for explicit formats",
+    ),
+    (
+        re.compile(r"\btoTimeZone\s*\(", re.I),
+        "Spark TIMESTAMP rendering follows spark.sql.session.timeZone "
+        "(one per session), not a per-expression zone — use "
+        "from_utc_timestamp/to_utc_timestamp knowing they SHIFT the "
+        "instant rather than re-label it",
+    ),
+    (
+        re.compile(r"\barrayZip\s*\(", re.I),
+        "CH arrayZip makes arrays of TUPLES (positional access, not "
+        "translated) — use arrays_zip (STRUCT elements) or the "
+        "multi-array ARRAY JOIN zip lowering",
+    ),
+    (
+        re.compile(r"\bdateName\s*\(", re.I),
+        "per-part output forms are engine-defined — monthName "
+        "translates; otherwise use date_format(x, '<pattern>') "
+        "directly",
+    ),
+    (
+        re.compile(r"\binitcap(UTF8)?\s*\(", re.I),
+        "word-boundary rules diverge: ClickHouse starts a word at any "
+        "non-alphanumeric boundary ('foo-bar' -> 'Foo-Bar') while "
+        "Spark's initcap splits on whitespace only ('Foo-bar', "
+        "measured) — a silent same-name collision; use Spark initcap "
+        "if whitespace-word semantics are acceptable",
+    ),
+    (
+        re.compile(r"\b(normalizeUTF8\w+|toValidUTF8)\s*\(", re.I),
+        "Spark has no UTF-8 normalization/repair builtins — normalize "
+        "upstream or in an Arrow-batched pandas UDF",
+    ),
+    (
+        re.compile(r"\bbase58(Encode|Decode)\s*\(", re.I),
+        "Spark has no base58 codec (base64Encode/Decode translate)",
+    ),
+    (
+        re.compile(r"\banyHeavy\s*\(", re.I),
+        "engine-defined heavy-hitter selection — use the native "
+        "heavy_hitters / topk_state_merge operators",
+    ),
+    (
+        re.compile(
+            r"\b(greatCircle(Distance|Angle)|geoDistance|pointInPolygon)\s*\(",
+            re.I,
+        ),
+        "use the native geo_distance operator (haversine spelled in "
+        "SQL); polygon tests need a geospatial library",
+    ),
+    (
+        re.compile(r"\bIPv6\w+\s*\(", re.I),
+        "IPv6 textual forms have no Spark builtins (the IPv4 family "
+        "translates to exact integer arithmetic)",
+    ),
+    (
+        re.compile(r"\b(editDistance|levenshteinDistance)\s*\(", re.I),
+        "ClickHouse's bare editDistance counts BYTES — "
+        "editDistanceUTF8/levenshteinDistanceUTF8 translate to Spark's "
+        "code-point levenshtein (identical on ASCII)",
+    ),
     # regex/class-based splitters: pattern dialects (RE2 vs Java) and
     # engine-defined whitespace/alpha classes make a textual map
     # silently divergent — Spark's split already takes a Java pattern
@@ -532,6 +600,76 @@ def _check_split_sep_literal(sep: str, *, by_string: bool, name: str) -> None:
         )
 
 
+_TRANSLATE_HEAD = re.compile(r"\btranslate(UTF8)?\s*\(", re.I)
+
+
+def _rewrite_translate_family(sql: str) -> str:
+    """translate/translateUTF8 guard (r14 wave 2 — a silent same-name
+    collision): ClickHouse's translate requires CONSTANT same-length
+    ASCII from/to strings (one-to-one mapping; anything else is a CH
+    ERROR), and translateUTF8 requires constant same-code-point-length
+    strings. Spark's translate is code-point based AND deletes
+    characters when `to` is shorter — so an unvalidated pass-through
+    would silently run delete semantics CH rejects, and a multi-byte
+    `from` in bare translate would silently do what only translateUTF8
+    does in CH. Validated calls pass through (bare) or rename
+    (translateUTF8 -> translate): for equal-length literals the two
+    engines' mappings coincide exactly. Runs BEFORE every other rewrite
+    stage, so the case-fold lowerings' own emitted translate(...) text
+    (always equal-length ASCII literals) is never re-scanned."""
+    masked = _mask_literals(sql)
+    out: list[str] = []
+    pos = 0
+    m = _TRANSLATE_HEAD.search(masked)
+    while m:
+        name = "translateUTF8" if m.group(1) else "translate"
+        try:
+            i = _scan_to_close(masked, m.end())
+        except UnsupportedClickHouseSQL:
+            raise UnsupportedClickHouseSQL(
+                f"unbalanced parentheses in {name}()"
+            ) from None
+        raw_args = [
+            a.strip() for a in _split_top_level_args(sql[m.end() : i - 1])
+        ]
+        if len(raw_args) != 3:
+            raise UnsupportedClickHouseSQL(
+                f"{name} takes (s, from, to) — got {len(raw_args)} "
+                "argument(s)"
+            )
+        lits = [re.fullmatch(r"'([^']*)'", a) for a in raw_args[1:]]
+        if not all(lits):
+            raise UnsupportedClickHouseSQL(
+                f"{name} from/to must be string LITERALS (the ClickHouse "
+                "constant-argument contract; Spark's translate would "
+                "accept columns with different semantics)"
+            )
+        frm = _decode_sep_literal(lits[0].group(1), name)
+        to = _decode_sep_literal(lits[1].group(1), name)
+        if len(frm) != len(to):
+            raise UnsupportedClickHouseSQL(
+                f"{name} from/to must be the SAME length (CH contract; "
+                "Spark's translate DELETES characters when to is "
+                "shorter — a silent divergence)"
+            )
+        if name == "translate" and not (
+            frm.isascii() and to.isascii()
+        ):
+            raise UnsupportedClickHouseSQL(
+                "bare translate is ASCII-only in ClickHouse — use "
+                "translateUTF8 for multi-byte mappings"
+            )
+        # arg 0 may itself nest translate calls — recurse so the cursor
+        # jump past the outer close can't skip an unvalidated inner call
+        a0 = _rewrite_translate_family(raw_args[0])
+        out.append(sql[pos : m.start()])
+        out.append(f"translate({a0}, {raw_args[1]}, {raw_args[2]})")
+        pos = i
+        m = _TRANSLATE_HEAD.search(masked, i)
+    out.append(sql[pos:])
+    return "".join(out)
+
+
 _SPLIT_HEAD = re.compile(r"\b(splitByChar|splitByString)\s*\(", re.I)
 
 
@@ -611,6 +749,102 @@ def _count_substrings_repl(m: "re.Match[str]", raw: str) -> str:
     return (
         f"CAST((octet_length({h}) - octet_length(replace({h}, {n}, ''))) "
         f"div nullif(octet_length({n}), 0) AS BIGINT)"
+    )
+
+
+# ---- r14 wave 2 replacement callables (argument-duplicating guards;
+# the least/greatest row-local double-evaluation caveat applies) ----
+
+_B64_VALID = (
+    "RLIKE '^(?:[A-Za-z0-9+/]{4})*"
+    "(?:[A-Za-z0-9+/]{2}==|[A-Za-z0-9+/]{3}=)?$'"
+)
+
+
+def _base64_decode_repl(m: "re.Match[str]", raw: str, *, lenient: bool) -> str:
+    """base64Decode / tryBase64Decode: Spark's unbase64 silently decodes
+    GARBAGE for invalid input (measured: unbase64('!!notb64!!') yields
+    mojibake bytes) where ClickHouse THROWS (base64Decode) or returns ''
+    (tryBase64Decode) — so validity is checked with the strict RFC 4648
+    grammar first and the CH failure behavior spelled per form."""
+    x = raw[slice(*m.span(1))].strip()
+    decode = f"CAST(unbase64(({x})) AS STRING)"
+    fail = (
+        "''" if lenient
+        else "raise_error('base64Decode: invalid base64 input')"
+    )
+    return (
+        f"(CASE WHEN ({x}) IS NULL THEN NULL "
+        f"WHEN ({x}) {_B64_VALID} THEN {decode} ELSE {fail} END)"
+    )
+
+
+_IPV4_OCTET = "(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)"
+
+
+def _ipv4_string_to_num_repl(m: "re.Match[str]", raw: str) -> str:
+    """IPv4StringToNum[OrNull|OrZero]: exact dotted-quad integer
+    arithmetic; validity = four 0-255 decimal octets (the regex also
+    range-checks, so no octet can overflow the multiply). CH throws on
+    invalid input for the bare form (raise_error here), NULL/0 for the
+    Or-forms."""
+    suffix = (m.group(1) or "").lower()
+    s = raw[slice(*m.span(2))].strip()
+    valid = f"({s}) RLIKE '^{_IPV4_OCTET}(\\\\.{_IPV4_OCTET}){{3}}$'"
+    part = "CAST(element_at(split(({s}), '\\\\.'), {k}) AS BIGINT)"
+    num = " + ".join(
+        f"{part.format(s=s, k=k)} * {mul}" if mul > 1 else part.format(s=s, k=k)
+        for k, mul in ((1, 16777216), (2, 65536), (3, 256), (4, 1))
+    )
+    if suffix == "ornull":
+        return f"(CASE WHEN {valid} THEN {num} END)"
+    fail = "0" if suffix == "orzero" else (
+        "raise_error('IPv4StringToNum: invalid IPv4 string')"
+    )
+    return (
+        f"(CASE WHEN ({s}) IS NULL THEN NULL "
+        f"WHEN {valid} THEN {num} ELSE {fail} END)"
+    )
+
+
+def _range_repl(m: "re.Match[str]", raw: str) -> str:
+    """range(end) / range(start, end[, step]) -> guarded sequence():
+    CH's interval is half-open [start, end) and EMPTY when end <= start,
+    while Spark's sequence(a, b) is inclusive and happily walks
+    DOWNWARD (sequence(0, -1) = [0, -1], measured) — the CASE guard
+    spells CH's emptiness; sequence(s, e-1, step) hits exactly the
+    values < e for a positive integer step. Literal step only (a
+    runtime step <= 0 is a CH error the text can't check). Deviation:
+    CH errors on a negative bare end (UInt domain) where this yields []
+    — documented in MIGRATION.md."""
+    args = [
+        raw[slice(*m.span(g))].strip()
+        for g in (1, 2, 3)
+        if m.group(g) is not None and raw[slice(*m.span(g))].strip()
+    ]
+    if not args:
+        raise UnsupportedClickHouseSQL("range() needs 1-3 arguments")
+    if len(args) == 1:
+        e = args[0]
+        return (
+            f"(CASE WHEN ({e}) <= 0 THEN array() "
+            f"ELSE sequence(0, ({e}) - 1) END)"
+        )
+    if len(args) == 2:
+        s, e = args
+        return (
+            f"(CASE WHEN ({e}) <= ({s}) THEN array() "
+            f"ELSE sequence(({s}), ({e}) - 1) END)"
+        )
+    s, e, st = args
+    if not re.fullmatch(r"\d+", st) or int(st) == 0:
+        raise UnsupportedClickHouseSQL(
+            "range step must be a positive integer LITERAL (CH errors "
+            "on step <= 0; a runtime step is untestable textually)"
+        )
+    return (
+        f"(CASE WHEN ({e}) <= ({s}) THEN array() "
+        f"ELSE sequence(({s}), ({e}) - 1, {st}) END)"
     )
 
 
@@ -954,6 +1188,67 @@ _REWRITES: list[tuple[re.Pattern[str], str]] = [
     # containing the two characters \E is outside splitByChar's 1-byte
     # domain and splitByString's quoting breaks there (MIGRATION.md).
     (re.compile(r"\barrayStringConcat\s*\(", re.I), "array_join("),
+    # ---- r14 wave 2: refusals-or-opaque-errors turned translations ----
+    # code-point edit distance: CH's UTF8 forms == Spark levenshtein
+    # (the bare byte forms refuse above)
+    (
+        re.compile(r"\b(editDistanceUTF8|levenshteinDistanceUTF8)\s*\(", re.I),
+        "levenshtein(",
+    ),
+    # both are nondeterministic random v4 UUIDs
+    (re.compile(r"\bgenerateUUIDv4\s*\(\s*\)", re.I), "uuid()"),
+    # English month name in both engines (Spark follows the JVM locale,
+    # en-US in this harness — documented in MIGRATION.md)
+    (
+        re.compile(rf"\bmonthName\s*\(\s*{_ARG}\s*\)", re.I),
+        r"date_format(\1, 'MMMM')",
+    ),
+    # Decode entries run BEFORE Encode: base64Decode(base64Encode(x))
+    # must bind the compact inner call — Encode's expansion (3 paren
+    # levels) would push it past _ARG's budget (the reverse nesting,
+    # Encode-around-Decode, lands on the pointered residual)
+    (
+        re.compile(rf"\bbase64Decode\s*\(\s*{_ARG}\s*\)", re.I),
+        lambda m, raw: _base64_decode_repl(m, raw, lenient=False),
+    ),
+    (
+        re.compile(rf"\btryBase64Decode\s*\(\s*{_ARG}\s*\)", re.I),
+        lambda m, raw: _base64_decode_repl(m, raw, lenient=True),
+    ),
+    # CH base64Encode emits ONE unwrapped line; Spark's base64 inserts
+    # RFC 2045 \r\n line breaks every 76 chars (measured: 100-byte
+    # input -> 138-char output) — strip them for CH parity
+    (
+        re.compile(rf"\bbase64Encode\s*\(\s*{_ARG}\s*\)", re.I),
+        r"replace(replace(base64(\1), '\r', ''), '\n', '')",
+    ),
+    # dotted-quad <-> UInt32 integer arithmetic (exact)
+    (
+        re.compile(rf"\bIPv4NumToString\s*\(\s*{_ARG}\s*\)", re.I),
+        r"concat(CAST(((\1) DIV 16777216) % 256 AS STRING), '.',"
+        r" CAST(((\1) DIV 65536) % 256 AS STRING), '.',"
+        r" CAST(((\1) DIV 256) % 256 AS STRING), '.',"
+        r" CAST((\1) % 256 AS STRING))",
+    ),
+    (
+        re.compile(
+            rf"\bIPv4StringToNum(OrNull|OrZero)?\s*\(\s*{_ARG}\s*\)", re.I
+        ),
+        _ipv4_string_to_num_repl,
+    ),
+    (
+        re.compile(r"\bisIPv4String\s*\(\s*" + _ARG + r"\s*\)", re.I),
+        r"((\1) RLIKE '^" + _IPV4_OCTET + r"(\\." + _IPV4_OCTET + r"){3}$')",
+    ),
+    # half-open [start, end) integer range with CH's empty-when-
+    # end<=start rule (Spark's sequence is inclusive and walks downward)
+    (
+        re.compile(
+            rf"\brange\s*\(\s*{_ARG}\s*(?:,\s*{_ARG}\s*)?(?:,\s*{_ARG}\s*)?\)",
+            re.I,
+        ),
+        _range_repl,
+    ),
     # map accessors (r13): identical semantics, snake_case names —
     # previously opaque unresolved-function errors
     (re.compile(r"\bmapKeys\s*\(", re.I), "map_keys("),
@@ -1300,6 +1595,11 @@ _RESIDUALS = re.compile(
     # r14: the concatWithSeparator scanner rewrites every nesting level,
     # so a surviving spelling is a typo'd suffix — refuse it loudly
     r"|concatWithSeparator\w*"
+    # r14 wave 2: deep-nested (past-_ARG) or wrong-arity survivors of
+    # the new translations refuse with the pointer instead of reaching
+    # Spark as unresolved functions
+    r"|parseDateTime\w*|IPv4\w+|base64(Encode|Decode)|tryBase64Decode"
+    r"|monthName|generateUUIDv4"
     r"|JSONExtract\w+|quantiles?\w*|median\w*|topK\w*)\s*\(",
     re.I,
 )
@@ -1985,6 +2285,43 @@ def _rewrite_format_datetime(sql: str) -> str:
         return f"date_format({expr}, '{pattern.replace(chr(39), chr(39) * 2)}')"
 
     return _sub_outside_literals(_FDT, repl, sql)
+
+
+# parseDateTime family (r14 wave 2 — previously opaque unresolved-
+# function errors): CH parseDateTime uses the SAME MySQL-style % tokens
+# formatDateTime uses, so the _fdt_pattern map runs in reverse gear
+# feeding to_timestamp; the InJodaSyntax forms pass their pattern
+# through (ClickHouse's "Joda" grammar and Spark's datetime-pattern
+# grammar are the same letter family). OrNull -> try_to_timestamp,
+# OrZero -> coalesce(try, epoch) — CH's 1970-01-01 00:00:00 default.
+# Failure behavior of the BARE form follows spark.sql.ansi.enabled
+# (throw when on — CH parity — NULL when off); documented in
+# MIGRATION.md. Timezone 3-arg forms fall to the residual refusal.
+_PDT = re.compile(
+    rf"\bparseDateTime(InJodaSyntax)?(OrNull|OrZero)?\s*"
+    rf"\(\s*{_ARG}\s*,\s*'([^']*)'\s*\)",
+    re.I,
+)
+
+
+def _rewrite_parse_datetime(sql: str) -> str:
+    def repl(m: "re.Match[str]", raw: str) -> str:
+        joda = m.group(1) is not None
+        suffix = (m.group(2) or "").lower()
+        expr = raw[slice(*m.span(3))]
+        fmt = raw[slice(*m.span(4))]
+        pattern = fmt if joda else _fdt_pattern(fmt)
+        pat_sql = pattern.replace("'", "''")
+        if suffix == "ornull":
+            return f"try_to_timestamp({expr}, '{pat_sql}')"
+        if suffix == "orzero":
+            return (
+                f"coalesce(try_to_timestamp({expr}, '{pat_sql}'), "
+                "TIMESTAMP '1970-01-01 00:00:00')"
+            )
+        return f"to_timestamp({expr}, '{pat_sql}')"
+
+    return _sub_outside_literals(_PDT, repl, sql)
 
 
 # ---- dateDiff / age / extract(haystack, re) — the r12 datetime wave ----
@@ -3007,11 +3344,16 @@ def translate(ch_sql: str) -> str:
             "tuple element access (t.1) — use named struct fields "
             "(named_struct / col.field)"
         )
-    out = _rewrite_limit_by(ch_sql)
+    # FIRST rewrite pass: bare translate is validated/renamed on USER
+    # text only — later stages (case folds) emit their own translate(
+    # text, which this pass must never re-scan (r14 wave 2)
+    out = _rewrite_translate_family(ch_sql)
+    out = _rewrite_limit_by(out)
     out = _rewrite_limit_ties(out)
     out = _rewrite_multiif(out)
     out = _rewrite_brackets(out)
     out = _rewrite_format_datetime(out)
+    out = _rewrite_parse_datetime(out)
     out = _rewrite_datetime_diff(out)
     # AFTER datetime_diff (review finding, r12): the guard's CASE
     # expansion would otherwise push dateDiff('day', least(a, b), c)
@@ -6133,3 +6475,77 @@ def ch_dialect_concat_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: ClickHouse concatWithSeparator / splitByChar
     per MIGRATION.md's r14 row."""
     return ch_sql(spark, sf_dir, _CH_CONCAT_SPLIT_QUERY)
+
+
+# r14 wave 2 end-to-end: parseDateTime, the base64 codec guards, the
+# IPv4 integer arithmetic, range's half-open guard, monthName,
+# levenshteinDistanceUTF8, and the validated translate — every name
+# here was an opaque unresolved-function error (or a silent same-name
+# collision: translate) before this wave
+_CH_FUNCS2_QUERY = """
+    SELECT pri,
+           toUInt32(count()) AS n,
+           toUInt32(sum(ip_rt % 1000)) AS ip_sum,
+           toUInt32(countIf(b64_rt)) AS n_b64,
+           toUInt32(sum(lev)) AS lev_sum,
+           toUInt32(sum(rlen)) AS rlen_sum,
+           min(mn) AS first_month,
+           min(pdt) AS first_ts
+    FROM (
+      SELECT translate(o_orderpriority, 'IH', 'ih') AS pri,
+             IPv4StringToNum(ip_str) AS ip_rt,
+             base64Decode(b64) = o_orderpriority AS b64_rt,
+             levenshteinDistanceUTF8(o_orderpriority, '1-URGENT') AS lev,
+             arrayUniq(range(o_orderkey % 7)) AS rlen,
+             monthName(o_orderdate) AS mn,
+             parseDateTime(ts_str, '%Y-%m-%d %H:%i:%S') AS pdt
+      FROM (
+        SELECT o_orderkey, o_orderpriority, o_orderdate,
+               IPv4NumToString(o_orderkey) AS ip_str,
+               base64Encode(o_orderpriority) AS b64,
+               formatDateTime(o_orderdate, '%Y-%m-%d %H:%i:%S') AS ts_str
+        FROM orders
+      )
+    )
+    GROUP BY pri
+    ORDER BY pri
+"""
+
+_CH_FUNCS2_ORACLE = """
+    SELECT translate(o_orderpriority, 'IH', 'ih') AS pri,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(o_orderkey % 1000) AS BIGINT) AS ip_sum,
+           CAST(count(*) AS BIGINT) AS n_b64,
+           CAST(sum(levenshtein(o_orderpriority, '1-URGENT'))
+                AS BIGINT) AS lev_sum,
+           CAST(sum(o_orderkey % 7) AS BIGINT) AS rlen_sum,
+           min(strftime(o_orderdate, '%B')) AS first_month,
+           min(o_orderdate) AS first_ts
+    FROM orders
+    GROUP BY 1
+    ORDER BY pri
+"""
+
+
+@query("ch_dialect_funcs_wave2", _CH_FUNCS2_ORACLE)
+def ch_dialect_funcs_wave2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r14 wave 2 end-to-end over one grouped orders scan, each
+    construct checked against an INDEPENDENT DuckDB derivation:
+    ``IPv4StringToNum(IPv4NumToString(k))`` round-trips to k (oracle
+    uses k directly — the dotted-quad arithmetic never runs there);
+    ``base64Decode(base64Encode(s)) = s`` holds for every row (oracle
+    counts rows); ``levenshteinDistanceUTF8`` vs DuckDB's native
+    levenshtein; ``arrayUniq(range(k % 7))`` = k % 7 (the half-open
+    guard: range(0) must be empty, not Spark's downward sequence);
+    ``monthName`` vs strftime('%B'); ``parseDateTime`` inverts
+    ``formatDateTime`` back to the exact timestamp (oracle uses the
+    timestamp directly); the grouped key runs the validated
+    equal-length-ASCII ``translate`` in BOTH engines.
+
+    Scale: row-local expressions in whole-stage codegen, one grouped
+    exchange, no UDFs.
+
+    Reference parity: ClickHouse parseDateTime / base64 / IPv4 / range
+    / monthName / translate semantics per MIGRATION.md's r14 wave-2
+    rows."""
+    return ch_sql(spark, sf_dir, _CH_FUNCS2_QUERY)

@@ -454,10 +454,13 @@ DRIVER_ORDER_TIER2: list[str] = [
     # (streaming-first by drift risk), then never-externally-verified
     # members of the COVERAGE.md ledger (VERDICT r8 #5 — bias rotations
     # toward queries with zero green driver rows).
-    # r14-new oracled demo (concatWithSeparator refusal-turned-
-    # translation + escape-decoded splitByChar separators): the r14
-    # cover was committed before it landed; seat it in-cover r15
+    # r14-new oracled demos (wave 1: concatWithSeparator refusal-turned-
+    # translation + escape-decoded splitByChar separators; wave 2:
+    # parseDateTime/base64/IPv4/range/monthName/levenshteinUTF8/translate
+    # — all previously opaque errors or silent collisions): the r14
+    # cover was committed before they landed; seat them in-cover r15
     "ch_dialect_concat_split",
+    "ch_dialect_funcs_wave2",
     "ch_dialect_quantile_rank_rules",
     "ch_dialect_weighted_aggs",
     "ch_dialect_totals_expr",
