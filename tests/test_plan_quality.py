@@ -1340,6 +1340,27 @@ def test_concat_split_demo_stays_narrow(spark):
     assert "ReadSchema: struct<c_nationkey:int,c_mktsegment:string>" in plan
 
 
+def test_funcs_wave2_demo_stays_narrow(spark):
+    """The r14 wave-2 lowerings (parseDateTime inversion, base64
+    validity guards, IPv4 arithmetic, range CASE guard, validated
+    translate) are all row-local expression work: the demo's only
+    exchanges are its own groupBy and the presentation sort; no Python
+    eval, no join/window; the scan reads exactly the three referenced
+    orders columns."""
+    plan = plan_of(spark, "ch_dialect_funcs_wave2")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange (") == 2, plan
+    # min(STRING) has no mutable hash buffer, so Spark plans a
+    # SortAggregate here — still one partial+final pair, no extra pass
+    assert "HashAggregate" in plan or "SortAggregate" in plan
+    for wide in ("Join", "Window"):
+        assert wide not in plan, plan
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert len(read) == 1 and all(
+        c in read[0] for c in ("o_orderkey", "o_orderdate", "o_orderpriority")
+    ) and "o_totalprice" not in read[0], read
+
+
 def test_age_month_rule_stays_rowlocal(spark):
     """age('month'/'quarter'/'year') lowers to integer date arithmetic
     in the projection — no months_between, no UDF, no added exchange
