@@ -537,13 +537,16 @@ _AGREED_ESCAPES = {
     "t": "\t", "n": "\n", "r": "\r", "b": "\b", "0": "\0",
     "\\": "\\", "'": "'", '"': '"',
 }
-# escapes the two parsers decode DIFFERENTLY: \xHH / octal / \a \v \f
-# are bytes in ClickHouse but literal 'x41'/'a'/'v'/'f' text in Spark
-# (measured on unescapeSQLString); \u is 4-hex unicode in Spark only;
-# \0 followed by a digit parses as OCTAL in Spark ('\012' -> \n,
-# measured) but as NUL + text in CH.
-# Re-emitting the raw literal would silently change the separator VALUE.
-_DIVERGENT_ESCAPE = re.compile(r"\\[xafvu1-9]|\\0[0-9]")
+# WHITELIST guard (ADVICE r14, upgrading the r13 blacklist): refuse any
+# escape NOT in _AGREED_ESCAPES. The blacklist form assumed "unknown
+# escapes drop the backslash in both engines", which is FALSE outside
+# the agreed set: Spark's unescapeSQLString decodes \Z to U+001A (MySQL
+# ctrl-Z) and KEEPS the backslash for \% and \_ where CH yields
+# 'Z'/'%'/'_'; CH decodes \e to ESC(0x1B) and \N to nothing where Spark
+# yields 'e'/'N'; \xHH/octal/\a\v\f are bytes in CH, literal text in
+# Spark; \u is 4-hex unicode in Spark only; \0+digit is OCTAL in Spark,
+# NUL + text in CH. Only the measured-identical set passes.
+_DIVERGENT_ESCAPE = re.compile(r"\\[^tnrb\\'\"0]|\\0[0-9]")
 
 
 def _decode_sep_literal(content: str, name: str) -> str:
@@ -554,10 +557,12 @@ def _decode_sep_literal(content: str, name: str) -> str:
     raw text is re-emitted into Spark SQL verbatim."""
     if _DIVERGENT_ESCAPE.search(content):
         raise UnsupportedClickHouseSQL(
-            f"{name} separator uses an escape ClickHouse and Spark "
-            "decode differently (\\xHH/octal/\\a/\\v/\\f are bytes in "
-            "CH, literal text in Spark; \\u is Spark-only) — spell the "
-            "byte directly or via an agreed escape (\\t \\n \\r \\b \\0)"
+            f"{name} literal uses an escape ClickHouse and Spark "
+            "decode differently (\\xHH/octal/\\a/\\v/\\f/\\e are bytes "
+            "in CH, literal text in Spark; \\Z/\\%/\\_/\\N diverge the "
+            "other way; \\u is Spark-only) — spell the byte directly "
+            "or via an agreed escape (\\t \\n \\r \\b \\0 \\\\ \\' "
+            "\\\")"
         )
     out: list[str] = []
     i = 0
@@ -651,6 +656,19 @@ def _rewrite_translate_family(sql: str) -> str:
                 f"{name} from/to must be the SAME length (CH contract; "
                 "Spark's translate DELETES characters when to is "
                 "shorter — a silent divergence)"
+            )
+        if len(set(frm)) != len(frm):
+            # ADVICE r14: a duplicated from-char is not a verified-
+            # identical case — Spark's translate applies first-wins
+            # ('aa'->'xy' maps a->x) and ClickHouse's duplicate
+            # resolution is unverified here, so refuse rather than
+            # risk the silent same-name collision this guard exists
+            # to close
+            raise UnsupportedClickHouseSQL(
+                f"{name} 'from' contains duplicate characters — the "
+                "mapping must be one-to-one (Spark resolves "
+                "duplicates first-wins; CH behavior unverified) — "
+                "drop the duplicate from/to pairs"
             )
         if name == "translate" and not (
             frm.isascii() and to.isascii()
@@ -1598,7 +1616,15 @@ _RESIDUALS = re.compile(
     # r14 wave 2: deep-nested (past-_ARG) or wrong-arity survivors of
     # the new translations refuse with the pointer instead of reaching
     # Spark as unresolved functions
-    r"|parseDateTime\w*|IPv4\w+|base64(Encode|Decode)|tryBase64Decode"
+    # isIPv4String spelled explicitly (ADVICE r14): \bIPv4\w+ can't
+    # fire mid-identifier (no word boundary inside isIPv4String), so a
+    # past-_ARG survivor reached Spark as an opaque unresolved-function
+    # error instead of the pointered refusal. range() survivors get a
+    # dedicated check in translate() — the numbers() rewrite itself
+    # emits Spark's `FROM range(n)` table function, which must not trip
+    # the expression-position refusal.
+    r"|parseDateTime\w*|IPv4\w+|isIPv4String"
+    r"|base64(Encode|Decode)|tryBase64Decode"
     r"|monthName|generateUUIDv4"
     r"|JSONExtract\w+|quantiles?\w*|median\w*|topK\w*)\s*\(",
     re.I,
@@ -2294,9 +2320,14 @@ def _rewrite_format_datetime(sql: str) -> str:
 # through (ClickHouse's "Joda" grammar and Spark's datetime-pattern
 # grammar are the same letter family). OrNull -> try_to_timestamp,
 # OrZero -> coalesce(try, epoch) — CH's 1970-01-01 00:00:00 default.
-# Failure behavior of the BARE form follows spark.sql.ansi.enabled
-# (throw when on — CH parity — NULL when off); documented in
-# MIGRATION.md. Timezone 3-arg forms fall to the residual refusal.
+# The BARE form THROWS on a parse miss regardless of
+# spark.sql.ansi.enabled (ADVICE r14 — previously it lowered to plain
+# to_timestamp, which with ANSI off silently returned NULL where CH
+# throws): CASE over try_to_timestamp with an explicit raise_error,
+# mirroring _base64_decode_repl. The guard evaluates expr twice —
+# row-local and fine for pure expressions (the concatWithSeparator /
+# least/greatest precedent, MIGRATION.md). Timezone 3-arg forms fall
+# to the residual refusal.
 _PDT = re.compile(
     rf"\bparseDateTime(InJodaSyntax)?(OrNull|OrZero)?\s*"
     rf"\(\s*{_ARG}\s*,\s*'([^']*)'\s*\)",
@@ -2319,7 +2350,19 @@ def _rewrite_parse_datetime(sql: str) -> str:
                 f"coalesce(try_to_timestamp({expr}, '{pat_sql}'), "
                 "TIMESTAMP '1970-01-01 00:00:00')"
             )
-        return f"to_timestamp({expr}, '{pat_sql}')"
+        # bare form: CH THROWS on a parse miss, but Spark's
+        # to_timestamp only throws under spark.sql.ansi.enabled —
+        # with ANSI off it silently returns NULL. Spell the throw
+        # explicitly (ADVICE r14), mirroring _base64_decode_repl:
+        # NULL input passes through, a non-NULL miss raises.
+        return (
+            f"(CASE WHEN ({expr}) IS NULL THEN "
+            f"CAST(NULL AS TIMESTAMP) "
+            f"WHEN try_to_timestamp({expr}, '{pat_sql}') IS NULL "
+            f"THEN CAST(raise_error(concat('parseDateTime: cannot "
+            f"parse ', CAST(({expr}) AS STRING))) AS TIMESTAMP) "
+            f"ELSE try_to_timestamp({expr}, '{pat_sql}') END)"
+        )
 
     return _sub_outside_literals(_PDT, repl, sql)
 
@@ -3413,6 +3456,19 @@ def translate(ch_sql: str) -> str:
             "SETTINGS in a non-tail position (subquery / before UNION) — "
             "remove it; session confs own execution advice here"
         )
+    # range() survivors (ADVICE r14): the rewrite's {_ARG} budget is one
+    # paren level, so range(least(a,b)) — whose NULL-guard CASE
+    # expansion exceeds it — survived to Spark as an opaque unresolved-
+    # function error. Expression-position range( refuses here; table-
+    # position `FROM range(` is exempt because the numbers(n) rewrite
+    # emits exactly that Spark table function.
+    for _rm in re.finditer(r"\brange\s*\(", masked, re.I):
+        if not masked[: _rm.start()].rstrip().upper().endswith("FROM"):
+            raise UnsupportedClickHouseSQL(
+                "could not rewrite 'range(' (nested arguments?) — "
+                "flatten the call or precompute nested expressions as "
+                "subquery/CTE columns"
+            )
     residual = _RESIDUALS.search(masked)
     if residual:
         hint = (

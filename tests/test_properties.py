@@ -4743,3 +4743,73 @@ def test_with_fill_grouped_edge_regressions(spark):
     )
     with _pytest.raises(UnsupportedClickHouseSQL, match="working"):
         _apply_with_fill(spark, "SELECT _v, k FROM gfres_t ORDER BY _v, k WITH FILL")
+
+
+def test_escape_whitelist_and_wave2_guards(spark):
+    """ADVICE r14 quartet. (1) The divergent-escape guard is a
+    WHITELIST: only escapes both literal parsers decode identically
+    (\\t \\n \\r \\b \\0 \\\\ \\' \\") pass — the r14 blacklist missed
+    \\Z (Spark U+001A vs CH 'Z'), \\% \\_ (Spark keeps the backslash,
+    CH strips it), \\e (CH ESC vs Spark 'e') and \\N (CH empty vs Spark
+    'N'), shipping silently wrong split rows. (2) range()/isIPv4String
+    past-_ARG survivors refuse with a pointer instead of reaching Spark
+    unresolved. (3) translate refuses duplicate from-chars (Spark
+    first-wins vs unverified CH). (4) bare parseDateTime THROWS on a
+    parse miss regardless of ANSI mode, like base64Decode."""
+    import pytest as _pytest
+
+    from clickhouse_data_rebalance_spark.plans.ch_dialect import (
+        UnsupportedClickHouseSQL,
+        translate,
+    )
+
+    # (1) newly-refused divergent escapes — each previously translated
+    for bad in (
+        "SELECT splitByChar('\\Z', s) FROM t",
+        "SELECT splitByChar('\\%', s) FROM t",
+        "SELECT splitByChar('\\_', s) FROM t",
+        "SELECT splitByString('\\e', s) FROM t",
+        "SELECT splitByString('\\N', s) FROM t",
+        "SELECT translate(s, '\\Z', 'x') FROM t",
+    ):
+        with _pytest.raises(UnsupportedClickHouseSQL, match="decode differently"):
+            translate(bad)
+    # agreed escapes still pass and execute with the right separator
+    got = spark.sql(
+        translate("SELECT splitByChar('\\n', 'a\\nb') AS parts")
+    ).collect()[0][0]
+    assert got == ["a", "b"]
+
+    # (2) past-_ARG range() refuses loudly; numbers() emission exempt
+    with _pytest.raises(UnsupportedClickHouseSQL, match="range"):
+        translate("SELECT range(least(a, b)) FROM t")
+    assert "FROM range(7)" in translate("SELECT number FROM numbers(7)")
+    # isIPv4String translates at one level and refuses past-_ARG
+    assert "RLIKE" in translate("SELECT isIPv4String(s) FROM t")
+    with _pytest.raises(UnsupportedClickHouseSQL):
+        translate("SELECT isIPv4String(if(least(a, b) = 1, s, s2)) FROM t")
+
+    # (3) duplicate from-chars refuse; one-to-one still translates
+    with _pytest.raises(UnsupportedClickHouseSQL, match="one-to-one"):
+        translate("SELECT translate(s, 'aa', 'xy') FROM t")
+    assert "translate(s, 'ab', 'xy')" in translate(
+        "SELECT translate(s, 'ab', 'xy') FROM t"
+    )
+
+    # (4) bare parseDateTime: good rows parse, NULL passes through,
+    # a miss THROWS even with ANSI off (the session default here)
+    spark.createDataFrame(
+        [("2021-03-04",), (None,)], "s string"
+    ).createOrReplaceTempView("pdt_t")
+    sql = translate("SELECT parseDateTime(s, '%Y-%m-%d') AS ts FROM pdt_t")
+    vals = [r[0] for r in spark.sql(sql).orderBy("ts").collect()]
+    assert vals[0] is None and str(vals[1]).startswith("2021-03-04")
+    spark.createDataFrame([("nope",)], "s string").createOrReplaceTempView(
+        "pdt_t"
+    )
+    with _pytest.raises(Exception, match="parseDateTime"):
+        spark.sql(sql).collect()
+    # OrNull keeps the silent-NULL contract
+    spark.sql(
+        translate("SELECT parseDateTimeOrNull(s, '%Y-%m-%d') AS ts FROM pdt_t")
+    ).collect()
