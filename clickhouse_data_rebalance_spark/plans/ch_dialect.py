@@ -545,8 +545,32 @@ _AGREED_ESCAPES = {
 # 'Z'/'%'/'_'; CH decodes \e to ESC(0x1B) and \N to nothing where Spark
 # yields 'e'/'N'; \xHH/octal/\a\v\f are bytes in CH, literal text in
 # Spark; \u is 4-hex unicode in Spark only; \0+digit is OCTAL in Spark,
-# NUL + text in CH. Only the measured-identical set passes.
-_DIVERGENT_ESCAPE = re.compile(r"\\[^tnrb\\'\"0]|\\0[0-9]")
+# NUL + text in CH. Only the measured-identical set passes. The scan
+# is a PAIRWISE left-to-right walk, not a regex search — a search
+# would misfire on the 'd' inside '\\d' (escaped backslash + literal
+# d, which BOTH engines decode to the two characters \d).
+
+
+def _escape_divergence(content: str) -> str | None:
+    """Return the offending escape when the literal's escapes decode
+    differently between the two engines, else None."""
+    i, n = 0, len(content)
+    while i < n:
+        if content[i] != "\\":
+            i += 1
+            continue
+        if i + 1 >= n:
+            # lone trailing backslash: only reachable when the literal
+            # scanner already misparsed an escaped quote — the caller's
+            # odd-trailing-run check refuses first, but stay safe
+            return "\\<end>"
+        nxt = content[i + 1]
+        if nxt not in _AGREED_ESCAPES:
+            return "\\" + nxt
+        if nxt == "0" and i + 2 < n and content[i + 2].isdigit():
+            return "\\0 followed by a digit (octal in Spark, NUL+text in CH)"
+        i += 2
+    return None
 
 
 def _decode_sep_literal(content: str, name: str) -> str:
@@ -555,7 +579,7 @@ def _decode_sep_literal(content: str, name: str) -> str:
     the raw SQL text — '\\t' is a genuine one-byte separator). Refuses
     escapes whose decoding diverges between the parsers, because the
     raw text is re-emitted into Spark SQL verbatim."""
-    if _DIVERGENT_ESCAPE.search(content):
+    if _escape_divergence(content) is not None:
         raise UnsupportedClickHouseSQL(
             f"{name} literal uses an escape ClickHouse and Spark "
             "decode differently (\\xHH/octal/\\a/\\v/\\f/\\e are bytes "
@@ -3373,6 +3397,43 @@ def translate(ch_sql: str) -> str:
     textual equivalent (pointing at the native operator) and for
     rewrites defeated by nested arguments — never silently mistranslates.
     """
+    # GLOBAL input-literal escape guard (r15, closing the CLASS behind
+    # ADVICE r14's split/translate finding): every string literal in
+    # the input is re-emitted into Spark SQL verbatim, so ANY escape
+    # the two literal parsers decode differently changes the value —
+    # not just split separators: match(s, '\d+') reached RLIKE as the
+    # regex 'd+' (Spark drops the backslash from unknown escapes, CH
+    # preserves it), replaceAll('\Z', ...) replaced U+001A instead of
+    # 'Z', comparison literals shifted. ('\\d+' — escaped backslash
+    # then d — decodes identically in both engines and passes: the
+    # pairwise walk in _escape_divergence, not a regex search, makes
+    # that distinction.) Only _AGREED_ESCAPES pass. An
+    # ODD trailing-backslash run means the closing quote was actually
+    # an escaped quote (\\') — both engines read the literal past it,
+    # but this translator's length-preserving literal scanner splits
+    # there and every downstream rewrite would see data as code, so
+    # refuse loudly with the ''-doubling pointer.
+    for _lm in _LITERAL.finditer(ch_sql):
+        _content = _lm.group(0)[1:-1]
+        if (len(_content) - len(_content.rstrip("\\"))) % 2 == 1:
+            raise UnsupportedClickHouseSQL(
+                "string literal contains an escaped quote (\\') — the "
+                "translator's literal scanner splits there and would "
+                "rewrite data as code; double the quote ('') instead"
+            )
+        _div = _escape_divergence(_content)
+        if _div is not None:
+            raise UnsupportedClickHouseSQL(
+                f"string literal escape {_div} — ClickHouse and Spark "
+                "decode differently (only \\t \\n \\r \\b \\0 \\\\ "
+                "and doubled quotes are decoded identically; "
+                "\\xHH/octal/\\a/\\v/\\f/\\e are bytes in CH but "
+                "literal text in Spark, \\Z/\\%/\\_/\\N diverge the "
+                "other way, \\u is Spark-only) — the literal is "
+                "re-emitted into Spark SQL verbatim, so the value "
+                "would silently change; spell the byte via an agreed "
+                "escape, and spell regex classes like \\d as [0-9]"
+            )
     masked_in = _mask_literals(ch_sql)
     for pat, hint in _REFUSALS:
         if pat.search(masked_in):

@@ -4813,3 +4813,102 @@ def test_escape_whitelist_and_wave2_guards(spark):
     spark.sql(
         translate("SELECT parseDateTimeOrNull(s, '%Y-%m-%d') AS ts FROM pdt_t")
     ).collect()
+
+
+def test_age_month_end_matrix_vs_python_model(spark):
+    """VERDICT r14 #4 / ADVICE r13 #2: pin the age('month'/'quarter'/
+    'year') lowering against an EXECUTABLE pure-Python model of
+    ClickHouse's complete-month borrow rule (dateDiff.cpp age arm:
+    base = 12*Δyear + Δmonth, minus 1 when the later operand's
+    (day, time-of-day) tuple is lexicographically below the earlier
+    one's — NO month-end clamping; e < s negates the swapped result;
+    quarter/year = month count truncated toward zero by 3/12). The
+    matrix exercises day-28/29/30/31 starts × leap (2020) and
+    non-leap (2019/2021) February boundaries × midnight and
+    23:59:59.5 times, both directions — the edges where the borrow
+    rule diverges from months_between flooring and from
+    Postgres/DuckDB's month-end clamp. No live ClickHouse exists in
+    this sandbox; this converts the hand-traced rule into a
+    regression-locked one (MIGRATION.md cites this test)."""
+    import datetime as dt
+
+    from clickhouse_data_rebalance_spark.plans.ch_dialect import translate
+
+    def model_months(s, e):
+        if s > e:
+            return -model_months(e, s)
+        base = (e.year - s.year) * 12 + (e.month - s.month)
+        if (e.day, e.hour, e.minute, e.second, e.microsecond) < (
+            s.day, s.hour, s.minute, s.second, s.microsecond
+        ):
+            base -= 1
+        return base
+
+    def trunc_div(m, d):
+        return m // d if m >= 0 else -((-m) // d)
+
+    stamps = []
+    for y in (2019, 2020, 2021):
+        for mo in (1, 2, 3, 4, 12):
+            for d in (28, 29, 30, 31):
+                for h, mi, se, us in ((0, 0, 0, 0), (23, 59, 59, 500000)):
+                    try:
+                        stamps.append(dt.datetime(y, mo, d, h, mi, se, us))
+                    except ValueError:
+                        pass  # Feb 29/30/31, Apr 31
+    pairs = [(s, e) for s in stamps for e in stamps]
+    df = spark.createDataFrame(pairs, "s timestamp, e timestamp")
+    df.createOrReplaceTempView("age_matrix_t")
+    sql = translate(
+        "SELECT s, e, age('month', s, e) AS m, age('quarter', s, e) AS q, "
+        "age('year', s, e) AS yy FROM age_matrix_t"
+    )
+    bad = []
+    for row in spark.sql(sql).collect():
+        m = model_months(row["s"], row["e"])
+        want = (m, trunc_div(m, 3), trunc_div(m, 12))
+        got = (row["m"], row["q"], row["yy"])
+        if got != want:
+            bad.append((row["s"], row["e"], got, want))
+    assert not bad, f"{len(bad)} divergences, first 5: {bad[:5]}"
+    assert len(pairs) >= 9000  # the matrix really is the full cross
+
+
+def test_global_input_literal_escape_guard():
+    """r15 class closure behind ADVICE r14's split/translate finding:
+    EVERY input literal is re-emitted into Spark SQL verbatim, so a
+    divergent escape anywhere — not just split separators — silently
+    changes the value: match(s, '\\d+') reached RLIKE as 'd+' (Spark
+    drops the backslash from unknown escapes, CH preserves it),
+    replaceAll('\\Z', ...) replaced U+001A instead of 'Z'. translate()
+    now refuses any literal whose escapes are outside the
+    measured-identical set, and refuses escaped-quote literals (\\')
+    whose misparse would let downstream rewrites see data as code."""
+    import pytest as _pytest
+
+    from clickhouse_data_rebalance_spark.plans.ch_dialect import (
+        UnsupportedClickHouseSQL,
+        translate,
+    )
+
+    for bad in (
+        "SELECT match(s, '\\d+') FROM t",        # regex class via escape
+        "SELECT replaceAll(s, '\\Z', 'x') FROM t",
+        "SELECT s = 'a\\Zb' FROM t",              # plain comparison literal
+        "SELECT s LIKE 'a\\%b' FROM t",           # LIKE-escape divergence
+        "SELECT concat(s, '\\e') FROM t",
+        "SELECT '\\x41' FROM t",
+    ):
+        with _pytest.raises(UnsupportedClickHouseSQL, match="decode differently"):
+            translate(bad)
+    with _pytest.raises(UnsupportedClickHouseSQL, match="double the quote"):
+        translate("SELECT 'it\\'s' FROM t")
+    # agreed escapes, '' doubling, and backslash-free regexes pass
+    for ok in (
+        "SELECT 'it''s' FROM t",
+        "SELECT 'a\\\\' FROM t",
+        "SELECT match(s, '[0-9]+') FROM t",
+        "SELECT splitByChar('\\t', s) FROM t",
+        "SELECT 'plain text' FROM t",
+    ):
+        translate(ok)
