@@ -327,14 +327,10 @@ DRIVER_ORDER: list[str] = [
     # registered + locally oracled, 11 green rounds banked),
     # cte_query -> recursive_cte_chain (C24's WITH RECURSIVE superset))
     "rebalance_pipeline",
-    # C1 connector family (r13: the never-green source/sink block —
-    # file-format round-trips are what real users hit first)
-    "source_orc_roundtrip",
-    "source_json_roundtrip",
-    "source_text_roundtrip",
-    "source_binaryfile_scan",
-    "sink_partitioned_parquet",
-    "sink_python_datasource",
+    # C1 connector family (r15: stream_python_datasource stays as the
+    # Python-DataSource representative — its stream+sink arms were
+    # r13+r14 green; the six departed format round-trips each banked
+    # two green rounds, see the r15 rotation comment below)
     "stream_python_datasource",
     # ClickHouse dialect layer (r12 keepers + the r13 converter wave)
     # (r14 rotation: twenty enter — the IVF admit/compact pair on the
@@ -383,9 +379,68 @@ DRIVER_ORDER: list[str] = [
     # partial-state merge pattern, HLL form),
     # heavy_hitters_weighted -> topk_state_merge (in cover: the same
     # weighted frequency machinery in mergeable-state form))
-    "ch_dialect_dict_get",
-    "ch_dialect_converters",
-    "ch_dialect_strings",
+    # (r15 rotation, per the same rule: twenty-one enter — the two
+    # r14-new translation-wave demos (ch_dialect_concat_split,
+    # ch_dialect_funcs_wave2 — each the end-to-end external proof of an
+    # entire r14 dialect wave) plus NINETEEN never-green queries
+    # (VERDICT r14 #1 — ledger 94 -> 73): the oldest per-family suites
+    # (json_funcs, map_funcs, array_lambda_funcs, null_semantics,
+    # conditional_aggregates, sort_multi_key), the LLM-pipeline /
+    # text-analysis members (dedup_by_key, token_count,
+    # sample_k_per_group, binary_payload_metadata), the batch window
+    # analytics (tumbling_window_agg, uniq_sliding_window,
+    # delta_sum_running, funnel_conversion), three TPC-H analogs
+    # (local_supplier_volume, small_qty_order_revenue,
+    # late_shipment_priority), and two never-green streaming
+    # equivalences (stream_ohlc_equiv, stream_quality_gate — VERDICT
+    # r14 #5). Twenty-one 2+-green veterans leave for tier 2.
+    # Merge mapping (COVERAGE.md §r15):
+    # source_orc/json/text_roundtrip + source_binaryfile_scan +
+    # sink_partitioned_parquet + sink_python_datasource ->
+    # stream_python_datasource (C1: the same Python DataSource
+    # family's stream+sink arms, in cover; all six leavers 2x-green
+    # r13+r14),
+    # ch_dialect_dict_get -> idle_customer_balances (C23 correlated
+    # scalar subqueries, in cover), with its pinned BroadcastHashJoin
+    # (C6) riding volume_shipping_nations' broadcast nation dims +
+    # local_supplier_volume (entrant: the same broadcast snowflake
+    # shape) + matryoshka_topk_recall's broadcast crossJoin (C9),
+    # ch_dialect_converters -> ch_dialect_funcs_wave2 (entrant: the
+    # same fallible-converter family — base64/IPv4 Or-forms, C32),
+    # ch_dialect_strings -> string_funcs + string_search_funcs (C26
+    # suites, in cover),
+    # datetime_funcs -> timezone_funcs + ch_dialect_datetime (C27, in
+    # cover),
+    # semi_structured_suite -> json_funcs + map_funcs +
+    # array_lambda_funcs (entrants: the dedicated C29/C30/C31
+    # per-family suites the combined row merged),
+    # ivf_index_admit / ivf_index_compact -> matryoshka_topk_recall
+    # (C42 ANN, in cover); the pair's re-proving cadence is satisfied —
+    # both re-proved r14 alongside the CDR_IVF_SCALE gate re-run,
+    # multimodal_roundtrip -> binary_payload_metadata (entrant: the
+    # same Arrow-batched mapInPandas binary plumbing, C34/multimodal),
+    # corpus_pipeline_e2e -> dedup_by_key (C40 exact dedup, entrant) +
+    # sample_k_per_group (C15/C20/C33 per-group window cut + sampling,
+    # entrant) + conditional_aggregates / null_semantics (C25 CASE
+    # forms, entrants); the tokenize/tf/df machinery stays tier-2 +
+    # locally oracled, with CDR_BM25_SCALE / CDR_CORPUS_SCALE
+    # re-verified this round (VERDICT r14 #2),
+    # topk_state_merge / agg_state_merge / bitmap_state_merge ->
+    # uniq_state_merge + theta_set_ops (the same partial-state merge
+    # pattern, in cover; all three leavers 2x-green r13+r14),
+    # time_gap_fill -> delta_sum_running (entrant: C16/C17 running
+    # frames) + asof_join_forward (carry-forward fill semantics, in
+    # cover),
+    # stream_sliding_equiv -> uniq_sliding_window (entrant: the C49
+    # sliding-window batch form) + tumbling_window_agg (C48 entrant) +
+    # stream_ohlc_equiv (entrant: the stream-equals-batch equivalence
+    # family continues on a third aggregate shape),
+    # stream_session_equiv -> funnel_conversion (entrant: sessionized
+    # event-sequence analytics), with C50's session-gap machinery
+    # banked 3x-green r12-r14 + stream_session_timeout_state's r13
+    # green)
+    "ch_dialect_concat_split",
+    "ch_dialect_funcs_wave2",
     # early dialect demos (r14: never-green ledger burn)
     "ch_dialect_rollup",
     "ch_dialect_datetime",
@@ -399,25 +454,40 @@ DRIVER_ORDER: list[str] = [
     "format_funcs",
     "timezone_funcs",
     "string_search_funcs",
-    # scalar function families (r13 entrants at one green round each;
-    # math_funcs red r13 — the sgn kind fix must flip it green)
+    # scalar/semi-structured function families (r15: the dedicated
+    # per-family suites seat — json/map/array-lambda are the suites
+    # the departed semi_structured_suite row merged; null_semantics
+    # and conditional_aggregates carry C25's CASE/NULL forms)
     "string_funcs",
     "math_funcs",
-    "datetime_funcs",
-    "semi_structured_suite",
-    # IVF persisted-index maintenance (VERDICT r13 #2 cadence)
-    "ivf_index_admit",
-    "ivf_index_compact",
+    "json_funcs",
+    "map_funcs",
+    "array_lambda_funcs",
+    "null_semantics",
+    "conditional_aggregates",
+    "sort_multi_key",
+    # ANN representative (the admit/compact pair re-proved r14 with
+    # the CDR_IVF_SCALE gate re-run — cadence satisfied)
     "matryoshka_topk_recall",
-    # LLM data-pipeline flagship
-    "corpus_pipeline_e2e",
-    "multimodal_roundtrip",
-    # structured streaming + event-time windows
-    "stream_sliding_equiv",
-    "stream_session_equiv",
+    # LLM data-pipeline members (r15 ledger burn: exact dedup, token
+    # stats, per-group sampling, multimodal binary plumbing)
+    "dedup_by_key",
+    "token_count",
+    "sample_k_per_group",
+    "binary_payload_metadata",
+    # structured streaming + event-time windows (r15: the two
+    # never-green stream-equals-batch equivalences seat — VERDICT
+    # r14 #5)
+    "stream_ohlc_equiv",
+    "stream_quality_gate",
     "stream_ema_state",
     "stream_dedup_events",
-    "time_gap_fill",
+    # batch window analytics (r15 ledger burn: tumbling/sliding
+    # event-time windows, running frames, sequence funnel)
+    "tumbling_window_agg",
+    "uniq_sliding_window",
+    "delta_sum_running",
+    "funnel_conversion",
     # TPC-H-analog multi-join suite (r14 ledger burn: the suite never
     # had an external row; joins/aggs/HAVING/anti-join shapes)
     "top_supplier_revenue",
@@ -427,11 +497,13 @@ DRIVER_ORDER: list[str] = [
     "returned_item_report",
     "large_volume_customers",
     "promo_revenue_ratio",
-    # mergeable sketch states (r13 entrants at one green round each)
+    # r15 ledger burn: three more never-green analogs
+    "local_supplier_volume",
+    "small_qty_order_revenue",
+    "late_shipment_priority",
+    # mergeable sketch states (r15: uniq + theta stay as the family's
+    # representatives; topk/agg/bitmap leave 2x-green)
     "uniq_state_merge",
-    "topk_state_merge",
-    "agg_state_merge",
-    "bitmap_state_merge",
     "theta_set_ops",
     # native as-of machinery + recursive CTE
     "asof_join_forward",
@@ -454,13 +526,30 @@ DRIVER_ORDER_TIER2: list[str] = [
     # (streaming-first by drift risk), then never-externally-verified
     # members of the COVERAGE.md ledger (VERDICT r8 #5 — bias rotations
     # toward queries with zero green driver rows).
-    # r14-new oracled demos (wave 1: concatWithSeparator refusal-turned-
-    # translation + escape-decoded splitByChar separators; wave 2:
-    # parseDateTime/base64/IPv4/range/monthName/levenshteinUTF8/translate
-    # — all previously opaque errors or silent collisions): the r14
-    # cover was committed before they landed; seat them in-cover r15
-    "ch_dialect_concat_split",
-    "ch_dialect_funcs_wave2",
+    # rotated out of the 50-row cover in r15 (2+ green driver rounds
+    # each; merge mapping in the DRIVER_ORDER §r15 comment +
+    # COVERAGE.md §r15)
+    "source_orc_roundtrip",
+    "source_json_roundtrip",
+    "source_text_roundtrip",
+    "source_binaryfile_scan",
+    "sink_partitioned_parquet",
+    "sink_python_datasource",
+    "ch_dialect_dict_get",
+    "ch_dialect_converters",
+    "ch_dialect_strings",
+    "datetime_funcs",
+    "semi_structured_suite",
+    "ivf_index_admit",
+    "ivf_index_compact",
+    "multimodal_roundtrip",
+    "corpus_pipeline_e2e",
+    "topk_state_merge",
+    "agg_state_merge",
+    "bitmap_state_merge",
+    "time_gap_fill",
+    "stream_sliding_equiv",
+    "stream_session_equiv",
     "ch_dialect_quantile_rank_rules",
     "ch_dialect_weighted_aggs",
     "ch_dialect_totals_expr",
@@ -550,7 +639,6 @@ DRIVER_ORDER_TIER2: list[str] = [
     "correlated_scalar_subquery",
     "ch_dialect_limit_by",
     "ch_dialect_brackets",
-    "stream_quality_gate",
     "bucketed_join_noshuffle",
     "media_resize",
     "media_frame_sample",
@@ -562,12 +650,8 @@ DRIVER_ORDER_TIER2: list[str] = [
     # Q7/Q8/Q13/Q15/Q17/Q19 analogs — every TPC-H shape expressible
     # over the fixture's tables; Q2/Q9/Q11/Q16/Q20 need partsupp and
     # Q12/Q21 need shipmode/commitdate columns the fixture lacks)
-    "local_supplier_volume",
-    "late_shipment_priority",
-    "small_qty_order_revenue",
     "disjunctive_predicate_revenue",
     # sketch-state family completions (new r6 surface)
-    "uniq_sliding_window",
     "global_shuffle_shards",
     "retention_conditions",
     "line_dedup_ratio",
@@ -591,7 +675,6 @@ DRIVER_ORDER_TIER2: list[str] = [
     "corpus_datasheet",
     "user_churn_weekly",
     # drift-prone streaming/event-time equivalences
-    "stream_ohlc_equiv",
     # rotated out of the 50-row cover in r7 (2+ green driver rounds each;
     # merge mapping in the DRIVER_ORDER comment + COVERAGE.md)
     "dedup_exact_text",
@@ -651,7 +734,6 @@ DRIVER_ORDER_TIER2: list[str] = [
     "knn_join",
     "knn_join_label",
     "mixture_sample",
-    "sample_k_per_group",
     "weighted_sample_es",
     "sequence_match_funnel3",
     "sum_map_props",
@@ -660,8 +742,6 @@ DRIVER_ORDER_TIER2: list[str] = [
     "char_entropy",
     "edit_distance_topk",
     "variant_json_extract",
-    "null_semantics",
-    "delta_sum_running",
     "weighted_median",
     "geo_distance",
     "ngram_repetition_quality",
@@ -674,8 +754,6 @@ DRIVER_ORDER_TIER2: list[str] = [
     "salted_hot_key_agg",
     "label_centroids",
     "embedding_norms",
-    "funnel_conversion",
-    "conditional_aggregates",
     "chunk_documents",
     "redact_pii",
     "contamination_ngram_overlap",
