@@ -299,9 +299,50 @@ _REFUSALS: list[tuple[re.Pattern[str], str]] = [
         "block-local semantics don't survive distribution anyway",
     ),
     (
-        re.compile(r"\b((city|sip|farm)Hash64|halfMD5)\s*\(", re.I),
-        "hash FAMILIES differ between engines (values would silently "
-        "disagree) — recompute both sides with xxhash64 / md5 / sha2",
+        # r15 additions to the hash-family refusal: xxHash64/32 is the
+        # WORST of the class — the name RESOLVES in Spark
+        # (case-insensitive xxhash64) but Spark's xxhash64 is seed-42
+        # over the Catalyst row encoding while CH's is seed-0 over the
+        # raw bytes, so it previously PASSED THROUGH and returned
+        # silently different values; intHash/metroHash/murmurHash*/
+        # javaHash* have no Spark implementation (were opaque
+        # unresolved errors)
+        re.compile(
+            r"\b((city|sip|farm|xx|int|metro)Hash\d+|halfMD5"
+            r"|murmurHash[23]_\d+|javaHash(UTF16LE)?|farmFingerprint64"
+            r")\s*\(",
+            re.I,
+        ),
+        "hash FAMILIES differ between engines (Spark's same-named "
+        "xxhash64 is seed-42 over the Catalyst row encoding — values "
+        "silently disagree) — recompute both sides with Spark "
+        "xxhash64 / md5 / sha2, or use the engine's md5-based "
+        "fingerprint operators",
+    ),
+    (
+        # Spark's trunc/truncate is DATE truncation (trunc(expr, fmt));
+        # CH's is numeric — trunc(x, 2) resolved in Spark and returned
+        # silent NULLs (the fmt '2' parses as an invalid unit with ANSI
+        # off). Numeric truncation toward zero spells as
+        # sign(x) * floor(abs(x) * pow(10, n)) / pow(10, n).
+        re.compile(r"\btrunc(ate)?\s*\(", re.I),
+        "ClickHouse trunc/truncate is NUMERIC truncation but Spark's "
+        "same-named trunc is DATE truncation (silent NULL with ANSI "
+        "off) — spell it as sign(x) * floor(abs(x) * pow(10, n)) / "
+        "pow(10, n) (toward zero), or CAST(x AS BIGINT) for scale 0",
+    ),
+    (
+        # CH lagInFrame/leadInFrame respect the window FRAME; Spark's
+        # lag/lead ignore frames entirely — and under CH's DEFAULT
+        # frame (RANGE UNBOUNDED PRECEDING..CURRENT ROW) leadInFrame
+        # always returns the default value, so a bare rename would be
+        # silently wrong in both directions
+        re.compile(r"\b(lag|lead)InFrame\s*\(", re.I),
+        "Spark's lag/lead ignore window frames (CH's InFrame variants "
+        "respect them; leadInFrame under CH's default frame always "
+        "yields the default) — use lag/lead with an explicit ROWS "
+        "BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING intent, "
+        "spelled without the frame",
     ),
     (
         re.compile(r"\bformatReadable\w+\s*\(", re.I),
@@ -849,6 +890,57 @@ def _ipv4_string_to_num_repl(m: "re.Match[str]", raw: str) -> str:
     )
 
 
+_TSOI_SECS = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
+
+
+def _to_start_of_interval_repl(m: "re.Match[str]", raw: str) -> str:
+    """toStartOfInterval(x, INTERVAL n unit) for the FIXED-length
+    sub-day units: epoch bucketing on CH's 1970-01-01 origin (same
+    timezone precondition as the toStartOfFiveMinutes family —
+    MIGRATION.md). week/month/quarter/year fall through to the
+    toStartOf residual refusal (origin and calendar-walk conventions
+    diverge)."""
+    x = raw[slice(*m.span(1))].strip()
+    n = int(raw[slice(*m.span(2))])
+    unit = raw[slice(*m.span(3))].lower()
+    if n <= 0:
+        raise UnsupportedClickHouseSQL(
+            "toStartOfInterval needs a positive interval length"
+        )
+    k = n * _TSOI_SECS[unit]
+    return (
+        f"timestamp_seconds(CAST(floor(unix_timestamp({x}) / {k}) * {k}"
+        f" AS BIGINT))"
+    )
+
+
+def _transform_map_repl(m: "re.Match[str]", raw: str) -> str:
+    """CH's 3/4-arg transform(x, [from...], [to...][, default]) — the
+    value-mapping form, a DIFFERENT function from Spark's same-named
+    (array, lambda) transform — lowers to the CASE chain it denotes
+    when from/to are array LITERALS (bracket or array() spelling).
+    The 3-arg form keeps x unmatched (CH contract); x is spliced per
+    branch — row-local multiple evaluation, the least/greatest caveat
+    class. Non-literal from/to arrays refuse via the post-pass check
+    in translate()."""
+    x = raw[slice(*m.span(1))].strip()
+    frm_body = raw[slice(*m.span(2))] if m.group(2) is not None else raw[slice(*m.span(3))]
+    to_body = raw[slice(*m.span(4))] if m.group(4) is not None else raw[slice(*m.span(5))]
+    default = raw[slice(*m.span(6))].strip() if m.group(6) else None
+    frm = [a.strip() for a in _split_top_level_args(frm_body) if a.strip()]
+    to = [a.strip() for a in _split_top_level_args(to_body) if a.strip()]
+    if len(frm) != len(to) or not frm:
+        raise UnsupportedClickHouseSQL(
+            "transform(x, from, to[, default]) needs same-length "
+            "non-empty from/to arrays (the ClickHouse contract)"
+        )
+    arms = " ".join(
+        f"WHEN ({x}) = {f} THEN {t}" for f, t in zip(frm, to)
+    )
+    tail = default if default is not None else f"({x})"
+    return f"(CASE {arms} ELSE {tail} END)"
+
+
 def _range_repl(m: "re.Match[str]", raw: str) -> str:
     """range(end) / range(start, end[, step]) -> guarded sequence():
     CH's interval is half-open [start, end) and EMPTY when end <= start,
@@ -1264,6 +1356,158 @@ _REWRITES: list[tuple[re.Pattern[str], str]] = [
         re.compile(rf"\bbase64Encode\s*\(\s*{_ARG}\s*\)", re.I),
         r"replace(replace(base64(\1), '\r', ''), '\n', '')",
     ),
+    # ---- r15 wave 3: digest / radix same-name collisions ----
+    # CH MD5/SHA* return the raw digest BYTES (FixedString) while
+    # Spark's same-named md5/sha1 RESOLVE case-insensitively and
+    # return the lowercase-HEX STRING — a silent same-name collision:
+    # hex(MD5(s)) previously hexed the ASCII hex text instead of the
+    # 16 digest bytes. unhex(..) restores the CH byte value, and
+    # compositions then agree naturally (Spark hex over BINARY is the
+    # even-length uppercase CH form).
+    (re.compile(rf"\bMD5\s*\(\s*{_ARG}\s*\)", re.I), r"unhex(md5(\1))"),
+    (re.compile(rf"\bSHA1\s*\(\s*{_ARG}\s*\)", re.I), r"unhex(sha1(\1))"),
+    (
+        re.compile(rf"\bSHA(224|256|384|512)\s*\(\s*{_ARG}\s*\)", re.I),
+        r"unhex(sha2(\2, \1))",
+    ),
+    # CH hex/bin pad numbers to the TYPE's byte width (hex(10) =
+    # '0A', bin(1) = '00000001') while Spark emits minimal digits
+    # ('A', '1') — a silent same-name collision for numeric
+    # arguments. Padding the Spark output to even (hex) / multiple-
+    # of-8 (bin) digits restores the CH value for integer arguments
+    # and is a NO-OP for string/binary arguments (their hex is
+    # already byte-aligned). The argument is evaluated twice —
+    # row-local, the least/greatest caveat class. CH hex of FLOAT
+    # arguments (raw IEEE bytes, little-endian) stays divergent and
+    # is documented in MIGRATION.md; nested-call arguments past
+    # _ARG's budget refuse via the post-pass check in translate().
+    (
+        re.compile(rf"\bhex\s*\(\s*{_ARG}\s*\)", re.I),
+        r"lpad(hex(\1), CAST(ceil(char_length(hex(\1)) / 2) * 2 AS INT)"
+        r", '0')",
+    ),
+    (
+        re.compile(rf"\bbin\s*\(\s*{_ARG}\s*\)", re.I),
+        r"lpad(bin(\1), CAST(ceil(char_length(bin(\1)) / 8) * 8 AS INT)"
+        r", '0')",
+    ),
+    # ---- r15 wave 3: unresolved-survivor translations ----
+    # CH fromUnixTimestamp(x) -> DateTime; Spark has no such name
+    # (opaque error before). timestamp_seconds is the exact instant.
+    # The 2-arg formatting form refuses (residual) — spell it as
+    # formatDateTime(fromUnixTimestamp(x), fmt).
+    (
+        re.compile(rf"\bfromUnixTimestamp\s*\(\s*{_ARG}\s*\)", re.I),
+        r"timestamp_seconds(\1)",
+    ),
+    # arrayIntersect: Spark's array_intersect (distinct, first-array
+    # order — a deterministic refinement of CH's documented
+    # arbitrary result order); N-ary via left fold, 2/3-ary here,
+    # deeper forms refuse via the residual
+    (
+        re.compile(rf"\barrayIntersect\s*\(\s*{_ARG}\s*,\s*{_ARG}\s*,\s*{_ARG}\s*\)", re.I),
+        r"array_intersect(array_intersect(\1, \2), \3)",
+    ),
+    (
+        re.compile(rf"\barrayIntersect\s*\(\s*{_ARG}\s*,\s*{_ARG}\s*\)", re.I),
+        r"array_intersect(\1, \2)",
+    ),
+    # arrayDifference: CH yields [0, a[1]-a[0], a[2]-a[1], ...];
+    # spelled with transform's index lambda (the arrayEnumerate
+    # precedent). The array is referenced twice — row-local.
+    # CH promotes to Int64/Float64; this keeps the element type
+    # (width-within-family, driver-canonicalized).
+    (
+        re.compile(rf"\barrayDifference\s*\(\s*{_ARG}\s*\)", re.I),
+        r"transform(\1, (cdr_ad_x, cdr_ad_i) -> CASE WHEN cdr_ad_i = 0"
+        r" THEN 0 ELSE cdr_ad_x - element_at(\1, cdr_ad_i) END)",
+    ),
+    # emptyArrayT() -> typed empty array literals. The unsigned
+    # widths map to the next-wider signed Spark type (UInt64 ->
+    # BIGINT: the array is EMPTY, so no value can be out of domain;
+    # the width surface is documented in MIGRATION.md).
+    (
+        re.compile(r"\bemptyArrayInt8\s*\(\s*\)", re.I),
+        "CAST(array() AS ARRAY<TINYINT>)",
+    ),
+    (
+        re.compile(r"\bemptyArray(Int16|UInt8)\s*\(\s*\)", re.I),
+        "CAST(array() AS ARRAY<SMALLINT>)",
+    ),
+    (
+        re.compile(r"\bemptyArray(Int32|UInt16)\s*\(\s*\)", re.I),
+        "CAST(array() AS ARRAY<INT>)",
+    ),
+    (
+        re.compile(r"\bemptyArray(Int64|UInt32|UInt64)\s*\(\s*\)", re.I),
+        "CAST(array() AS ARRAY<BIGINT>)",
+    ),
+    (
+        re.compile(r"\bemptyArrayFloat32\s*\(\s*\)", re.I),
+        "CAST(array() AS ARRAY<FLOAT>)",
+    ),
+    (
+        re.compile(r"\bemptyArrayFloat64\s*\(\s*\)", re.I),
+        "CAST(array() AS ARRAY<DOUBLE>)",
+    ),
+    (
+        re.compile(r"\bemptyArrayString\s*\(\s*\)", re.I),
+        "CAST(array() AS ARRAY<STRING>)",
+    ),
+    (
+        re.compile(r"\bemptyArrayDate\s*\(\s*\)", re.I),
+        "CAST(array() AS ARRAY<DATE>)",
+    ),
+    (
+        re.compile(r"\bemptyArrayDateTime\s*\(\s*\)", re.I),
+        "CAST(array() AS ARRAY<TIMESTAMP>)",
+    ),
+    # toStartOfFiveMinutes/TenMinutes/FifteenMinutes + literal
+    # toStartOfInterval for the FIXED-length sub-day units: epoch
+    # bucketing (CH's 1970-01-01 origin). TIMEZONE PRECONDITION
+    # (the dateDiff sub-day class, MIGRATION.md): CH buckets on the
+    # column timezone's wall clock — identical under UTC or any
+    # fixed offset aligned to the bucket width (this harness's
+    # default); week/month/quarter/year intervals refuse (origin
+    # and calendar-walk conventions diverge — use toStartOfWeek /
+    # toStartOfMonth / date_trunc).
+    (
+        re.compile(rf"\btoStartOfFiveMinutes\s*\(\s*{_ARG}\s*\)", re.I),
+        r"timestamp_seconds(CAST(floor(unix_timestamp(\1) / 300) * 300"
+        r" AS BIGINT))",
+    ),
+    (
+        re.compile(rf"\btoStartOfTenMinutes\s*\(\s*{_ARG}\s*\)", re.I),
+        r"timestamp_seconds(CAST(floor(unix_timestamp(\1) / 600) * 600"
+        r" AS BIGINT))",
+    ),
+    (
+        re.compile(rf"\btoStartOfFifteenMinutes\s*\(\s*{_ARG}\s*\)", re.I),
+        r"timestamp_seconds(CAST(floor(unix_timestamp(\1) / 900) * 900"
+        r" AS BIGINT))",
+    ),
+    (
+        re.compile(
+            rf"\btoStartOfInterval\s*\(\s*{_ARG}\s*,\s*INTERVAL\s+(\d+)\s+"
+            r"(second|minute|hour|day)s?\s*\)",
+            re.I,
+        ),
+        _to_start_of_interval_repl,
+    ),
+    # CH's value-mapping transform(x, from, to[, default]) with
+    # LITERAL arrays -> the CASE chain it denotes (Spark's same-named
+    # transform is the (array, lambda) higher-order function — a
+    # 4-arg call previously died as an opaque arity error)
+    (
+        re.compile(
+            rf"\btransform\s*\(\s*{_ARG}\s*,\s*"
+            r"(?:array\(([^()]*)\)|\[([^\[\]]*)\])\s*,\s*"
+            r"(?:array\(([^()]*)\)|\[([^\[\]]*)\])"
+            rf"(?:\s*,\s*{_ARG})?\s*\)",
+            re.I,
+        ),
+        _transform_map_repl,
+    ),
     # dotted-quad <-> UInt32 integer arithmetic (exact)
     (
         re.compile(rf"\bIPv4NumToString\s*\(\s*{_ARG}\s*\)", re.I),
@@ -1650,6 +1894,12 @@ _RESIDUALS = re.compile(
     r"|parseDateTime\w*|IPv4\w+|isIPv4String"
     r"|base64(Encode|Decode)|tryBase64Decode"
     r"|monthName|generateUUIDv4"
+    # r15 wave 3: past-_ARG / 4+-ary survivors of the new translations
+    # (toStartOf\w+ already refuses above; MD5/SHA survivors get an
+    # emission-aware post-pass in translate() — putting them here
+    # would match the rewrite's own unhex(md5(..)) emission)
+    r"|arrayIntersect|arrayDifference|fromUnixTimestamp"
+    r"|emptyArray\w+"
     r"|JSONExtract\w+|quantiles?\w*|median\w*|topK\w*)\s*\(",
     re.I,
 )
@@ -3529,6 +3779,56 @@ def translate(ch_sql: str) -> str:
                 "could not rewrite 'range(' (nested arguments?) — "
                 "flatten the call or precompute nested expressions as "
                 "subquery/CTE columns"
+            )
+    # hex/bin survivors (r15 wave 3): the padding rewrite's {_ARG}
+    # budget is one paren level, so a deeper-nested numeric argument
+    # would ride Spark's MINIMAL-digit hex/bin unpadded — refuse
+    # instead. The rewrite's own emission is exempt: it spells hex(
+    # after `lpad(` and after `char_length(`.
+    for _hm in re.finditer(r"\b(hex|bin)\s*\(", masked, re.I):
+        _pre = masked[: _hm.start()].rstrip().lower()
+        if re.match(r"\s*unhex\s*\(", masked[_hm.end() :], re.I):
+            # hex over BINARY (the digest compositions: hex(MD5(s))
+            # arrives here as hex(unhex(md5(s)))) is already the CH
+            # value — Spark hex of bytes is even-length uppercase —
+            # so the padding is moot and the passthrough exact
+            continue
+        if not (_pre.endswith("lpad(") or _pre.endswith("char_length(")):
+            raise UnsupportedClickHouseSQL(
+                f"could not rewrite '{_hm.group(1)}(' (nested "
+                "arguments?) — CH pads numbers to the type's byte "
+                "width where Spark emits minimal digits; flatten the "
+                "argument into a subquery/CTE column"
+            )
+    # digest survivors (r15 wave 3): a deeper-nested MD5/SHA* argument
+    # would RESOLVE to Spark's same-named md5/sha1 and return the
+    # hex STRING where CH returns digest BYTES — silent. The rewrite's
+    # own emission is exempt: it always spells the digest after
+    # `unhex(`.
+    for _dm in re.finditer(r"\b(md5|sha1|sha\d+)\s*\(", masked, re.I):
+        if not masked[: _dm.start()].rstrip().lower().endswith("unhex("):
+            raise UnsupportedClickHouseSQL(
+                f"could not rewrite '{_dm.group(1)}(' (nested "
+                "arguments?) — Spark's same-named digest returns a hex "
+                "STRING where ClickHouse returns the digest BYTES; "
+                "flatten the argument into a subquery/CTE column"
+            )
+    # transform survivors with 3+ top-level args are CH's value-
+    # mapping form with NON-LITERAL from/to arrays — Spark's
+    # same-named transform is the (array, lambda) higher-order
+    # function, so passing through would be an opaque arity error
+    for _tm in re.finditer(r"\btransform\s*\(", masked, re.I):
+        try:
+            _ti = _scan_to_close(masked, _tm.end())
+        except UnsupportedClickHouseSQL:
+            continue
+        if len(_split_top_level_args(masked[_tm.end() : _ti - 1])) >= 3:
+            raise UnsupportedClickHouseSQL(
+                "transform(x, from, to[, default]) with non-literal "
+                "from/to arrays — the mapping must be spelled with "
+                "array LITERALS (bracket or array() syntax) so it can "
+                "lower to the CASE chain it denotes; precompute "
+                "dynamic mappings with a join or map literal"
             )
     residual = _RESIDUALS.search(masked)
     if residual:
@@ -6666,3 +6966,97 @@ def ch_dialect_funcs_wave2(spark: SparkSession, sf_dir: str) -> DataFrame:
     / monthName / translate semantics per MIGRATION.md's r14 wave-2
     rows."""
     return ch_sql(spark, sf_dir, _CH_FUNCS2_QUERY)
+
+
+# r15 wave 3 end-to-end: the digest/radix same-name collisions
+# (MD5/SHA* return BYTES in CH but hex STRINGS in Spark; hex/bin pad
+# numbers to byte width in CH but emit minimal digits in Spark), CH's
+# value-mapping transform, arrayDifference/arrayIntersect,
+# fromUnixTimestamp, emptyArray*, and the toStartOfInterval epoch
+# buckets — every name here was a silent same-name collision or an
+# opaque unresolved-function error before this wave
+_CH_FUNCS3_QUERY = """
+    SELECT pri,
+           toUInt32(count()) AS n,
+           min(md5x) AS first_md5,
+           toUInt32(sum(hxl)) AS hexlen_sum,
+           toUInt32(sum(bnl)) AS binlen_sum,
+           toUInt32(sum(dif2)) AS diff_sum,
+           toUInt32(sum(isu)) AS isect_sum,
+           min(b15) AS first_b15,
+           toUInt32(countIf(rt)) AS rt_n,
+           toUInt32(sum(e7)) AS e7_sum
+    FROM (
+      SELECT pri, md5x, b15, rt,
+             length(hx) AS hxl,
+             length(bn) AS bnl,
+             arrayElement(dif, 2) AS dif2,
+             arrayUniq(isect) AS isu,
+             arrayElement(ecat, 1) AS e7
+      FROM (
+        SELECT transform(o_orderkey % 3, [0, 1], ['a', 'b'], 'z') AS pri,
+               lower(hex(MD5(o_orderpriority))) AS md5x,
+               hex(o_orderkey) AS hx,
+               bin(o_orderkey % 256) AS bn,
+               arrayDifference([o_orderkey % 10, o_orderkey % 100]) AS dif,
+               arrayIntersect([o_orderkey % 5, 2], [2, 4]) AS isect,
+               toStartOfInterval(o_orderdate, INTERVAL 15 minute) AS b15,
+               fromUnixTimestamp(toUnixTimestamp(o_orderdate)) = o_orderdate
+                   AS rt,
+               arrayConcat(emptyArrayInt64(), [o_orderkey % 7]) AS ecat
+        FROM orders
+      )
+    )
+    GROUP BY pri
+    ORDER BY pri
+"""
+
+_CH_FUNCS3_ORACLE = """
+    SELECT CASE WHEN o_orderkey % 3 = 0 THEN 'a'
+                WHEN o_orderkey % 3 = 1 THEN 'b' ELSE 'z' END AS pri,
+           CAST(count(*) AS BIGINT) AS n,
+           min(md5(o_orderpriority)) AS first_md5,
+           CAST(sum(2 * (CASE WHEN o_orderkey < 256 THEN 1
+                              WHEN o_orderkey < 65536 THEN 2
+                              WHEN o_orderkey < 16777216 THEN 3
+                              ELSE 4 END)) AS BIGINT) AS hexlen_sum,
+           CAST(sum(8) AS BIGINT) AS binlen_sum,
+           CAST(sum((o_orderkey % 100) - (o_orderkey % 10)) AS BIGINT)
+               AS diff_sum,
+           CAST(sum(1 + (CASE WHEN o_orderkey % 5 = 4 THEN 1 ELSE 0 END))
+               AS BIGINT) AS isect_sum,
+           min(time_bucket(INTERVAL '15 minutes',
+                           CAST(o_orderdate AS TIMESTAMP))) AS first_b15,
+           CAST(count(*) AS BIGINT) AS rt_n,
+           CAST(sum(o_orderkey % 7) AS BIGINT) AS e7_sum
+    FROM orders
+    GROUP BY 1
+    ORDER BY pri
+"""
+
+
+@query("ch_dialect_funcs_wave3", _CH_FUNCS3_ORACLE)
+def ch_dialect_funcs_wave3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r15 wave 3 end-to-end over one grouped orders scan, each
+    construct checked against an INDEPENDENT DuckDB derivation: the
+    grouping key runs CH's value-mapping ``transform`` (vs a native
+    CASE in the oracle); ``lower(hex(MD5(s)))`` must equal DuckDB's
+    native lowercase-hex ``md5(s)`` — the silent same-name collision
+    this wave closes (Spark's md5 already returns the hex STRING, so
+    the previous passthrough hexed ASCII text, not digest bytes);
+    ``length(hex(k))`` pins CH's pad-to-byte-width rule against an
+    integer byte-count CASE; ``arrayDifference`` vs the algebraic
+    ``(k%100)-(k%10)``; ``arrayUniq(arrayIntersect(...))`` vs the
+    membership CASE; ``toStartOfInterval(ts, INTERVAL 15 minute)`` vs
+    DuckDB's native ``time_bucket``; ``fromUnixTimestamp ∘
+    toUnixTimestamp`` round-trips every timestamp (oracle counts
+    rows); ``emptyArrayInt64`` concat carries k%7 through a typed
+    empty array.
+
+    Scale: row-local expressions in whole-stage codegen, one grouped
+    exchange, no UDFs.
+
+    Reference parity: ClickHouse hex/bin/MD5/SHA*/transform/
+    arrayDifference/arrayIntersect/fromUnixTimestamp/toStartOfInterval
+    semantics per MIGRATION.md's r15 wave-3 rows."""
+    return ch_sql(spark, sf_dir, _CH_FUNCS3_QUERY)

@@ -526,6 +526,13 @@ DRIVER_ORDER_TIER2: list[str] = [
     # (streaming-first by drift risk), then never-externally-verified
     # members of the COVERAGE.md ledger (VERDICT r8 #5 — bias rotations
     # toward queries with zero green driver rows).
+    # r15-new oracled demo (wave 3: the digest/radix same-name
+    # collisions — MD5/SHA* bytes-vs-hex-string, hex/bin byte-width
+    # padding, xxHash64's seed-42 row-hash refusal — plus CH's
+    # value-mapping transform, arrayDifference/arrayIntersect,
+    # fromUnixTimestamp, emptyArray*, toStartOfInterval): the r15
+    # cover was committed before it landed; seat it in-cover r16
+    "ch_dialect_funcs_wave3",
     # rotated out of the 50-row cover in r15 (2+ green driver rounds
     # each; merge mapping in the DRIVER_ORDER §r15 comment +
     # COVERAGE.md §r15)

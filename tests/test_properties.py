@@ -2855,7 +2855,9 @@ def test_ch_dialect_week_quarter_minute_rounding(spark):
     for bad in (
         "SELECT toStartOfWeek(ts, m) FROM t",        # non-literal mode
         "SELECT toStartOfWeek(ts, 1, 'UTC') FROM t",  # timezone form
-        "SELECT toStartOfFiveMinutes(ts) FROM t",
+        # (toStartOfFiveMinutes TRANSLATES since r15 wave 3 — the
+        # epoch-bucket lowering; only the 2-arg timezone form refuses)
+        "SELECT toStartOfFiveMinutes(ts, 'UTC') FROM t",
     ):
         try:
             translate(bad)
@@ -4912,3 +4914,79 @@ def test_global_input_literal_escape_guard():
         "SELECT 'plain text' FROM t",
     ):
         translate(ok)
+
+
+def test_ch_dialect_wave3_funcs(spark):
+    """r15 wave 3: the digest/radix same-name collisions and the
+    unresolved-survivor translations, each executed against a value
+    ClickHouse documents (digest test vectors; hex/bin pad to the
+    byte width, leading zero BYTES omitted; transform's value map;
+    arrayDifference's leading 0; toStartOfInterval's 1970 epoch
+    origin). Refusal arms: xxHash64 (resolves in Spark but is seed-42
+    over the Catalyst row encoding — previously a SILENT value
+    divergence), trunc/truncate (Spark's is DATE truncation — silent
+    NULL), lagInFrame/leadInFrame (frames ignored by Spark's
+    lag/lead), nested digest/hex survivors, non-literal transform
+    maps."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from clickhouse_data_rebalance_spark.plans.ch_dialect import (
+        UnsupportedClickHouseSQL,
+        translate,
+    )
+
+    def one(ch):
+        return spark.sql(translate(ch)).collect()[0][0]
+
+    # digest bytes, not Spark's hex string (RFC 1321 / FIPS 180 vectors)
+    assert one("SELECT lower(hex(MD5('abc')))") == (
+        "900150983cd24fb0d6963f7d28e17f72"
+    )
+    assert one("SELECT hex(SHA256('abc'))") == (
+        "BA7816BF8F01CFEA414140DE5DAE2223B00361A396177A9CB410FF61F20015AD"
+    )
+    assert one("SELECT lower(hex(SHA1('abc')))") == (
+        "a9993e364706816aba3e25717850c26c9cd0d89d"
+    )
+    # hex/bin byte-width padding (CH: leading zero bytes omitted,
+    # digits padded per byte)
+    assert one("SELECT hex(10)") == "0A"
+    assert one("SELECT hex(256)") == "0100"
+    assert one("SELECT hex('ab')") == "6162"   # strings unaffected
+    assert one("SELECT bin(1)") == "00000001"
+    # value-mapping transform (4-arg default, 3-arg keep-x)
+    assert one("SELECT transform(3, [1, 2], ['a', 'b'], 'z')") == "z"
+    assert one("SELECT transform(2, [1, 2], ['a', 'b'], 'z')") == "b"
+    assert one("SELECT transform(7, [1, 2], [10, 20])") == 7
+    # arrays / timestamps
+    assert one("SELECT arrayDifference([1, 2, 3, 5])") == [0, 1, 1, 2]
+    assert one("SELECT arrayIntersect([1, 2, 3], [2, 3, 4])") == [2, 3]
+    assert one("SELECT emptyArrayInt32()") == []
+    assert one("SELECT fromUnixTimestamp(0)") == dt.datetime(1970, 1, 1)
+    assert one(
+        "SELECT toStartOfFiveMinutes(toDateTime('2024-03-05 14:37:22'))"
+    ) == dt.datetime(2024, 3, 5, 14, 35)
+    assert one(
+        "SELECT toStartOfInterval(toDateTime('2024-03-05 14:37:22'), "
+        "INTERVAL 15 minute)"
+    ) == dt.datetime(2024, 3, 5, 14, 30)
+    # Spark's lambda transform still passes through untouched
+    assert one("SELECT transform(array(1, 2), v -> v + 1)") == [2, 3]
+    # refusals: silent same-name collisions and past-budget survivors
+    for bad, msg in (
+        ("SELECT xxHash64(s) FROM t", "seed-42"),
+        ("SELECT cityHash64(s) FROM t", "hash FAMILIES"),
+        ("SELECT murmurHash3_64(s) FROM t", "hash FAMILIES"),
+        ("SELECT trunc(x, 2) FROM t", "DATE truncation"),
+        ("SELECT lagInFrame(v) OVER (ORDER BY ts) FROM t", "frames"),
+        ("SELECT SHA1(upper(nested(s))) FROM t", "digest BYTES"),
+        ("SELECT hex(f(g(x))) FROM t", "byte "),
+        ("SELECT transform(x, arr1, arr2, 'z') FROM t", "LITERALS"),
+        ("SELECT arrayIntersect(a, b, c, d) FROM t", "rewrite"),
+        ("SELECT fromUnixTimestamp(x, '%Y') FROM t", "rewrite"),
+        ("SELECT toStartOfInterval(ts, INTERVAL 1 month) FROM t", "rewrite"),
+    ):
+        with _pytest.raises(UnsupportedClickHouseSQL, match=msg):
+            translate(bad)
