@@ -1361,6 +1361,29 @@ def test_funcs_wave2_demo_stays_narrow(spark):
     ) and "o_totalprice" not in read[0], read
 
 
+def test_funcs_wave3_demo_stays_narrow(spark):
+    """The r15 wave-3 lowerings (digest unhex compositions, hex/bin
+    byte-width padding, the value-mapping transform CASE, the
+    arrayDifference index lambda, the toStartOfInterval epoch bucket,
+    emptyArray constant folding) are all row-local expression work:
+    the demo's only exchanges are its own groupBy and the
+    presentation sort; no Python eval, no join/window; the scan reads
+    exactly the three referenced orders columns; the typed empty
+    array constant-folds to a literal."""
+    plan = plan_of(spark, "ch_dialect_funcs_wave3")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange (") == 2, plan
+    assert "HashAggregate" in plan or "SortAggregate" in plan
+    for wide in ("Join", "Window"):
+        assert wide not in plan, plan
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert len(read) == 1 and all(
+        c in read[0] for c in ("o_orderkey", "o_orderdate", "o_orderpriority")
+    ) and "o_totalprice" not in read[0], read
+    # emptyArrayInt64() folded to a literal, never a runtime call
+    assert "emptyArray" not in plan
+
+
 def test_age_month_rule_stays_rowlocal(spark):
     """age('month'/'quarter'/'year') lowers to integer date arithmetic
     in the projection — no months_between, no UDF, no added exchange

@@ -70,6 +70,7 @@ SHOWCASE = [
     ("ch_dialect_strings", "r13 wave expressions all row-local in one whole-stage codegen span; one grouped exchange"),
     ("ch_dialect_concat_split", "NULL-guarded concat_ws + \\Q\\E-quoted split all row-local; one grouped exchange"),
     ("ch_dialect_funcs_wave2", "parseDateTime inversion + base64/IPv4 guards + range CASE all row-local; 3-column pruned scan, one grouped exchange (SortAggregate: min over STRING)"),
+    ("ch_dialect_funcs_wave3", "digest unhex compositions + hex/bin byte-width pads + transform CASE + epoch buckets all row-local; 3-column pruned scan, one grouped exchange, emptyArray constant-folded"),
     ("ivf_index_admit", "admitted-batch append touches only its cells; probe side stays partition-pruned"),
     ("recursive_cte_chain", "per-iteration equi-join on the chain key — no nested loop"),
 ]
