@@ -79,24 +79,35 @@ def main() -> None:
         print("WARNING: no cal_spin_sec in one of the JSONs — raw comparison "
               "(cross-box runs may false-alarm)")
 
+    # A flag requires BOTH the raw and the cal-normalized ratio above
+    # the threshold (r15, tools/ab_r15.md): the single-core spin and
+    # the 32-thread workload DECOUPLE — r14's box was 2x slower by
+    # spin with flat raw times (raw-only would false-alarm), r15's box
+    # turbos the spin while the workload holds (normalized-only
+    # false-alarmed 8 queries whose raw times were all FASTER). A real
+    # plan regression on a comparable box inflates both. Flags remain
+    # leads, not verdicts: solo re-time (min of 4) before concluding.
     regressions = []
     for name, t_ref in ref["queries"].items():
         t_new = new["queries"].get(name)
         if t_new is None or not t_ref:
             continue
-        ratio = (t_new * scale) / t_ref
-        flag = " <-- REGRESSION" if ratio > args.threshold else ""
-        print(f"{name:32s} ref={t_ref:6.3f} new={t_new:6.3f} norm_x{ratio:.2f}{flag}")
-        if ratio > args.threshold:
-            regressions.append((name, round(ratio, 2)))
+        norm = (t_new * scale) / t_ref
+        raw = t_new / t_ref
+        hit = norm > args.threshold and raw > args.threshold
+        flag = " <-- REGRESSION" if hit else ""
+        print(f"{name:32s} ref={t_ref:6.3f} new={t_new:6.3f} "
+              f"raw_x{raw:.2f} norm_x{norm:.2f}{flag}")
+        if hit:
+            regressions.append((name, round(raw, 2), round(norm, 2)))
 
     tot = sum(new["queries"].values())
     print(f"total: ref={ref['value']}s new={round(tot, 3)}s")
     if regressions:
         print(f"FAIL: {len(regressions)} quer{'y' if len(regressions) == 1 else 'ies'} "
-              f">{args.threshold}x normalized: {regressions}")
+              f">{args.threshold}x raw AND normalized: {regressions}")
         sys.exit(1)
-    print("OK: no per-query regression above threshold")
+    print("OK: no per-query regression above threshold (raw AND normalized)")
 
 
 if __name__ == "__main__":
