@@ -332,6 +332,23 @@ _REFUSALS: list[tuple[re.Pattern[str], str]] = [
         "pow(10, n) (toward zero), or CAST(x AS BIGINT) for scale 0",
     ),
     (
+        # CH's keyed sorts are STABLE and sort BY the key function's
+        # value; Spark's array_sort comparator and a struct-key
+        # spelling both break stable ties — and the old bare name swap
+        # emitted args-reversed array_sort(f, arr)
+        re.compile(r"\barray(Reverse)?Sort\s*\([^()]*->", re.I),
+        "keyed arraySort/arrayReverseSort (CH sorts BY KEY with a "
+        "STABLE tie order Spark's comparator cannot reproduce) — "
+        "sort rows by a derived key column, or sort bare values with "
+        "arraySort(arr)",
+    ),
+    (
+        re.compile(r"\barray(Reverse)?Fill\s*\(", re.I),
+        "arrayFill/arrayReverseFill's carry-forward scan — use the "
+        "window-fill operators (time_gap_fill / last_value "
+        "IGNORE NULLS) on exploded rows",
+    ),
+    (
         # CH lagInFrame/leadInFrame respect the window FRAME; Spark's
         # lag/lead ignore frames entirely — and under CH's DEFAULT
         # frame (RANGE UNBOUNDED PRECEDING..CURRENT ROW) leadInFrame
@@ -1167,7 +1184,40 @@ _REWRITES: list[tuple[re.Pattern[str], str]] = [
         r"forall(\2, \1)",
     ),
     (re.compile(r"\barrayDistinct\s*\(", re.I), "array_distinct("),
-    (re.compile(r"\barraySort\s*\(", re.I), "array_sort("),
+    # bare arraySort only: the keyed form arraySort(f, arr) is a
+    # DIFFERENT contract (CH sorts BY KEY, STABLE on ties) from
+    # Spark's array_sort comparator — the lambda form refuses in
+    # _REFUSALS before this swap can touch it (r15: the old bare
+    # swap emitted args-reversed array_sort(f, arr))
+    (re.compile(r"\barraySort\s*\((?![^()]*->)", re.I), "array_sort("),
+    # ties among EQUAL scalar keys are indistinguishable values, so
+    # reverse(ascending) IS the descending stable sort
+    (
+        re.compile(rf"\barrayReverseSort\s*\(\s*{_ARG}\s*\)", re.I),
+        r"reverse(array_sort(\1))",
+    ),
+    # r15 wave 3b: array mutations (previously opaque unresolved
+    # errors) — exact Spark twins
+    (re.compile(r"\barrayPushBack\s*\(", re.I), "array_append("),
+    (re.compile(r"\barrayPushFront\s*\(", re.I), "array_prepend("),
+    # pop = guarded slice (slice length 0 yields [], so the empty
+    # array passes through; the argument is evaluated twice,
+    # row-local)
+    (
+        re.compile(rf"\barrayPopBack\s*\(\s*{_ARG}\s*\)", re.I),
+        r"slice(\1, 1, greatest(size(\1) - 1, 0))",
+    ),
+    (
+        re.compile(rf"\barrayPopFront\s*\(\s*{_ARG}\s*\)", re.I),
+        r"slice(\1, 2, greatest(size(\1) - 1, 0))",
+    ),
+    # arrayCount(f, arr) -> size(filter(arr, f)) — the (lambda, arr)
+    # swap of the arrayMap/arrayFilter family; the 1-arg non-zero
+    # count refuses (element type unknown textually)
+    (
+        re.compile(rf"\barrayCount\s*\(\s*{_ARG}\s*,\s*{_ARG}\s*\)", re.I),
+        r"size(filter(\2, \1))",
+    ),
     (re.compile(r"\barrayReverse\s*\(", re.I), "reverse("),
     (re.compile(r"\barrayFlatten\s*\(", re.I), "flatten("),
     (re.compile(r"\barraySlice\s*\(", re.I), "slice("),
@@ -1900,6 +1950,8 @@ _RESIDUALS = re.compile(
     # would match the rewrite's own unhex(md5(..)) emission)
     r"|arrayIntersect|arrayDifference|fromUnixTimestamp"
     r"|emptyArray\w+"
+    # r15 wave 3b: nested/1-arg survivors of the array-mutation wave
+    r"|arrayPop(Back|Front)|arrayCount|extractAll\w*|arrayReverseSort"
     r"|JSONExtract\w+|quantiles?\w*|median\w*|topK\w*)\s*\(",
     re.I,
 )
@@ -2707,6 +2759,9 @@ _DATEDIFF = re.compile(
     re.I,
 )
 _EXTRACT_RX = re.compile(rf"\bextract\s*\(\s*{_ARG}\s*,\s*'([^']*)'\s*\)", re.I)
+_EXTRACT_ALL_RX = re.compile(
+    rf"\bextractAll\s*\(\s*{_ARG}\s*,\s*'([^']*)'\s*\)", re.I
+)
 
 
 def _extract_group_index(pat: str) -> int:
@@ -2850,7 +2905,20 @@ def _rewrite_datetime_diff(sql: str) -> str:
         pat = raw[slice(*m.span(2))]
         return f"regexp_extract({hay}, '{pat}', {_extract_group_index(pat)})"
 
+    def extract_all_repl(m: "re.Match[str]", raw: str) -> str:
+        # r15 wave 3b: extractAll shares extract()'s group rule (all
+        # matches of the FIRST subpattern, else of the whole pattern)
+        # and its backslash/class guards — _extract_group_index
+        # refuses the divergent-regex-dialect arms
+        hay = raw[slice(*m.span(1))].strip()
+        pat = raw[slice(*m.span(2))]
+        return (
+            f"regexp_extract_all({hay}, '{pat}', "
+            f"{_extract_group_index(pat)})"
+        )
+
     out = _sub_outside_literals(_DATEDIFF, dd_repl, sql)
+    out = _sub_outside_literals(_EXTRACT_ALL_RX, extract_all_repl, out)
     out = _sub_outside_literals(_EXTRACT_RX, extract_repl, out)
     masked = _mask_literals(out)
     # leftovers the regexes could not parse must refuse, not fall

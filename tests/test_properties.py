@@ -4990,3 +4990,64 @@ def test_ch_dialect_wave3_funcs(spark):
     ):
         with _pytest.raises(UnsupportedClickHouseSQL, match=msg):
             translate(bad)
+    # literal masking: the new names inside string literals stay data
+    for lit_sql in (
+        "SELECT x FROM t WHERE s = 'call MD5(x) or hex(y)'",
+        "SELECT x FROM t WHERE s = 'transform(a, b, c, d)'",
+        "SELECT x FROM t WHERE s = 'xxHash64(q) trunc(v, 2)'",
+    ):
+        assert translate(lit_sql) == lit_sql
+    # nested compositions refuse rather than ride the divergent form
+    for nested in (
+        "SELECT MD5(MD5(s)) FROM t",
+        "SELECT hex(hex(x)) FROM t",
+    ):
+        with _pytest.raises(UnsupportedClickHouseSQL):
+            translate(nested)
+
+
+def test_ch_dialect_wave3b_array_mutations(spark):
+    """r15 wave 3b: the array-mutation family (previously opaque
+    unresolved errors) and the keyed-sort guard. arraySort's OLD bare
+    name swap emitted args-REVERSED array_sort(f, arr) for the keyed
+    form — CH sorts BY KEY with a STABLE tie order Spark's comparator
+    cannot reproduce, so the lambda forms now refuse with a pointer
+    while the bare forms translate; push/pop are exact Spark twins
+    (pop = guarded slice, [] passes through); arrayCount takes the
+    (lambda, arr) swap; extractAll shares extract()'s first-subpattern
+    group rule and its backslash/class refusals."""
+    import pytest as _pytest
+
+    from clickhouse_data_rebalance_spark.plans.ch_dialect import (
+        UnsupportedClickHouseSQL,
+        translate,
+    )
+
+    def one(ch):
+        return spark.sql(translate(ch)).collect()[0][0]
+
+    assert one("SELECT arrayPushBack([1, 2], 3)") == [1, 2, 3]
+    assert one("SELECT arrayPushFront([1, 2], 3)") == [3, 1, 2]
+    assert one("SELECT arrayPopBack([1, 2, 3])") == [1, 2]
+    assert one("SELECT arrayPopFront([1, 2, 3])") == [2, 3]
+    assert one("SELECT arrayPopBack(emptyArrayInt32())") == []
+    assert one("SELECT arrayReverseSort([3, 1, 2])") == [3, 2, 1]
+    assert one("SELECT arrayCount(x -> x > 1, [1, 2, 3])") == 2
+    assert one("SELECT extractAll('a1b22c333', '[0-9]+')") == [
+        "1", "22", "333"
+    ]
+    assert one("SELECT extractAll('k=1;m=2', '([a-z]+)=')") == ["k", "m"]
+    for bad, msg in (
+        ("SELECT arraySort(x -> -x, a) FROM t", "STABLE"),
+        ("SELECT arrayReverseSort(x -> -x, a) FROM t", "STABLE"),
+        ("SELECT arrayFill(x -> x > 0, a) FROM t", "carry-forward"),
+        ("SELECT arrayCount(a) FROM t", "rewrite"),
+        ("SELECT extractAll(s, p) FROM t", "rewrite"),
+        ("SELECT extractAll(s, '\\\\d+') FROM t", "backslash"),
+        ("SELECT arrayPopBack(f(g(a))) FROM t", "rewrite"),
+    ):
+        with _pytest.raises(UnsupportedClickHouseSQL, match=msg):
+            translate(bad)
+    # names inside literals stay data
+    lit = "SELECT x FROM t WHERE s = 'arrayPushBack(a, 1) extractAll(s, p)'"
+    assert translate(lit) == lit
