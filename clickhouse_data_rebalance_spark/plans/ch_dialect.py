@@ -7053,14 +7053,18 @@ _CH_FUNCS3_QUERY = """
            toUInt32(sum(isu)) AS isect_sum,
            min(b15) AS first_b15,
            toUInt32(countIf(rt)) AS rt_n,
-           toUInt32(sum(e7)) AS e7_sum
+           toUInt32(sum(e7)) AS e7_sum,
+           min(ex1) AS first_ex,
+           toUInt32(sum(apb1)) AS apb_sum
     FROM (
       SELECT pri, md5x, b15, rt,
              length(hx) AS hxl,
              length(bn) AS bnl,
              arrayElement(dif, 2) AS dif2,
              arrayUniq(isect) AS isu,
-             arrayElement(ecat, 1) AS e7
+             arrayElement(ecat, 1) AS e7,
+             arrayElement(exa, 1) AS ex1,
+             arrayElement(apb, 1) AS apb1
       FROM (
         SELECT transform(o_orderkey % 3, [0, 1], ['a', 'b'], 'z') AS pri,
                lower(hex(MD5(o_orderpriority))) AS md5x,
@@ -7071,7 +7075,9 @@ _CH_FUNCS3_QUERY = """
                toStartOfInterval(o_orderdate, INTERVAL 15 minute) AS b15,
                fromUnixTimestamp(toUnixTimestamp(o_orderdate)) = o_orderdate
                    AS rt,
-               arrayConcat(emptyArrayInt64(), [o_orderkey % 7]) AS ecat
+               arrayConcat(emptyArrayInt64(), [o_orderkey % 7]) AS ecat,
+               extractAll(o_orderpriority, '[0-9]+') AS exa,
+               arrayPushBack(arrayPopBack([o_orderkey % 4, 9]), 6) AS apb
         FROM orders
       )
     )
@@ -7096,7 +7102,9 @@ _CH_FUNCS3_ORACLE = """
            min(time_bucket(INTERVAL '15 minutes',
                            CAST(o_orderdate AS TIMESTAMP))) AS first_b15,
            CAST(count(*) AS BIGINT) AS rt_n,
-           CAST(sum(o_orderkey % 7) AS BIGINT) AS e7_sum
+           CAST(sum(o_orderkey % 7) AS BIGINT) AS e7_sum,
+           min(regexp_extract(o_orderpriority, '[0-9]+')) AS first_ex,
+           CAST(sum(o_orderkey % 4) AS BIGINT) AS apb_sum
     FROM orders
     GROUP BY 1
     ORDER BY pri
@@ -7119,7 +7127,9 @@ def ch_dialect_funcs_wave3(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB's native ``time_bucket``; ``fromUnixTimestamp ∘
     toUnixTimestamp`` round-trips every timestamp (oracle counts
     rows); ``emptyArrayInt64`` concat carries k%7 through a typed
-    empty array.
+    empty array; wave 3b rides along — ``extractAll`` vs DuckDB's
+    native regexp_extract, and ``arrayPopBack(arrayPushBack([k%4],
+    9))`` round-trips to k%4.
 
     Scale: row-local expressions in whole-stage codegen, one grouped
     exchange, no UDFs.
