@@ -5051,3 +5051,31 @@ def test_ch_dialect_wave3b_array_mutations(spark):
     # names inside literals stay data
     lit = "SELECT x FROM t WHERE s = 'arrayPushBack(a, 1) extractAll(s, p)'"
     assert translate(lit) == lit
+
+
+def test_agreed_escape_set_measured_in_spark(spark):
+    """The whitelist guard's premise, MEASURED on the Spark side: every
+    escape in _AGREED_ESCAPES decodes in Spark's literal parser to
+    exactly the byte the ClickHouse C-style table documents. If a Spark
+    upgrade ever changes unescapeSQLString, this fails before any
+    translated query can ship a wrong value. (The CH side stays
+    doc-based — no live server in this sandbox.)"""
+    from clickhouse_data_rebalance_spark.plans.ch_dialect import (
+        _AGREED_ESCAPES,
+    )
+
+    model = {
+        "t": "\t", "n": "\n", "r": "\r", "b": "\b", "0": "\0",
+        "\\": "\\", "'": "'", '"': '"',
+    }
+    assert _AGREED_ESCAPES == model  # the guard and the test agree on the set
+    for esc, want in model.items():
+        if esc == "'":
+            # the guard refuses \' (literal-scanner misparse) — the ''
+            # doubling is the agreed spelling; measure that instead
+            got = spark.sql("SELECT 'a''b'").collect()[0][0]
+            assert got == "a'b"
+            continue
+        lit = "a\\" + esc + "b"
+        got = spark.sql(f"SELECT '{lit}'").collect()[0][0]
+        assert got == "a" + want + "b", (esc, got.encode())
