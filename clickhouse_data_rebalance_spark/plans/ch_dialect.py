@@ -907,6 +907,29 @@ def _ipv4_string_to_num_repl(m: "re.Match[str]", raw: str) -> str:
     )
 
 
+_DATE_ADD_UNITS = frozenset(
+    {"second", "minute", "hour", "day", "week", "month", "quarter", "year"}
+)
+
+
+def _date_add_quoted_repl(m: "re.Match[str]", raw: str) -> str:
+    """CH's quoted-unit date_add('day', n, x) — Spark's native 3-arg
+    parser alias takes bare units only, so the quoted spelling died at
+    parse. Validates the raw unit and lowers to timestampadd (sub
+    negates n; month-end clamping agrees in both engines)."""
+    kind = raw[slice(*m.span(1))].lower()
+    unit = raw[slice(*m.span(2))].strip().lower()
+    n = raw[slice(*m.span(3))].strip()
+    x = raw[slice(*m.span(4))].strip()
+    if unit not in _DATE_ADD_UNITS:
+        raise UnsupportedClickHouseSQL(
+            f"date_{kind} unit {unit!r} — supported quoted units: "
+            "second/minute/hour/day/week/month/quarter/year"
+        )
+    amt = n if kind == "add" else f"-({n})"
+    return f"timestampadd({unit.upper()}, {amt}, {x})"
+
+
 _TSOI_SECS = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
 
 
@@ -1544,6 +1567,48 @@ _REWRITES: list[tuple[re.Pattern[str], str]] = [
         ),
         _to_start_of_interval_repl,
     ),
+    # ---- r15 wave 3c: date arithmetic ----
+    # CH's 3-arg date_add/dateAdd/date_sub/dateSub/timestamp_add/...
+    # ((unit, n, x) with a bare or quoted unit) collides with Spark's
+    # 2-arg date_add(start, days) — the 3-arg spelling died as a loud
+    # arity error. timestampadd is the exact Spark twin (month-end
+    # clamping agrees on both sides — documented in each engine).
+    # Spark's own 2-arg date_add form never matches (one comma).
+    (
+        # the unit may be QUOTED in CH ('day') where Spark's native
+        # 3-arg date_add/dateAdd parser alias takes bare units only —
+        # the quoted group matches on the MASKED copy (contents
+        # blanked), so the callable reads and validates the RAW unit;
+        # the bare-unit spelling is Spark's own timestampadd alias and
+        # needs no rewrite
+        re.compile(
+            rf"\b(?:date|timestamp)_?(add|sub)\s*\(\s*'([^']*)'\s*,"
+            rf"\s*{_ARG}\s*,\s*{_ARG}\s*\)",
+            re.I,
+        ),
+        _date_add_quoted_repl,
+    ),
+    # addDays/subtractHours/... -> timestampadd (previously opaque
+    # unresolved errors). Type surface: CH's addDays(Date, n) returns
+    # Date where timestampadd returns TIMESTAMP — the value is the
+    # same instant (MIGRATION.md, the width-surface class).
+    (
+        re.compile(
+            rf"\b(add|subtract)"
+            r"(Second|Minute|Hour|Day|Week|Month|Quarter|Year)s\s*\(\s*"
+            rf"{_ARG}\s*,\s*{_ARG}\s*\)",
+            re.I,
+        ),
+        lambda m, raw: (
+            f"timestampadd({raw[slice(*m.span(2))].upper()}, "
+            + (
+                raw[slice(*m.span(4))].strip()
+                if raw[slice(*m.span(1))].lower() == "add"
+                else f"-({raw[slice(*m.span(4))].strip()})"
+            )
+            + f", {raw[slice(*m.span(3))].strip()})"
+        ),
+    ),
     # CH's value-mapping transform(x, from, to[, default]) with
     # LITERAL arrays -> the CASE chain it denotes (Spark's same-named
     # transform is the (array, lambda) higher-order function — a
@@ -1952,6 +2017,10 @@ _RESIDUALS = re.compile(
     r"|emptyArray\w+"
     # r15 wave 3b: nested/1-arg survivors of the array-mutation wave
     r"|arrayPop(Back|Front)|arrayCount|extractAll\w*|arrayReverseSort"
+    # r15 wave 3c: past-_ARG survivors of the date-arithmetic family
+    # (the 3-arg date_add/date_sub forms can't be listed — the 2-arg
+    # spelling is valid Spark — but these names are CH-only)
+    r"|(add|subtract)(Second|Minute|Hour|Day|Week|Month|Quarter|Year)s"
     r"|JSONExtract\w+|quantiles?\w*|median\w*|topK\w*)\s*\(",
     re.I,
 )

@@ -5079,3 +5079,59 @@ def test_agreed_escape_set_measured_in_spark(spark):
         lit = "a\\" + esc + "b"
         got = spark.sql(f"SELECT '{lit}'").collect()[0][0]
         assert got == "a" + want + "b", (esc, got.encode())
+
+
+def test_ch_dialect_wave3c_date_arithmetic(spark):
+    """r15 wave 3c: CH's add/subtract{Seconds..Years} family
+    (previously opaque unresolved errors) and the QUOTED-unit 3-arg
+    date_add/date_sub/dateAdd forms (Spark's native 3-arg parser alias
+    takes bare units only, so 'day' died at parse) — all lower to
+    timestampadd, whose month-end clamping agrees with ClickHouse's
+    documented add-months rule. Spark's own 2-arg date_add(start, n)
+    passes through untouched; bad quoted units and past-budget nested
+    arguments refuse."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from clickhouse_data_rebalance_spark.plans.ch_dialect import (
+        UnsupportedClickHouseSQL,
+        translate,
+    )
+
+    def one(ch):
+        return spark.sql(translate(ch)).collect()[0][0]
+
+    assert one(
+        "SELECT addDays(toDateTime('2024-02-28 10:00:00'), 2)"
+    ) == dt.datetime(2024, 3, 1, 10)
+    assert one(
+        "SELECT addMonths(toDateTime('2024-01-31 00:00:00'), 1)"
+    ) == dt.datetime(2024, 2, 29)  # month-end clamp, leap February
+    assert one(
+        "SELECT addYears(toDateTime('2024-02-29 00:00:00'), 1)"
+    ) == dt.datetime(2025, 2, 28)  # leap-day clamp
+    assert one(
+        "SELECT subtractHours(toDateTime('2024-03-01 01:00:00'), 2)"
+    ) == dt.datetime(2024, 2, 29, 23)
+    assert one(
+        "SELECT date_add('day', 3, toDateTime('2024-01-01 00:00:00'))"
+    ) == dt.datetime(2024, 1, 4)
+    assert one(
+        "SELECT date_sub('week', 1, toDateTime('2024-01-08 00:00:00'))"
+    ) == dt.datetime(2024, 1, 1)
+    # bare units are Spark's own 3-arg alias — untouched and working
+    assert one(
+        "SELECT dateAdd(quarter, 1, toDateTime('2023-11-30 00:00:00'))"
+    ) == dt.datetime(2024, 2, 29)
+    # Spark's 2-arg date_add passes through
+    assert (
+        translate("SELECT date_add(d, 3) FROM t")
+        == "SELECT date_add(d, 3) FROM t"
+    )
+    with _pytest.raises(UnsupportedClickHouseSQL, match="unit"):
+        translate("SELECT date_add('fortnight', 3, ts) FROM t")
+    with _pytest.raises(UnsupportedClickHouseSQL, match="rewrite"):
+        translate("SELECT addDays(f(g(ts)), 3) FROM t")
+    lit = "SELECT x FROM t WHERE s = 'addDays(ts, 3) date_add(day, 1, ts)'"
+    assert translate(lit) == lit
