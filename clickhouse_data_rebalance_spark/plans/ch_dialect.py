@@ -7124,9 +7124,10 @@ _CH_FUNCS3_QUERY = """
            toUInt32(countIf(rt)) AS rt_n,
            toUInt32(sum(e7)) AS e7_sum,
            min(ex1) AS first_ex,
-           toUInt32(sum(apb1)) AS apb_sum
+           toUInt32(sum(apb1)) AS apb_sum,
+           min(nxt) AS first_nxt
     FROM (
-      SELECT pri, md5x, b15, rt,
+      SELECT pri, md5x, b15, rt, nxt,
              length(hx) AS hxl,
              length(bn) AS bnl,
              arrayElement(dif, 2) AS dif2,
@@ -7146,7 +7147,8 @@ _CH_FUNCS3_QUERY = """
                    AS rt,
                arrayConcat(emptyArrayInt64(), [o_orderkey % 7]) AS ecat,
                extractAll(o_orderpriority, '[0-9]+') AS exa,
-               arrayPushBack(arrayPopBack([o_orderkey % 4, 9]), 6) AS apb
+               arrayPushBack(arrayPopBack([o_orderkey % 4, 9]), 6) AS apb,
+               addMonths(o_orderdate, 1) AS nxt
         FROM orders
       )
     )
@@ -7173,7 +7175,8 @@ _CH_FUNCS3_ORACLE = """
            CAST(count(*) AS BIGINT) AS rt_n,
            CAST(sum(o_orderkey % 7) AS BIGINT) AS e7_sum,
            min(regexp_extract(o_orderpriority, '[0-9]+')) AS first_ex,
-           CAST(sum(o_orderkey % 4) AS BIGINT) AS apb_sum
+           CAST(sum(o_orderkey % 4) AS BIGINT) AS apb_sum,
+           min(o_orderdate + INTERVAL 1 MONTH) AS first_nxt
     FROM orders
     GROUP BY 1
     ORDER BY pri
@@ -7198,7 +7201,8 @@ def ch_dialect_funcs_wave3(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows); ``emptyArrayInt64`` concat carries k%7 through a typed
     empty array; wave 3b rides along — ``extractAll`` vs DuckDB's
     native regexp_extract, and ``arrayPopBack(arrayPushBack([k%4],
-    9))`` round-trips to k%4.
+    9))`` round-trips to k%4; wave 3c's ``addMonths`` vs DuckDB's
+    native month-clamping interval addition.
 
     Scale: row-local expressions in whole-stage codegen, one grouped
     exchange, no UDFs.
