@@ -332,11 +332,33 @@ _REFUSALS: list[tuple[re.Pattern[str], str]] = [
         "pow(10, n) (toward zero), or CAST(x AS BIGINT) for scale 0",
     ),
     (
+        # CH hex/bin of a FLOAT emit the raw little-endian IEEE-754
+        # bytes; Spark casts to BIGINT and hexes the integer — a
+        # silent value divergence. Typed float COLUMNS are invisible
+        # to a textual translator (documented caveat, MIGRATION.md),
+        # but a float LITERAL argument (digits with '.' or an
+        # exponent) is detectable and refuses here instead of
+        # translating to the wrong value (ADVICE r15).
+        re.compile(
+            r"\b(?:hex|bin)\s*\(\s*[+-]?"
+            r"(?:\d+\.|\.\d|\d+(?:\.\d*)?[eE][+-]?\d)",
+            re.I,
+        ),
+        "hex/bin of a FLOAT literal: ClickHouse emits the raw "
+        "little-endian IEEE-754 bytes while Spark casts to BIGINT "
+        "first — hex the intended bytes explicitly "
+        "(e.g. hex(CAST(x AS BIGINT)) for the integer value)",
+    ),
+    (
         # CH's keyed sorts are STABLE and sort BY the key function's
         # value; Spark's array_sort comparator and a struct-key
         # spelling both break stable ties — and the old bare name swap
-        # emitted args-reversed array_sort(f, arr)
-        re.compile(r"\barray(Reverse)?Sort\s*\([^()]*->", re.I),
+        # emitted args-reversed array_sort(f, arr). One paren level is
+        # tolerated before '->' so a parenthesized lambda parameter —
+        # arraySort((x) -> -x, a) — still hits this refusal instead of
+        # slipping through to the swap as an opaque analysis error
+        # (ADVICE r15)
+        re.compile(r"\barray(Reverse)?Sort\s*\((?:[^()]|\([^()]*\))*->", re.I),
         "keyed arraySort/arrayReverseSort (CH sorts BY KEY with a "
         "STABLE tie order Spark's comparator cannot reproduce) — "
         "sort rows by a derived key column, or sort bare values with "
@@ -1212,12 +1234,22 @@ _REWRITES: list[tuple[re.Pattern[str], str]] = [
     # Spark's array_sort comparator — the lambda form refuses in
     # _REFUSALS before this swap can touch it (r15: the old bare
     # swap emitted args-reversed array_sort(f, arr))
-    (re.compile(r"\barraySort\s*\((?![^()]*->)", re.I), "array_sort("),
-    # ties among EQUAL scalar keys are indistinguishable values, so
-    # reverse(ascending) IS the descending stable sort
+    # The negative lookahead tolerates one paren level so a
+    # parenthesized lambda parameter — arraySort((x) -> -x, a), valid
+    # CH — can't sneak past it into an args-reversed swap (ADVICE r15)
+    (
+        re.compile(r"\barraySort\s*\((?!(?:[^()]|\([^()]*\))*->)", re.I),
+        "array_sort(",
+    ),
+    # sort_array(arr, false) is Spark's descending sort and places
+    # NULLs LAST — exactly CH's arrayReverseSort NULL placement. (The
+    # old reverse(array_sort(arr)) form put NULLs FIRST — ADVICE r15.)
+    # Remaining divergence: NaN in float arrays — Spark ranks NaN above
+    # +inf so descending yields [NaN, inf, ...] while CH keeps NaN just
+    # before NULL at the tail; documented in MIGRATION.md
     (
         re.compile(rf"\barrayReverseSort\s*\(\s*{_ARG}\s*\)", re.I),
-        r"reverse(array_sort(\1))",
+        r"sort_array(\1, false)",
     ),
     # r15 wave 3b: array mutations (previously opaque unresolved
     # errors) — exact Spark twins
@@ -1451,9 +1483,11 @@ _REWRITES: list[tuple[re.Pattern[str], str]] = [
     # and is a NO-OP for string/binary arguments (their hex is
     # already byte-aligned). The argument is evaluated twice —
     # row-local, the least/greatest caveat class. CH hex of FLOAT
-    # arguments (raw IEEE bytes, little-endian) stays divergent and
-    # is documented in MIGRATION.md; nested-call arguments past
-    # _ARG's budget refuse via the post-pass check in translate().
+    # arguments (raw IEEE bytes, little-endian) stays divergent for
+    # typed COLUMNS (documented in MIGRATION.md); float LITERAL
+    # arguments refuse in _REFUSALS before this rename (ADVICE r15);
+    # nested-call arguments past _ARG's budget refuse via the
+    # post-pass check in translate().
     (
         re.compile(rf"\bhex\s*\(\s*{_ARG}\s*\)", re.I),
         r"lpad(hex(\1), CAST(ceil(char_length(hex(\1)) / 2) * 2 AS INT)"
@@ -1488,12 +1522,20 @@ _REWRITES: list[tuple[re.Pattern[str], str]] = [
     # arrayDifference: CH yields [0, a[1]-a[0], a[2]-a[1], ...];
     # spelled with transform's index lambda (the arrayEnumerate
     # precedent). The array is referenced twice — row-local.
-    # CH promotes to Int64/Float64; this keeps the element type
-    # (width-within-family, driver-canonicalized).
+    # CH promotes integer elements to Int64 — without the promotion a
+    # TINYINT/SMALLINT subtraction wraps with ANSI off (Int8
+    # [-100, 100] -> CH 200, unpromoted Spark -56; ADVICE r15). The
+    # `* 1L` factor widens every integer family to BIGINT BEFORE the
+    # subtraction (reproducing CH's Int64 value), and Spark coerces
+    # FLOAT op BIGINT to DOUBLE (measured: array<float> in ->
+    # array<double> out) — exactly CH's Float32 -> Float64 promotion —
+    # while DOUBLE/DECIMAL keep their own arithmetic. A
+    # CAST(... AS BIGINT) would have truncated the float families.
     (
         re.compile(rf"\barrayDifference\s*\(\s*{_ARG}\s*\)", re.I),
         r"transform(\1, (cdr_ad_x, cdr_ad_i) -> CASE WHEN cdr_ad_i = 0"
-        r" THEN 0 ELSE cdr_ad_x - element_at(\1, cdr_ad_i) END)",
+        r" THEN 0 ELSE cdr_ad_x * 1L - element_at(\1, cdr_ad_i) * 1L"
+        r" END)",
     ),
     # emptyArrayT() -> typed empty array literals. The unsigned
     # widths map to the next-wider signed Spark type (UInt64 ->

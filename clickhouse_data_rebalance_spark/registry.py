@@ -327,11 +327,9 @@ DRIVER_ORDER: list[str] = [
     # registered + locally oracled, 11 green rounds banked),
     # cte_query -> recursive_cte_chain (C24's WITH RECURSIVE superset))
     "rebalance_pipeline",
-    # C1 connector family (r15: stream_python_datasource stays as the
-    # Python-DataSource representative — its stream+sink arms were
-    # r13+r14 green; the six departed format round-trips each banked
-    # two green rounds, see the r15 rotation comment below)
-    "stream_python_datasource",
+    # (r16: stream_python_datasource rotates out 3x-green r13-r15; C1
+    # maps to binary_payload_metadata + sink_observed_metrics, see the
+    # r16 rotation comment below)
     # ClickHouse dialect layer (r12 keepers + the r13 converter wave)
     # (r14 rotation: twenty enter — the IVF admit/compact pair on the
     # VERDICT r12 #1 / r13 #2 re-proving cadence (last green r9/r10;
@@ -441,73 +439,132 @@ DRIVER_ORDER: list[str] = [
     # green)
     "ch_dialect_concat_split",
     "ch_dialect_funcs_wave2",
-    # early dialect demos (r14: never-green ledger burn)
-    "ch_dialect_rollup",
+    # (r16 rotation, per the same rule: twenty-six enter — the r15-new
+    # translation-wave demo ch_dialect_funcs_wave3 leads (VERDICT r15
+    # #2: the end-to-end external proof of all three r15 waves, seated
+    # by the r14-demo precedent), then TWENTY-FIVE never-green queries
+    # (VERDICT r15 #1 — ledger 74 -> 48), drawn from the oldest
+    # clusters: the dialect/dict row (dict_get_lookup), the lateral-
+    # view/pivot family (explode_words, posexplode_words,
+    # pivot_sql_clause, unpivot_metrics, multi_grain_rollup), the
+    # event-sequence analytics (window_funnel_levels,
+    # sequence_match_funnel3, cohort_retention), the exact-quantile
+    # aggregates (weighted_median, median_exact), the CH-workflow
+    # mutation/TTL analogs (mutation_delete_update, ttl_expiry), the
+    # r2-era media/sample family (media_feature_extract,
+    # media_frame_sample, media_resize, mixture_sample,
+    # weighted_sample_es), the embedding/ANN members (knn_join,
+    # knn_join_label, embedding_norms, ivf_index_stats), the map-agg
+    # row (sum_map_props), and the streaming-observability pair
+    # (statestore_introspection, sink_observed_metrics).
+    # Twenty-six 2+-green veterans leave for tier 2 (every one green
+    # r14+r15 or longer). VERDICT r15 #2's must-keeps stay seated:
+    # string_funcs, json_funcs, and ch_dialect_datetime.
+    # Merge mapping (COVERAGE.md §r16):
+    # url/ip/encode/format/string_search_funcs -> string_funcs (C26
+    # suite, in cover; each leaver banked 2 greens r14+r15),
+    # timezone_funcs -> ch_dialect_datetime (C27 row, in cover),
+    # math_funcs -> ch_dialect_funcs_wave3 (entrant: the digest/radix/
+    # numeric-promotion lowerings) + weighted_median / median_exact
+    # (entrants: exact numeric aggregates) + banked r14+r15 greens,
+    # ch_dialect_rollup -> multi_grain_rollup (entrant: the same
+    # GROUPING SETS machinery over multiple grains, C13),
+    # ch_dialect_array_join -> array_lambda_funcs (C29 suite, in
+    # cover) + explode_words / posexplode_words (entrants: the same
+    # LATERAL VIEW explode flatten the ARRAY JOIN lowering emits),
+    # ch_dialect_weekday / ch_ddl_roundtrip -> ch_dialect_datetime +
+    # ch_dialect_funcs_wave3 (the dialect translator's external rows,
+    # in cover) + banked 2 greens each,
+    # stream_python_datasource -> binary_payload_metadata (C1 binary
+    # scan plumbing, in cover) + sink_observed_metrics (entrant: the
+    # observed-metrics sink arm) + banked 3 greens r13-r15,
+    # matryoshka_topk_recall -> knn_join + knn_join_label +
+    # embedding_norms + ivf_index_stats (entrants: the C42/C43
+    # embedding family, 8 banked greens r8-r15),
+    # stream_ema_state -> stream_ohlc_equiv + stream_quality_gate
+    # (C53/B5 stream-equals-batch arms, in cover) +
+    # statestore_introspection (entrant: the stateful-store arm),
+    # stream_dedup_events -> stream_quality_gate (watermark machinery,
+    # in cover; C51/C52's dedup form banked 13 greens r2-r15),
+    # top_supplier_revenue / volume_shipping_nations /
+    # customer_order_distribution / idle_customer_balances /
+    # returned_item_report / large_volume_customers /
+    # promo_revenue_ratio -> local_supplier_volume +
+    # small_qty_order_revenue + late_shipment_priority (the r15 analog
+    # entrants, in cover: the same join/agg/HAVING/anti-join shapes;
+    # C5's LEFT OUTER arm rides cohort_retention's retention join,
+    # entrant),
+    # uniq_state_merge -> uniq_sliding_window (in cover: the same HLL
+    # approx-distinct machinery over event-time windows, C12) + banked
+    # 4 greens r12-r15,
+    # theta_set_ops -> banked 3 greens r13-r15 (C22's
+    # intersect/except-all row; locally oracled every round),
+    # asof_join_forward -> banked 4 greens r12-r15 (C8 range carry;
+    # the C5 LEFT arm moves to cohort_retention, entrant),
+    # recursive_cte_chain -> banked 3 greens r13-r15 (C24; locally
+    # oracled every round))
+    "ch_dialect_funcs_wave3",
     "ch_dialect_datetime",
-    "ch_dialect_array_join",
-    "ch_dialect_weekday",
-    "ch_ddl_roundtrip",
-    # r2-era per-function suites (r14 ledger burn; kind-lint screened)
-    "url_funcs",
-    "ip_funcs",
-    "encode_funcs",
-    "format_funcs",
-    "timezone_funcs",
-    "string_search_funcs",
-    # scalar/semi-structured function families (r15: the dedicated
-    # per-family suites seat — json/map/array-lambda are the suites
-    # the departed semi_structured_suite row merged; null_semantics
-    # and conditional_aggregates carry C25's CASE/NULL forms)
+    # scalar/semi-structured function families (r15 entrants, 1 green
+    # each — stay for their second round; string_funcs + json_funcs
+    # are VERDICT r15 #2 must-keeps)
     "string_funcs",
-    "math_funcs",
     "json_funcs",
     "map_funcs",
     "array_lambda_funcs",
     "null_semantics",
     "conditional_aggregates",
     "sort_multi_key",
-    # ANN representative (the admit/compact pair re-proved r14 with
-    # the CDR_IVF_SCALE gate re-run — cadence satisfied)
-    "matryoshka_topk_recall",
-    # LLM data-pipeline members (r15 ledger burn: exact dedup, token
-    # stats, per-group sampling, multimodal binary plumbing)
+    # r16 ledger burn: dialect dict row + lateral-view/pivot family
+    "dict_get_lookup",
+    "explode_words",
+    "posexplode_words",
+    "pivot_sql_clause",
+    "unpivot_metrics",
+    "multi_grain_rollup",
+    # r16 ledger burn: event-sequence analytics + exact quantiles
+    "window_funnel_levels",
+    "sequence_match_funnel3",
+    "cohort_retention",
+    "weighted_median",
+    "median_exact",
+    # r16 ledger burn: CH-workflow mutation/TTL analogs
+    "mutation_delete_update",
+    "ttl_expiry",
+    # r16 ledger burn: the r2-era media/sample family
+    "media_feature_extract",
+    "media_frame_sample",
+    "media_resize",
+    "mixture_sample",
+    "weighted_sample_es",
+    # r16 ledger burn: embedding/ANN members (C42/C43 representatives
+    # after matryoshka_topk_recall rotates out 8x-green)
+    "knn_join",
+    "knn_join_label",
+    "embedding_norms",
+    "ivf_index_stats",
+    # r16 ledger burn: map-valued aggregation (sumMap analog)
+    "sum_map_props",
+    # LLM data-pipeline members (r15 entrants, second round)
     "dedup_by_key",
     "token_count",
     "sample_k_per_group",
     "binary_payload_metadata",
-    # structured streaming + event-time windows (r15: the two
-    # never-green stream-equals-batch equivalences seat — VERDICT
-    # r14 #5)
+    # structured streaming (r15 entrants, second round) + the r16
+    # streaming-observability pair (ledger burn)
     "stream_ohlc_equiv",
     "stream_quality_gate",
-    "stream_ema_state",
-    "stream_dedup_events",
-    # batch window analytics (r15 ledger burn: tumbling/sliding
-    # event-time windows, running frames, sequence funnel)
+    "statestore_introspection",
+    "sink_observed_metrics",
+    # batch window analytics (r15 entrants, second round)
     "tumbling_window_agg",
     "uniq_sliding_window",
     "delta_sum_running",
     "funnel_conversion",
-    # TPC-H-analog multi-join suite (r14 ledger burn: the suite never
-    # had an external row; joins/aggs/HAVING/anti-join shapes)
-    "top_supplier_revenue",
-    "volume_shipping_nations",
-    "customer_order_distribution",
-    "idle_customer_balances",
-    "returned_item_report",
-    "large_volume_customers",
-    "promo_revenue_ratio",
-    # r15 ledger burn: three more never-green analogs
+    # TPC-H-analog representatives (r15 entrants, second round)
     "local_supplier_volume",
     "small_qty_order_revenue",
     "late_shipment_priority",
-    # mergeable sketch states (r15: uniq + theta stay as the family's
-    # representatives; topk/agg/bitmap leave 2x-green)
-    "uniq_state_merge",
-    "theta_set_ops",
-    # native as-of machinery + recursive CTE
-    "asof_join_forward",
-    "recursive_cte_chain",
 ]
 
 
@@ -519,6 +576,35 @@ DRIVER_ORDER: list[str] = [
 # rounds, then the round-2 flagship operators, then the long tail of
 # per-function suite variants.
 DRIVER_ORDER_TIER2: list[str] = [
+    # rotated out of the 50-row cover in r16 (2+ green driver rounds
+    # each; merge mapping in the DRIVER_ORDER §r16 comment +
+    # COVERAGE.md §r16) — next in line for driver rows
+    "stream_python_datasource",
+    "ch_dialect_rollup",
+    "ch_dialect_array_join",
+    "ch_dialect_weekday",
+    "ch_ddl_roundtrip",
+    "url_funcs",
+    "ip_funcs",
+    "encode_funcs",
+    "format_funcs",
+    "timezone_funcs",
+    "string_search_funcs",
+    "math_funcs",
+    "matryoshka_topk_recall",
+    "stream_ema_state",
+    "stream_dedup_events",
+    "top_supplier_revenue",
+    "volume_shipping_nations",
+    "customer_order_distribution",
+    "idle_customer_balances",
+    "returned_item_report",
+    "large_volume_customers",
+    "promo_revenue_ratio",
+    "uniq_state_merge",
+    "theta_set_ops",
+    "asof_join_forward",
+    "recursive_cte_chain",
     # next in line for driver rows: the r14 rotation's outgoing
     # veterans (every one 2+-green; merge mapping in the DRIVER_ORDER
     # §r14 comment + COVERAGE.md), then the veterans the r13/r12/r11
@@ -532,7 +618,6 @@ DRIVER_ORDER_TIER2: list[str] = [
     # value-mapping transform, arrayDifference/arrayIntersect,
     # fromUnixTimestamp, emptyArray*, toStartOfInterval): the r15
     # cover was committed before it landed; seat it in-cover r16
-    "ch_dialect_funcs_wave3",
     # rotated out of the 50-row cover in r15 (2+ green driver rounds
     # each; merge mapping in the DRIVER_ORDER §r15 comment +
     # COVERAGE.md §r15)
@@ -647,9 +732,6 @@ DRIVER_ORDER_TIER2: list[str] = [
     "ch_dialect_limit_by",
     "ch_dialect_brackets",
     "bucketed_join_noshuffle",
-    "media_resize",
-    "media_frame_sample",
-    "window_funnel_levels",
     "embedding_pq",
     "interval_length_sum",
     "sequence_count_pattern",
@@ -666,12 +748,8 @@ DRIVER_ORDER_TIER2: list[str] = [
     "join_lateral_topn",
     "sql_udf_inlined",
     "python_udtf_bigrams",
-    "statestore_introspection",
-    "sink_observed_metrics",
     "group_by_all",
     "identifier_parameterized",
-    "pivot_sql_clause",
-    "mutation_delete_update",
     "multi_array_zip_flatten",
     "length_bucket_packing",
     "dedup_keep_best",
@@ -690,7 +768,6 @@ DRIVER_ORDER_TIER2: list[str] = [
     "cosine_topk_exact",
     # new r7 surface (never in the cover — listed here next to its
     # exact-topk sibling, NOT a rotated-out veteran)
-    "ivf_index_stats",
     "ann_ivf_topk",
     "text_quality",
     "filter_predicates",
@@ -738,34 +815,20 @@ DRIVER_ORDER_TIER2: list[str] = [
     "source_csv_roundtrip",
     # round-2 flagship operators
     "dedup_embedding_cosine",
-    "knn_join",
-    "knn_join_label",
-    "mixture_sample",
-    "weighted_sample_es",
-    "sequence_match_funnel3",
-    "sum_map_props",
-    "ttl_expiry",
-    "median_exact",
     "char_entropy",
     "edit_distance_topk",
     "variant_json_extract",
-    "weighted_median",
     "geo_distance",
     "ngram_repetition_quality",
     "scd2_intervals",
     "embedding_quantize_int8",
     "compaction_roundtrip",
     "heavy_hitters",
-    "cohort_retention",
-    "unpivot_metrics",
     "salted_hot_key_agg",
     "label_centroids",
-    "embedding_norms",
     "chunk_documents",
     "redact_pii",
     "contamination_ngram_overlap",
-    "dict_get_lookup",
-    "multi_grain_rollup",
     "concurrent_sessions",
     "bpe_merge_step",
     "window_distribution",

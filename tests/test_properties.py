@@ -4962,6 +4962,23 @@ def test_ch_dialect_wave3_funcs(spark):
     assert one("SELECT transform(7, [1, 2], [10, 20])") == 7
     # arrays / timestamps
     assert one("SELECT arrayDifference([1, 2, 3, 5])") == [0, 1, 1, 2]
+    # ADVICE r15: CH promotes integer elements to Int64 BEFORE the
+    # subtraction — TINYINT [-100, 100] must yield 200, not the
+    # ANSI-off wrapped -56; the `* 1L` widening also reproduces CH's
+    # Float32 -> Float64 promotion (array<float> in -> array<double>
+    # out, measured)
+    spark.sql(
+        "SELECT CAST(array(-100, 100) AS ARRAY<TINYINT>) AS a"
+    ).createOrReplaceTempView("cdr_w3_t8")
+    d8 = spark.sql(translate("SELECT arrayDifference(a) AS r FROM cdr_w3_t8"))
+    assert d8.collect()[0][0] == [0, 200]
+    assert d8.dtypes == [("r", "array<bigint>")]
+    spark.sql(
+        "SELECT CAST(array(1.5, 2.25) AS ARRAY<FLOAT>) AS a"
+    ).createOrReplaceTempView("cdr_w3_tf")
+    df32 = spark.sql(translate("SELECT arrayDifference(a) AS r FROM cdr_w3_tf"))
+    assert df32.dtypes == [("r", "array<double>")]
+    assert df32.collect()[0][0] == [0.0, 0.75]
     assert one("SELECT arrayIntersect([1, 2, 3], [2, 3, 4])") == [2, 3]
     assert one("SELECT emptyArrayInt32()") == []
     assert one("SELECT fromUnixTimestamp(0)") == dt.datetime(1970, 1, 1)
@@ -4983,6 +5000,12 @@ def test_ch_dialect_wave3_funcs(spark):
         ("SELECT lagInFrame(v) OVER (ORDER BY ts) FROM t", "frames"),
         ("SELECT SHA1(upper(nested(s))) FROM t", "digest BYTES"),
         ("SELECT hex(f(g(x))) FROM t", "byte "),
+        # ADVICE r15: float LITERAL args refuse (CH hexes the raw
+        # IEEE-754 bytes; Spark would cast to BIGINT — wrong value)
+        ("SELECT hex(1.5)", "IEEE-754"),
+        ("SELECT bin(2.0) FROM t", "IEEE-754"),
+        ("SELECT hex(1e3)", "IEEE-754"),
+        ("SELECT hex(-0.5)", "IEEE-754"),
         ("SELECT transform(x, arr1, arr2, 'z') FROM t", "LITERALS"),
         ("SELECT arrayIntersect(a, b, c, d) FROM t", "rewrite"),
         ("SELECT fromUnixTimestamp(x, '%Y') FROM t", "rewrite"),
@@ -5032,6 +5055,16 @@ def test_ch_dialect_wave3b_array_mutations(spark):
     assert one("SELECT arrayPopFront([1, 2, 3])") == [2, 3]
     assert one("SELECT arrayPopBack(emptyArrayInt32())") == []
     assert one("SELECT arrayReverseSort([3, 1, 2])") == [3, 2, 1]
+    # ADVICE r15: arrayReverseSort lowers to sort_array(arr, false) —
+    # Spark's descending sort places NULLs LAST, matching CH's
+    # [max..min, NULL] tail (the old reverse(array_sort(..)) put
+    # NULLs FIRST)
+    spark.sql(
+        "SELECT CAST(array(1, NULL, 3) AS ARRAY<INT>) AS a"
+    ).createOrReplaceTempView("cdr_w3b_tn")
+    assert spark.sql(
+        translate("SELECT arrayReverseSort(a) AS r FROM cdr_w3b_tn")
+    ).collect()[0][0] == [3, 1, None]
     assert one("SELECT arrayCount(x -> x > 1, [1, 2, 3])") == 2
     assert one("SELECT extractAll('a1b22c333', '[0-9]+')") == [
         "1", "22", "333"
@@ -5040,6 +5073,11 @@ def test_ch_dialect_wave3b_array_mutations(spark):
     for bad, msg in (
         ("SELECT arraySort(x -> -x, a) FROM t", "STABLE"),
         ("SELECT arrayReverseSort(x -> -x, a) FROM t", "STABLE"),
+        # ADVICE r15: a PARENTHESIZED lambda parameter — valid CH —
+        # must hit the same refusal, not slip past the one-level
+        # lookahead into an args-reversed swap
+        ("SELECT arraySort((x) -> -x, a) FROM t", "STABLE"),
+        ("SELECT arrayReverseSort((x) -> -x, a) FROM t", "STABLE"),
         ("SELECT arrayFill(x -> x > 0, a) FROM t", "carry-forward"),
         ("SELECT arrayCount(a) FROM t", "rewrite"),
         ("SELECT extractAll(s, p) FROM t", "rewrite"),
