@@ -594,6 +594,44 @@ _REFUSALS: list[tuple[re.Pattern[str], str]] = [
         "scalar WITH has no Spark spelling — inline the constant or "
         "use a CTE subquery (WITH c AS (SELECT 5 AS v))",
     ),
+    # ---- r16 wave 4 refusals ----
+    # intExp10 returns UInt64 in CH — 10^19 exceeds BIGINT's signed
+    # max, so no width-true Spark integer target exists (the
+    # toUInt*Or* precedent); CAST(pow(10, x) AS BIGINT) is exact only
+    # for 0 <= x <= 15 and the caller must choose that trade
+    (
+        re.compile(r"\bintExp10\s*\(", re.I),
+        "intExp10 returns UInt64 (up to 10^19 — past BIGINT's signed "
+        "max) — spell CAST(pow(10, x) AS BIGINT) where 0 <= x <= 15 "
+        "is known, or compute at DOUBLE with pow(10, x)",
+    ),
+    # intExp2 lowers to shiftleft(1L, x) below, exact for 0 <= x <= 62;
+    # x = 63 flips sign (UInt64 2^63 has no signed home) and Spark's
+    # shift is mod-64 where CH errors. A LITERAL argument outside the
+    # domain is textually detectable — refuse it here (the hex/bin
+    # float-literal precedent); column arguments are the caller's
+    # responsibility, documented in MIGRATION.md
+    (
+        re.compile(
+            r"\bintExp2\s*\(\s*(?:-|0*(?:6[3-9]|[7-9]\d|[1-9]\d{2,})\s*\))",
+            re.I,
+        ),
+        "intExp2 with a literal argument outside [0, 62] — 2^63 "
+        "exceeds BIGINT's signed max and Spark's shiftleft wraps the "
+        "shift count mod 64 where ClickHouse errors; compute at DOUBLE "
+        "with pow(2, x)",
+    ),
+    # mapApply's lambda returns a CH TUPLE (k2, v2) — Spark's
+    # map-lambda surface is transform_keys/transform_values (one side
+    # at a time) and a textual rewrite cannot split the tuple body;
+    # the map sorts have no Spark equivalent at all (maps are unordered)
+    (
+        re.compile(r"\bmap(Apply|Sort|ReverseSort|PartialSort)\s*\(", re.I),
+        "mapApply/mapSort* — Spark maps are unordered and its lambda "
+        "surface is one-sided: spell key/value rewrites with "
+        "transform_keys / transform_values, and sorts on map_entries "
+        "as an array",
+    ),
     # (multi-array ARRAY JOIN — the positional zip form — is TRANSLATED
     # since r10 by _rewrite_array_join_zip: one zip_with struct + one
     # inline, never two cross-producting LATERAL VIEWs; unparseable
@@ -1045,6 +1083,209 @@ def _range_repl(m: "re.Match[str]", raw: str) -> str:
 
 
 _REWRITES: list[tuple[re.Pattern[str], str]] = [
+    # ---- r16 wave 4 (placed FIRST in the table: the argument-capturing
+    # entries here hold a one-paren-level _ARG budget, so they must run
+    # before EVERY arg-expanding entry — divide()'s CASE, emptyArrayT()'s
+    # typed CAST, toInt*'s CAST — or isNaN(divide(a, b)) and
+    # LinfNorm(emptyArrayFloat64()) falsely refuse; the same ordering rule
+    # as _rewrite_least_greatest vs datetime_diff. Their replacements emit
+    # only Spark-native text no later entry matches) ----
+    # ---- r16 wave 4: comparison / LIKE function spellings ----
+    # CH spells every comparison as a named function returning UInt8;
+    # the operator forms already pass through as Spark booleans, so
+    # the function spellings lower to the SAME parenthesized operators
+    # — one consistent boolean surface (UInt8 -> BOOLEAN documented in
+    # MIGRATION.md; sum(equals(..)) fails loudly exactly like sum(a=b)
+    # does today — wrap in countIf/if as CH users already must for
+    # typed aggregation). like()/ilike() need no entry: Spark resolves
+    # both function spellings natively with identical %/_/backslash
+    # semantics (measured).
+    (
+        re.compile(rf"\bnotEquals\s*\(\s*{_ARG}\s*,\s*{_ARG}\s*\)", re.I),
+        r"(\1 != \2)",
+    ),
+    (
+        re.compile(rf"\bequals\s*\(\s*{_ARG}\s*,\s*{_ARG}\s*\)", re.I),
+        r"(\1 = \2)",
+    ),
+    (
+        re.compile(rf"\blessOrEquals\s*\(\s*{_ARG}\s*,\s*{_ARG}\s*\)", re.I),
+        r"(\1 <= \2)",
+    ),
+    (
+        re.compile(
+            rf"\bgreaterOrEquals\s*\(\s*{_ARG}\s*,\s*{_ARG}\s*\)", re.I
+        ),
+        r"(\1 >= \2)",
+    ),
+    (
+        re.compile(rf"\bless\s*\(\s*{_ARG}\s*,\s*{_ARG}\s*\)", re.I),
+        r"(\1 < \2)",
+    ),
+    (
+        re.compile(rf"\bgreater\s*\(\s*{_ARG}\s*,\s*{_ARG}\s*\)", re.I),
+        r"(\1 > \2)",
+    ),
+    (
+        re.compile(rf"\bnotLike\s*\(\s*{_ARG}\s*,\s*{_ARG}\s*\)", re.I),
+        r"(\1 NOT LIKE \2)",
+    ),
+    (
+        re.compile(rf"\bnotILike\s*\(\s*{_ARG}\s*,\s*{_ARG}\s*\)", re.I),
+        r"(NOT ilike(\1, \2))",
+    ),
+    # ---- r16 wave 4: rounding / exponentials ----
+    # roundBankers IS Spark's bround (IEEE half-even, any arity)
+    (re.compile(r"\broundBankers\s*\(", re.I), "bround("),
+    # exp2/exp10 compute at Float64 in CH; pow is the same
+    # correctly-rounded libm double for the integer exponents these
+    # are used with (bare renames — nested args need no budget)
+    (re.compile(r"\bexp2\s*\(", re.I), "pow(2, "),
+    (re.compile(r"\bexp10\s*\(", re.I), "pow(10, "),
+    # intExp2 -> shiftleft(1L, x): exact on [0, 62]; 2^63 has no
+    # signed-BIGINT home (UInt64 width surface, the emptyArrayUInt64
+    # class) and Spark wraps the shift mod 64 where CH errors —
+    # literal out-of-domain arguments refuse in _REFUSALS, column
+    # arguments are documented in MIGRATION.md
+    (re.compile(r"\bintExp2\s*\(", re.I), "shiftleft(1L, "),
+    # ---- r16 wave 4: float classification ----
+    # isNaN rides Spark's NaN-EQUALITY (NaN = NaN is TRUE in Spark,
+    # unlike IEEE): single evaluation, NULL propagates (CH Nullable
+    # rule — Spark's bare isnan(NULL) returns false, the silent
+    # divergence this entry closes)
+    (
+        re.compile(rf"\bisNaN\s*\(\s*{_ARG}\s*\)", re.I),
+        r"((\1) = CAST('NaN' AS DOUBLE))",
+    ),
+    # abs(x) < inf: finite -> true, ±inf -> false, NaN -> false
+    # (Spark's NaN comparisons return false except =/>=-against-NaN),
+    # NULL -> NULL — single evaluation, no CASE needed
+    (
+        re.compile(rf"\bisFinite\s*\(\s*{_ARG}\s*\)", re.I),
+        r"(abs(\1) < CAST('Infinity' AS DOUBLE))",
+    ),
+    (
+        re.compile(rf"\bisInfinite\s*\(\s*{_ARG}\s*\)", re.I),
+        r"(abs(\1) = CAST('Infinity' AS DOUBLE))",
+    ),
+    # x if finite else y; NULL x -> NULL (CH Nullable propagation —
+    # stated assumption, MIGRATION.md). x evaluates up to three times
+    # — row-local, the least/greatest caveat class
+    (
+        re.compile(rf"\bifNotFinite\s*\(\s*{_ARG}\s*,\s*{_ARG}\s*\)", re.I),
+        r"(CASE WHEN (\1) IS NULL THEN NULL"
+        r" WHEN abs(\1) < CAST('Infinity' AS DOUBLE) THEN (\1)"
+        r" ELSE (\2) END)",
+    ),
+    # ---- r16 wave 4: vector norms / distances (the LLM-pipeline
+    # surface: embeddings live in array columns here) ----
+    # All accumulate at DOUBLE via a `* 1.0D` widening factor — CH
+    # accumulates wide too (UInt64/Float64); integer inputs would
+    # otherwise overflow INT multiplication under ANSI (the session
+    # default) and the value surface is documented in MIGRATION.md
+    # (exact for |values| < 2^53). Empty arrays give 0 like CH; a NULL
+    # ELEMENT makes the whole result NULL in every member (the Linf
+    # fold spells max arithmetically — 0.5*(a+|x|+|a-|x||) — because
+    # greatest() SKIPS NULLs and would silently diverge from the
+    # sum-based members). UNEQUAL-length distance args yield NULL
+    # (zip_with pads) where CH raises — loud-to-NULL, documented.
+    (
+        re.compile(rf"\bL1Norm\s*\(\s*{_ARG}\s*\)", re.I),
+        r"aggregate(\1, 0D, (cdr_vn_a, cdr_vn_x) ->"
+        r" cdr_vn_a + abs(cdr_vn_x * 1.0D))",
+    ),
+    (
+        re.compile(rf"\bL2Norm\s*\(\s*{_ARG}\s*\)", re.I),
+        r"sqrt(aggregate(\1, 0D, (cdr_vn_a, cdr_vn_x) ->"
+        r" cdr_vn_a + cdr_vn_x * 1.0D * cdr_vn_x))",
+    ),
+    (
+        re.compile(rf"\bL2SquaredNorm\s*\(\s*{_ARG}\s*\)", re.I),
+        r"aggregate(\1, 0D, (cdr_vn_a, cdr_vn_x) ->"
+        r" cdr_vn_a + cdr_vn_x * 1.0D * cdr_vn_x)",
+    ),
+    (
+        re.compile(rf"\bLinfNorm\s*\(\s*{_ARG}\s*\)", re.I),
+        r"aggregate(\1, 0D, (cdr_vn_a, cdr_vn_x) -> 0.5D * (cdr_vn_a"
+        r" + abs(cdr_vn_x * 1.0D) + abs(cdr_vn_a - abs(cdr_vn_x * 1.0D))))",
+    ),
+    (
+        re.compile(rf"\bL1Distance\s*\(\s*{_ARG}\s*,\s*{_ARG}\s*\)", re.I),
+        r"aggregate(zip_with(\1, \2, (cdr_vd_x, cdr_vd_y) ->"
+        r" abs(cdr_vd_x * 1.0D - cdr_vd_y)), 0D,"
+        r" (cdr_vd_a, cdr_vd_v) -> cdr_vd_a + cdr_vd_v)",
+    ),
+    (
+        re.compile(
+            rf"\bL2SquaredDistance\s*\(\s*{_ARG}\s*,\s*{_ARG}\s*\)", re.I
+        ),
+        r"aggregate(zip_with(\1, \2, (cdr_vd_x, cdr_vd_y) ->"
+        r" (cdr_vd_x * 1.0D - cdr_vd_y) * (cdr_vd_x * 1.0D - cdr_vd_y)),"
+        r" 0D, (cdr_vd_a, cdr_vd_v) -> cdr_vd_a + cdr_vd_v)",
+    ),
+    (
+        re.compile(rf"\bL2Distance\s*\(\s*{_ARG}\s*,\s*{_ARG}\s*\)", re.I),
+        r"sqrt(aggregate(zip_with(\1, \2, (cdr_vd_x, cdr_vd_y) ->"
+        r" (cdr_vd_x * 1.0D - cdr_vd_y) * (cdr_vd_x * 1.0D - cdr_vd_y)),"
+        r" 0D, (cdr_vd_a, cdr_vd_v) -> cdr_vd_a + cdr_vd_v))",
+    ),
+    (
+        re.compile(rf"\bLinfDistance\s*\(\s*{_ARG}\s*,\s*{_ARG}\s*\)", re.I),
+        r"aggregate(zip_with(\1, \2, (cdr_vd_x, cdr_vd_y) ->"
+        r" abs(cdr_vd_x * 1.0D - cdr_vd_y)), 0D,"
+        r" (cdr_vd_a, cdr_vd_v) -> 0.5D * (cdr_vd_a + cdr_vd_v"
+        r" + abs(cdr_vd_a - cdr_vd_v)))",
+    ),
+    (
+        re.compile(
+            rf"\b(?:arrayDotProduct|dotProduct)\s*\(\s*{_ARG}\s*,\s*{_ARG}"
+            r"\s*\)",
+            re.I,
+        ),
+        r"aggregate(zip_with(\1, \2, (cdr_vd_x, cdr_vd_y) ->"
+        r" cdr_vd_x * 1.0D * cdr_vd_y), 0D,"
+        r" (cdr_vd_a, cdr_vd_v) -> cdr_vd_a + cdr_vd_v)",
+    ),
+    # cosineDistance = 1 - dot/(|a|*|b|): the zero-norm divisor rides
+    # the divide() idiom (dot is then 0, and 0 * inf = nan — exactly
+    # CH's nan) so ANSI never raises. Each array is referenced three
+    # times — row-local; cost note: an expensive array EXPRESSION
+    # computes three times (columns are free)
+    (
+        re.compile(rf"\bcosineDistance\s*\(\s*{_ARG}\s*,\s*{_ARG}\s*\)", re.I),
+        r"(1.0D - CASE WHEN sqrt(aggregate(\1, 0D, (cdr_vd_a, cdr_vd_x)"
+        r" -> cdr_vd_a + cdr_vd_x * 1.0D * cdr_vd_x))"
+        r" * sqrt(aggregate(\2, 0D, (cdr_vd_a, cdr_vd_x) ->"
+        r" cdr_vd_a + cdr_vd_x * 1.0D * cdr_vd_x)) = 0.0D"
+        r" THEN aggregate(zip_with(\1, \2, (cdr_vd_x, cdr_vd_y) ->"
+        r" cdr_vd_x * 1.0D * cdr_vd_y), 0D, (cdr_vd_a, cdr_vd_v) ->"
+        r" cdr_vd_a + cdr_vd_v) * CAST('Infinity' AS DOUBLE)"
+        r" ELSE aggregate(zip_with(\1, \2, (cdr_vd_x, cdr_vd_y) ->"
+        r" cdr_vd_x * 1.0D * cdr_vd_y), 0D, (cdr_vd_a, cdr_vd_v) ->"
+        r" cdr_vd_a + cdr_vd_v)"
+        r" / nullif(sqrt(aggregate(\1, 0D, (cdr_vd_a, cdr_vd_x) ->"
+        r" cdr_vd_a + cdr_vd_x * 1.0D * cdr_vd_x))"
+        r" * sqrt(aggregate(\2, 0D, (cdr_vd_a, cdr_vd_x) ->"
+        r" cdr_vd_a + cdr_vd_x * 1.0D * cdr_vd_x)), 0.0D) END)",
+    ),
+    # ---- r16 wave 4: map lambda swaps ----
+    # CH spells (lambda, map); Spark spells (map, lambda) — the
+    # arrayCount swap precedent. mapExists/mapAll ride cardinality of
+    # the same filter (mapAll references the map twice — row-local;
+    # empty maps: exists -> false, all -> true, both matching CH's
+    # vacuous results)
+    (
+        re.compile(rf"\bmapFilter\s*\(\s*{_ARG}\s*,\s*{_ARG}\s*\)", re.I),
+        r"map_filter(\2, \1)",
+    ),
+    (
+        re.compile(rf"\bmapExists\s*\(\s*{_ARG}\s*,\s*{_ARG}\s*\)", re.I),
+        r"(cardinality(map_filter(\2, \1)) > 0)",
+    ),
+    (
+        re.compile(rf"\bmapAll\s*\(\s*{_ARG}\s*,\s*{_ARG}\s*\)", re.I),
+        r"(cardinality(map_filter(\2, \1)) = cardinality(\2))",
+    ),
     # argless count() is ClickHouse-legal; Spark wants count(*)
     (re.compile(r"\bcount\s*\(\s*\)", re.I), "count(*)"),
     # ---- type conversions ----
@@ -2063,6 +2304,16 @@ _RESIDUALS = re.compile(
     # (the 3-arg date_add/date_sub forms can't be listed — the 2-arg
     # spelling is valid Spark — but these names are CH-only)
     r"|(add|subtract)(Second|Minute|Hour|Day|Week|Month|Quarter|Year)s"
+    # r16 wave 4: past-_ARG / wrong-arity survivors of the comparison,
+    # float-classification, vector, and map-lambda waves (roundBankers/
+    # exp2/exp10/intExp2 are bare renames with no survivor shape; the
+    # emitted Spark text — map_filter, pow, shiftleft, bround,
+    # aggregate/zip_with folds — triggers none of these names)
+    r"|equals|notEquals|lessOrEquals|greaterOrEquals|less|greater"
+    r"|notI?Like|isNaN|isFinite|isInfinite|ifNotFinite"
+    r"|L1Norm|L2Norm|L2SquaredNorm|LinfNorm"
+    r"|L1Distance|L2Distance|L2SquaredDistance|LinfDistance"
+    r"|(array)?dotProduct|cosineDistance|mapFilter|mapExists|mapAll"
     r"|JSONExtract\w+|quantiles?\w*|median\w*|topK\w*)\s*\(",
     re.I,
 )
@@ -7253,3 +7504,138 @@ def ch_dialect_funcs_wave3(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrayDifference/arrayIntersect/fromUnixTimestamp/toStartOfInterval
     semantics per MIGRATION.md's r15 wave-3 rows."""
     return ch_sql(spark, sf_dir, _CH_FUNCS3_QUERY)
+
+# r16 wave 4 end-to-end: the comparison/LIKE function spellings, the
+# bankers'-rounding and integer-exponential names, the float
+# classification family (whose isNaN/isFinite lowerings must propagate
+# NULL like CH's Nullable rule — Spark's bare isnan(NULL) is false),
+# the vector norm/distance family over array columns (CH's LLM-era
+# surface; every member accumulates at DOUBLE and is NULL-element
+# sticky, including the arithmetic-max Linf fold), and the map lambda
+# swaps — every name here was an opaque unresolved-function error (or,
+# for isNaN's NULL edge, a silent divergence) before this wave
+_CH_FUNCS4_QUERY = """
+    SELECT hiq,
+           toUInt32(count()) AS n,
+           toUInt32(countIf(nlk)) AS nlk_n,
+           toUInt32(countIf(nilk)) AS nilk_n,
+           sum(rb) AS rb_sum,
+           toUInt32(sum(ie2)) AS ie2_sum,
+           sum(e10) AS e10_sum,
+           toUInt32(countIf(nan0)) AS nan_n,
+           toUInt32(countIf(fin)) AS fin_n,
+           toUInt32(countIf(inf1)) AS inf_n,
+           sum(ifn1) AS ifn1_sum,
+           sum(ifn2) AS ifn2_sum,
+           sum(l2n) AS l2n_sum,
+           sum(l1d) AS l1d_sum,
+           sum(dp) AS dp_sum,
+           sum(cosd) AS cos_sum,
+           toUInt32(sum(mfk)) AS mfk_sum,
+           toUInt32(countIf(mex)) AS mex_n,
+           toUInt32(countIf(mall)) AS mall_n
+    FROM (
+      SELECT hiq, nlk, nilk, rb, ie2, e10, nan0, fin, inf1, ifn1, ifn2,
+             l2n, l1d, dp, cosd, mex, mall,
+             arrayUniq(mapKeys(mf)) AS mfk
+      FROM (
+        SELECT hiq, nlk, nilk, rb, ie2, e10, nan0, fin, inf1, ifn1,
+               ifn2,
+               L2Norm([ax, ay]) AS l2n,
+               L1Distance([q, ln], [1, 1]) AS l1d,
+               dotProduct([q, ln], [2, 3]) AS dp,
+               cosineDistance([q, 0], [0, ln]) AS cosd,
+               mapFilter((k, v) -> greaterOrEquals(v, 25), m0) AS mf,
+               mapExists((k, v) -> greaterOrEquals(v, 25), m0) AS mex,
+               mapAll((k, v) -> greater(v, 0), m0) AS mall
+        FROM (
+          SELECT l_quantity AS q, l_linenumber AS ln,
+                 greaterOrEquals(l_quantity, 25) AS hiq,
+                 notLike(l_returnflag, 'R%') AS nlk,
+                 notILike(l_linestatus, 'f%') AS nilk,
+                 roundBankers(l_quantity / 2) AS rb,
+                 intExp2(l_linenumber) AS ie2,
+                 exp10(l_linenumber % 2) AS e10,
+                 isNaN(divide(l_tax, l_tax)) AS nan0,
+                 isFinite(divide(l_quantity, l_tax)) AS fin,
+                 isInfinite(divide(l_quantity, l_tax)) AS inf1,
+                 ifNotFinite(divide(l_quantity, 0), 0 - l_linenumber)
+                     AS ifn1,
+                 ifNotFinite(l_quantity, 0 - 1) AS ifn2,
+                 multiply(3, l_quantity) AS ax,
+                 multiply(4, l_quantity) AS ay,
+                 map('q', l_quantity, 'l', l_linenumber) AS m0
+          FROM lineitem
+        )
+      )
+    )
+    GROUP BY hiq
+    ORDER BY hiq
+"""
+
+_CH_FUNCS4_ORACLE = """
+    SELECT (l_quantity >= 25) AS hiq,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN l_returnflag NOT LIKE 'R%' THEN 1 ELSE 0
+                    END) AS BIGINT) AS nlk_n,
+           CAST(sum(CASE WHEN NOT (l_linestatus ILIKE 'f%') THEN 1
+                    ELSE 0 END) AS BIGINT) AS nilk_n,
+           sum(CASE WHEN CAST(l_quantity AS BIGINT) % 2 = 0
+                    THEN l_quantity / 2
+                    WHEN CAST((l_quantity - 1) / 2 AS BIGINT) % 2 = 0
+                    THEN (l_quantity - 1) / 2
+                    ELSE (l_quantity + 1) / 2 END) AS rb_sum,
+           CAST(sum(1 << l_linenumber) AS BIGINT) AS ie2_sum,
+           sum(CASE WHEN l_linenumber % 2 = 1 THEN CAST(10 AS DOUBLE)
+                    ELSE CAST(1 AS DOUBLE) END) AS e10_sum,
+           CAST(sum(CASE WHEN l_tax = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS nan_n,
+           CAST(sum(CASE WHEN l_tax > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS fin_n,
+           CAST(sum(CASE WHEN l_tax = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS inf_n,
+           sum(CAST(-l_linenumber AS DOUBLE)) AS ifn1_sum,
+           sum(l_quantity) AS ifn2_sum,
+           sum(5 * l_quantity) AS l2n_sum,
+           sum((l_quantity - 1) + (l_linenumber - 1)) AS l1d_sum,
+           sum(2 * l_quantity + 3 * l_linenumber) AS dp_sum,
+           sum(CAST(1 AS DOUBLE)) AS cos_sum,
+           CAST(sum(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END)
+               AS BIGINT) AS mfk_sum,
+           CAST(sum(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END)
+               AS BIGINT) AS mex_n,
+           CAST(count(*) AS BIGINT) AS mall_n
+    FROM lineitem
+    GROUP BY 1
+    ORDER BY hiq
+"""
+
+
+@query("ch_dialect_funcs_wave4", _CH_FUNCS4_ORACLE)
+def ch_dialect_funcs_wave4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r16 wave 4 end-to-end over one grouped lineitem scan, each
+    construct checked against an INDEPENDENT DuckDB derivation: the
+    grouping key and the map lambdas run CH's comparison FUNCTION
+    spellings (``greaterOrEquals``/``greater`` vs native operators in
+    the oracle); ``notLike``/``notILike`` vs NOT LIKE / NOT ILIKE;
+    ``roundBankers(q / 2)`` over exact binary halves vs an explicit
+    parity CASE deriving half-even by hand; ``intExp2(n)`` (lowered to
+    ``shiftleft(1L, n)``) vs DuckDB's native ``1 << n``; ``exp10`` vs
+    a value CASE; the float-classification family over ``divide()``'s
+    IEEE zero-divisor values (``isNaN(0/0)``, ``isFinite``/
+    ``isInfinite`` of ``q/tax`` — infinite exactly when tax = 0 — and
+    both ``ifNotFinite`` arms) vs tax-sign CASEs; the vector family
+    over 3-4-5 triangles (``L2Norm([3q, 4q])`` = 5q EXACTLY — 25q^2 is
+    an exact double and sqrt of a perfect square is correctly rounded),
+    ``L1Distance``/``dotProduct`` vs their algebraic expansions, and
+    orthogonal-vector ``cosineDistance`` = 1.0 exactly; ``mapFilter``'s
+    output cardinality via ``arrayUniq(mapKeys(...))`` plus
+    ``mapExists``/``mapAll`` vs membership CASEs.
+
+    Scale: row-local expressions in whole-stage codegen, one grouped
+    exchange, no UDFs.
+
+    Reference parity: ClickHouse comparison-function / roundBankers /
+    intExp / float-classification / vector-distance / map-lambda
+    semantics per MIGRATION.md's r16 wave-4 rows."""
+    return ch_sql(spark, sf_dir, _CH_FUNCS4_QUERY)

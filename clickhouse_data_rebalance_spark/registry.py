@@ -576,6 +576,11 @@ DRIVER_ORDER: list[str] = [
 # rounds, then the round-2 flagship operators, then the long tail of
 # per-function suite variants.
 DRIVER_ORDER_TIER2: list[str] = [
+    # r16 translation-wave demo — the end-to-end external proof of the
+    # wave-4 comparison/float-classification/vector-distance/map-lambda
+    # lowerings (VERDICT r15 #4); leads the r17 rotation by the same
+    # precedent as the r14/r15 wave demos
+    "ch_dialect_funcs_wave4",
     # rotated out of the 50-row cover in r16 (2+ green driver rounds
     # each; merge mapping in the DRIVER_ORDER §r16 comment +
     # COVERAGE.md §r16) — next in line for driver rows

@@ -5173,3 +5173,115 @@ def test_ch_dialect_wave3c_date_arithmetic(spark):
         translate("SELECT addDays(f(g(ts)), 3) FROM t")
     lit = "SELECT x FROM t WHERE s = 'addDays(ts, 3) date_add(day, 1, ts)'"
     assert translate(lit) == lit
+
+
+def test_ch_dialect_wave4_funcs(spark):
+    """r16 wave 4: comparison/LIKE function spellings, roundBankers,
+    exp2/exp10/intExp2, the float-classification family (isNaN rides
+    Spark's NaN-equality so NULL propagates — bare isnan(NULL) is
+    false, the silent divergence the lowering closes), the vector
+    norm/distance family (DOUBLE accumulation, empty -> 0, NULL
+    element -> NULL in EVERY member including the arithmetic-max Linf
+    fold), and the map lambda swaps."""
+    import math
+
+    import pytest as _pytest
+
+    from clickhouse_data_rebalance_spark.plans.ch_dialect import (
+        UnsupportedClickHouseSQL,
+        translate,
+    )
+
+    def one(ch):
+        return spark.sql(translate(ch)).collect()[0][0]
+
+    # comparison spellings -> operator booleans
+    assert one("SELECT equals(2, 2)") is True
+    assert one("SELECT notEquals(2, 3)") is True
+    assert one("SELECT less(2, 3)") is True
+    assert one("SELECT greater(2, 3)") is False
+    assert one("SELECT lessOrEquals(3, 3)") is True
+    assert one("SELECT greaterOrEquals(2, 3)") is False
+    assert one("SELECT notLike('abc', 'a%')") is False
+    assert one("SELECT notILike('ABC', 'a%')") is False
+    # like/ilike pass through as Spark's own function spellings
+    assert one("SELECT like('abc', 'a%')") is True
+    assert one("SELECT ilike('ABC', 'a%')") is True
+    # roundBankers = half-even
+    assert float(one("SELECT roundBankers(2.5)")) == 2.0
+    assert float(one("SELECT roundBankers(3.5)")) == 4.0
+    assert float(one("SELECT roundBankers(2.675, 2)")) == 2.68
+    # exponentials
+    assert one("SELECT exp2(10)") == 1024.0
+    assert one("SELECT exp10(3)") == 1000.0
+    assert one("SELECT intExp2(12)") == 4096
+    assert one("SELECT intExp2(62)") == 2 ** 62
+    # float classification: NULL propagation is the contract
+    assert one("SELECT isNaN(divide(0.0, 0))") is True
+    assert one("SELECT isNaN(1.5)") is False
+    assert one("SELECT isNaN(CAST(NULL AS DOUBLE))") is None
+    assert one("SELECT isFinite(1.5)") is True
+    assert one("SELECT isFinite(divide(1.0, 0))") is False
+    assert one("SELECT isFinite(divide(0.0, 0))") is False
+    assert one("SELECT isFinite(CAST(NULL AS DOUBLE))") is None
+    assert one("SELECT isInfinite(divide(1.0, 0))") is True
+    assert one("SELECT isInfinite(divide(0.0, 0))") is False
+    assert one("SELECT isInfinite(1.5)") is False
+    assert one("SELECT isInfinite(CAST(NULL AS DOUBLE))") is None
+    assert one("SELECT ifNotFinite(divide(0.0, 0), -1.0)") == -1.0
+    assert one("SELECT ifNotFinite(2.5, -1.0)") == 2.5
+    assert one("SELECT ifNotFinite(CAST(NULL AS DOUBLE), -1.0)") is None
+    # vector norms/distances (CH computes these on array columns; the
+    # 0.0/0 spelling above is CH divide()'s IEEE semantics, lowered)
+    assert one("SELECT L1Norm([1, -2, 3])") == 6.0
+    assert one("SELECT L2Norm([3, 4])") == 5.0
+    assert one("SELECT L2SquaredNorm([3, 4])") == 25.0
+    assert one("SELECT LinfNorm([1.0, -5.0, 2.0])") == 5.0
+    assert one("SELECT LinfNorm(emptyArrayFloat64())") == 0.0
+    assert one("SELECT L1Distance([1, 2], [3, 4])") == 4.0
+    assert one("SELECT L2Distance([1, 2], [4, 6])") == 5.0
+    assert one("SELECT L2SquaredDistance([1, 2], [4, 6])") == 25.0
+    assert one("SELECT LinfDistance([1, 2], [4, 10])") == 8.0
+    assert one("SELECT dotProduct([1, 2], [3, 4])") == 11.0
+    assert one("SELECT arrayDotProduct([1, 2], [3, 4])") == 11.0
+    assert one("SELECT cosineDistance([1, 0], [0, 1])") == 1.0
+    assert abs(one("SELECT cosineDistance([1, 2], [2, 4])")) < 1e-12
+    # zero vector -> nan (CH's 0/0), never an ANSI divide error
+    assert math.isnan(one("SELECT cosineDistance([0, 0], [3, 4])"))
+    # NULL element is NULL-sticky in every member (greatest() would
+    # have skipped it in the Linf fold — the arithmetic max doesn't)
+    assert one("SELECT L1Norm([1, NULL])") is None
+    assert one("SELECT LinfNorm([1, NULL])") is None
+    # integer inputs accumulate at DOUBLE — no ANSI overflow
+    assert one("SELECT L2SquaredNorm([50000, 50000])") == 5.0e9
+    # map lambda swaps
+    assert one(
+        "SELECT mapFilter((k, v) -> v > 1, map('a', 1, 'b', 2))"
+    ) == {"b": 2}
+    assert one(
+        "SELECT mapExists((k, v) -> v > 1, map('a', 1, 'b', 2))"
+    ) is True
+    assert one(
+        "SELECT mapAll((k, v) -> v > 0, map('a', 1, 'b', 2))"
+    ) is True
+    assert one("SELECT mapAll((k, v) -> v > 0, map())") is True
+    assert one("SELECT mapExists((k, v) -> v > 0, map())") is False
+    # refusals: pointered, never silent
+    for bad, msg in (
+        ("SELECT intExp10(x) FROM t", "UInt64"),
+        ("SELECT intExp2(63) FROM t", "mod 64"),
+        ("SELECT intExp2(-1) FROM t", "mod 64"),
+        ("SELECT intExp2(100) FROM t", "mod 64"),
+        ("SELECT mapApply((k, v) -> (k, v), m) FROM t", "transform_keys"),
+        ("SELECT mapSort(m) FROM t", "transform_keys"),
+        ("SELECT equals(f(g(h(a))), b) FROM t", "rewrite"),
+        ("SELECT L2Distance(f(g(h(a))), b) FROM t", "rewrite"),
+        ("SELECT cosineDistance(f(g(h(a))), b) FROM t", "rewrite"),
+        ("SELECT mapFilter(f(g(h(m)))) FROM t", "rewrite"),
+        ("SELECT isNaN(f(g(h(x)))) FROM t", "rewrite"),
+    ):
+        with _pytest.raises(UnsupportedClickHouseSQL, match=msg):
+            translate(bad)
+    # names inside literals stay data
+    lit = "SELECT x FROM t WHERE s = 'equals(a, b) L2Norm(v) isNaN(x)'"
+    assert translate(lit) == lit
