@@ -310,6 +310,7 @@ _REFUSALS: list[tuple[re.Pattern[str], str]] = [
         re.compile(
             r"\b((city|sip|farm|xx|int|metro)Hash\d+|halfMD5"
             r"|murmurHash[23]_\d+|javaHash(UTF16LE)?|farmFingerprint64"
+            r"|hiveHash|wyHash64|xxh3|kostikConsistentHash"
             r")\s*\(",
             re.I,
         ),
@@ -396,7 +397,11 @@ _REFUSALS: list[tuple[re.Pattern[str], str]] = [
     # widen (arrayCompact carries no typing hazard and TRANSLATES since
     # r13 — consecutive dedup via an index-lambda filter, entry below)
     (
-        re.compile(r"\b(arrayReduce|arraySum|arrayAvg|arrayCumSum)\s*\(", re.I),
+        re.compile(
+            r"\b(arrayReduce|array(Sum|Avg|CumSum\w*)"
+            r"|(sum|avg|min|max|count|uniq\w*|groupArray)Array)\s*\(",
+            re.I,
+        ),
         "use an aggregate()/filter() lambda (C29 array_lambda_funcs)",
     ),
     # bit shifts/rotates: Java (and therefore Spark) masks the shift
@@ -450,7 +455,9 @@ _REFUSALS: list[tuple[re.Pattern[str], str]] = [
             r"\b(domain|domainWithoutWWW|topLevelDomain|protocol|path"
             r"|pathFull|queryString|fragment|netloc"
             r"|extractURLParameter(Names|s)?|cutQueryString\w*"
-            r"|cutFragment|cutWWW|decodeURLComponent)\s*\(",
+            r"|cutFragment|cutWWW|decodeURLComponent|encodeURLComponent"
+            r"|port|(cutTo)?[fF]irstSignificantSubdomain\w*"
+            r"|URL(Path)?Hierarchy|cutURLParameter)\s*\(",
             re.I,
         ),
         "ClickHouse's URL parser accepts scheme-less/lenient URLs where "
@@ -519,7 +526,9 @@ _REFUSALS: list[tuple[re.Pattern[str], str]] = [
     ),
     (
         re.compile(
-            r"\b(greatCircle(Distance|Angle)|geoDistance|pointInPolygon)\s*\(",
+            r"\b(greatCircle(Distance|Angle)|geoDistance|pointInPolygon"
+            r"|geohash(Encode|Decode|esInBox)|h3\w+|s2\w+"
+            r"|polygon\w+|wkt\w*|readWKT\w+)\s*\(",
             re.I,
         ),
         "use the native geo_distance operator (haversine spelled in "
@@ -631,6 +640,234 @@ _REFUSALS: list[tuple[re.Pattern[str], str]] = [
         "surface is one-sided: spell key/value rewrites with "
         "transform_keys / transform_values, and sorts on map_entries "
         "as an array",
+    ),
+    # ---- r16 wave 5 refusals (names surfaced by the namespace walk
+    # test: each would otherwise reach Spark as an OPAQUE
+    # unresolved-function error, or worse, resolve to different
+    # semantics) ----
+    (
+        re.compile(r"\b(gcd|lcm)\s*\(", re.I),
+        "no Spark builtin — compute in an Arrow-batched pandas UDF or "
+        "spell Euclid's reduction explicitly",
+    ),
+    (
+        re.compile(r"\breinterpretAs\w+\s*\(", re.I),
+        "byte reinterpretation is width/endianness-defined — use "
+        "explicit CAST/unhex/encode spellings for the bytes you mean",
+    ),
+    (
+        re.compile(r"\btoTime\s*\(", re.I),
+        "ClickHouse toTime rebases to 1970-01-02 — extract the clock "
+        "parts (hour/minute/second) or date_format(x, 'HH:mm:ss')",
+    ),
+    (
+        re.compile(r"\bto(Year)?Week\s*\(", re.I),
+        "toWeek's mode parameter selects among 10 week-numbering "
+        "conventions — toISOWeek translates (ISO); spell others with "
+        "date_format/extract",
+    ),
+    (
+        re.compile(r"\b(to|from)(Modified)?JulianDay\w*\s*\(", re.I),
+        "no Spark Julian-day builtin — datediff against DATE'1858-11-17' "
+        "spells the modified form",
+    ),
+    (
+        re.compile(r"\btoRelative\w+Num\s*\(", re.I),
+        "epoch-origin and timezone conventions are engine-defined — "
+        "spell with datediff/unix_timestamp against an explicit origin",
+    ),
+    (
+        re.compile(r"\bextractTextFromHTML\s*\(", re.I),
+        "no Spark HTML parser — use an Arrow-batched pandas UDF",
+    ),
+    (
+        re.compile(r"\bfirstLine\s*\(", re.I),
+        "CH splits on \\n, \\r and \\r\\n — substring_index(x, '\\n', 1) "
+        "covers LF-only text; spell the CRLF form explicitly",
+    ),
+    (
+        re.compile(r"\b(ngrams|tokens)\s*\(", re.I),
+        "use the corpus tokenizer operators (operators/llm_text.py: "
+        "token_count / ngram machinery) or split + transform lambdas",
+    ),
+    (
+        re.compile(r"\bhasToken\w*\s*\(", re.I),
+        "token-boundary search — spell as rlike with explicit "
+        "non-alphanumeric boundary classes around the literal token",
+    ),
+    (
+        re.compile(r"\bhasSubstr\s*\(", re.I),
+        "consecutive-subsequence test has no Spark builtin — use an "
+        "aggregate() scan or the exists/filter lambdas",
+    ),
+    (
+        re.compile(r"\barrayResize\s*\(", re.I),
+        "the pad element's default is TYPE-dependent (unknowable "
+        "textually) — spell slice(...) + concat(..., array_repeat(pad, "
+        "n)) with an explicit pad",
+    ),
+    (
+        re.compile(r"\barray(PartialSort|(Reverse)?Split)\s*\(", re.I),
+        "partial sorts and lambda splits have no Spark array builtin — "
+        "sort/split rows instead (explode + window), or a pandas UDF",
+    ),
+    (
+        re.compile(r"\barrayEnumerate(Dense|Uniq)\w*\s*\(", re.I),
+        "per-value occurrence numbering — explode and use ROW_NUMBER "
+        "over (value) windows, or dense_rank for the Dense form",
+    ),
+    (
+        re.compile(r"\barrayAUC\s*\(", re.I),
+        "use the native analytics operators over exploded rows (window "
+        "rank + aggregation spells AUC exactly)",
+    ),
+    (
+        re.compile(r"\barray(Rotate|Shift)(Left|Right)\s*\(", re.I),
+        "spell with slice + concat (rotate: concat(slice(a, n+1, N), "
+        "slice(a, 1, n)); shifts need an explicit pad element)",
+    ),
+    (
+        re.compile(r"\bmapPopulateSeries\s*\(", re.I),
+        "series densification — use sequence() + transform into "
+        "map_from_arrays, or the time_gap_fill operator for rows",
+    ),
+    (
+        re.compile(r"\bmap(Update|Concat)\s*\(", re.I),
+        "Spark's map_concat duplicate-key behavior follows the session "
+        "conf spark.sql.mapKeyDedupPolicy (EXCEPTION by default, "
+        "LAST_WIN to mimic mapUpdate) — set it explicitly and use "
+        "map_concat directly",
+    ),
+    (
+        re.compile(r"\bJSON(Has|Length|Type)\s*\(", re.I),
+        "use get_json_object(x, '$.path') IS NOT NULL (json-null rows "
+        "differ: CH counts a null VALUE as present), "
+        "json_object_keys/json_array_length (both translated from "
+        "JSONExtractKeys/JSONArrayLength), or schema_of_json",
+    ),
+    (
+        re.compile(r"\bJSON_(VALUE|QUERY|EXISTS)\s*\(", re.I),
+        "CH's SQL/JSON forms return ''/wrapped-array/1 where Spark's "
+        "nearest (get_json_object) returns NULL/bare/boolean — use "
+        "get_json_object(x, path) and spell the empty/wrap handling",
+    ),
+    (
+        re.compile(r"\b(simpleJSON|visitParam)\w+\s*\(", re.I),
+        "simpleJSON*/visitParam* scan for the FIRST key occurrence at "
+        "ANY nesting depth (sloppy-scan semantics) — the JSONExtract* "
+        "lowerings parse properly; use those",
+    ),
+    (
+        re.compile(r"\bround(ToExp2|Duration|Age)\s*\(", re.I),
+        "legacy fixed-bucket helpers — spell the documented bucket "
+        "edges as an explicit CASE (or width_bucket for uniform grids)",
+    ),
+    (
+        re.compile(r"\b(erfc?|[lt]gamma)\s*\(", re.I),
+        "no Spark builtin — use an Arrow-batched pandas UDF "
+        "(scipy.special) or a polynomial approximation in SQL",
+    ),
+    (
+        re.compile(r"\bunbin\s*\(", re.I),
+        "no Spark binary-string decoder — conv(x, 2, 10) yields the "
+        "integer; unhex the hex form for bytes",
+    ),
+    (
+        re.compile(r"\bbitmaskTo(List|Array)\s*\(", re.I),
+        "spell with filter(sequence(0, 62), b -> (x >> b) & 1 = 1) and "
+        "shiftleft for the powers",
+    ),
+    (
+        re.compile(r"\b(toIPv[46]\w*|isIPv6String|IPv4ToIPv6|cutIPv6"
+                   r"|MACNumToString|MACStringTo\w+)\s*\(", re.I),
+        "typed IPv4/IPv6/MAC domains have no Spark twin — "
+        "IPv4NumToString/IPv4StringToNum/isIPv4String translate; keep "
+        "addresses as STRING/BIGINT otherwise",
+    ),
+    (
+        # (generateUUIDv4 TRANSLATES to uuid() — the rewrite below;
+        # refusals run first, so it must stay out of this alternation)
+        re.compile(r"\b(toUUID\w*|UUID(StringToNum|NumToString)"
+                   r"|generateUUIDv[0-35-9]|serverUUID)\s*\(", re.I),
+        "Spark has uuid() for generation only — keep UUIDs as STRING "
+        "(toString/CAST both ways is the identity there)",
+    ),
+    (
+        re.compile(r"\bbit(HammingDistance|Slice)\s*\(", re.I),
+        "width-dependent bit views (the bitCount sign-extension class) "
+        "— bound the domain and spell with ^ and bit_count, or "
+        "substr on hex(x) for slices",
+    ),
+    (
+        re.compile(
+            r"\b(hostName|visibleWidth|blockSize|ignore|sleep(EachRow)?"
+            r"|uptime|rowNumberIn\w+|bar|getSetting|byteSize|indexHint"
+            r"|countDigits|parseTimeDelta|untuple"
+            r"|(finalize|initialize)Aggregation)\s*\(",
+            re.I,
+        ),
+        "server/block introspection has no Spark analog — these "
+        "describe ClickHouse execution state, not data; drop them or "
+        "read the Spark UI/metrics instead",
+    ),
+    (
+        re.compile(
+            r"\b(deltaSum(Timestamp)?|exponentialMovingAverage"
+            r"|groupArray(InsertAt|Sample|Moving(Avg|Sum)))\s*\(",
+            re.I,
+        ),
+        "ORDER-dependent aggregates — Spark aggregation is unordered; "
+        "use window functions over an explicit ORDER BY (the "
+        "delta_sum_running / stream_ema_state operators)",
+    ),
+    (
+        re.compile(r"\b(groupBitmap\w*|bitmap\w+)\s*\(", re.I),
+        "roaring-bitmap states are engine-internal — use the sketch "
+        "state operators (uniq_state_merge / theta_set_ops) or exact "
+        "count(DISTINCT ...)",
+    ),
+    (
+        re.compile(r"\brankCorr\s*\(", re.I),
+        "Spearman = Pearson over ranks: corr(rank() OVER (ORDER BY x), "
+        "rank() OVER (ORDER BY y)) spells it exactly",
+    ),
+    (
+        re.compile(r"\b(kurt|skew)Samp\s*\(", re.I),
+        "Spark's builtins are the POPULATION moments (kurtPop/skewPop "
+        "translate) — spell the sample corrections explicitly",
+    ),
+    (
+        re.compile(r"\bsumWithOverflow\s*\(", re.I),
+        "deliberate wraparound vs ANSI overflow errors — CAST to "
+        "BIGINT and accept the error, or mask into the wrap width",
+    ),
+    (
+        re.compile(
+            r"\b(uniq\w*|topK\w*|quantile\w*|avg|sum|count|min|max|any"
+            r"|groupArray)(State|Merge)\s*\(",
+            re.I,
+        ),
+        "-State/-Merge combinators are engine-internal sketch states — "
+        "use the mergeable sketch operators (uniq_state_merge, "
+        "topk_state_merge, agg_state_merge)",
+    ),
+    (
+        re.compile(r"\breplaceRegexpOne\s*\(", re.I),
+        "Java's regexp_replace replaces ALL matches — no "
+        "first-match-only Spark spelling (replaceRegexpAll translates; "
+        "replaceOne translates for plain substrings)",
+    ),
+    (
+        re.compile(r"\btoTypeName\s*\(", re.I),
+        "type NAMES differ between engines ('Int64' vs 'bigint') — "
+        "Spark typeof(x) reports the Spark name; comparisons against "
+        "ClickHouse type strings would silently never match",
+    ),
+    (
+        re.compile(r"\bformat\s*\(", re.I),
+        "ClickHouse format uses {}-placeholders; Spark format_string "
+        "is printf-style — rewrite the template (format_string('%s', "
+        "...)) or use concat",
     ),
     # (multi-array ARRAY JOIN — the positional zip form — is TRANSLATED
     # since r10 by _rewrite_array_join_zip: one zip_with struct + one
@@ -1082,6 +1319,74 @@ def _range_repl(m: "re.Match[str]", raw: str) -> str:
     )
 
 
+
+# r16 wave 5: accurateCast's contract is the RANGE-CHECKED cast — under
+# ANSI (the session default) Spark CAST errors on overflow exactly like
+# accurateCast, and try_cast is the OrNull twin. Only types whose Spark
+# target enforces the SAME domain translate; UInt*/Decimal refuse (a
+# BIGINT cast would admit negatives CH rejects — the toUIntOrNull
+# width-surface precedent applies to the unchecked toUInt* forms only).
+_ACCURATE_CAST_TYPES = {
+    "int8": "TINYINT",
+    "int16": "SMALLINT",
+    "int32": "INT",
+    "int64": "BIGINT",
+    "float32": "FLOAT",
+    "float64": "DOUBLE",
+    "string": "STRING",
+    "date": "DATE",
+    "date32": "DATE",
+    "datetime": "TIMESTAMP",
+    "bool": "BOOLEAN",
+}
+
+
+def _accurate_cast_repl(m: "re.Match[str]", raw: str) -> str:
+    or_null = bool(m.group(1))
+    expr = raw[slice(*m.span(2))].strip()
+    ch_type = raw[slice(*m.span(3))].strip()
+    target = _ACCURATE_CAST_TYPES.get(ch_type.lower())
+    if target is None:
+        raise UnsupportedClickHouseSQL(
+            f"accurateCast to {ch_type!r} — only types with a same-domain "
+            "Spark target translate (Int8/16/32/64, Float32/64, String, "
+            "Date, DateTime, Bool); UInt widths would admit negatives "
+            "ClickHouse rejects"
+        )
+    fn = "try_cast" if or_null else "CAST"
+    return f"{fn}(({expr}) AS {target})"
+
+
+# CH toIntervalX(n) -> Spark's interval constructors: day-and-finer
+# units build a DayTimeInterval (make_dt_interval), month-and-coarser a
+# YearMonthInterval (make_interval) — the same split CH's own interval
+# arithmetic honors (calendar vs fixed-width units, the dateDiff class)
+_TO_INTERVAL_FORMS = {
+    "second": "make_dt_interval(0, 0, 0, {0})",
+    "minute": "make_dt_interval(0, 0, {0})",
+    "hour": "make_dt_interval(0, {0})",
+    "day": "make_dt_interval({0})",
+    "week": "make_dt_interval(({0}) * 7)",
+    "month": "make_interval(0, {0})",
+    "quarter": "make_interval(0, ({0}) * 3)",
+    "year": "make_interval({0})",
+}
+
+
+def _to_interval_repl(m: "re.Match[str]", raw: str) -> str:
+    unit = m.group(1).lower()
+    expr = raw[slice(*m.span(2))].strip()
+    return _TO_INTERVAL_FORMS[unit].format(expr)
+
+
+
+def _refuse_empty_needle(m: "re.Match[str]", raw: str) -> str:
+    raise UnsupportedClickHouseSQL(
+        "replaceOne with an empty needle — engine-defined; concat the "
+        "prefix explicitly if insertion is intended"
+    )
+
+
 _REWRITES: list[tuple[re.Pattern[str], str]] = [
     # ---- r16 wave 4 (placed FIRST in the table: the argument-capturing
     # entries here hold a one-paren-level _ARG budget, so they must run
@@ -1285,6 +1590,243 @@ _REWRITES: list[tuple[re.Pattern[str], str]] = [
     (
         re.compile(rf"\bmapAll\s*\(\s*{_ARG}\s*,\s*{_ARG}\s*\)", re.I),
         r"(cardinality(map_filter(\2, \1)) = cardinality(\2))",
+    ),
+    # ---- r16 wave 5 (same head placement and budget rationale as wave
+    # 4; names surfaced by the namespace walk test — each was an opaque
+    # unresolved-function error before this wave) ----
+    # negate is the unary-minus spelling
+    (re.compile(rf"\bnegate\s*\(\s*{_ARG}\s*\)", re.I), r"(-(\1))"),
+    # zero-divisor variants: CH returns 0 where bare intDiv/modulo
+    # error; NULL divisor rides the ELSE to NULL (CH Nullable rule)
+    (
+        re.compile(rf"\bintDivOrZero\s*\(\s*{_ARG}\s*,\s*{_ARG}\s*\)", re.I),
+        r"(CASE WHEN (\2) = 0 THEN 0 ELSE (\1) div (\2) END)",
+    ),
+    (
+        re.compile(rf"\bmoduloOrZero\s*\(\s*{_ARG}\s*,\s*{_ARG}\s*\)", re.I),
+        r"(CASE WHEN (\2) = 0 THEN 0 ELSE mod((\1), (\2)) END)",
+    ),
+    # max2/min2 return Float64 and propagate NULL; Spark's greatest/
+    # least SKIP NULLs, so the guard spells CH's rule (args twice,
+    # row-local — the least/greatest caveat class)
+    (
+        re.compile(rf"\bmax2\s*\(\s*{_ARG}\s*,\s*{_ARG}\s*\)", re.I),
+        r"(CASE WHEN (\1) IS NULL OR (\2) IS NULL THEN NULL"
+        r" ELSE CAST(greatest((\1), (\2)) AS DOUBLE) END)",
+    ),
+    (
+        re.compile(rf"\bmin2\s*\(\s*{_ARG}\s*,\s*{_ARG}\s*\)", re.I),
+        r"(CASE WHEN (\1) IS NULL OR (\2) IS NULL THEN NULL"
+        r" ELSE CAST(least((\1), (\2)) AS DOUBLE) END)",
+    ),
+    # type-surface identities: the VALUE is unchanged
+    (re.compile(rf"\btoNullable\s*\(\s*{_ARG}\s*\)", re.I), r"(\1)"),
+    (re.compile(rf"\bmaterialize\s*\(\s*{_ARG}\s*\)", re.I), r"(\1)"),
+    (re.compile(rf"\bidentity\s*\(\s*{_ARG}\s*\)", re.I), r"(\1)"),
+    (
+        re.compile(rf"\bisZeroOrNull\s*\(\s*{_ARG}\s*\)", re.I),
+        r"((\1) IS NULL OR (\1) = 0)",
+    ),
+    # date/time constructors and projections
+    (
+        re.compile(
+            rf"\bmakeDate\s*\(\s*{_ARG}\s*,\s*{_ARG}\s*,\s*{_ARG}\s*\)", re.I
+        ),
+        r"make_date(\1, \2, \3)",
+    ),
+    (
+        re.compile(
+            rf"\bmakeDateTime\s*\(\s*{_ARG}\s*,\s*{_ARG}\s*,\s*{_ARG}\s*,"
+            rf"\s*{_ARG}\s*,\s*{_ARG}\s*,\s*{_ARG}\s*\)",
+            re.I,
+        ),
+        r"make_timestamp(\1, \2, \3, \4, \5, \6)",
+    ),
+    (
+        re.compile(rf"\btoYYYYMMDDhhmmss\s*\(\s*{_ARG}\s*\)", re.I),
+        r"CAST(date_format(\1, 'yyyyMMddHHmmss') AS BIGINT)",
+    ),
+    (
+        re.compile(rf"\btoISOYear\s*\(\s*{_ARG}\s*\)", re.I),
+        r"extract(YEAROFWEEK FROM \1)",
+    ),
+    (re.compile(r"\btoLastDayOfMonth\s*\(", re.I), "last_day("),
+    (re.compile(r"\btimeZone\s*\(\s*\)", re.I), "current_timezone()"),
+    (re.compile(r"\bcurrentDatabase\s*\(\s*\)", re.I), "current_database()"),
+    (re.compile(r"\bcurrentUser\s*\(\s*\)", re.I), "current_user()"),
+    # random distributions (both engines: per-row nondeterministic).
+    # Emits Spark's random() ALIAS, not rand(): this block precedes the
+    # CH bare-rand entry, whose UInt32 scaling would re-match an
+    # emitted rand() (the randCanonical ordering note, inverted)
+    (
+        re.compile(rf"\brandUniform\s*\(\s*{_ARG}\s*,\s*{_ARG}\s*\)", re.I),
+        r"(random() * ((\2) - (\1)) + (\1))",
+    ),
+    (
+        re.compile(rf"\brandNormal\s*\(\s*{_ARG}\s*,\s*{_ARG}\s*\)", re.I),
+        r"(randn() * (\2) + (\1))",
+    ),
+    # math renames / adjustments
+    (re.compile(r"\bsgn\s*\(", re.I), "sign("),
+    (re.compile(r"\bwidthBucket\s*\(", re.I), "width_bucket("),
+    # Spark's kurtosis is EXCESS kurtosis (m4/m2^2 - 3, measured class);
+    # CH kurtPop is the raw ratio — shift back. skewPop formulas agree.
+    (
+        re.compile(rf"\bkurtPop\s*\(\s*{_ARG}\s*\)", re.I),
+        r"(kurtosis(\1) + 3)",
+    ),
+    (re.compile(r"\bskewPop\s*\(", re.I), "skewness("),
+    # sumKahan: Spark's sum is the uncompensated double sum — same
+    # value up to float summation error (documented accuracy surface)
+    (re.compile(r"\bsumKahan\s*\(", re.I), "sum("),
+    (re.compile(r"\buniqCombined64\s*\(", re.I), "approx_count_distinct("),
+    (
+        re.compile(rf"\bsumCount\s*\(\s*{_ARG}\s*\)", re.I),
+        r"named_struct('sum', sum(\1), 'count', count(\1))",
+    ),
+    # CH fits y = kx + b from (x, y); Spark's regr_* take (y, x)
+    (
+        re.compile(
+            rf"\bsimpleLinearRegression\s*\(\s*{_ARG}\s*,\s*{_ARG}\s*\)", re.I
+        ),
+        r"named_struct('k', regr_slope(\2, \1), 'b', regr_intercept(\2, \1))",
+    ),
+    # throwIf: assert_true throws when its condition is FALSE, so wrap
+    # the negation; the ifnull pins CH's 0 return on the pass path
+    (
+        re.compile(rf"\bthrowIf\s*\(\s*{_ARG}\s*,\s*{_ARG}\s*\)", re.I),
+        r"ifnull(assert_true(NOT (\1), \2), 0)",
+    ),
+    (
+        re.compile(rf"\bthrowIf\s*\(\s*{_ARG}\s*\)", re.I),
+        r"ifnull(assert_true(NOT (\1)), 0)",
+    ),
+    # arrays
+    (re.compile(r"\barrayShuffle\s*\(", re.I), "shuffle("),
+    (
+        re.compile(rf"\barrayProduct\s*\(\s*{_ARG}\s*\)", re.I),
+        r"aggregate(\1, 1.0D, (cdr_ap_a, cdr_ap_x) ->"
+        r" cdr_ap_a * cdr_ap_x)",
+    ),
+    # CH spells (length, elem); Spark spells (elem, count INT)
+    (
+        re.compile(
+            rf"\barrayWithConstant\s*\(\s*{_ARG}\s*,\s*{_ARG}\s*\)", re.I
+        ),
+        r"array_repeat((\2), CAST((\1) AS INT))",
+    ),
+    (
+        re.compile(
+            rf"\bappendTrailingCharIfAbsent\s*\(\s*{_ARG}\s*,\s*{_ARG}\s*\)",
+            re.I,
+        ),
+        r"(CASE WHEN endswith((\1), (\2)) THEN (\1)"
+        r" ELSE concat((\1), (\2)) END)",
+    ),
+    # replaceOne with a LITERAL empty needle refuses BEFORE the rewrite
+    # below: Spark's instr(s, '') is 1 (the lowering would insert at
+    # the start) while CH's empty-pattern behavior is engine-defined —
+    # the countSubstrings empty-needle precedent
+    (
+        re.compile(rf"\breplaceOne\s*\(\s*{_ARG}\s*,\s*''\s*,", re.I),
+        _refuse_empty_needle,
+    ),
+    # first-occurrence replace: instr/substr CASE — encoding-agnostic
+    # as an operation (the RESULT of replacing the first occurrence is
+    # the same whether positions are counted in bytes or chars); the
+    # haystack evaluates four times, row-local
+    (
+        re.compile(
+            rf"\breplaceOne\s*\(\s*{_ARG}\s*,\s*{_ARG}\s*,\s*{_ARG}\s*\)",
+            re.I,
+        ),
+        r"(CASE WHEN instr((\1), (\2)) > 0 THEN"
+        r" concat(substr((\1), 1, instr((\1), (\2)) - 1), (\3),"
+        r" substr((\1), instr((\1), (\2)) + length((\2))))"
+        r" ELSE (\1) END)",
+    ),
+    # Lp family: literal-or-column p, DOUBLE folds (the wave-4 vector
+    # conventions: empty -> 0^ (1/p) = 0, NULL element -> NULL)
+    (
+        re.compile(rf"\bLpNorm\s*\(\s*{_ARG}\s*,\s*{_ARG}\s*\)", re.I),
+        r"pow(aggregate(\1, 0D, (cdr_vn_a, cdr_vn_x) ->"
+        r" cdr_vn_a + pow(abs(cdr_vn_x * 1.0D), \2)), 1.0D / (\2))",
+    ),
+    (
+        re.compile(
+            rf"\bLpDistance\s*\(\s*{_ARG}\s*,\s*{_ARG}\s*,\s*{_ARG}\s*\)",
+            re.I,
+        ),
+        r"pow(aggregate(zip_with(\1, \2, (cdr_vd_x, cdr_vd_y) ->"
+        r" pow(abs(cdr_vd_x * 1.0D - cdr_vd_y), \3)), 0D,"
+        r" (cdr_vd_a, cdr_vd_v) -> cdr_vd_a + cdr_vd_v), 1.0D / (\3))",
+    ),
+    # unit-scaled copies: the norm fold references the array again
+    # (array EXPRESSION computes twice, row-local; columns are free);
+    # zero vectors give 0/0 = NaN elements, CH's result
+    (
+        re.compile(rf"\bnormalizeL1\s*\(\s*{_ARG}\s*\)", re.I),
+        r"transform(\1, cdr_nv_x -> cdr_nv_x * 1.0D /"
+        r" aggregate(\1, 0D, (cdr_nv_a, cdr_nv_y) ->"
+        r" cdr_nv_a + abs(cdr_nv_y * 1.0D)))",
+    ),
+    (
+        re.compile(rf"\bnormalizeL2\s*\(\s*{_ARG}\s*\)", re.I),
+        r"transform(\1, cdr_nv_x -> cdr_nv_x * 1.0D /"
+        r" sqrt(aggregate(\1, 0D, (cdr_nv_a, cdr_nv_y) ->"
+        r" cdr_nv_a + cdr_nv_y * 1.0D * cdr_nv_y)))",
+    ),
+    # maps
+    (
+        re.compile(
+            rf"\bmapContainsKeyLike\s*\(\s*{_ARG}\s*,\s*{_ARG}\s*\)", re.I
+        ),
+        r"exists(map_keys(\1), cdr_mkl_k -> cdr_mkl_k LIKE (\2))",
+    ),
+    (
+        re.compile(
+            rf"\bmapExtractKeyLike\s*\(\s*{_ARG}\s*,\s*{_ARG}\s*\)", re.I
+        ),
+        r"map_filter(\1, (cdr_mkl_k, cdr_mkl_v) -> cdr_mkl_k LIKE (\2))",
+    ),
+    # mapAdd/mapSubtract (map form): key-union zip summing values; a
+    # `* 1L` factor reproduces CH's Int64 promotion (the
+    # arrayDifference precedent); missing keys count as 0
+    (
+        re.compile(rf"\bmapAdd\s*\(\s*{_ARG}\s*,\s*{_ARG}\s*\)", re.I),
+        r"map_zip_with(\1, \2, (cdr_mz_k, cdr_mz_a, cdr_mz_b) ->"
+        r" coalesce(cdr_mz_a, 0) * 1L + coalesce(cdr_mz_b, 0) * 1L)",
+    ),
+    (
+        re.compile(rf"\bmapSubtract\s*\(\s*{_ARG}\s*,\s*{_ARG}\s*\)", re.I),
+        r"map_zip_with(\1, \2, (cdr_mz_k, cdr_mz_a, cdr_mz_b) ->"
+        r" coalesce(cdr_mz_a, 0) * 1L - coalesce(cdr_mz_b, 0) * 1L)",
+    ),
+    # semi-structured renames
+    (re.compile(r"\btoJSONString\s*\(", re.I), "to_json("),
+    (re.compile(r"\bJSONExtractKeys\s*\(", re.I), "json_object_keys("),
+    (re.compile(r"\bJSONArrayLength\s*\(", re.I), "json_array_length("),
+    # anonymous tuples -> structs (field-name surface: Spark names the
+    # fields col1/col2..., CH names them 1/2... — positional access
+    # refuses at tupleElement with the named-struct pointer)
+    (re.compile(r"\btuple\s*\(", re.I), "struct("),
+    # accurateCast / accurateCastOrNull with a literal type name (the
+    # callable maps CH type names and refuses domain-mismatched ones)
+    (
+        re.compile(
+            rf"\baccurateCast(OrNull)?\s*\(\s*{_ARG}\s*,\s*'([^']*)'"
+            r"\s*\)",
+            re.I,
+        ),
+        _accurate_cast_repl,
+    ),
+    (
+        re.compile(
+            rf"\btoInterval(Second|Minute|Hour|Day|Week|Month|Quarter|Year)"
+            rf"\s*\(\s*{_ARG}\s*\)",
+            re.I,
+        ),
+        _to_interval_repl,
     ),
     # argless count() is ClickHouse-legal; Spark wants count(*)
     (re.compile(r"\bcount\s*\(\s*\)", re.I), "count(*)"),
@@ -1827,6 +2369,14 @@ _REWRITES: list[tuple[re.Pattern[str], str]] = [
     # default); week/month/quarter/year intervals refuse (origin
     # and calendar-walk conventions diverge — use toStartOfWeek /
     # toStartOfMonth / date_trunc).
+    # timeSlot rounds DOWN to the half-hour — the same epoch-bucket
+    # form (and UTC/fixed-offset timezone precondition) as the
+    # toStartOf*Minutes family below
+    (
+        re.compile(rf"\btimeSlot\s*\(\s*{_ARG}\s*\)", re.I),
+        r"timestamp_seconds(CAST(floor(unix_timestamp(\1) / 1800)"
+        r" * 1800 AS BIGINT))",
+    ),
     (
         re.compile(rf"\btoStartOfFiveMinutes\s*\(\s*{_ARG}\s*\)", re.I),
         r"timestamp_seconds(CAST(floor(unix_timestamp(\1) / 300) * 300"
@@ -2314,6 +2864,16 @@ _RESIDUALS = re.compile(
     r"|L1Norm|L2Norm|L2SquaredNorm|LinfNorm"
     r"|L1Distance|L2Distance|L2SquaredDistance|LinfDistance"
     r"|(array)?dotProduct|cosineDistance|mapFilter|mapExists|mapAll"
+    # r16 wave 5 survivors (past-_ARG / wrong-arity forms of the
+    # wave-5 rewrites; the emitted Spark text triggers none of these)
+    r"|negate|intDivOrZero|moduloOrZero|max2|min2|toNullable"
+    r"|materialize|identity|isZeroOrNull|makeDate(Time)?"
+    r"|toYYYYMMDDhhmmss|toISOYear|randUniform|randNormal|kurtPop"
+    r"|sumCount|simpleLinearRegression|throwIf|arrayProduct"
+    r"|arrayWithConstant|appendTrailingCharIfAbsent|replaceOne"
+    r"|Lp(Norm|Distance)|normalizeL[12]|mapContainsKeyLike"
+    r"|mapExtractKeyLike|mapAdd|mapSubtract|accurateCast(OrNull)?"
+    r"|toInterval\w+|countMatches|regexpExtract|timeSlot"
     r"|JSONExtract\w+|quantiles?\w*|median\w*|topK\w*)\s*\(",
     re.I,
 )
@@ -3121,6 +3681,19 @@ _DATEDIFF = re.compile(
     re.I,
 )
 _EXTRACT_RX = re.compile(rf"\bextract\s*\(\s*{_ARG}\s*,\s*'([^']*)'\s*\)", re.I)
+# r16 wave 5: countMatches counts non-overlapping matches of the WHOLE
+# pattern (group index 0 always), and regexpExtract is Spark's
+# regexp_extract under a CH camelCase name — both share extract()'s
+# pattern-dialect guards (_extract_group_index refuses the
+# backslash/class/(?...) arms where the same literal denotes different
+# regexes in the two engines)
+_COUNT_MATCHES_RX = re.compile(
+    rf"\bcountMatches\s*\(\s*{_ARG}\s*,\s*'([^']*)'\s*\)", re.I
+)
+_REGEXP_EXTRACT_RX = re.compile(
+    rf"\bregexpExtract\s*\(\s*{_ARG}\s*,\s*'([^']*)'\s*,\s*(\d+)\s*\)",
+    re.I,
+)
 _EXTRACT_ALL_RX = re.compile(
     rf"\bextractAll\s*\(\s*{_ARG}\s*,\s*'([^']*)'\s*\)", re.I
 )
@@ -3280,6 +3853,21 @@ def _rewrite_datetime_diff(sql: str) -> str:
         )
 
     out = _sub_outside_literals(_DATEDIFF, dd_repl, sql)
+    def count_matches_repl(m: "re.Match[str]", raw: str) -> str:
+        hay = raw[slice(*m.span(1))].strip()
+        pat = raw[slice(*m.span(2))]
+        _extract_group_index(pat)  # dialect guards only; count uses 0
+        return f"size(regexp_extract_all({hay}, '{pat}', 0))"
+
+    def regexp_extract_repl(m: "re.Match[str]", raw: str) -> str:
+        hay = raw[slice(*m.span(1))].strip()
+        pat = raw[slice(*m.span(2))]
+        idx = m.group(3)
+        _extract_group_index(pat)  # dialect guards; CH passes idx through
+        return f"regexp_extract({hay}, '{pat}', {idx})"
+
+    out = _sub_outside_literals(_COUNT_MATCHES_RX, count_matches_repl, out)
+    out = _sub_outside_literals(_REGEXP_EXTRACT_RX, regexp_extract_repl, out)
     out = _sub_outside_literals(_EXTRACT_ALL_RX, extract_all_repl, out)
     out = _sub_outside_literals(_EXTRACT_RX, extract_repl, out)
     masked = _mask_literals(out)
@@ -7639,3 +8227,155 @@ def ch_dialect_funcs_wave4(spark: SparkSession, sf_dir: str) -> DataFrame:
     intExp / float-classification / vector-distance / map-lambda
     semantics per MIGRATION.md's r16 wave-4 rows."""
     return ch_sql(spark, sf_dir, _CH_FUNCS4_QUERY)
+
+# r16 wave 5 end-to-end: zero-divisor arithmetic variants, NULL-guarded
+# binary max/min, the date constructors/projections (ISO year, month
+# end, half-hour slots, interval arithmetic), map merge, normalized
+# vectors, Lp folds, range-checked casts, the guarded regex pair, and
+# throwIf's pass path — every name was an opaque unresolved-function
+# error before this wave (namespace-walk telemetry)
+_CH_FUNCS5_QUERY = """
+    SELECT zt,
+           toUInt32(count()) AS n,
+           toUInt32(sum(idz)) AS idz_sum,
+           toUInt32(sum(mdz)) AS mdz_sum,
+           sum(mx) AS mx_sum,
+           sum(mn) AS mn_sum,
+           toUInt32(sum(neg)) AS neg_sum,
+           toUInt32(min(ymdh)) AS ymdh_min,
+           toUInt32(min(isoy)) AS isoy_min,
+           max(eom) AS eom_max,
+           min(slot) AS slot_min,
+           max(sd10) AS sd10_max,
+           sum(ap) AS ap_sum,
+           toUInt32(sum(awc1)) AS awc_sum,
+           toUInt32(countIf(rpox)) AS rpo_n,
+           toUInt32(sum(cm)) AS cm_sum,
+           toUInt32(countIf(rex9)) AS rex_n,
+           toUInt32(countIf(tpeq)) AS tp_n,
+           toUInt32(sum(ac)) AS ac_sum,
+           toUInt32(countIf(acnn)) AS acn_n,
+           sum(maq) AS maq_sum,
+           toUInt32(countIf(nl2eq)) AS nl2_n,
+           sum(lp1) AS lp1_sum,
+           toUInt32(sum(thr)) AS thr_sum,
+           toUInt32(countIf(rnd0)) AS rnd_n
+    FROM (
+      SELECT zt, idz, mdz, mx, mn, neg, ymdh, isoy, eom, slot, sd10,
+             ap, cm, ac, thr,
+             equals(rpo, 'X') AS rpox,
+             equals(rex, '9') AS rex9,
+             equals(tp, tpl) AS tpeq,
+             isNull(acn) AS acnn,
+             equals(arrayElement(nl2, 1), 0.6) AS nl2eq,
+             greaterOrEquals(rnd, 0) AS rnd0,
+             arrayElement(awc, 1) AS awc1,
+             arrayElement(ma, 'q') AS maq,
+             LpNorm([q, ln], 1) AS lp1
+      FROM (
+        SELECT l_quantity AS q, l_linenumber AS ln,
+               isZeroOrNull(l_tax) AS zt,
+               intDivOrZero(l_orderkey, l_linenumber - 1) AS idz,
+               moduloOrZero(l_orderkey, l_linenumber - 1) AS mdz,
+               max2(l_quantity, 30) AS mx,
+               min2(l_quantity, 30) AS mn,
+               negate(l_linenumber) AS neg,
+               toYYYYMMDDhhmmss(l_shipdate) AS ymdh,
+               toISOYear(l_shipdate) AS isoy,
+               toLastDayOfMonth(l_shipdate) AS eom,
+               timeSlot(l_shipdate) AS slot,
+               l_shipdate + toIntervalDay(10) AS sd10,
+               arrayProduct([l_linenumber, 2]) AS ap,
+               arrayWithConstant(l_linenumber, 7) AS awc,
+               replaceOne(l_linestatus, 'F', 'X') AS rpo,
+               countMatches(l_returnflag, '[A-Z]') AS cm,
+               regexpExtract(concat(l_returnflag, '9'),
+                             '([A-Z])([0-9])', 2) AS rex,
+               tuple(l_linenumber, l_returnflag) AS tp,
+               tuple(l_linenumber, l_returnflag) AS tpl,
+               accurateCast(l_quantity, 'Int32') AS ac,
+               accurateCastOrNull(l_linestatus, 'Int32') AS acn,
+               mapAdd(map('q', l_quantity), map('q', 1, 'x', 2)) AS ma,
+               normalizeL2([ax, ay]) AS nl2,
+               throwIf(greater(l_quantity, 1000), 'impossible') AS thr,
+               randUniform(0, 1) AS rnd
+        FROM (
+          SELECT *, multiply(3, l_quantity) AS ax,
+                 multiply(4, l_quantity) AS ay
+          FROM lineitem
+        )
+      )
+    )
+    GROUP BY zt
+    ORDER BY zt
+"""
+
+_CH_FUNCS5_ORACLE = """
+    SELECT (l_tax = 0) AS zt,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN l_linenumber = 1 THEN 0
+                         ELSE l_orderkey // (l_linenumber - 1) END)
+               AS BIGINT) AS idz_sum,
+           CAST(sum(CASE WHEN l_linenumber = 1 THEN 0
+                         ELSE l_orderkey % (l_linenumber - 1) END)
+               AS BIGINT) AS mdz_sum,
+           sum(greatest(l_quantity, CAST(30 AS DOUBLE))) AS mx_sum,
+           sum(least(l_quantity, CAST(30 AS DOUBLE))) AS mn_sum,
+           CAST(sum(-l_linenumber) AS BIGINT) AS neg_sum,
+           CAST(min(CAST(strftime(l_shipdate, '%Y%m%d%H%M%S')
+                         AS BIGINT)) AS BIGINT) AS ymdh_min,
+           CAST(min(isoyear(l_shipdate)) AS BIGINT) AS isoy_min,
+           max(last_day(CAST(l_shipdate AS DATE))) AS eom_max,
+           min(time_bucket(INTERVAL '30 minutes', l_shipdate))
+               AS slot_min,
+           max(l_shipdate + INTERVAL 10 DAY) AS sd10_max,
+           sum(CAST(2 * l_linenumber AS DOUBLE)) AS ap_sum,
+           CAST(sum(7) AS BIGINT) AS awc_sum,
+           CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END)
+               AS BIGINT) AS rpo_n,
+           CAST(count(*) AS BIGINT) AS cm_sum,
+           CAST(count(*) AS BIGINT) AS rex_n,
+           CAST(count(*) AS BIGINT) AS tp_n,
+           CAST(sum(CAST(l_quantity AS INT)) AS BIGINT) AS ac_sum,
+           CAST(count(*) AS BIGINT) AS acn_n,
+           sum(l_quantity + 1) AS maq_sum,
+           CAST(count(*) AS BIGINT) AS nl2_n,
+           sum(l_quantity + l_linenumber) AS lp1_sum,
+           CAST(sum(0) AS BIGINT) AS thr_sum,
+           CAST(count(*) AS BIGINT) AS rnd_n
+    FROM lineitem
+    GROUP BY 1
+    ORDER BY zt
+"""
+
+
+@query("ch_dialect_funcs_wave5", _CH_FUNCS5_ORACLE)
+def ch_dialect_funcs_wave5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r16 wave 5 end-to-end over one grouped lineitem scan, each
+    construct checked against an INDEPENDENT DuckDB derivation:
+    ``intDivOrZero``/``moduloOrZero`` exercise BOTH arms (line number 1
+    divides by zero -> 0) vs explicit guard CASEs; ``max2``/``min2`` vs
+    native greatest/least (no NULLs in the fixture, so the guard is
+    value-neutral); ``toYYYYMMDDhhmmss`` vs strftime; ``toISOYear`` vs
+    DuckDB's native isoyear; ``toLastDayOfMonth`` vs last_day;
+    ``timeSlot`` vs time_bucket(30 min); ``toIntervalDay`` arithmetic
+    vs native INTERVAL; ``arrayProduct``/``arrayWithConstant`` vs
+    algebra; ``replaceOne`` flips linestatus F -> X exactly where the
+    oracle's equality CASE counts; the guarded ``countMatches``/
+    ``regexpExtract`` count/extract against the single-letter flag
+    fixture; ``tuple`` equality; ``accurateCast`` sums the checked INT
+    cast and ``accurateCastOrNull`` NULLs every non-numeric linestatus;
+    ``mapAdd`` merges overlapping keys ('q' -> q + 1, summed);
+    ``normalizeL2`` of the 3-4-5 triangle gives exactly [0.6, 0.8]
+    (exact-integer quotient, correctly-rounded division); ``LpNorm``
+    at p = 1 is the exact L1 sum; ``throwIf``'s pass path returns 0
+    rows-wide; ``randUniform`` rides a tautological bound (live
+    nondeterminism, deterministic count).
+
+    Scale: row-local expressions in whole-stage codegen, one grouped
+    exchange, no UDFs.
+
+    Reference parity: ClickHouse arithmetic-variant / date-projection /
+    map-merge / vector / checked-cast semantics per MIGRATION.md's r16
+    wave-5 rows."""
+    return ch_sql(spark, sf_dir, _CH_FUNCS5_QUERY)

@@ -581,6 +581,7 @@ DRIVER_ORDER_TIER2: list[str] = [
     # lowerings (VERDICT r15 #4); leads the r17 rotation by the same
     # precedent as the r14/r15 wave demos
     "ch_dialect_funcs_wave4",
+    "ch_dialect_funcs_wave5",
     # rotated out of the 50-row cover in r16 (2+ green driver rounds
     # each; merge mapping in the DRIVER_ORDER §r16 comment +
     # COVERAGE.md §r16) — next in line for driver rows

@@ -1406,3 +1406,48 @@ def test_age_month_rule_stays_rowlocal(spark):
     assert "months_between" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("Exchange (") == 1, plan  # the groupBy only
+
+
+def test_funcs_wave4_demo_stays_narrow(spark):
+    """The r16 wave-4 lowerings (comparison operators, bround,
+    shiftleft, NaN-equality classification, the aggregate/zip_with
+    vector folds, map_filter forms) are all row-local expression work:
+    one grouped exchange + the presentation sort, no Python eval, no
+    join/window; the scan reads exactly the five referenced lineitem
+    columns."""
+    plan = plan_of(spark, "ch_dialect_funcs_wave4")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange (") == 2, plan
+    assert "HashAggregate" in plan or "SortAggregate" in plan
+    for wide in ("Join", "Window"):
+        assert wide not in plan, plan
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert len(read) == 1 and all(
+        c in read[0]
+        for c in (
+            "l_quantity", "l_linenumber", "l_tax", "l_returnflag",
+            "l_linestatus",
+        )
+    ) and "l_extendedprice" not in read[0], read
+
+
+def test_funcs_wave5_demo_stays_narrow(spark):
+    """The r16 wave-5 lowerings (zero-divisor CASEs, guarded max2/min2,
+    date projections, map_zip_with merge, normalized-vector transform,
+    Lp folds, checked casts, assert_true) stay row-local: one grouped
+    exchange + the presentation sort, no Python eval, no join/window;
+    the scan reads exactly the six referenced lineitem columns."""
+    plan = plan_of(spark, "ch_dialect_funcs_wave5")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange (") == 2, plan
+    assert "HashAggregate" in plan or "SortAggregate" in plan
+    for wide in ("Join", "Window"):
+        assert wide not in plan, plan
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert len(read) == 1 and all(
+        c in read[0]
+        for c in (
+            "l_orderkey", "l_quantity", "l_linenumber", "l_tax",
+            "l_returnflag", "l_linestatus", "l_shipdate",
+        )
+    ) and "l_extendedprice" not in read[0], read

@@ -5285,3 +5285,151 @@ def test_ch_dialect_wave4_funcs(spark):
     # names inside literals stay data
     lit = "SELECT x FROM t WHERE s = 'equals(a, b) L2Norm(v) isNaN(x)'"
     assert translate(lit) == lit
+
+
+def test_ch_dialect_wave5_funcs(spark):
+    """r16 wave 5: zero-divisor variants, NULL-guarded max2/min2,
+    type-surface identities, date constructors/projections + timeSlot,
+    random distributions, moment adjustments (Spark kurtosis is EXCESS
+    kurtosis — kurtPop shifts back), throwIf via assert_true, array and
+    map additions, accurateCast[OrNull] under ANSI, the toInterval
+    family, and the extract-guarded countMatches/regexpExtract."""
+    import pytest as _pytest
+
+    from clickhouse_data_rebalance_spark.plans.ch_dialect import (
+        UnsupportedClickHouseSQL,
+        translate,
+    )
+
+    def one(ch):
+        return spark.sql(translate(ch)).collect()[0][0]
+
+    assert one("SELECT negate(5)") == -5
+    assert one("SELECT intDivOrZero(7, 2)") == 3
+    assert one("SELECT intDivOrZero(7, 0)") == 0
+    assert one("SELECT moduloOrZero(7, 3)") == 1
+    assert one("SELECT moduloOrZero(7, 0)") == 0
+    assert one("SELECT max2(3, 9)") == 9.0
+    assert one("SELECT min2(3, 9)") == 3.0
+    assert one("SELECT max2(3, CAST(NULL AS INT))") is None
+    assert one("SELECT toNullable(7)") == 7
+    assert one("SELECT materialize(7)") == 7
+    assert one("SELECT identity(7)") == 7
+    assert one("SELECT isZeroOrNull(0)") is True
+    assert one("SELECT isZeroOrNull(CAST(NULL AS INT))") is True
+    assert one("SELECT isZeroOrNull(3)") is False
+    import datetime
+
+    assert one("SELECT makeDate(2024, 3, 5)") == datetime.date(2024, 3, 5)
+    assert one(
+        "SELECT makeDateTime(2024, 3, 5, 10, 30, 0)"
+    ) == datetime.datetime(2024, 3, 5, 10, 30, 0)
+    assert one(
+        "SELECT toYYYYMMDDhhmmss(TIMESTAMP'2024-03-05 10:30:09')"
+    ) == 20240305103009
+    assert one("SELECT toISOYear(DATE'2021-01-01')") == 2020
+    assert one("SELECT toLastDayOfMonth(DATE'2024-02-05')") == (
+        datetime.date(2024, 2, 29)
+    )
+    assert one(
+        "SELECT timeSlot(TIMESTAMP'2024-03-05 10:44:09')"
+    ) == datetime.datetime(2024, 3, 5, 10, 30, 0)
+    assert one("SELECT timeZone()") is not None
+    v = one("SELECT randUniform(5, 6)")
+    assert 5.0 <= v < 6.0
+    assert isinstance(one("SELECT randNormal(0, 1)"), float)
+    assert one("SELECT sgn(-3.5)") == -1.0
+    assert one("SELECT widthBucket(5.5, 0, 10, 5)") == 3
+    # kurtosis of a fair coin: m4/m2^2 = 1 (CH kurtPop); Spark's
+    # kurtosis returns -2 for it (excess) — the +3 shift is the test
+    assert abs(one(
+        "SELECT kurtPop(x) FROM VALUES (0.0), (1.0), (0.0), (1.0) AS v(x)"
+    ) - 1.0) < 1e-9
+    assert abs(one(
+        "SELECT skewPop(x) FROM VALUES (0.0), (0.0), (1.0) AS v(x)"
+        ) - 0.7071067811865476) < 1e-9
+    assert one("SELECT sumKahan(x) FROM VALUES (1.5), (2.5) AS v(x)") == 4.0
+    assert one("SELECT uniqCombined64(x) FROM VALUES (1), (2), (1) AS v(x)") == 2
+    r = one("SELECT sumCount(x) FROM VALUES (3), (4) AS v(x)")
+    assert (r["sum"], r["count"]) == (7, 2)
+    lr = one(
+        "SELECT simpleLinearRegression(x, y) FROM"
+        " VALUES (1.0, 3.0), (2.0, 5.0) AS v(x, y)"
+    )
+    assert abs(lr["k"] - 2.0) < 1e-9 and abs(lr["b"] - 1.0) < 1e-9
+    assert one("SELECT throwIf(1 > 2, 'nope')") == 0
+    with _pytest.raises(Exception, match="big"):
+        one("SELECT throwIf(3 > 2, 'too big')")
+    # arrays
+    assert sorted(one("SELECT arrayShuffle([1, 2, 3])")) == [1, 2, 3]
+    assert one("SELECT arrayProduct([2, 3, 4])") == 24.0
+    assert one("SELECT arrayWithConstant(3, 7)") == [7, 7, 7]
+    assert one("SELECT appendTrailingCharIfAbsent('ab', '/')") == "ab/"
+    assert one("SELECT appendTrailingCharIfAbsent('ab/', '/')") == "ab/"
+    assert one("SELECT replaceOne('aXbXc', 'X', '-')") == "a-bXc"
+    assert one("SELECT replaceOne('abc', 'X', '-')") == "abc"
+    assert abs(one("SELECT LpNorm([3.0, 4.0], 2)") - 5.0) < 1e-12
+    assert abs(one("SELECT LpDistance([1.0, 2.0], [4.0, 6.0], 2)") - 5.0) < 1e-12
+    assert one("SELECT normalizeL1([2.0, 2.0])") == [0.5, 0.5]
+    assert one("SELECT normalizeL2([3.0, 4.0])") == [0.6, 0.8]
+    # maps
+    assert one(
+        "SELECT mapContainsKeyLike(map('abc', 1), 'a%')"
+    ) is True
+    assert one(
+        "SELECT mapExtractKeyLike(map('abc', 1, 'xbc', 2), 'a%')"
+    ) == {"abc": 1}
+    assert one(
+        "SELECT mapAdd(map('a', 1, 'b', 2), map('b', 5))"
+    ) == {"a": 1, "b": 7}
+    assert one(
+        "SELECT mapSubtract(map('a', 1), map('a', 3))"
+    ) == {"a": -2}
+    assert one("SELECT toJSONString(map('a', 1))") == '{"a":1}'
+    assert one("""SELECT JSONExtractKeys('{"a": 1, "b": 2}')""") == ["a", "b"]
+    assert one("SELECT JSONArrayLength('[1, 2, 3]')") == 3
+    t = one("SELECT tuple(1, 'x')")
+    assert tuple(t) == (1, "x")
+    # accurateCast under ANSI + the OrNull twin
+    assert one("SELECT accurateCast(200, 'Int32')") == 200
+    with _pytest.raises(Exception):
+        one("SELECT accurateCast(200, 'Int8')")
+    assert one("SELECT accurateCastOrNull(200, 'Int8')") is None
+    assert one("SELECT accurateCastOrNull('1.5', 'Float64')") == 1.5
+    # toInterval composes with timestamp arithmetic
+    assert one(
+        "SELECT TIMESTAMP'2024-01-31 00:00:00' + toIntervalMonth(1)"
+    ) == datetime.datetime(2024, 2, 29, 0, 0, 0)
+    assert one(
+        "SELECT TIMESTAMP'2024-03-05 00:00:00' + toIntervalWeek(2)"
+    ) == datetime.datetime(2024, 3, 19, 0, 0, 0)
+    # extract-guarded regex forms
+    assert one("SELECT countMatches('a1b22c', '[0-9]+')") == 2
+    assert one("SELECT regexpExtract('ab123', '([a-z]+)([0-9]+)', 2)") == "123"
+    with _pytest.raises(UnsupportedClickHouseSQL, match="backslash"):
+        translate("SELECT countMatches(s, '\\\\d+') FROM t")
+    # refusals: pointered, never silent
+    for bad, msg in (
+        ("SELECT gcd(a, b) FROM t", "Euclid"),
+        ("SELECT toWeek(ts) FROM t", "toISOWeek"),
+        ("SELECT uniqState(x) FROM t", "sketch"),
+        ("SELECT deltaSum(x) FROM t", "ORDER-dependent"),
+        ("SELECT mapUpdate(m, m2) FROM t", "mapKeyDedupPolicy"),
+        ("SELECT format('{}', s) FROM t", "printf"),
+        ("SELECT toTypeName(x) FROM t", "typeof"),
+        ("SELECT replaceRegexpOne(s, 'a', 'b') FROM t", "ALL matches"),
+        ("SELECT replaceOne(s, '', 'x') FROM t", "empty needle"),
+        ("SELECT accurateCast(x, 'UInt64') FROM t", "same-domain"),
+        ("SELECT arrayResize(a, 3) FROM t", "pad"),
+        ("SELECT JSON_VALUE(j, '$.k') FROM t", "get_json_object"),
+        ("SELECT hiveHash(s) FROM t", "hash FAMILIES"),
+        ("SELECT geohashEncode(a, b) FROM t", "geo"),
+        ("SELECT port(u) FROM t", "parse_url"),
+        ("SELECT negate(f(g(h(a)))) FROM t", "rewrite"),
+        ("SELECT mapAdd(f(g(h(m))), m2) FROM t", "rewrite"),
+    ):
+        with _pytest.raises(UnsupportedClickHouseSQL, match=msg):
+            translate(bad)
+    # names inside literals stay data
+    lit = "SELECT x FROM t WHERE s = 'max2(a, b) mapAdd(m, n) negate(x)'"
+    assert translate(lit) == lit
