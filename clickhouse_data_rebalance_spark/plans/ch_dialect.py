@@ -516,8 +516,9 @@ _REFUSALS: list[tuple[re.Pattern[str], str]] = [
         "upstream or in an Arrow-batched pandas UDF",
     ),
     (
-        re.compile(r"\bbase58(Encode|Decode)\s*\(", re.I),
-        "Spark has no base58 codec (base64Encode/Decode translate)",
+        re.compile(r"\b(base58|base32)(Encode|Decode)\s*\(", re.I),
+        "Spark has no base58/base32 codec (base64Encode/Decode "
+        "translate)",
     ),
     (
         re.compile(r"\banyHeavy\s*\(", re.I),
@@ -527,8 +528,8 @@ _REFUSALS: list[tuple[re.Pattern[str], str]] = [
     (
         re.compile(
             r"\b(greatCircle(Distance|Angle)|geoDistance|pointInPolygon"
-            r"|geohash(Encode|Decode|esInBox)|h3\w+|s2\w+"
-            r"|polygon\w+|wkt\w*|readWKT\w+)\s*\(",
+            r"|geohash(Encode|Decode|esInBox)|h3\w+|s2\w+|geoToH3"
+            r"|stringToH3|polygon\w+|wkt\w*|readWKT\w+)\s*\(",
             re.I,
         ),
         "use the native geo_distance operator (haversine spelled in "
@@ -868,6 +869,60 @@ _REFUSALS: list[tuple[re.Pattern[str], str]] = [
         "ClickHouse format uses {}-placeholders; Spark format_string "
         "is printf-style — rewrite the template (format_string('%s', "
         "...)) or use concat",
+    ),
+    # ---- r16 wave 5b refusals ----
+    (
+        re.compile(
+            r"\b(damerauLevenshteinDistance|jaro(Winkler)?Similarity"
+            r"|stringJaccardIndex\w*|byteHammingDistance)\s*\(",
+            re.I,
+        ),
+        "string-similarity variants beyond levenshtein have no Spark "
+        "builtin — editDistanceUTF8/levenshteinDistanceUTF8 translate; "
+        "others need an Arrow-batched pandas UDF",
+    ),
+    (
+        re.compile(
+            r"\b((student|welch)TTest|mannWhitneyUTest|meanZTest"
+            r"|largestTriangleThreeBuckets|cramersV\w*|theilsU"
+            r"|contingency|categoricalInformationValue)\s*\(",
+            re.I,
+        ),
+        "statistical-test aggregates have no Spark builtin — compute "
+        "the moments with stddev/avg/count and form the statistic, or "
+        "use an Arrow-batched pandas UDAF",
+    ),
+    (
+        re.compile(r"\barrayShingles\s*\(", re.I),
+        "use the shingle machinery in the dedup operators "
+        "(operators/llm_dedup.py) or transform over sequence indexes",
+    ),
+    (
+        re.compile(r"\b(from|to)UnixTimestamp64Nano\s*\(", re.I),
+        "Spark timestamps top out at MICROSECONDS — a nano form would "
+        "silently truncate; keep nanos as BIGINT and divide explicitly",
+    ),
+    (
+        re.compile(r"\btoStartOfISOYear\s*\(", re.I),
+        "ISO-year start needs the ISO week-date calendar — derive from "
+        "extract(YEAROFWEEK ...) (toISOYear translates) and make_date",
+    ),
+    (
+        re.compile(
+            r"\b(UTCTimestamp|nowInBlock|serverTimeZone|timezoneOf)\s*\(",
+            re.I,
+        ),
+        "per-expression/server timezone state has no Spark spelling "
+        "(the toTimeZone class) — now() translates; "
+        "spark.sql.session.timeZone owns rendering",
+    ),
+    (
+        re.compile(
+            r"\b(snowflakeToDateTime\w*|dateTime(64)?ToSnowflake\w*)\s*\(",
+            re.I,
+        ),
+        "snowflake-ID epoch packing — spell the shift/mask arithmetic "
+        "explicitly on BIGINT",
     ),
     # (multi-array ARRAY JOIN — the positional zip form — is TRANSLATED
     # since r10 by _rewrite_array_join_zip: one zip_with struct + one
@@ -1762,19 +1817,29 @@ _REWRITES: list[tuple[re.Pattern[str], str]] = [
         r" (cdr_vd_a, cdr_vd_v) -> cdr_vd_a + cdr_vd_v), 1.0D / (\3))",
     ),
     # unit-scaled copies: the norm fold references the array again
-    # (array EXPRESSION computes twice, row-local; columns are free);
-    # zero vectors give 0/0 = NaN elements, CH's result
+    # (array EXPRESSION computes several times, row-local; columns are
+    # free); a ZERO norm rides the divide() idiom — ANSI raises on any
+    # zero divisor, double included — and 0 * Infinity gives the NaN
+    # elements CH returns for zero vectors
     (
         re.compile(rf"\bnormalizeL1\s*\(\s*{_ARG}\s*\)", re.I),
-        r"transform(\1, cdr_nv_x -> cdr_nv_x * 1.0D /"
-        r" aggregate(\1, 0D, (cdr_nv_a, cdr_nv_y) ->"
-        r" cdr_nv_a + abs(cdr_nv_y * 1.0D)))",
+        r"transform(\1, cdr_nv_x -> CASE"
+        r" WHEN aggregate(\1, 0D, (cdr_nv_a, cdr_nv_y) ->"
+        r" cdr_nv_a + abs(cdr_nv_y * 1.0D)) = 0.0D"
+        r" THEN cdr_nv_x * 1.0D * CAST('Infinity' AS DOUBLE)"
+        r" ELSE cdr_nv_x * 1.0D / nullif(aggregate(\1, 0D,"
+        r" (cdr_nv_a, cdr_nv_y) -> cdr_nv_a + abs(cdr_nv_y * 1.0D)),"
+        r" 0.0D) END)",
     ),
     (
         re.compile(rf"\bnormalizeL2\s*\(\s*{_ARG}\s*\)", re.I),
-        r"transform(\1, cdr_nv_x -> cdr_nv_x * 1.0D /"
-        r" sqrt(aggregate(\1, 0D, (cdr_nv_a, cdr_nv_y) ->"
-        r" cdr_nv_a + cdr_nv_y * 1.0D * cdr_nv_y)))",
+        r"transform(\1, cdr_nv_x -> CASE"
+        r" WHEN aggregate(\1, 0D, (cdr_nv_a, cdr_nv_y) ->"
+        r" cdr_nv_a + cdr_nv_y * 1.0D * cdr_nv_y) = 0.0D"
+        r" THEN cdr_nv_x * 1.0D * CAST('Infinity' AS DOUBLE)"
+        r" ELSE cdr_nv_x * 1.0D / nullif(sqrt(aggregate(\1, 0D,"
+        r" (cdr_nv_a, cdr_nv_y) -> cdr_nv_a + cdr_nv_y * 1.0D"
+        r" * cdr_nv_y)), 0.0D) END)",
     ),
     # maps
     (
@@ -1828,6 +1893,59 @@ _REWRITES: list[tuple[re.Pattern[str], str]] = [
         ),
         _to_interval_repl,
     ),
+    # ---- r16 wave 5b: similarity / fold / epoch-precision forms ----
+    # Jaccard over DISTINCT elements in both engines; the empty/empty
+    # case rides the divide() idiom (ANSI raises on ANY zero divisor,
+    # double included — measured) so it yields CH's NaN
+    (
+        re.compile(
+            rf"\barrayJaccardIndex\s*\(\s*{_ARG}\s*,\s*{_ARG}\s*\)", re.I
+        ),
+        r"(CASE WHEN size(array_union(\1, \2)) = 0"
+        r" THEN CAST('NaN' AS DOUBLE)"
+        r" ELSE size(array_intersect(\1, \2)) * 1.0D /"
+        r" nullif(size(array_union(\1, \2)) * 1.0D, 0.0D) END)",
+    ),
+    # CH spells (lambda, arr, init); Spark aggregate spells (arr, init,
+    # lambda) — the lambda's (acc, x) parameter order agrees. Multi-
+    # array folds (4+ args) fall to the residual refusal.
+    (
+        re.compile(
+            rf"\barrayFold\s*\(\s*{_ARG}\s*,\s*{_ARG}\s*,\s*{_ARG}\s*\)",
+            re.I,
+        ),
+        r"aggregate(\2, \3, \1)",
+    ),
+    # random subset without replacement: both engines return k elements
+    # in arbitrary order; slice clamps k past the length
+    (
+        re.compile(
+            rf"\barrayRandomSample\s*\(\s*{_ARG}\s*,\s*{_ARG}\s*\)", re.I
+        ),
+        r"slice(shuffle(\1), 1, CAST((\2) AS INT))",
+    ),
+    # epoch precision family: Milli/Micro are exact Spark twins; the
+    # Nano forms REFUSE (Spark timestamps top out at microseconds — a
+    # silent sub-microsecond truncation otherwise)
+    (re.compile(r"\bfromUnixTimestamp64Milli\s*\(", re.I), "timestamp_millis("),
+    (re.compile(r"\bfromUnixTimestamp64Micro\s*\(", re.I), "timestamp_micros("),
+    (re.compile(r"\btoUnixTimestamp64Milli\s*\(", re.I), "unix_millis("),
+    (re.compile(r"\btoUnixTimestamp64Micro\s*\(", re.I), "unix_micros("),
+    # addDate/subDate take an INTERVAL second argument in CH — the
+    # operator forms are the exact Spark spelling (a non-interval
+    # second argument errors loudly in both engines)
+    (
+        re.compile(rf"\baddDate\s*\(\s*{_ARG}\s*,\s*{_ARG}\s*\)", re.I),
+        r"((\1) + (\2))",
+    ),
+    (
+        re.compile(rf"\bsubDate\s*\(\s*{_ARG}\s*,\s*{_ARG}\s*\)", re.I),
+        r"((\1) - (\2))",
+    ),
+    # suffix/prefix equality is encoding-agnostic — the UTF8 spellings
+    # ARE Spark's endswith/startswith
+    (re.compile(r"\bendsWithUTF8\s*\(", re.I), "endswith("),
+    (re.compile(r"\bstartsWithUTF8\s*\(", re.I), "startswith("),
     # argless count() is ClickHouse-legal; Spark wants count(*)
     (re.compile(r"\bcount\s*\(\s*\)", re.I), "count(*)"),
     # ---- type conversions ----
@@ -2874,6 +2992,8 @@ _RESIDUALS = re.compile(
     r"|Lp(Norm|Distance)|normalizeL[12]|mapContainsKeyLike"
     r"|mapExtractKeyLike|mapAdd|mapSubtract|accurateCast(OrNull)?"
     r"|toInterval\w+|countMatches|regexpExtract|timeSlot"
+    r"|arrayJaccardIndex|arrayFold|arrayRandomSample"
+    r"|(from|to)UnixTimestamp64(Milli|Micro)|(add|sub)Date"
     r"|JSONExtract\w+|quantiles?\w*|median\w*|topK\w*)\s*\(",
     re.I,
 )

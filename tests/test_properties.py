@@ -5372,6 +5372,12 @@ def test_ch_dialect_wave5_funcs(spark):
     assert abs(one("SELECT LpDistance([1.0, 2.0], [4.0, 6.0], 2)") - 5.0) < 1e-12
     assert one("SELECT normalizeL1([2.0, 2.0])") == [0.5, 0.5]
     assert one("SELECT normalizeL2([3.0, 4.0])") == [0.6, 0.8]
+    # zero vectors: NaN elements via the divide idiom (ANSI raises on
+    # any zero divisor — double included, measured)
+    import math as _m
+
+    assert all(_m.isnan(v) for v in one("SELECT normalizeL2([0.0, 0.0])"))
+    assert all(_m.isnan(v) for v in one("SELECT normalizeL1([0.0])"))
     # maps
     assert one(
         "SELECT mapContainsKeyLike(map('abc', 1), 'a%')"
@@ -5403,6 +5409,28 @@ def test_ch_dialect_wave5_funcs(spark):
     assert one(
         "SELECT TIMESTAMP'2024-03-05 00:00:00' + toIntervalWeek(2)"
     ) == datetime.datetime(2024, 3, 19, 0, 0, 0)
+    # wave 5b: similarity / fold / epoch-precision forms
+    assert one("SELECT arrayJaccardIndex([1, 2], [2, 3])") == 1.0 / 3
+    import math as _math
+
+    assert _math.isnan(one("SELECT arrayJaccardIndex([], [])"))
+    assert one("SELECT arrayFold((acc, x) -> acc + x, [1, 2, 3], 10)") == 16
+    assert len(one("SELECT arrayRandomSample([1, 2, 3, 4], 2)")) == 2
+    assert one("SELECT toUnixTimestamp64Milli(TIMESTAMP'2024-03-05 10:00:00.123')") == (
+        one("SELECT unix_millis(TIMESTAMP'2024-03-05 10:00:00.123')")
+    )
+    assert one(
+        "SELECT fromUnixTimestamp64Milli(toUnixTimestamp64Milli("
+        "TIMESTAMP'2024-03-05 10:00:00.123'))"
+    ) == datetime.datetime(2024, 3, 5, 10, 0, 0, 123000)
+    assert one(
+        "SELECT addDate(TIMESTAMP'2024-03-05 00:00:00', INTERVAL 3 DAY)"
+    ) == datetime.datetime(2024, 3, 8, 0, 0, 0)
+    assert one(
+        "SELECT subDate(TIMESTAMP'2024-03-05 00:00:00', INTERVAL 3 DAY)"
+    ) == datetime.datetime(2024, 3, 2, 0, 0, 0)
+    assert one("SELECT endsWithUTF8('abc', 'bc')") is True
+    assert one("SELECT startsWithUTF8('abc', 'ab')") is True
     # extract-guarded regex forms
     assert one("SELECT countMatches('a1b22c', '[0-9]+')") == 2
     assert one("SELECT regexpExtract('ab123', '([a-z]+)([0-9]+)', 2)") == "123"
@@ -5419,6 +5447,9 @@ def test_ch_dialect_wave5_funcs(spark):
         ("SELECT toTypeName(x) FROM t", "typeof"),
         ("SELECT replaceRegexpOne(s, 'a', 'b') FROM t", "ALL matches"),
         ("SELECT replaceOne(s, '', 'x') FROM t", "empty needle"),
+        ("SELECT studentTTest(d, x) FROM t", "statistic"),
+        ("SELECT fromUnixTimestamp64Nano(x) FROM t", "MICROSECONDS"),
+        ("SELECT editDistance(s, s2) FROM t", "BYTES"),
         ("SELECT accurateCast(x, 'UInt64') FROM t", "same-domain"),
         ("SELECT arrayResize(a, 3) FROM t", "pad"),
         ("SELECT JSON_VALUE(j, '$.k') FROM t", "get_json_object"),
