@@ -4124,9 +4124,16 @@ def _exact_index(p: str) -> str:
 
 def _exact_quantile_expr(x: str, p: str, idx_fn=None) -> str:
     # idx_fn parameterizes the rank rule (see _exact_quantiles_plural_expr)
+    # sort_array, not array_sort: collect_list never emits NULL elements,
+    # and on NULL-free input the two produce the identical ascending
+    # order (Spark's NaN-largest double ordering on both paths) — but
+    # array_sort evaluates its default lambda comparator INTERPRETED per
+    # comparison, while sort_array sorts with the native type ordering
+    # (measured at sf0.1: the 3-exact-quantile query's final stage
+    # dropped ~2x when the 200k-element per-group sorts switched).
     idx_fn = idx_fn or _exact_index
     return (
-        f"try_element_at(array_sort(collect_list({x})), "
+        f"try_element_at(sort_array(collect_list({x})), "
         + idx_fn(p).format(x=x)
         + ")"
     )
@@ -4147,8 +4154,10 @@ def _exact_quantiles_plural_expr(x: str, levels: list[str], idx_fn=None) -> str:
     idx = ", ".join(
         f"try_element_at(a, {idx_fn(p).format(x=x)})" for p in levels
     )
+    # sort_array over the NULL-free collected list — see
+    # _exact_quantile_expr for the native-vs-interpreted-sort rationale
     return (
-        f"element_at(transform(array(array_sort(collect_list({x}))), "
+        f"element_at(transform(array(sort_array(collect_list({x}))), "
         f"a -> array({idx})), 1)"
     )
 
@@ -4221,8 +4230,10 @@ def _exclusive_expr(x: str, levels: list[str], plural: bool = False) -> str:
         if not plural
         else f"array({', '.join(one(p) for p in levels)})"
     )
+    # sort_array over the NULL-free collected list — see
+    # _exact_quantile_expr for the native-vs-interpreted-sort rationale
     return (
-        f"element_at(transform(array(array_sort(collect_list("
+        f"element_at(transform(array(sort_array(collect_list("
         f"CAST({x} AS DOUBLE)))), a -> "
         f"element_at(transform(array(size(a)), n -> {body}), 1)), 1)"
     )
@@ -4317,7 +4328,10 @@ def _weighted_pairs(x: str, w: str, sort: bool = True) -> str:
         f"AND ({w}) IS NOT NULL THEN "
         f"named_struct('v', {x}, 'w', CAST({w} AS BIGINT)) END)"
     )
-    return f"array_sort({collected})" if sort else collected
+    # sort_array's native struct ordering (field-by-field, the same
+    # (v, w) lexicographic order as array_sort's default comparator)
+    # over the NULL-free collected pairs — see _exact_quantile_expr
+    return f"sort_array({collected})" if sort else collected
 
 
 def _weighted_threshold(p: str) -> str:
@@ -4374,9 +4388,11 @@ def _exact_weighted_plural_expr(x: str, w: str, levels: list[str]) -> str:
 def _topk_expr(x: str, n: int) -> str:
     # let-binding via a 1-element array: the collected list is computed
     # once and referenced repeatedly through the lambda variable `a`
+    # sort_array: the (neg, val) structs are built non-NULL, so the
+    # native struct ordering equals array_sort's default comparator
     return (
         f"element_at(transform(array(collect_list({x})), a -> "
-        f"slice(transform(array_sort(transform(array_distinct(a), v -> "
+        f"slice(transform(sort_array(transform(array_distinct(a), v -> "
         f"named_struct('neg', -size(filter(a, e -> e <=> v)), 'val', v))), "
         f"s -> s.val), 1, {n})), 1)"
     )
@@ -4396,7 +4412,7 @@ def _topk_weighted_expr(x: str, w: str, n: int) -> str:
     pairs = _weighted_pairs(x, w, sort=False)
     return (
         f"element_at(transform(array({pairs}), a -> "
-        f"slice(transform(array_sort(transform("
+        f"slice(transform(sort_array(transform("
         f"array_distinct(transform(a, e -> e.v)), v -> "
         f"named_struct('negw', -aggregate(filter(a, e -> e.v <=> v), "
         f"CAST(0 AS BIGINT), (s, e) -> s + e.w), 'val', v))), "

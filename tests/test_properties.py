@@ -2083,14 +2083,14 @@ def test_ch_dialect_quantile_topk_rewrites():
     )
     # the exact forms spell CH's floor(p*n) nearest-rank formula
     out = translate("SELECT quantileExact(0.25)(v) FROM t")
-    assert "array_sort(collect_list(v))" in out
+    assert "sort_array(collect_list(v))" in out
     assert "floor(0.25 * count(v))" in out
     assert "try_element_at" in out  # all-NULL group -> NULL, not error
     out = translate("SELECT medianExact(v) FROM t")
     assert "floor(0.5 * count(v))" in out
     # plural exact: ONE let-bound sort indexed per level (VERDICT r10 #5)
     out = translate("SELECT quantilesExact(0.1, 0.9)(v) FROM t")
-    assert out.count("array_sort(collect_list(v))") == 1
+    assert out.count("sort_array(collect_list(v))") == 1
     assert out.count("try_element_at(a,") == 2
     out = translate("SELECT topK(3)(mode) FROM t GROUP BY g")
     assert "collect_list(mode)" in out and "slice(" in out
@@ -2105,7 +2105,7 @@ def test_ch_dialect_quantile_topk_rewrites():
     assert "floor(0.5 * tot)" in out
     # plural weighted: ONE sort and ONE total fold shared across levels
     out = translate("SELECT quantilesExactWeighted(0.1, 0.9)(v, w) FROM t")
-    assert out.count("array_sort(collect_list(") == 1
+    assert out.count("sort_array(collect_list(") == 1
     assert out.count("floor(0.1 * tot)") == 1
     assert out.count("floor(0.9 * tot)") == 1
     # r11 weighted-aggregate rewrites: exact weight-sum top-K and
@@ -2135,7 +2135,7 @@ def test_ch_dialect_quantile_topk_rewrites():
     )
     # Exclusive: h = p*(n+1) with boundary arms; plural shares ONE sort
     out = translate("SELECT quantilesExactExclusive(0.25, 0.75)(v) FROM t")
-    assert out.count("array_sort(collect_list(CAST(v AS DOUBLE)))") == 1
+    assert out.count("sort_array(collect_list(CAST(v AS DOUBLE)))") == 1
     assert "floor(0.25 * (n + 1))" in out and "floor(0.75 * (n + 1))" in out
     # a PLURAL spelling returns an array even with ONE level (CH's
     # quantiles* contract — a scalar would be a silent dtype
