@@ -1600,8 +1600,8 @@ def gopher_verdicts(d: DataFrame, passthrough: tuple = ()) -> DataFrame:
     composing pipeline can gate WITHOUT a self-join back to its own
     lineage (corpus_curate_e2e: a join would recompute the whole
     gate+dedup subtree — two corpus scans at scale)."""
-    words = tokens(F.col("text"))
-    lwords = tokens(F.lower(F.col("text")))
+    words = F.col("_cdr_gv_w")
+    lwords = F.col("_cdr_gv_lw")
     n_words = F.size(words).cast("bigint")
     wlen_sum = F.aggregate(
         F.transform(words, lambda x: F.length(x).cast("bigint")),
@@ -1632,7 +1632,25 @@ def gopher_verdicts(d: DataFrame, passthrough: tuple = ()) -> DataFrame:
     mwl_ok = (mwl >= GOPHER_MWL_MIN) & (mwl <= GOPHER_MWL_MAX)
     alpha_ok = alpha_frac >= GOPHER_ALPHA_MIN
     stop_ok = stop_hits >= GOPHER_STOP_MIN
-    return d.select(
+    # Two stacked projects with a seeded shuffle() barrier (r16
+    # optimization): the lower project tokenizes ONCE per row into
+    # `_cdr_gv_w`/`_cdr_gv_lw`; every verdict above reads the attribute.
+    # All verdicts are word-ORDER-invariant (sizes, integer length sums,
+    # membership counts), so the fixed-seed permutation never changes a
+    # value — while shuffle's nondeterministic flag (a) stops
+    # CollapseProject from re-inlining split(text) into each of the five
+    # verdict columns and (b) stops PushDownPredicates from substituting
+    # the whole tokenize+aggregate tree into a downstream
+    # `.filter(keep)` (the curation pipelines re-evaluated split ~4x per
+    # row in interpreted eval before this; measured 1.8 s -> 0.6 s for
+    # corpus_stage_dedup at sf0.1, identical outputs).
+    base = d.select(
+        *[F.col(c) for c in passthrough],
+        "doc_id",
+        F.shuffle(tokens(F.col("text")), F.lit(42)).alias("_cdr_gv_w"),
+        F.shuffle(tokens(F.lower(F.col("text"))), F.lit(42)).alias("_cdr_gv_lw"),
+    )
+    return base.select(
         *[F.col(c) for c in passthrough],
         "doc_id",
         n_words.alias("n_words"),
