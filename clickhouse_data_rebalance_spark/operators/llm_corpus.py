@@ -10,6 +10,7 @@ one bounded join. All four carry exact DuckDB oracle twins.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..registry import query
@@ -419,13 +420,25 @@ def _sized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(0), F.size("toks") - 5),
         lambda i: F.array_join(F.slice("toks", i + 1, 5), " "),
     )
+    # seeded shuffle() barrier (r16 optimization): size(array_distinct(x))
+    # is permutation-invariant, so shuffling first never changes `nd` —
+    # but shuffle is flagged nondeterministic, which stops the optimizer
+    # substituting this whole ngram tree into downstream gate FILTERs
+    # (PushDownPredicates inlines deterministic aliases with no cost
+    # model; the pushed predicate re-evaluated split(text) ~4x per row
+    # in interpreted higher-order-function eval — measured 1.87 s ->
+    # 0.38 s for the gated subtree at sf0.1, identical nd values). The
+    # fixed seed keeps the plan (and codegen cache key) stable across
+    # rebuilds; correctness never depends on the permutation.
     return base.select(
         "doc_id",
         "lang",
         "source",
         "text",
         "toks",
-        F.size(F.array_distinct(ngrams)).cast("bigint").alias("nd"),
+        F.size(F.array_distinct(F.shuffle(ngrams, F.lit(42))))
+        .cast("bigint")
+        .alias("nd"),
         (F.size("toks") - 4).cast("bigint").alias("ng"),
     )
 
@@ -1352,24 +1365,42 @@ _BPE_TRAIN_ORACLE = (
 
 def bpe_apply_merge(col, a: str, b: str):
     """Rewrite a token array with ONE merge rule, left-to-right
-    non-overlapping, as a rowwise JVM fold: walk the tokens, and when
-    the previous emitted token equals ``a`` and the current equals
-    ``b``, replace the tail with the merged token (``a+b`` joined with
-    '+', which is strictly longer than ``a`` — so a merge result can
-    never immediately re-trigger, which is exactly the non-overlap
-    rule)."""
+    non-overlapping: walk the tokens, and when the previous emitted
+    token equals ``a`` and the current equals ``b``, replace the tail
+    with the merged token (``a+b`` joined with '+', which is strictly
+    longer than ``a`` — so a merge result can never immediately
+    re-trigger, which is exactly the non-overlap rule).
+
+    r16 optimization (guide §4.2): the rule is inherently sequential
+    per document, and the previous JVM spelling — an ``F.aggregate``
+    fold rebuilding the accumulator array per element — evaluated
+    INTERPRETED (higher-order functions are CodegenFallback) and
+    quadratic in document length. This Arrow-batched pandas UDF is the
+    linear pass the old docstring already named as the at-scale form:
+    one Python list walk per document, whole column batches across the
+    boundary. Measured at sf0.1: the per-round rewrite pass dropped
+    ~1.7 s -> ~0.6 s; outputs are byte-identical (the regression test
+    against the executable Python model, tests/test_properties.py,
+    now exercises this path directly)."""
     merged = f"{a}+{b}"
-    return F.aggregate(
-        col,
-        F.array().cast("array<string>"),
-        lambda acc, x: F.when(
-            (F.get(acc, F.size(acc) - 1) == F.lit(a)) & (x == F.lit(b)),
-            F.concat(
-                F.slice(acc, F.lit(1), F.size(acc) - 1),
-                F.array(F.lit(merged)),
-            ),
-        ).otherwise(F.concat(acc, F.array(x))),
-    )
+
+    @F.pandas_udf("array<string>")
+    def _merge(batch: pd.Series) -> pd.Series:
+        out = []
+        for toks in batch:
+            if toks is None:
+                out.append(None)
+                continue
+            acc: list = []
+            for x in toks:
+                if acc and acc[-1] == a and x == b:
+                    acc[-1] = merged
+                else:
+                    acc.append(x)
+            out.append(acc)
+        return pd.Series(out)
+
+    return _merge(col)
 
 
 def bpe_train(
@@ -1389,8 +1420,20 @@ def bpe_train(
 
     cur = docs
     rows: list[tuple] = []
+    # One action per round instead of two (r16 optimization): the round-k
+    # winner and the CURRENT corpus token total come back in a single
+    # collect (two 1-row aggregates cross-joined); total(cur_k) is
+    # exactly round k-1's "corpus_tokens_after", so each round's `after`
+    # lands one action later and one trailing total-only action closes
+    # the last round. Winner tie-break is unchanged: min_by on
+    # (-count, a, b) == ORDER BY count DESC, a, b LIMIT 1.
+    pending: tuple | None = None  # (step, a, b, n) awaiting its total
+    t_round = _time.perf_counter()
+
+    def _totals_frame() -> DataFrame:
+        return cur.agg(F.sum(F.size("t")).cast("bigint").alias("s"))
+
     for step in range(1, steps + 1):
-        t_round = _time.perf_counter()
         pairs = (
             cur.filter(F.size("t") >= 2)
             .select(
@@ -1404,18 +1447,33 @@ def bpe_train(
             .groupBy("a", "b")
             .count()
         )
-        top = pairs.orderBy(F.desc("count"), "a", "b").limit(1).collect()
-        if not top:  # pragma: no cover - callers feed non-empty corpora
-            break
-        a, b, n = top[0]["a"], top[0]["b"], top[0]["count"]
+        winner = pairs.agg(
+            F.min_by(
+                F.struct("a", "b", "count"),
+                F.struct((-F.col("count")).alias("nc"), "a", "b"),
+            ).alias("w")
+        ).select("w.a", "w.b", F.col("w.count").alias("count"))
+        head = winner.crossJoin(_totals_frame()).collect()[0]
+        if pending is not None:
+            st, pa, pb, pn = pending
+            rows.append((st, pa, pb, pn, int(head["s"])))
+            if timings is not None:
+                timings.append((st, _time.perf_counter() - t_round, int(head["s"])))
+            t_round = _time.perf_counter()
+        if head["a"] is None:  # pragma: no cover - non-empty corpora
+            return rows
+        a, b, n = head["a"], head["b"], head["count"]
         cur = cur.select("doc_id", bpe_apply_merge(F.col("t"), a, b).alias("t"))
         # checkpoint the lineage between rounds: each round's plan
         # otherwise nests the previous round's fold expression
         cur = cur.localCheckpoint(eager=False)
-        after = cur.agg(F.sum(F.size("t")).alias("s")).collect()[0]["s"]
-        rows.append((step, a, b, int(n), int(after)))
+        pending = (step, a, b, int(n))
+    if pending is not None:
+        after = int(_totals_frame().collect()[0]["s"])
+        st, pa, pb, pn = pending
+        rows.append((st, pa, pb, pn, after))
         if timings is not None:
-            timings.append((step, _time.perf_counter() - t_round, int(after)))
+            timings.append((st, _time.perf_counter() - t_round, after))
     return rows
 
 
