@@ -1140,7 +1140,15 @@ def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             cosine(F.col("embedding"), F.col("sv")).alias("centroid_sim"),
         )
     )
-    a = scored.alias("a")
+    # spread the probe side (r16 optimization — the exact pattern and
+    # rationale of dedup_embedding_cosine's repartition): the persisted
+    # index scan yields few input splits, and the broadcast pair
+    # generation then evaluates EVERY per-pair cosine fold inside those
+    # few tasks — measured 2.4 s -> 0.7 s for the pair stage at sf0.1
+    # once the probe side is hash-spread across the session's shuffle
+    # width. Explicit count so AQE can't coalesce it back (see
+    # session.shuffle_partitions).
+    a = scored.repartition(shuffle_partitions(spark), "vec_id").alias("a")
     b = scored.alias("b")
     pair_cos = pair_cosine(
         F.col("a.embedding"),
@@ -1246,18 +1254,29 @@ def dedup_repeated_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("h"),
         )
     )
-    dup = (
-        spans.groupBy("h")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") > 1)
-        .select("h", F.lit(1).alias("is_dup"))
-    )
+    # ONE pass over the span table (r16 optimization, guide §2.4): a
+    # span occurrence is a repeat iff its hash occurs in >1 distinct
+    # document, i.e. min(doc_id) != max(doc_id) over the hash — an
+    # unordered window on the SAME key the old count_distinct aggregate
+    # and count-back join used. The old shape built the exploded span
+    # subtree twice (agg side + probe side; different exchange keys, so
+    # ReuseExchange couldn't fold them) and shuffled it four times
+    # (count_distinct expands to a two-exchange distinct rewrite, plus
+    # the join and the per-doc rollup); this is one span build and two
+    # exchanges (h window, doc_id rollup). Per-bucket window state is
+    # two bigints — same 100 TB posture as the aggregate it replaces.
+    from pyspark.sql import Window as W
+
+    wh = W.partitionBy("h")
     per_doc = (
-        spans.join(dup, "h", "left")
+        spans.withColumn(
+            "is_dup",
+            F.min("doc_id").over(wh) != F.max("doc_id").over(wh),
+        )
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_spans"),
-            F.count("is_dup").alias("n_dup_spans"),
+            F.sum(F.col("is_dup").cast("long")).alias("n_dup_spans"),
         )
     )
     return (
