@@ -1271,13 +1271,15 @@ def test_weighted_quantile_single_pair_collect(spark):
 
 
 def test_rank_rules_single_collect(spark):
-    """The rank-rules cover query's five collect-based columns (Low
+    """The rank-rules cover query's six collect-based columns (Low
     median, High median, Low@0.3, both Exclusive levels, the plural
-    pair) share ONE collect_list(l_quantity) — the Exclusive spelling's
-    CAST(x AS DOUBLE) folds away on the double fixture column, so
-    Catalyst canonicalizes every sorted-array source to the same
-    aggregate; Inclusive rides its own bounded-state percentile buffer.
-    One grouped exchange + the presentation sort — nothing else wide."""
+    pair — and as of r16 the Inclusive arm too, whose singular lowering
+    now rides the same sorted-list interpolation instead of a separate
+    Percentile hashmap buffer) share ONE collect_list(l_quantity) — the
+    spellings' CAST(x AS DOUBLE) folds away on the double fixture
+    column, so Catalyst canonicalizes every sorted-array source to the
+    same aggregate. One grouped exchange + the presentation sort —
+    nothing else wide, and no percentile buffer left in the plan."""
     plan = plan_of(spark, "ch_dialect_quantile_rank_rules")
     finals = [
         l
@@ -1286,7 +1288,7 @@ def test_rank_rules_single_collect(spark):
     ]
     assert finals, plan
     assert finals[0].count("collect_list") == 1, finals[0]
-    assert finals[0].count("percentile") == 1, finals[0]
+    assert finals[0].count("percentile") == 0, finals[0]
     assert plan.count("Exchange (") == 2, plan
 
 

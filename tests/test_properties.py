@@ -2069,15 +2069,20 @@ def test_ch_dialect_quantile_topk_rewrites():
         translate,
     )
 
-    assert translate("SELECT quantile(0.9)(x) FROM t").strip() == (
-        "SELECT percentile(x, 0.9) FROM t"
-    )
-    assert translate("SELECT quantile(x) FROM t").strip() == (
-        "SELECT percentile(x, 0.5) FROM t"
-    )
-    assert translate("SELECT median(x) FROM t").strip() == (
-        "SELECT percentile(x, 0.5) FROM t"
-    )
+    # singular quantile/median lower to the sorted-list R-7 interpolation
+    # (r16: bit-identical to percentile(x, p) but without its per-distinct
+    # -value hashmap state — see _interp_quantile_expr); pin the
+    # structural markers: one sort, the level's double position, the
+    # empty-group NULL guard
+    out = translate("SELECT quantile(0.9)(x) FROM t").strip()
+    assert out.count("sort_array(collect_list(CAST(x AS DOUBLE)))") == 1
+    assert "CAST(0.9 AS DOUBLE) * CAST(n - 1 AS BIGINT)" in out
+    assert "WHEN n = 0 THEN CAST(NULL AS DOUBLE)" in out
+    for sql in ("SELECT quantile(x) FROM t", "SELECT median(x) FROM t"):
+        out = translate(sql).strip()
+        assert out.count("sort_array(collect_list(CAST(x AS DOUBLE)))") == 1
+        assert "CAST(0.5 AS DOUBLE) * CAST(n - 1 AS BIGINT)" in out
+    # plural quantiles keep the bounded-state percentile aggregate
     assert translate("SELECT quantiles(0.25, 0.75)(x) FROM t").strip() == (
         "SELECT percentile(x, array(0.25, 0.75)) FROM t"
     )
@@ -2129,10 +2134,12 @@ def test_ch_dialect_quantile_topk_rewrites():
     assert translate("SELECT medianExactHigh(v) FROM t") == translate(
         "SELECT medianExact(v) FROM t"
     )
-    # Inclusive IS percentile's formula (Excel PERCENTILE.INC / R-7)
-    assert translate("SELECT quantileExactInclusive(0.25)(v) FROM t").strip() == (
-        "SELECT percentile(v, 0.25) FROM t"
-    )
+    # Inclusive IS percentile's formula (Excel PERCENTILE.INC / R-7);
+    # the singular form lowers to the same sorted-list interpolation as
+    # quantile()/median() (r16 — bit-identical to percentile(v, p))
+    assert translate(
+        "SELECT quantileExactInclusive(0.25)(v) FROM t"
+    ).strip() == translate("SELECT quantile(0.25)(v) FROM t").strip()
     # Exclusive: h = p*(n+1) with boundary arms; plural shares ONE sort
     out = translate("SELECT quantilesExactExclusive(0.25, 0.75)(v) FROM t")
     assert out.count("sort_array(collect_list(CAST(v AS DOUBLE)))") == 1
