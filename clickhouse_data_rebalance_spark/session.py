@@ -82,6 +82,23 @@ def tune_session(spark: SparkSession) -> SparkSession:
     affect result correctness (timezone) and plan quality (AQE) that are
     runtime-mutable. Static confs (driver memory, master) are left alone.
     """
+    try:
+        # r16: an externally-built session usually arrives with the 200
+        # default — on the driver's small local[N] that is 200 near-empty
+        # reduce tasks per exchange AND the width every explicit
+        # repartition(shuffle_partitions(spark), ...) call inherits
+        # (measured 6-10 s per pairwise cover query in the driver
+        # simulation purely from the oversized width). Size it to the
+        # session's actual parallelism — the same scale-adaptive rule
+        # get_spark applies. Only the UNTOUCHED stock default (200) is
+        # adjusted, and only downward to the core count — a width someone
+        # deliberately configured (any non-200 value, or 200 on a
+        # >=200-core cluster) is respected.
+        cores = max(spark.sparkContext.defaultParallelism, 1)
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200" and cores < 200:
+            spark.conf.set("spark.sql.shuffle.partitions", str(cores))
+    except Exception:
+        pass  # Connect session without sparkContext, or non-mutable conf
     for k, v in [
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.adaptive.enabled", "true"),
