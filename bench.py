@@ -223,6 +223,17 @@ def main() -> None:
         "cal_spin_sec": cal,
         "cal_spin_pre": cal_pre,
         "cal_spin_post": cal_post,
+        # r17 (VERDICT r16 #1): echo the EFFECTIVE execution shape so the
+        # scaling contract is self-evident — the driver re-runs this bench
+        # at a lower SPARK_GRAFT_CPUS and previously had no way to tell
+        # "env honored but overhead-bound" from "env ignored" (the ≈1
+        # ratios at 8 vs 32 cores are fixture-shaped: every sf0.1 parquet
+        # is one row group = one scan task). Pure additions to the record;
+        # no timing or methodology change.
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        "master": spark.sparkContext.master,
+        "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+        "default_parallelism": spark.sparkContext.defaultParallelism,
     }
     if out["core_hash"] == ANCHOR["core_hash"] and cal:
         out["vs_anchor_core_cal_ratio"] = round(

@@ -1263,8 +1263,23 @@ def dedup_repeated_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ReuseExchange couldn't fold them) and shuffled it four times
     # (count_distinct expands to a two-exchange distinct rewrite, plus
     # the join and the per-doc rollup); this is one span build and two
-    # exchanges (h window, doc_id rollup). Per-bucket window state is
-    # two bigints — same 100 TB posture as the aggregate it replaces.
+    # exchanges (h window, doc_id rollup).
+    #
+    # Skew posture (r17, ADVICE r16): the min/max AGGREGATE state is two
+    # bigints, but WindowExec itself buffers every row of a hash bucket
+    # in one task's (spillable) row array before emitting — a
+    # pathologically hot span (one boilerplate string duplicated across
+    # millions of documents) concentrates its whole bucket in a single
+    # task, where the old partial-aggregatable count_distinct shape
+    # degraded more gracefully. The rows are narrow (16-byte hex hash +
+    # doc_id) and the buffer spills, so this is a straggler risk, not an
+    # OOM; the at-scale mitigation — pre-aggregating spans to
+    # (h, doc_id, occurrence_count) before the window, or capping
+    # occurrences per hash like MAX_LSH_BUCKET does for band buckets —
+    # costs an extra exchange (or changes the declared counts), so it is
+    # documented here rather than applied: this operator's contract
+    # counts EVERY span occurrence, and the fixtures' hottest hash holds
+    # well under one task's buffer.
     from pyspark.sql import Window as W
 
     wh = W.partitionBy("h")

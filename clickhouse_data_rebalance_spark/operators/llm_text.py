@@ -1622,6 +1622,11 @@ def gopher_verdicts(d: DataFrame, passthrough: tuple = ()) -> DataFrame:
     clash = set(c.lower() for c in passthrough) & {
         "doc_id", "n_words", "mwl", "wc_ok", "mwl_ok", "alpha_ok",
         "stop_ok", "keep",
+        # internal tokenization columns of the two-level project below —
+        # without these in the clash set, a passthrough column with either
+        # name surfaces as a confusing AMBIGUOUS_REFERENCE analysis error
+        # instead of this clear ValueError (ADVICE r16)
+        "_cdr_gv_w", "_cdr_gv_lw",
     }
     if clash:
         raise ValueError(

@@ -93,9 +93,19 @@ def tune_session(spark: SparkSession) -> SparkSession:
         # get_spark applies. Only the UNTOUCHED stock default (200) is
         # adjusted, and only downward to the core count — a width someone
         # deliberately configured (any non-200 value, or 200 on a
-        # >=200-core cluster) is respected.
+        # >=200-core cluster) is respected. r17 (ADVICE r16): gated on a
+        # local[N] master — on a real cluster with dynamic allocation,
+        # defaultParallelism can be tiny before executors register (e.g.
+        # 2), and clobbering an externally-built session's width from 200
+        # to ~2 for its lifetime is far worse than leaving the stock
+        # default; local mode is the only place defaultParallelism is a
+        # trustworthy proxy for the session's true width at tune time.
         cores = max(spark.sparkContext.defaultParallelism, 1)
-        if spark.conf.get("spark.sql.shuffle.partitions") == "200" and cores < 200:
+        if (
+            spark.sparkContext.master.startswith("local")
+            and spark.conf.get("spark.sql.shuffle.partitions") == "200"
+            and cores < 200
+        ):
             spark.conf.set("spark.sql.shuffle.partitions", str(cores))
     except Exception:
         pass  # Connect session without sparkContext, or non-mutable conf
