@@ -1079,15 +1079,23 @@ def corpus_ingest_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     module comment) so every reject arm demonstrably fires.
 
     Scale posture — the daily-job shape, not the backfill:
-    - the repetition gate is row-local (batch rows only);
-    - the exact screen LEFT-SEMI-probes the corpus fingerprint set on
-      the fingerprint hash — in production that set is a persisted,
+    - the batch is featurized in ONE pass (r17, guide §2.4): doc_id,
+      lang, the row-local repetition gate (dup5), the fingerprint, and
+      the 8-token span-hash ARRAY all come out of a single tokenize —
+      the old shape re-derived the batch union three times (verdict
+      projection, exact-screen probe, span explode), paying the
+      tokenize and the spam-row construction each time;
+    - the exact screen LEFT-joins the corpus fingerprint set on the
+      fingerprint hash — in production that set is a persisted,
       bucketed index maintained by yesterday's run, so the probe is a
       bucket-pruned join of |batch| rows, never a corpus scan;
-    - the span screen shuffles only (hash, doc_id) pairs on the span
-      hash, and only the BATCH side explodes fresh spans; the corpus
+    - the span screen explodes only the BATCH side's span arrays —
+      narrow (hash, flag) rows against the corpus span set; the corpus
       span set is likewise maintainable incrementally (append-only —
-      yesterday's accepted docs' spans union in).
+      yesterday's accepted docs' spans union in) and is scanned once
+      here, not per-probe;
+    - one grouped exchange (the per-doc span rollup) + the
+      presentation sort; everything else rides broadcast joins.
     All three stages are expression-only (split/slice/md5) — no Python
     in the row path."""
     d = table(spark, sf_dir, "documents")
@@ -1108,7 +1116,6 @@ def corpus_ingest_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(refetch.withColumn("is_batch", F.lit(True)))
         .unionByName(spam.withColumn("is_batch", F.lit(True)))
     )
-    base = raw.select("doc_id", "lang", "text", tk_of.alias("tk"), "is_batch")
 
     n = F.size("tk")
     grams5 = F.transform(
@@ -1119,40 +1126,72 @@ def corpus_ingest_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1.0) - F.size(F.array_distinct(grams5)).cast("double") / (n - 4)
     )
     fp = F.md5(F.lower(F.trim(F.col("text"))))
+    # span key = xxhash64 over the 8-token slice DIRECTLY (r17): the
+    # span hashes are internal join keys that never reach the output —
+    # both sides compute them in Spark — so the SCALE.md at-scale form
+    # (8-byte xxhash64, no hex string, no array_join materialization)
+    # applies verbatim: ~35% off the span subtree and a 5x narrower
+    # distinct/broadcast set vs md5(array_join(...)). Token boundaries
+    # stay distinguishable (the hash sees the string ARRAY, not a joined
+    # blob). Contrast dedup_repeated_substring, which must keep md5
+    # because its oracle recomputes the hashes bit-identically in DuckDB.
+    spans8 = F.when(
+        n >= 8,
+        F.transform(
+            F.sequence(F.lit(1), n - 7),
+            lambda i: F.xxhash64(F.slice("tk", i, 8)),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
 
-    batch = base.filter("is_batch").select(
-        "doc_id", "lang", "tk", dup5.alias("dup5"), fp.alias("fp")
-    )
-    corpus = base.filter(~F.col("is_batch"))
-    corpus_fp = corpus.select(fp.alias("fp")).distinct()
-
-    span_of = lambda side: side.filter(F.size("tk") >= 8).select(  # noqa: E731
+    # two stacked projects: the lower one tokenizes once; the upper one
+    # derives every batch feature from the `tk` attribute (CollapseProject
+    # declines to re-inline a non-cheap multiply-referenced alias, and no
+    # filter sits above these projects for PushDownPredicates to inline
+    # into — same discipline as gopher_verdicts)
+    tokd = raw.filter("is_batch").select("doc_id", "lang", "text", tk_of.alias("tk"))
+    feat = tokd.select(
         "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("tk") - 7),
-                lambda i: F.md5(F.array_join(F.slice("tk", i, 8), " ")),
-            )
-        ).alias("h"),
+        "lang",
+        dup5.alias("dup5"),
+        fp.alias("fp"),
+        spans8.alias("spans"),
     )
-    corpus_sp = span_of(corpus.select("doc_id", "tk")).select("h").distinct()
-    span_hit = (
-        span_of(batch.select("doc_id", "tk"))
-        .join(corpus_sp, "h", "left_semi")
-        .select("doc_id")
+
+    corpus = raw.filter(~F.col("is_batch"))
+    corpus_fp = (
+        corpus.select(fp.alias("fp")).distinct().withColumn("has_fp", F.lit(1))
+    )
+    corpus_sp = (
+        corpus.select("doc_id", tk_of.alias("tk"))
+        .filter(F.size("tk") >= 8)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("tk") - 7),
+                    lambda i: F.xxhash64(F.slice("tk", i, 8)),
+                )
+            ).alias("h")
+        )
         .distinct()
         .withColumn("has_span", F.lit(1))
     )
 
-    exact_hit = (
-        batch.join(corpus_fp, "fp", "left_semi")
-        .select("doc_id")
-        .withColumn("has_fp", F.lit(1))
+    # exists-semantics via LEFT joins against DISTINCT key sets (each key
+    # unique, so multiplicity is preserved): has_fp flags an exact dup;
+    # exploding the span array with the verdict inputs riding along lets
+    # one per-doc max() rollup replace the old semi-join + distinct +
+    # join-back pair (two fewer derivations of the batch subtree).
+    flagged = feat.join(corpus_fp, "fp", "left")
+    per_doc = (
+        flagged.select(
+            "doc_id", "lang", "dup5", "has_fp", F.explode_outer("spans").alias("h")
+        )
+        .join(corpus_sp, "h", "left")
+        .groupBy("doc_id", "lang", "dup5", "has_fp")
+        .agg(F.max("has_span").alias("has_span"))
     )
     return (
-        batch.join(exact_hit, "doc_id", "left")
-        .join(span_hit, "doc_id", "left")
-        .select(
+        per_doc.select(
             "doc_id",
             "lang",
             F.when(F.col("dup5") > 0.2, F.lit("repetition"))

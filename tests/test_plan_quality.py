@@ -774,13 +774,26 @@ def test_lm_perplexity_broadcasts_vocabulary(spark):
     assert "batchevalpython" not in low and "arrowevalpython" not in low
 
 
-def test_ingest_incremental_probes_are_semi_joins(spark):
-    """The admission screens must compile to LeftSemi probes of the
-    corpus fingerprint/span sets (never inner joins that would duplicate
-    batch rows per match), with no Python in the plan."""
+def test_ingest_incremental_probes_stay_single_pass(spark):
+    """r17 shape: the batch is featurized ONCE (dup5 + fp + span array
+    out of a single tokenize) and the admission screens are LEFT joins
+    against DISTINCT corpus key sets (exists-semantics: each key unique,
+    so batch multiplicity is preserved — the per-doc max() rollup then
+    collapses the span explode). Guard the properties that keep it
+    correct and single-pass: both distinct key-set aggregates present,
+    LeftOuter probes (never inner joins of non-distinct sets), ONE
+    5-gram gate subtree (the old shape re-derived the batch union three
+    times — 37 parquet scans vs 15), and no Python/cartesian."""
     plan = plan_of(spark, "corpus_ingest_incremental")
     low = plan.lower()
-    assert low.count("leftsemi") >= 2, "expected fp + span semi probes"
+    assert low.count("leftouter") >= 2, "expected fp + span left probes"
+    # the screens probe DISTINCT key sets: fp/h grouped aggregates exist
+    assert low.count("hashaggregate") >= 4, "expected distinct key-set aggs"
+    # single batch featurization: 5 documents scans — the 3-branch batch
+    # union once, plus one corpus pass each for the fp and span key sets
+    # (the old shape re-derived the batch union three times: 11 scans)
+    n_scans = len(re.findall(r"\(\d+\) scan parquet", low))
+    assert n_scans <= 5, n_scans
     assert "batchevalpython" not in low and "arrowevalpython" not in low
     assert "cartesianproduct" not in low
 
@@ -1453,3 +1466,58 @@ def test_funcs_wave5_demo_stays_narrow(spark):
             "l_returnflag", "l_linestatus", "l_shipdate",
         )
     ) and "l_extendedprice" not in read[0], read
+
+
+def test_corpus_barrier_single_tokenize(spark):
+    """r16's seeded shuffle() barriers (guide §4.4-class) rely on
+    Shuffle's nondeterministic flag to stop CollapseProject /
+    PushDownPredicates re-inlining the tokenize+ngram tree into
+    downstream gate filters — an undocumented Catalyst behavior a Spark
+    upgrade could change (e.g. by constant-folding seeded shuffles),
+    silently restoring the ~4x per-row re-evaluation with no
+    output-level signal (ADVICE r16). Pin the plan shape: the gated
+    _sized_docs subtree evaluates split(text) exactly ONCE, and
+    gopher_verdicts' two tokenize columns each evaluate their split
+    exactly once even under a .filter(keep)."""
+    from clickhouse_data_rebalance_spark.operators.llm_corpus import (
+        _gate_pred,
+        _sized_docs,
+    )
+    from clickhouse_data_rebalance_spark.operators.llm_text import gopher_verdicts
+    from clickhouse_data_rebalance_spark.tables import table
+
+    gated = _sized_docs(spark, SF_SMALL).filter(_gate_pred())
+    plan = _plan(gated)
+    # formatted plans list each operator twice (tree + detail); the
+    # detail section names split(text once in the >=5-token Filter and
+    # once as the toks alias in the barrier Project — the gate filter
+    # above must NOT add re-inlined copies (the pre-r16 disease put the
+    # whole tree in the pushed Filter, ~4 more)
+    details = plan.split("\n\n", 1)[1] if "\n\n" in plan else plan
+    assert details.count("split(text") == 2, plan
+
+    gv = gopher_verdicts(table(spark, SF_SMALL, "documents")).filter("keep")
+    plan = _plan(gv)
+    details = plan.split("\n\n", 1)[1] if "\n\n" in plan else plan
+    # one split for _cdr_gv_w (raw text), one for _cdr_gv_lw (lowered)
+    assert details.count("split(") == 2, plan
+
+
+def test_corpus_upstream_filter_pushes_through_barrier_project(spark):
+    """VERDICT r16 watch item 1: the nondeterministic barriers block
+    predicate pushdown THROUGH the barrier project — so prunable
+    filters must be applied UPSTREAM (below the barrier), where they
+    still reach the parquet scan. Pin that contract: a lang filter
+    applied before gopher_verdicts lands in the scan's PushedFilters.
+    (A filter applied AFTER the verdicts on a passthrough column will
+    NOT push — that is the documented trade of the barrier; compose
+    filters upstream.)"""
+    from clickhouse_data_rebalance_spark.operators.llm_text import gopher_verdicts
+    from clickhouse_data_rebalance_spark.tables import table
+
+    d = table(spark, SF_SMALL, "documents").filter(F.col("lang") == "lang2")
+    plan = _plan(gopher_verdicts(d).filter("keep"))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and any(
+        "lang" in ln and "EqualTo" in ln for ln in pushed
+    ), plan
