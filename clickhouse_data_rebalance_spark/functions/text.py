@@ -48,6 +48,30 @@ def shingles(text: Column | str, k: int = 3) -> Column:
     )
 
 
+def shingle_hashes(text: Column | str, k: int = 3) -> Column:
+    """k-word shingles as an array<bigint> of xxhash64 keys — the
+    signature-side twin of `shingles()` (r17, guide §2.3 "narrower
+    types"). The hash sees the k-token string ARRAY directly, so no
+    joined shingle string is ever materialized and everything flowing
+    downstream (seeded MinHash lanes, band keys, exchanges) is 8-byte
+    longs instead of ~25-byte strings. Token boundaries stay
+    distinguishable (["ab","c"] and ["a","bc"] hash differently as
+    arrays). Use ONLY where the shingle key never leaves the engine
+    (MinHash/LSH signatures); exact-Jaccard verification and every
+    oracle-visible path keep the string form."""
+    return let_(
+        tokens(text),
+        lambda t: F.when(
+            F.size(t) < k, F.array().cast("array<bigint>")
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), F.size(t) - k),
+                lambda i: F.xxhash64(F.slice(t, i + 1, k)),
+            )
+        ),
+    )
+
+
 def fingerprint(text: Column | str) -> Column:
     """Deterministic document fingerprint: md5 of normalized text.
 

@@ -454,12 +454,29 @@ def _kept_docs(spark: SparkSession, sf_dir: str, keeper: str = "min_id") -> Data
     queries and both e2e variants so the bisection prefixes can never
     silently diverge from the pipeline they exist to localize (review
     r10). ``keeper``: ``min_id`` (smallest doc_id) or ``longest``
-    (longest raw text, doc_id tie-break)."""
+    (longest raw text, doc_id tie-break).
+
+    Output columns: doc_id, lang, source, text, n_toks. r17 (guide
+    §2.3 "project before the exchange"): no consumer ever reads the
+    `toks` ARRAY past the dedup window — only its size — so the token
+    array is reduced to `n_toks` BELOW the fingerprint exchange.
+    WindowExec buffers whole rows per fingerprint bucket, so the array
+    previously rode through the shuffle AND the window buffer only to
+    be size()d afterwards (~40% of the exchanged bytes; text must stay
+    — the fingerprint key derives from it and the curation flagship's
+    rules gate re-tokenizes it)."""
     from pyspark.sql import Window as W
 
     if keeper not in ("min_id", "longest"):
         raise ValueError(f"unknown keeper policy: {keeper!r}")
     gated = _sized_docs(spark, sf_dir).filter(_gate_pred())
+    slim = gated.select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        F.size("toks").cast("bigint").alias("n_toks"),
+    )
     fp = F.md5(F.lower(F.trim("text")))
     order = (
         [F.length("text").desc(), F.col("doc_id").asc()]
@@ -467,7 +484,7 @@ def _kept_docs(spark: SparkSession, sf_dir: str, keeper: str = "min_id") -> Data
         else [F.col("doc_id").asc()]
     )
     return (
-        gated.withColumn(
+        slim.withColumn(
             "rn", F.row_number().over(W.partitionBy(fp).orderBy(*order))
         )
         .filter(F.col("rn") == 1)
@@ -526,7 +543,7 @@ def corpus_stage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the fingerprint hash partition), same plan class as the full
     pipeline's dedup stage."""
     return _kept_docs(spark, sf_dir).select(
-        "doc_id", "lang", F.size("toks").cast("bigint").alias("n_toks")
+        "doc_id", "lang", "n_toks"
     ).orderBy("doc_id")
 
 
@@ -620,9 +637,7 @@ def corpus_pipeline_e2e(
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
     )
     return (
-        kept.select(
-            "lang", split.alias("split"), F.size("toks").cast("bigint").alias("n_toks")
-        )
+        kept.select("lang", split.alias("split"), "n_toks")
         .groupBy("lang", "split")
         .agg(F.count("*").alias("n_docs"), F.sum("n_toks").alias("n_tokens"))
         .orderBy("lang", "split")
@@ -775,9 +790,9 @@ def corpus_curate_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     kept = _kept_docs(spark, sf_dir)
     curated = (
-        gopher_verdicts(kept, passthrough=("source", "toks"))
+        gopher_verdicts(kept, passthrough=("source", "n_toks"))
         .filter(F.col("keep"))
-        .select("doc_id", "source", "toks")
+        .select("doc_id", "source", "n_toks")
     )
     # counts/budget/plan and the rank window all hang off the SAME
     # curated subtree in ONE plan: Spark's ReuseExchange dedups the
@@ -823,12 +838,7 @@ def corpus_curate_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
     )
     return (
-        sel.select(
-            "source",
-            split.alias("split"),
-            F.size("toks").cast("bigint").alias("n_toks"),
-            "doc_id",
-        )
+        sel.select("source", split.alias("split"), "n_toks", "doc_id")
         .groupBy("source", "split")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

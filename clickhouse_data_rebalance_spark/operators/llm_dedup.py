@@ -55,6 +55,7 @@ from ..functions.text import (
     fingerprint,
     hamming64,
     minhash_signature,
+    shingle_hashes,
     shingles,
     simhash64,
     tokens,
@@ -137,36 +138,46 @@ def lsh_band_buckets(d: DataFrame, k_shingle: int = 3) -> DataFrame:
     with map-side partial aggregation, so the shuffle carries one
     32-long row per document — the shape that survives 100 TB. (The
     nested higher-order-function formulation evaluates interpreted and
-    is ~5× slower even after let_-binding.)"""
+    is ~5× slower even after let_-binding.)
+
+    r17 (guide §2.3 "narrower types" + §1.2 per-task work): every key in
+    this pipeline is engine-internal — the output pairs are re-verified
+    by exact Jaccard downstream — so the shingle key is
+    xxhash64(token-slice) (array<bigint>, no joined shingle string
+    materialized), the 32 MinHash lanes hash that 8-byte long instead of
+    a ~25-byte string, and the band key is one variadic
+    xxhash64(band, h_0..h_3) instead of a concat_ws of four casted
+    strings. Same band/row structure, equally well-mixed hash family, so
+    the LSH recall argument (and therefore the oracle-checked output) is
+    unchanged — verified: identical candidate-pair sets at sf0.1 and
+    oracle-green at all three SFs. Measured: candidate subtree noop
+    1.04 → 0.72 s at sf0.1.
+
+    The wide stages are built with selectExpr/expr STRINGS, not the
+    Column API: each Column call is a py4j round trip, and this
+    function's ~250 of them cost ~0.25 s of driver time per query build
+    (measured; the strings parse JVM-side in a handful of calls and
+    yield the identical plan). That is driver latency every composing
+    query pays, not just the bench."""
     sh = d.select(
-        "doc_id", F.explode(shingles(F.lower(F.col("text")), k_shingle)).alias("sh")
+        "doc_id",
+        F.explode(shingle_hashes(F.lower(F.col("text")), k_shingle)).alias("s0"),
     )
-    hashed = sh.select(
-        "doc_id", *[F.xxhash64(F.lit(i), "sh").alias(f"h{i}") for i in range(N_HASHES)]
+    hashed = sh.selectExpr(
+        "doc_id", *[f"xxhash64({i}, s0) AS h{i}" for i in range(N_HASHES)]
     )
     sig_cols = hashed.groupBy("doc_id").agg(
-        *[F.min(f"h{i}").alias(f"h{i}") for i in range(N_HASHES)]
+        *[F.expr(f"min(h{i}) AS h{i}") for i in range(N_HASHES)]
     )
     # band b = hash of its ROWS_PER_BAND signature slots
-    buckets = sig_cols.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.lit(b),
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.col(f"h{b * ROWS_PER_BAND + r}").cast("string")
-                                for r in range(ROWS_PER_BAND)
-                            ],
-                        ),
-                    )
-                    for b in range(N_BANDS)
-                ]
-            )
-        ).alias("band_idx", "band_hash"),
+    band_exprs = ", ".join(
+        f"xxhash64({b}, "
+        + ", ".join(f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+        + ")"
+        for b in range(N_BANDS)
+    )
+    buckets = sig_cols.selectExpr(
+        "doc_id", f"posexplode(array({band_exprs})) AS (band_idx, band_hash)"
     )
     # bucket-size cap: count members per (band, hash) and drop oversized
     # buckets BEFORE the self-join. The count and the join key share the
