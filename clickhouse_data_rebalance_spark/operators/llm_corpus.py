@@ -1143,8 +1143,8 @@ def corpus_ingest_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # applies verbatim: ~35% off the span subtree and a 5x narrower
     # distinct/broadcast set vs md5(array_join(...)). Token boundaries
     # stay distinguishable (the hash sees the string ARRAY, not a joined
-    # blob). Contrast dedup_repeated_substring, which must keep md5
-    # because its oracle recomputes the hashes bit-identically in DuckDB.
+    # blob). dedup_repeated_substring's spans carry the same trade (its
+    # oracle recomputes hashes independently and compares only counts).
     spans8 = F.when(
         n >= 8,
         F.transform(

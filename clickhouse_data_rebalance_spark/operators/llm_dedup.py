@@ -1236,18 +1236,20 @@ def dedup_repeated_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     curation thresholds on before clipping or dropping boilerplate.
 
     All span machinery is JVM-side (split / transform / slice /
-    array_join / md5 — no Python in the hot path); window generation is
-    a per-row transform over `sequence`, guarded to docs with >= 8
+    xxhash64 — no Python in the hot path); window generation is a
+    per-row transform over `sequence`, guarded to docs with >= 8
     tokens so `sequence` never sees a negative length.
 
     Scale posture: the span table is ~W x token-count rows but only two
-    narrow columns (16-byte hash, doc_id), and both the dup-set
-    aggregate and the count-back join shuffle on the SAME span-hash
-    key, with map-side partial aggregation on each. At 100 TB the hash
-    would be xxhash64 (8-byte, no hex string) — md5 here because the
-    oracle must compute bit-identical hashes in DuckDB; the W-window
-    trade (vs the paper's suffix array) is what makes the pass
-    embarrassingly parallel."""
+    narrow columns (8-byte hash, doc_id), and the repeat flag and
+    per-doc rollup shuffle on the span-hash / doc_id keys with map-side
+    partial aggregation. r17: the span key IS xxhash64 over the W-token
+    slice — the hashes never reach the output (only the per-doc counts
+    do; the oracle derives its own hashes independently in DuckDB and
+    compares counts), so the md5(array_join(...)) hex-string spelling
+    bought nothing but a 4x wider window key and a string build per
+    span. The W-window trade (vs the paper's suffix array) is what
+    makes the pass embarrassingly parallel."""
     d = table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("tk")
@@ -1260,7 +1262,7 @@ def dedup_repeated_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(
                 F.transform(
                     F.sequence(F.lit(1), F.size("tk") - (w - 1)),
-                    lambda i: F.md5(F.array_join(F.slice("tk", i, w), " ")),
+                    lambda i: F.xxhash64(F.slice("tk", i, w)),
                 )
             ).alias("h"),
         )
@@ -1282,7 +1284,7 @@ def dedup_repeated_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pathologically hot span (one boilerplate string duplicated across
     # millions of documents) concentrates its whole bucket in a single
     # task, where the old partial-aggregatable count_distinct shape
-    # degraded more gracefully. The rows are narrow (16-byte hex hash +
+    # degraded more gracefully. The rows are narrow (8-byte hash +
     # doc_id) and the buffer spills, so this is a straggler risk, not an
     # OOM; the at-scale mitigation — pre-aggregating spans to
     # (h, doc_id, occurrence_count) before the window, or capping
