@@ -416,9 +416,19 @@ def _sized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = d.select("doc_id", "lang", "source", "text", w.alias("toks")).filter(
         F.size(w) >= 5
     )
+    # r17 (§2.3 narrower types, the dedup_repeated_substring precedent):
+    # the distinct-gram count hashes each 5-token slice to a LONG with
+    # xxhash64 instead of materializing the joined gram string —
+    # distinct-of-hashes == distinct-of-grams absent a 64-bit collision
+    # inside one document (~50 grams/doc: odds ~1e-16/doc; the oracle
+    # counts distinct gram STRINGS independently, so a collision would
+    # surface as a red row, not silent drift). Gated-subtree noop at
+    # sf0.1: 0.372 -> 0.296 s, nd values identical corpus-wide; an
+    # Arrow-batched set-build A/B'd slower here (0.351 s) because this
+    # frame also carries toks/text for downstream stages.
     ngrams = F.transform(
         F.sequence(F.lit(0), F.size("toks") - 5),
-        lambda i: F.array_join(F.slice("toks", i + 1, 5), " "),
+        lambda i: F.xxhash64(F.slice("toks", i + 1, 5)),
     )
     # seeded shuffle() barrier (r16 optimization): size(array_distinct(x))
     # is permutation-invariant, so shuffling first never changes `nd` —
@@ -1128,9 +1138,13 @@ def corpus_ingest_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     n = F.size("tk")
+    # long-hashed grams (r17): same spelling and rationale as
+    # _sized_docs' nd — distinct-of-xxhash64(slice) == distinct-of-grams
+    # absent an intra-document 64-bit collision, and the string build
+    # per gram disappears
     grams5 = F.transform(
         F.sequence(F.lit(1), n - 4),
-        lambda i: F.array_join(F.slice("tk", i, 5), " "),
+        lambda i: F.xxhash64(F.slice("tk", i, 5)),
     )
     dup5 = F.when(n < 5, F.lit(0.0)).otherwise(
         F.lit(1.0) - F.size(F.array_distinct(grams5)).cast("double") / (n - 4)

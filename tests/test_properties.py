@@ -2113,6 +2113,23 @@ def test_ch_dialect_quantile_topk_rewrites():
     assert out.count("sort_array(collect_list(") == 1
     assert out.count("floor(0.1 * tot)") == 1
     assert out.count("floor(0.9 * tot)") == 1
+    # r17 cross-expression fusion: >= 2 weighted-quantile calls over the
+    # same (x, w) in one statement all spell the SAME canonical
+    # multi-level fold (byte-identical texts — Spark's subexpression
+    # elimination then evaluates the sort+fold once); the median
+    # extracts its slot with element_at instead of paying its own sort
+    out = translate(
+        "SELECT quantilesExactWeighted(0.25, 0.5, 0.9)(v, w) AS wq, "
+        "medianExactWeighted(v, w) AS med FROM t GROUP BY g"
+    )
+    start = out.find("element_at(transform(array(sort_array")
+    assert start != -1, out
+    canon = out[start : out.find(" AS wq")]
+    assert out.count(canon) == 2, "med must reuse the wq canonical text"
+    assert "element_at(" + canon + ", 2) AS med" in out
+    # a single occurrence keeps the legacy singular spelling (no fusion)
+    solo = translate("SELECT medianExactWeighted(v, w) FROM t")
+    assert "'r', try_element_at" in solo  # singular fold state, not a slot
     # r11 weighted-aggregate rewrites: exact weight-sum top-K and
     # sum(x*w)/sum(w) with the explicit zero-total NaN arm
     out = translate("SELECT topKWeighted(2)(v, w) FROM t GROUP BY g")
