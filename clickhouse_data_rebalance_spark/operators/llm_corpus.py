@@ -272,8 +272,9 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     n-gram-overlap decontamination check run before training.
 
     Gram generation is explode-the-start-index then slice — flat
-    columns, one tokenize per document. Grams travel as 60-bit md5
-    prefixes, never as text.
+    columns, one tokenize per document. Grams travel as 8-byte xxhash64
+    keys, never as text (r17; the keys are internal — the oracle hashes
+    independently and compares counts).
 
     Scale: the eval side is benchmark-sized, so its distinct gram set
     broadcasts and the corpus-sized train grams NEVER shuffle for the
@@ -285,21 +286,19 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = d.select("doc_id", toks.alias("t"), F.size(toks).alias("n")).filter(
         F.col("n") >= _GRAM_K
     )
+    # r17: gram keys are INTERNAL join/distinct keys only (the output is
+    # counts; the oracle derives its own 60-bit md5-prefix keys in DuckDB
+    # and compares counts) — so the md5 + hex-substring + conv string
+    # pipeline per gram buys nothing over hashing the token slice
+    # directly (same trade as dedup_repeated_substring / _sized_docs nd;
+    # a cross-engine hash collision would surface as a red row)
     grams = base.select(
         "doc_id",
         "t",
         F.explode(F.sequence(F.lit(1), F.col("n") - (_GRAM_K - 1))).alias("i"),
     ).select(
         "doc_id",
-        F.conv(
-            F.substring(
-                F.md5(F.array_join(F.slice("t", F.col("i"), _GRAM_K), " ")), 1, 15
-            ),
-            16,
-            10,
-        )
-        .cast("bigint")
-        .alias("gh"),
+        F.xxhash64(F.slice("t", F.col("i"), _GRAM_K)).alias("gh"),
     )
     is_eval = F.col("doc_id") % 53 == 0
     train_g = grams.filter(~is_eval).distinct()
